@@ -1,0 +1,150 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+import java.util.Base64
+import scala.util.Random
+
+/** Failure-injection store: refuses keys containing "poison". */
+final case class PoisonedStoreFactory(root: String) extends ObjectStoreFactory {
+  override def create(): ObjectStore = new LocalDirObjectStore(root) {
+    override def put(key: String, data: Array[Byte], metadata: Map[String, String]): Unit = {
+      if (key.contains("poison")) throw new RuntimeException(s"injected failure for $key")
+      super.put(key, data, metadata)
+    }
+  }
+}
+
+/** E2E mirror of the reference's test_hello (tests/test_audit_data_ingest.py:18-26)
+  * with the stronger round-trip assertion FIXTURES.md §1.4 calls for.
+  */
+class IngestJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private lazy val (pub, priv) = Envelope.generateKeyPair()
+  private def pubB64 = Base64.getEncoder.encodeToString(pub.getEncoded)
+
+  /** Build the FIXTURES.md §3 layout: 3 dated dirs x 5 files (incl 0-byte
+    * and ~1MB), 1 non-dated dir. Returns (srcDir, file contents by relpath).
+    */
+  private def makeSource(): (Path, Map[String, Array[Byte]]) = {
+    val src = Files.createTempDirectory("audit-src")
+    val rnd = new Random(1)
+    val days = Seq("2020-10-10", "2020-10-11", "2020-10-12")
+    val contents = scala.collection.mutable.Map[String, Array[Byte]]()
+    for (day <- days) {
+      val d = Files.createDirectories(src.resolve(day))
+      for (i <- 1 to 5) {
+        val bytes =
+          if (i == 4) Array.emptyByteArray // 0-byte file
+          else if (i == 5) { val b = new Array[Byte](1024 * 1024); rnd.nextBytes(b); b } // ~1MB
+          else s"""{"id": "000$i", "type": "donut", "name": "Cake-$day"}""".getBytes("UTF-8")
+        Files.write(d.resolve(s"audit-data-$i.json"), bytes)
+        contents(s"$day/audit-data-$i.json") = bytes
+      }
+    }
+    val junk = Files.createDirectories(src.resolve("not-a-date"))
+    Files.write(junk.resolve("ignored.txt"), "nope".getBytes)
+    (src, contents.toMap)
+  }
+
+  private def cfgFor(src: Path, out: Path, progress: Path, prefix: String = "audit/") =
+    IngestConfig(
+      srcDir = src.toString,
+      storeFactory = LocalDirObjectStoreFactory(out.toString),
+      s3Prefix = prefix,
+      masterKeyId = "test-hsm-key-id",
+      publicKeyB64 = pubB64,
+      progressFile = progress.toString
+    )
+
+  test("full run: all days processed, key layout + metadata + round-trip, watermark committed") {
+    val (src, contents) = makeSource()
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(src, out, progress)
+
+    val summary = IngestJob.run(spark, cfg)
+
+    assert(summary.days.size == 3) // non-dated dir skipped
+    assert(summary.filesOk == 15)
+    val store = cfg.storeFactory.create()
+    val keys = store.listKeys("audit/")
+    assert(keys.size == 15)
+    // Key layout {prefix}{day}/{basename}.gz.enc — no inserted separator (ref :173)
+    assert(keys.contains("audit/2020-10-10/audit-data-1.json.gz.enc"))
+    assert(keys.forall(_.endsWith(".gz.enc")))
+
+    // Every object: exactly 3 metadata keys; decrypt+inflate == original bytes
+    for ((rel, orig) <- contents) {
+      val key = s"audit/$rel.gz.enc"
+      val md = store.getMetadata(key)
+      assert(md.keySet == Set("iv", "ciphertext", "datakeyencryptionkeyid"), key)
+      assert(md("datakeyencryptionkeyid") == "test-hsm-key-id")
+      val plain = Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(key), md), priv))
+      assert(plain.sameElements(orig), s"round-trip mismatch for $key")
+    }
+
+    // Watermark = last completed day
+    assert(Watermark.read(progress.toString).contains(LocalDate.parse("2020-10-12")))
+  }
+
+  test("pre-seeded watermark at middle day: only strictly newer days processed") {
+    val (src, _) = makeSource()
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    Watermark.commit(progress.toString, LocalDate.parse("2020-10-11"))
+
+    val summary = IngestJob.run(spark, cfgFor(src, out, progress))
+
+    assert(summary.days.map(_.day.toString) == Seq("2020-10-12")) // strict >
+    val keys = LocalDirObjectStoreFactory(out.toString).create().listKeys("")
+    assert(keys.size == 5)
+    assert(keys.forall(_.startsWith("audit/2020-10-12/")))
+  }
+
+  test("failure isolation: poisoned file fails its day, siblings still attempted, no commit") {
+    val (src, _) = makeSource()
+    // poison one file of day 1
+    Files.write(src.resolve("2020-10-10").resolve("poison.json"), "bad".getBytes)
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(src, out, progress).copy(storeFactory = PoisonedStoreFactory(out.toString))
+
+    val e = intercept[RuntimeException](IngestJob.run(spark, cfg))
+    assert(e.getMessage.contains("2020-10-10"))
+    assert(e.getMessage.contains("poison"))
+
+    // all 5 healthy siblings of the failed day were still uploaded (best-effort, ref :96-104)
+    val keys = LocalDirObjectStoreFactory(out.toString).create().listKeys("audit/2020-10-10/")
+    assert(keys.size == 5)
+    // watermark never advanced — the day did not commit (ref :65-68)
+    assert(Watermark.read(progress.toString).isEmpty)
+  }
+
+  test("idempotent re-run after failure: fixed source completes remaining days (at-least-once)") {
+    val (src, _) = makeSource()
+    val poison = src.resolve("2020-10-11").resolve("poison.json")
+    Files.write(poison, "bad".getBytes)
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val bad = cfgFor(src, out, progress).copy(storeFactory = PoisonedStoreFactory(out.toString))
+
+    intercept[RuntimeException](IngestJob.run(spark, bad))
+    assert(Watermark.read(progress.toString).contains(LocalDate.parse("2020-10-10"))) // day 1 committed
+
+    Files.delete(poison)
+    val summary = IngestJob.run(spark, cfgFor(src, out, progress))
+    assert(summary.days.map(_.day.toString) == Seq("2020-10-11", "2020-10-12"))
+    assert(Watermark.read(progress.toString).contains(LocalDate.parse("2020-10-12")))
+    assert(LocalDirObjectStoreFactory(out.toString).create().listKeys("").size == 15)
+  }
+
+  test("missing source dir raises (ref failure-path test)") {
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(Files.createTempDirectory("gone").resolve("nope"), out, progress)
+    assertThrows[Exception](IngestJob.run(spark, cfg))
+  }
+}
