@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.{t, Q}
+
+/** Event-time operators over the `events` table — the batch-SQL forms of
+  * the streaming surface (tumbling windows, sessionization, stateful
+  * dedup). The same transforms run under Structured Streaming in
+  * [[graft.streaming.EventStreams]]; here they are expressed over a bounded
+  * DataFrame so the DuckDB oracle can check them (SURVEY.md §2.3).
+  */
+object EventOps {
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1h window aggregate (streaming: groupBy(window($"ts","1 hour"))).
+    "q30_tumbling_hour" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Sessionization: 30-min inactivity gap starts a new session
+    // (streaming: session_window($"ts", "30 minutes")).
+    "q31_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val lagTs = lag(col("ts"), 1).over(w)
+      t(s, dir, "events")
+        .select(
+          col("user_id"),
+          when(lagTs.isNull || (unix_timestamp(col("ts")) - unix_timestamp(lagTs)) > 1800, 1)
+            .otherwise(0)
+            .as("new_session")
+        )
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Keyed dedup keeping the first event id (streaming: dropDuplicates
+    // with state; expressed as min-per-key so it is deterministic).
+    "q32_event_dedup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dupes"))
+        .orderBy("user_id", "event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_tumbling_hour" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q31_sessions" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_event_dedup" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dupes
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,518 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.{t, Q}
+
+/** Relational operator surface: scans, filters, joins (broadcast/shuffle,
+  * inner/outer/semi/anti/full), aggregations (hash, distinct, rollup, cube,
+  * grouping sets), windows, sorts/top-k, set ops, scalar functions,
+  * subqueries — each as a `SparkEntry.queries` entry with a DuckDB oracle.
+  *
+  * Design rules applied throughout (100 TB posture):
+  *  - filters and projections precede joins so Catalyst pushes them into
+  *    the parquet scan (PushedFilters / pruned ReadSchema);
+  *  - always-small dims (region, nation: fixed 5/25 rows at ANY scale
+  *    factor) are broadcast explicitly; fact-fact joins are left to
+  *    AQE/sort-merge because both sides scale with data volume;
+  *  - every query ends in a deterministic ORDER BY so results are
+  *    reproducible across engines and partition counts;
+  *  - aggregates are rounded so Spark-vs-DuckDB double summation-order
+  *    noise cannot flip the comparison.
+  */
+object RelationalOps {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: the ingest-manifest shape — per-day/type file counts past a
+    // watermark (the reference's day-batch view, audit_data_ingest.py:49-51).
+    "q00_ingest_manifest" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(date_trunc("day", col("ts")) > lit("2024-01-05").cast("timestamp"))
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_files"), round(sum(col("value")), 2).as("total_bytes"))
+        .orderBy("day", "event_type")
+    }),
+
+    // TPC-H Q1 shape: wide multi-aggregate hash aggregation.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 shape: tight filter fully pushed to the scan, single-row agg.
+    "q02_revenue_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24
+        )
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join + agg + top-k (deterministic tie-break).
+    "q03_shipping_priority" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val lineitem = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q4 shape: correlated EXISTS = left-semi join.
+    "q04_order_priority" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp")
+      )
+      val lineitem = t(s, dir, "lineitem")
+      orders
+        .join(
+          lineitem,
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q5 shape: 6-way join; tiny dims broadcast, fact joins shuffled.
+    "q05_region_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+      )
+      t(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Left outer join + mixed aggregates (count of nullable side, distinct).
+    "q06_cust_order_stats_left" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("n_name")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_custs"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend")
+        )
+        .orderBy("n_name")
+    }),
+
+    // NOT EXISTS = left-anti join (right side filtered first).
+    "q07_no_urgent_anti" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"),
+          "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q14 shape: conditional aggregation over a fact-dim join.
+    "q08_promo_share" -> ((s, dir) => {
+      val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+        .agg(
+          round(
+            lit(100.0) * sum(when(col("p_type") === "PROMO", revenue).otherwise(0.0)) / sum(revenue),
+            4
+          ).as("promo_share")
+        )
+        .orderBy("ship_year")
+    }),
+
+    // Window: per-partition top-n with row_number (deterministic tie-break).
+    "q09_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // Window: running sum over an explicit ROWS frame.
+    "q10_window_running" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 2).as("running_qty")
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Window: lag for event-time deltas.
+    "q11_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).cast("bigint").as("gap_s")
+        )
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Multiple DISTINCT aggregates in one pass (Expand-based plan).
+    "q12_distinct_aggs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // ROLLUP hierarchy totals. SQL form: the DataFrame rollup + post-agg
+    // coalesce trips Spark's ambiguous-self-join detector on the re-read
+    // grouping attrs, so express the pivot through the SQL surface.
+    "q13_rollup" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_ru")
+      t(s, dir, "nation").createOrReplaceTempView("nation_ru")
+      t(s, dir, "region").createOrReplaceTempView("region_ru")
+      s.sql("""
+        SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_customers
+        FROM customer_ru JOIN nation_ru ON c_nationkey = n_nationkey JOIN region_ru ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name
+      """)
+    }),
+
+    // CUBE over two dimensions.
+    "q14_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"),
+          col("n")
+        )
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // GROUPING SETS (SQL surface — no DataFrame equivalent in Spark).
+    "q15_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderpriority, 'ALL') AS dim_priority,
+               coalesce(o_orderstatus, 'ALL') AS dim_status,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY dim_priority, dim_status
+      """)
+    }),
+
+    // Set operations: INTERSECT / EXCEPT (distinct semantics).
+    "q16_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val both = cn.intersect(sn).select(lit("both").as("op"), col("nationkey"))
+      val custOnly = cn.except(sn).select(lit("cust_only").as("op"), col("nationkey"))
+      both.unionByName(custOnly).orderBy("op", "nationkey")
+    }),
+
+    // Scalar string functions.
+    "q17_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          element_at(split(col("p_name"), " "), 1).as("first_word")
+        )
+        .orderBy("p_partkey")
+    }),
+
+    // Scalar date functions.
+    "q18_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since_epoch95"),
+          last_day(col("o_orderdate")).as("month_end")
+        )
+        .orderBy("o_orderkey")
+    }),
+
+    // Scalar math functions.
+    "q19_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("d1"),
+          ceil(col("l_quantity") / 7.0).as("d2"),
+          floor(col("l_extendedprice") / 1000.0).as("d3"),
+          round(sqrt(col("l_extendedprice")), 4).as("d4"),
+          round(log(col("l_extendedprice") + 1), 4).as("d5"),
+          round(pow(col("l_tax") + 1, 2), 6).as("d6"),
+          (col("l_linenumber") % 3).cast("int").as("d7"),
+          signum(col("l_discount") - 0.05).as("d8")
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // CASE WHEN classification + aggregate.
+    "q20_case_when" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+            .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+            .otherwise("low")
+            .as("prio_class")
+        )
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy("prio_class")
+    }),
+
+    // HAVING = post-aggregation filter.
+    "q21_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 15)
+        .orderBy("o_custkey")
+    }),
+
+    // Scalar subquery (1-row side broadcast by AQE).
+    "q22_scalar_subquery" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val avgPrice = orders.agg(avg(col("o_totalprice")).as("ap"))
+      orders
+        .crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .agg(count(lit(1)).as("n_above_avg"))
+    }),
+
+    // IN-subquery = semi join against a broadcast dim chain.
+    "q23_in_subquery" -> ((s, dir) => {
+      val eurNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "EUROPE"), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      t(s, dir, "customer")
+        .join(broadcast(eurNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Global sort + limit => TakeOrderedAndProject (no full sort at scale).
+    "q24_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Array functions over the embedding column.
+    "q26_array_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 20)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_val"),
+          col("label")
+        )
+        .orderBy("vec_id")
+    }),
+
+    // Full outer join of two aggregates.
+    "q27_full_outer" -> ((s, dir) => {
+      val cc = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_custs")).as("c")
+      val ss = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supps")).as("s")
+      cc.join(ss, col("c.nk") === col("s.nk"), "full_outer")
+        .select(
+          coalesce(col("c.nk"), col("s.nk")).as("nationkey"),
+          coalesce(col("n_custs"), lit(0L)).as("n_custs"),
+          coalesce(col("n_supps"), lit(0L)).as("n_supps")
+        )
+        .orderBy("nationkey")
+    }),
+
+    // Approximate distinct (HLL++) — no exact oracle by construction;
+    // driver records a rows-only check.
+    "q25_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts")
+        )
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q00_ingest_manifest" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n_files, round(sum(value), 2) AS total_bytes
+        |FROM events WHERE date_trunc('day', ts) > TIMESTAMP '2024-01-05' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_cust_order_stats_left" ->
+      """SELECT n_name, count(o_orderkey) AS n_orders, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_custs, round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q07_no_urgent_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q08_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q10_window_running" ->
+      """SELECT l_orderkey, l_linenumber, round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q11_window_lag" ->
+      """SELECT event_id, user_id, CAST(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "q12_distinct_aggs" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name""".stripMargin,
+    "q14_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY returnflag, linestatus""".stripMargin,
+    "q15_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS dim_priority, coalesce(o_orderstatus, 'ALL') AS dim_status, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) ORDER BY dim_priority, dim_status""".stripMargin,
+    "q16_setops" ->
+      """SELECT 'both' AS op, nationkey FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS op, nationkey FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, CAST(length(p_name) AS INT) AS name_len, substring(p_name, 1, 5) AS name_pfx,
+        |  concat(p_brand, ':', p_type) AS brand_type, replace(p_name, ' ', '_') AS name_snake,
+        |  lpad(p_brand, 12, '*') AS brand_pad, split_part(p_name, ' ', 1) AS first_word
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
+    "q18_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch95,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "q19_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS d1, CAST(ceil(l_quantity / 7.0) AS BIGINT) AS d2, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS d3,
+        |  round(sqrt(l_extendedprice), 4) AS d4, round(ln(l_extendedprice + 1), 4) AS d5, round(pow(l_tax + 1, 2), 6) AS d6,
+        |  CAST(l_linenumber % 3 AS INT) AS d7, CAST(sign(l_discount - 0.05) AS DOUBLE) AS d8
+        |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q20_case_when" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' WHEN o_orderpriority = '3-MEDIUM' THEN 'mid' ELSE 'low' END AS prio_class,
+        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) > 15 ORDER BY o_custkey""".stripMargin,
+    "q22_scalar_subquery" ->
+      """SELECT count(*) AS n_above_avg FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q23_in_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q24_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q26_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim, embedding[1] AS first_val, label
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+    "q27_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey, coalesce(n_custs, 0) AS n_custs, coalesce(n_supps, 0) AS n_supps FROM
+        |  (SELECT c_nationkey AS nk, count(*) AS n_custs FROM customer GROUP BY 1) c
+        |  FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supps FROM supplier GROUP BY 1) s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin
+  )
+}

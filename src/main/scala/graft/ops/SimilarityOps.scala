@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Tables.{t, Q}
+import scala.util.Random
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`): brute-force cosine top-k as the correctness baseline,
+  * and a random-hyperplane LSH bucketed variant as the 100 TB scale path
+  * (probe only matching buckets instead of scanning every vector).
+  *
+  * Dot products use `zip_with` + `aggregate` over doubles — codegen'd
+  * built-ins, sequential left fold, so results are bit-deterministic.
+  */
+object SimilarityOps {
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k against the vector with id `queryId`.
+    * The 1-row query side is broadcast; the scan side streams — one pass,
+    * no shuffle before the final top-k (TakeOrderedAndProject).
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(toDouble(col("embedding")).as("qe"))
+    emb
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(toDouble(col("embedding")), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // Fixed-seed random hyperplanes for sign-LSH: L tables x R planes
+  // (OR-amplification across tables, AND within a table). 4x4 is tuned for
+  // recall at cosine ~0.4+ on 64-dim data; raise R for higher-similarity
+  // regimes (near-dup at 0.9 supports R=8+ with far fewer candidates).
+  private val NumTables = 4
+  private val PlanesPerTable = 4
+  private val Dim = 64
+  private val planes: Seq[Seq[Seq[Double]]] = {
+    val rnd = new Random(9876)
+    Seq.fill(NumTables, PlanesPerTable)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bands: one (table, bucket) row per table per vector. Vectors
+    * sharing a (table, bucket) are ANN candidates; at scale the bucket is
+    * the shuffle key, so candidate generation is a balanced hash join over
+    * ~|corpus| * L small rows — never a cross join over the corpus.
+    */
+  def lshBands(emb: DataFrame): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val tableStructs = planes.zipWithIndex.map { case (tablePlanes, ti) =>
+      val bucket = tablePlanes.zipWithIndex
+        .map { case (p, i) =>
+          when(dot(v, array(p.map(lit): _*)) >= 0, lit(1 << i)).otherwise(lit(0))
+        }
+        .reduce(_.bitwiseOR(_))
+      struct(lit(ti).as("table"), bucket.as("bucket"))
+    }
+    emb
+      .select(col("vec_id"), col("embedding"), explode(array(tableStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** ANN via multi-table LSH: gather candidates sharing any (table,
+    * bucket) with the query, then exact-rerank only those.
+    */
+  def annLsh(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val bands = lshBands(emb)
+    val qBands = bands
+      .filter(col("vec_id") === queryId)
+      .select(toDouble(col("embedding")).as("qe"), col("table").as("qt"), col("bucket").as("qb"))
+    bands
+      .join(broadcast(qBands), col("table") === col("qt") && col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("qe"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
+    // LSH-bucketed ANN (deterministic fixed-seed planes; no SQL oracle).
+    "s02_ann_lsh" -> ((s, dir) => annLsh(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // Embedding-cosine near-duplicate pairs corpus-wide: bucket self-join
+    // (pairs colliding in any LSH table) then exact cosine threshold.
+    // Threshold 0.4 matches this corpus's similarity structure (max
+    // pairwise cosine ~0.51); for true near-dup corpora raise to 0.9+.
+    "s03_embed_neardup" -> ((s, dir) => {
+      val b = lshBands(t(s, dir, "embeddings"))
+      b.as("a")
+        .join(
+          b.as("b"),
+          col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id")
+        )
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          toDouble(col("a.embedding")).as("ea"), toDouble(col("b.embedding")).as("eb"))
+        .dropDuplicates("vec_a", "vec_b")
+        .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") > 0.4)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))), 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id != 0 ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.{t, Q}
+import scala.util.Random
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface: exact dedup, MinHash-LSH /
+  * SimHash near-dedup, n-gram Jaccard verification, language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All are pure DataFrame -> DataFrame transforms built from codegen'd
+  * built-in functions (no UDFs), so they scale by partitioning alone:
+  * the only shuffles are the hash-aggregations/joins on doc or band keys.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  // ---------------------------------------------------------------- MinHash
+  // Deterministic universal-hash family h_i(x) = (a_i * x + b_i) mod P over
+  // a Murmur3 base hash. Constants are fixed-seed so every run (and every
+  // cluster) produces identical signatures.
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val NumHashes = 32
+  private val BandRows = 4 // 8 bands x 4 rows
+  private val hashParams: Seq[(Long, Long)] = {
+    val rnd = new Random(12345)
+    Seq.fill(NumHashes)((rnd.nextLong().abs % (P - 1) + 1, rnd.nextLong().abs % P))
+  }
+
+  /** Per-doc MinHash signature over `w`-token shingles.
+    * Output: (doc_id, sig array<bigint>).
+    */
+  def minhashSignatures(docs: DataFrame, shingleWidth: Int): DataFrame = {
+    val shingles =
+      if (shingleWidth <= 1) array_distinct(col("tokens"))
+      else
+        array_distinct(
+          expr(
+            s"transform(sequence(0, greatest(size(tokens) - $shingleWidth, 0)), i -> concat_ws(' ', slice(tokens, i + 1, $shingleWidth)))"
+          )
+        )
+    val exploded = docs
+      .select(col("doc_id"), tokens(col("text")).as("tokens"))
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"), pmod(hash(col("shingle")).cast("bigint"), lit(P)).as("h"))
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
+    }
+    exploded
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (doc_id, band, band_hash) — docs sharing a (band,
+    * band_hash) bucket are near-dup candidates. Shuffle key is the bucket,
+    * so candidate generation is a balanced hash join, never a cross join.
+    */
+  def minhashBands(sigs: DataFrame): DataFrame = {
+    val numBands = NumHashes / BandRows
+    val bandStructs = (0 until numBands).map { j =>
+      struct(
+        lit(j).as("band"),
+        hash((0 until BandRows).map(r => col("sig").getItem(j * BandRows + r)): _*).as("band_hash")
+      )
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets, verified with EXACT token-set
+    * Jaccard (the n-gram Jaccard verify step), thresholded.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minhashDedupPairs(docs: DataFrame, shingleWidth: Int, threshold: Double): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs, shingleWidth)).as("a")
+    val candidates = bands
+      .join(
+        minhashBands(minhashSignatures(docs, shingleWidth)).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    candidates
+      .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+      .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))),
+          4
+        ).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over tokens: bit j of the signature is the sign of the
+    * sum over tokens of (bit j of xxhash64(token) ? +1 : -1).
+    * Output: (doc_id, simhash bigint) — deterministic.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val withBits = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"b_$j") > 0, expr(s"CAST(1 AS BIGINT) << $j")).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    withBits.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash grouping, keep min doc_id.
+    "d01_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    }),
+
+    // Token counting (whitespace tokenizer).
+    "d02_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("n_chars_actual")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: structural character ratios.
+    "d03_text_quality" -> ((s, dir) => {
+      val len = length(col("text")).cast("double")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round((len - length(regexp_replace(col("text"), " ", ""))) / len, 4).as("space_ratio"),
+          round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / len, 4).as("alpha_ratio"),
+          length(col("text")).as("n_chars")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: stopword-density heuristic (n-gram heuristic family).
+    "d04_lang_guess" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          when(
+            expr(
+              "size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))"
+            ).cast("double") / size(split(lower(col("text")), "\\s+")) > 0.05,
+            "en"
+          ).otherwise("other").as("lang_pred")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: hash of whitespace-normalized lowercase text.
+    "d05_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary")).as("fingerprint")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary size per doc.
+    "d06_distinct_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (deterministic; no SQL oracle — custom hash family).
+    "x01_minhash_signatures" -> ((s, dir) => {
+      minhashSignatures(t(s, dir, "documents"), shingleWidth = 3)
+        .select(
+          col("doc_id"),
+          col("sig").getItem(0).as("sig0"),
+          col("sig").getItem(1).as("sig1"),
+          col("sig").getItem(2).as("sig2"),
+          col("sig").getItem(3).as("sig3")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup pairs + exact-Jaccard verify. Token-level
+    // shingles with a high threshold: the synthetic docs draw from a tiny
+    // vocabulary, so token-Jaccard saturates — 0.95 isolates genuine
+    // near-dups. LSH recall at j=0.95 is ~1-(1-0.95^4)^8 ~ 1.0.
+    "x02_minhash_pairs" -> ((s, dir) => {
+      minhashDedupPairs(t(s, dir, "documents"), shingleWidth = 1, threshold = 0.95)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash signatures (deterministic).
+    "x03_simhash" -> ((s, dir) => simhash(t(s, dir, "documents")).orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d02_token_stats" ->
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens, CAST(length(text) AS INT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d03_text_quality" ->
+      """SELECT doc_id,
+        |  round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text), 4) AS space_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d04_lang_guess" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 1.0 / len(regexp_split_to_array(lower(text), '\s+')) > 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d05_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d06_distinct_tokens" ->
+      """SELECT doc_id, CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS INT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
