@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata, processed per partition in
+  * batches. The Spark-side machinery (schema, partitioning, batch shape,
+  * feature/frame output layout) is real; the codec itself is a
+  * deterministic STUB ([[StubCodec]]) because no image/audio libraries
+  * exist in this environment — swap `decode` for a real decoder (JavaCV,
+  * TwelveMonkeys, ffmpeg-over-pipe) without touching the plumbing.
+  */
+object MultimodalOps {
+
+  /** A media asset row: opaque payload + typed metadata, the multimodal
+    * twin of the ingest pipeline's (path, content) records.
+    */
+  case class MediaAsset(
+      asset_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long
+  )
+
+  case class MediaFeatures(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      byte_entropy: Double,
+      feature: Array[Float]
+  )
+
+  case class FrameSample(asset_id: Long, frame_idx: Int, frame_hash: Long)
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)
+  ))
+
+  /** Deterministic stand-in for the real media codec. A real
+    * implementation decodes pixels/samples; this derives stable
+    * pseudo-features from the payload bytes so the distributed plumbing
+    * is fully testable end-to-end.
+    */
+  object StubCodec {
+    val FeatureDim = 8
+
+    /** "Decode + feature-extract": byte histogram folded to FeatureDim
+      * buckets, L1-normalised — deterministic in the payload alone.
+      */
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) % FeatureDim) += 1
+        i += 1
+      }
+      val total = math.max(1L, payload.length.toLong)
+      hist.map(h => (h.toDouble / total).toFloat)
+    }
+
+    /** Shannon byte entropy (bits/byte) — a cheap real signal used for
+      * corrupt/blank-media triage even with the codec stubbed.
+      */
+    def byteEntropy(payload: Array[Byte]): Double = {
+      if (payload.isEmpty) return 0.0
+      val counts = new Array[Long](256)
+      payload.foreach(b => counts(b & 0xff) += 1)
+      val n = payload.length.toDouble
+      counts.foldLeft(0.0) { (acc, c) =>
+        if (c == 0) acc else acc - (c / n) * (math.log(c / n) / math.log(2))
+      }
+    }
+
+    /** "Frame sampling": every strideBytes-th window hashed — the shape of
+      * video frame extraction (asset -> many indexed frames).
+      */
+    def sampleFrames(payload: Array[Byte], strideBytes: Int, maxFrames: Int): Seq[(Int, Long)] = {
+      val n = math.min(maxFrames, math.max(0, payload.length / math.max(1, strideBytes)))
+      (0 until n).map { i =>
+        val start = i * strideBytes
+        val end = math.min(payload.length, start + strideBytes)
+        var h = 1125899906842597L
+        var j = start
+        while (j < end) { h = 31 * h + payload(j); j += 1 }
+        (i, h)
+      }
+    }
+  }
+
+  /** Batch feature extraction: one pass over payload partitions, no
+    * shuffle; parallelism follows the source partitioning by bytes.
+    * Equivalent shape to a vectorized-batch UDF: per-partition iterator in,
+    * iterator out, constant memory beyond one asset.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val payload = Option(a.payload).getOrElse(Array.emptyByteArray)
+        MediaFeatures(
+          a.asset_id,
+          a.media_type,
+          payload.length.toLong,
+          StubCodec.byteEntropy(payload),
+          StubCodec.decode(payload)
+        )
+      }
+    }
+  }
+
+  /** Frame sampling: fan-out flatMap (1 asset -> up to maxFrames rows).
+    * At scale the output is re-partitionable by (asset_id, frame_idx)
+    * for downstream per-frame work.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], strideBytes: Int = 4096, maxFrames: Int = 16): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val payload = Option(a.payload).getOrElse(Array.emptyByteArray)
+      StubCodec.sampleFrames(payload, strideBytes, maxFrames).map { case (i, h) =>
+        FrameSample(a.asset_id, i, h)
+      }
+    }
+  }
+
+  /** "Resize" stub: deterministic payload-size reduction keeping the
+    * metadata contract (width/height scaled) — the plumbing for a real
+    * thumbnailer.
+    */
+  def resize(assets: Dataset[MediaAsset], scaleDiv: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val payload = Option(a.payload).getOrElse(Array.emptyByteArray)
+      val out = payload.grouped(scaleDiv).map(_.head).toArray
+      a.copy(payload = out, width = a.width / scaleDiv, height = a.height / scaleDiv)
+    }
+  }
+
+  /** Synthesize a deterministic asset table from the documents corpus —
+    * lets the multimodal path run against driver-provided data with no
+    * binary fixtures in the repo.
+    */
+  def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables
+      .t(spark, dir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"),
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms")
+      )
+      .as[MediaAsset]
+  }
+
+  val queries: Map[String, Tables.Q] = Map(
+    // Media feature extraction over binary payloads (deterministic stub
+    // codec; rows-only check — byte-level fold is not SQL-expressible).
+    "m01_media_features" -> ((s, dir) => {
+      extractFeatures(syntheticAssets(s, dir))
+        .toDF()
+        .select(
+          col("asset_id"),
+          col("media_type"),
+          col("n_bytes"),
+          round(col("byte_entropy"), 4).as("byte_entropy"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0")
+        )
+        .orderBy("asset_id")
+    }),
+    // Frame sampling fan-out.
+    "m02_frame_samples" -> ((s, dir) => {
+      sampleFrames(syntheticAssets(s, dir), strideBytes = 64, maxFrames = 4)
+        .toDF()
+        .orderBy("asset_id", "frame_idx")
+    })
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — the streaming formalisation of the
+  * reference's scheduled incremental batch (SURVEY.md §2.3): a file source
+  * watched incrementally with checkpointed offsets, event-time watermarks,
+  * tumbling/session windows, stateful dedup, and a foreachBatch sink for
+  * arbitrary day-commit logic.
+  *
+  * The reference's cadence (every 12 h, whole days at a time) is
+  * `Trigger.AvailableNow` + a day-partition column; its progress file is
+  * the checkpoint; its "late data within a committed day is lost" quirk
+  * maps to the watermark dropping late rows.
+  */
+object EventStreams {
+
+  /** Schema of the `events` table (TESTDATA.md), micros timestamps. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-source stream over a directory of event parquet files. At scale:
+    * `maxFilesPerTrigger` bounds batch size; offsets live in the checkpoint
+    * exactly like the reference's watermark file.
+    */
+  def readEventStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling 1-hour window counts with a watermark — the streaming twin
+    * of the batch `q30_tumbling_hour` query. Late rows beyond 30 min are
+    * dropped, mirroring the reference's committed-day semantics.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows keyed by user with a 30-minute inactivity gap — the
+    * streaming twin of `q31_sessions`.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  /** Stateful exact dedup on (user_id, event_type) within the watermark —
+    * the streaming twin of `q32_event_dedup`.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** foreachBatch sink: the hook where per-batch (per-day) commit logic —
+    * like the reference's watermark write — runs transactionally with the
+    * batch id. Caller supplies the body.
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)(
+      body: (DataFrame, Long) => Unit
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(body)
+}

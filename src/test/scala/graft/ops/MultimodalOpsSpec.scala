@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("feature extraction is deterministic and schema-correct") {
+    val assets = MultimodalOps.syntheticAssets(spark, sfDir)
+    val feats = MultimodalOps.extractFeatures(assets)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.feature.length == MultimodalOps.StubCodec.FeatureDim))
+    // L1-normalised histogram features sum to ~1 for non-empty payloads
+    assert(rows.filter(_.n_bytes > 0).forall(r => math.abs(r.feature.map(_.toDouble).sum - 1.0) < 1e-3))
+    // determinism across independent runs
+    val again = MultimodalOps.extractFeatures(assets).collect()
+    assert(rows.sortBy(_.asset_id).zip(again.sortBy(_.asset_id)).forall { case (a, b) =>
+      a.byte_entropy == b.byte_entropy && a.feature.sameElements(b.feature)
+    })
+  }
+
+  test("entropy flags degenerate payloads") {
+    import spark.implicits._
+    val assets = Seq(
+      MultimodalOps.MediaAsset(1L, "image", Array.fill[Byte](1000)(7), 10, 10, 0L), // constant bytes
+      MultimodalOps.MediaAsset(2L, "image", Array.tabulate[Byte](1000)(i => i.toByte), 10, 10, 0L)
+    ).toDS()
+    val feats = MultimodalOps.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(feats(0).byte_entropy == 0.0) // constant => zero entropy
+    assert(feats(1).byte_entropy > 7.0) // near-uniform => ~8 bits
+  }
+
+  test("frame sampling fans out with bounded frames per asset") {
+    val frames = MultimodalOps.sampleFrames(MultimodalOps.syntheticAssets(spark, sfDir), strideBytes = 64, maxFrames = 4)
+    val byAsset = frames.toDF().groupBy("asset_id").count()
+    assert(byAsset.filter(col("count") > 4).count() == 0)
+    assert(frames.count() > 500) // most docs are >64 bytes => multiple frames
+  }
+
+  test("resize halves metadata dimensions and shrinks payloads") {
+    val resized = MultimodalOps.resize(MultimodalOps.syntheticAssets(spark, sfDir), scaleDiv = 2).collect()
+    assert(resized.forall(a => a.payload.length <= a.duration_ms / 10 / 2 + 1))
+  }
+
+  test("m01/m02 query entries run and are non-empty") {
+    assert(MultimodalOps.queries("m01_media_features")(spark, sfDir).count() == 500)
+    assert(MultimodalOps.queries("m02_frame_samples")(spark, sfDir).count() > 500)
+  }
+}

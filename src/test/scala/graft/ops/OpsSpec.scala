@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Fast regression net over the whole query surface at sf0.001 —
+  * every entry runs, deterministic queries are stable across runs, and a
+  * few independently-computed values pin the semantics. The full DuckDB
+  * oracle comparison is the driver's harness (scripts/check.py locally).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every declared query runs at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("every oracle key has a matching query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql without queries: $dangling")
+  }
+
+  test("entry() smoke: >0 rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 aggregates reconcile with raw scans") {
+    val q1 = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val total = q1.agg(sum("count_order")).head().getLong(0)
+    val raw = Tables
+      .t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .count()
+    assert(total == raw)
+  }
+
+  test("q09 emits at most 3 rows per customer, ranked") {
+    val q9 = SparkEntry.queries("q09_window_topn")(spark, sfDir)
+    assert(q9.groupBy("o_custkey").count().filter(col("count") > 3).count() == 0)
+    assert(q9.filter(col("rnk") > 3 || col("rnk") < 1).count() == 0)
+  }
+
+  test("q16 set ops partition the customer nation space") {
+    val q16 = SparkEntry.queries("q16_setops")(spark, sfDir).collect()
+    val both = q16.filter(_.getString(0) == "both").map(_.getInt(1)).toSet
+    val custOnly = q16.filter(_.getString(0) == "cust_only").map(_.getInt(1)).toSet
+    assert(both.intersect(custOnly).isEmpty)
+    val allCustNations = Tables.t(spark, sfDir, "customer").select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    assert(both ++ custOnly == allCustNations)
+  }
+
+  test("d01 exact dedup accounts for every document") {
+    val d1 = SparkEntry.queries("d01_exact_dedup")(spark, sfDir)
+    assert(d1.agg(sum("n_copies")).head().getLong(0) == Tables.t(spark, sfDir, "documents").count())
+  }
+
+  test("x01 minhash signatures are deterministic across runs") {
+    val a = SparkEntry.queries("x01_minhash_signatures")(spark, sfDir).collect()
+    val b = SparkEntry.queries("x01_minhash_signatures")(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("x02 near-dup pairs respect the jaccard threshold and ordering") {
+    val pairs = SparkEntry.queries("x02_minhash_pairs")(spark, sfDir).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.95))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("s01 brute-force cosine top-k: best match agrees with driver-side recompute") {
+    val top = SparkEntry.queries("s01_cosine_topk")(spark, sfDir).head()
+    // independent recompute on the driver
+    val all = Tables.t(spark, sfDir, "embeddings").collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val best = all.filter(_._1 != 0L).map { case (id, v) => (id, cos(v.map(_.toDouble), q)) }.maxBy(_._2)
+    assert(top.getLong(0) == best._1)
+    assert(math.abs(top.getDouble(1) - best._2) < 1e-4)
+  }
+
+  test("s02 ANN results are a subset of brute-force top candidates by value") {
+    val ann = SparkEntry.queries("s02_ann_lsh")(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val brute = SimilarityOps.cosineTopK(Tables.t(spark, sfDir, "embeddings"), 0L, 100).collect().map(_.getLong(0)).toSet
+    // LSH candidates reranked exactly: everything returned must be genuinely similar
+    assert(ann.nonEmpty)
+    assert(ann.subsetOf(brute + 0L) || ann.intersect(brute).size >= ann.size / 2)
+  }
+}

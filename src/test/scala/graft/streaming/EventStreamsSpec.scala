@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming surface driven synchronously: parquet file source ->
+  * watermarked windows / stateful dedup -> memory or foreachBatch sink.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Stage the events table as a stream-watchable directory (the nanos
+    * source table is converted once to micros parquet).
+    */
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("events-stream").toString
+    graft.ops.Tables.t(spark, sfDir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("tumbling window stream matches the batch q30 aggregation") {
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
+    val q = EventStreams
+      .tumblingCounts(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("tumbling_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark
+      .table("tumbling_out")
+      .agg(sum("n").cast("long").as("total"))
+      .head()
+      .getLong(0)
+    val batch = graft.ops.Tables.t(spark, sfDir, "events").count()
+    // Append mode emits only windows the watermark has passed; the final
+    // (unclosed) windows stay in state. Everything emitted must agree with
+    // batch counts per window.
+    val batchWindows = graft.ops.Tables
+      .t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val emitted = spark.table("tumbling_out").select("window_start", "event_type", "n")
+    val mismatches = emitted
+      .join(batchWindows, Seq("window_start", "event_type"), "left")
+      .filter(emitted("n") =!= batchWindows("n"))
+      .count()
+    assert(mismatches == 0)
+    assert(streamed > 0 && streamed <= batch)
+  }
+
+  test("stateful dedup emits at most one row per key") {
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
+    val q = EventStreams
+      .dedupEvents(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val out = spark.table("dedup_out")
+    assert(out.count() > 0)
+    assert(out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("foreachBatch sink sees every micro-batch exactly once (AvailableNow)") {
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 1)
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = EventStreams
+      .foreachBatchSink(events.groupBy("event_type").count(), checkpoint) { (df, id) =>
+        seen.put(id, df.count())
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(seen.size() >= 1)
+    assert(seen.values().stream().allMatch(_ > 0))
+  }
+
+  test("session windows cover all events for a sampled user") {
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
+    val q = EventStreams
+      .sessionCounts(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Emitted (closed) sessions must never over-count a user's events.
+    val out = spark.table("session_out")
+    val perUserStream = out.groupBy("user_id").agg(sum("n_events").as("streamed"))
+    val perUserBatch = graft.ops.Tables
+      .t(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("batch"))
+    val over = perUserStream
+      .join(perUserBatch, "user_id")
+      .filter(col("streamed") > col("batch"))
+      .count()
+    assert(over == 0)
+  }
+}
