@@ -75,19 +75,53 @@ object TextOps {
   /** Candidate pairs from LSH buckets, verified with EXACT token-set
     * Jaccard (the n-gram Jaccard verify step), thresholded.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Scale controls (the two levers that keep this sub-quadratic on
+    * degenerate corpora where many docs share a signature):
+    *  - mega-buckets (> maxBucket docs colliding in one band) are skipped:
+    *    a bucket of B docs yields B²/2 candidates, so one boilerplate
+    *    cluster can otherwise dominate the whole job — the standard
+    *    production mitigation for near-dup at web scale;
+    *  - candidates are pre-filtered by ESTIMATED Jaccard from the already
+    *    computed signatures (fraction of equal minhash components) before
+    *    the exact token-set verify, so the expensive array join touches
+    *    only plausibly-duplicate pairs.
     */
-  def minhashDedupPairs(docs: DataFrame, shingleWidth: Int, threshold: Double): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs, shingleWidth)).as("a")
-    val candidates = bands
+  def minhashDedupPairs(
+      docs: DataFrame,
+      shingleWidth: Int,
+      threshold: Double,
+      maxBucket: Int = 200
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = minhashSignatures(docs, shingleWidth)
+    val bands = minhashBands(sigs)
+    val bounded = bands
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val candidates = bounded
+      .as("a")
       .join(
-        minhashBands(minhashSignatures(docs, shingleWidth)).as("b"),
+        bounded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id")
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val estJaccard =
+      aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0),
+        (acc, v) => acc + v
+      ).cast("double") / NumHashes
+    val plausible = candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(estJaccard >= threshold - 0.15)
+      .select("doc_a", "doc_b")
     val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    candidates
+    plausible
       .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
       .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
       .select(
