@@ -46,6 +46,26 @@ object EventOps {
         .groupBy("user_id", "event_type")
         .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dupes"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // As-of join: every event enriched with the latest purchase at-or-
+    // before it for the same user ([[AsOfJoin]]; oracle = DuckDB's native
+    // ASOF LEFT JOIN).
+    "q33_asof_purchase" -> ((s, dir) => {
+      val events = t(s, dir, "events").filter(col("user_id") < 30)
+      val purchases = t(s, dir, "events")
+        .filter(col("user_id") < 30 && col("event_type") === "purchase")
+      AsOfJoin
+        .leftAsOf(
+          events.select("event_id", "user_id", "ts"),
+          purchases.select("event_id", "user_id", "ts"),
+          key = "user_id",
+          ts = "ts",
+          valueCols = Seq("event_id"),
+          tieBreak = "event_id"
+        )
+        .select(col("event_id"), col("user_id"), col("asof_event_id").as("last_purchase_event_id"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -62,6 +82,11 @@ object EventOps {
         |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q32_event_dedup" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dupes
-        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q33_asof_purchase" ->
+      """SELECT e.event_id, e.user_id, p.event_id AS last_purchase_event_id
+        |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |WHERE e.user_id < 30 ORDER BY e.user_id, e.event_id""".stripMargin
   )
 }

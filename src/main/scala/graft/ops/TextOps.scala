@@ -244,7 +244,65 @@ object TextOps {
     }),
 
     // SimHash signatures (deterministic).
-    "x03_simhash" -> ((s, dir) => simhash(t(s, dir, "documents")).orderBy("doc_id"))
+    "x03_simhash" -> ((s, dir) => simhash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // BPE-ish tokenization: subword-flavored regex segmentation (letters /
+    // digits / punctuation runs with optional leading space), the second
+    // tokenizer family next to the whitespace one in d02.
+    "d07_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)")).as("n_bpe_tokens")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Codegen zlib expressions over binary payloads: per-doc compressed
+    // size + round-trip identity — the ingest pipeline's map step
+    // (compress) surfaced as columns (rows-only: no zlib in the oracle).
+    "x05_zlib_roundtrip" -> ((s, dir) => {
+      import graft.functions.CompressionFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("payload"), zlib_compress(col("payload")).as("z"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("orig_bytes"),
+          length(col("z")).as("compressed_bytes"),
+          (zlib_decompress(col("z")) === col("payload")).as("roundtrip_ok")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing document fingerprints (rolling hash): character 5-gram
+    // hashes, minimum per sliding window of 4 — the standard local
+    // fingerprinting scheme; deterministic, rows-only check (the hash
+    // family is engine-specific).
+    "x04_winnow_fingerprints" -> ((s, dir) => {
+      val k = 5 // k-gram length
+      val w = 4 // winnow window
+      t(s, dir, "documents")
+        .select(col("doc_id"), lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("norm"))
+        .select(
+          col("doc_id"),
+          expr(s"transform(sequence(1, greatest(length(norm) - ${k - 1}, 1)), i -> hash(substring(norm, i, $k)))")
+            .as("grams")
+        )
+        .select(
+          col("doc_id"),
+          array_distinct(
+            expr(s"transform(sequence(0, greatest(size(grams) - $w, 0)), j -> array_min(slice(grams, j + 1, $w)))")
+          ).as("fps")
+        )
+        .select(
+          col("doc_id"),
+          size(col("fps")).as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp")
+        )
+        .orderBy("doc_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -269,6 +327,9 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d06_distinct_tokens" ->
       """SELECT doc_id, CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS INT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d07_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
