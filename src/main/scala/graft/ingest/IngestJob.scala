@@ -85,6 +85,41 @@ object IngestJob {
     IngestSummary(results)
   }
 
+  /** Alternative sink path: the same per-day transform written through the
+    * DataSource V2 `graft-objects` writer ([[graft.sources.ObjectStoreSinkProvider]]).
+    * Differences vs [[processDay]]: a failing file fails its TASK (Spark
+    * retries it, then fails the day) instead of being gathered into a
+    * status report — all-or-nothing per day still holds, but the
+    * best-effort-attempt-every-sibling reporting of the reference
+    * (:96-104) is traded for the declarative writer. Only local-dir
+    * stores are supported (the provider constructs the store from the
+    * `root` option).
+    */
+  def processDayV2(spark: SparkSession, cfg: IngestConfig, dp: DayPartition, storeRoot: String): Unit = {
+    import spark.implicits._
+    val dayStr = dp.day.toString
+    val prefix = cfg.s3Prefix
+    val keyId = cfg.masterKeyId
+    val pubB64 = cfg.publicKeyB64
+    AuditSource
+      .readDay(spark, dp.path)
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val pubKey = Envelope.publicKeyFromBase64(pubB64)
+        it.map { case (path, content) =>
+          val basename = path.substring(path.lastIndexOf('/') + 1)
+          val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId)
+          (s"$prefix$dayStr/$basename.gz.enc", obj.ciphertext, obj.metadata)
+        }
+      }
+      .toDF("key", "data", "metadata")
+      .write
+      .format("graft-objects")
+      .option("root", storeRoot)
+      .mode("append")
+      .save()
+  }
+
   /** One day = one Spark job; every file attempted, statuses gathered. */
   def processDay(spark: SparkSession, cfg: IngestConfig, dp: DayPartition): DayResult = {
     import spark.implicits._

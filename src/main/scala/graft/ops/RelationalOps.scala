@@ -387,6 +387,19 @@ object RelationalOps {
         .orderBy("nationkey")
     }),
 
+    // Exact percentiles (sort-based interpolation, matching DuckDB's
+    // quantile_cont definition).
+    "q28_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
+          round(median(col("l_extendedprice")), 2).as("med")
+        )
+        .orderBy("l_returnflag")
+    }),
+
     // Approximate distinct (HLL++) — no exact oracle by construction;
     // driver records a rows-only check.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -506,6 +519,10 @@ object RelationalOps {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q24_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q28_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95, round(median(l_extendedprice), 2) AS med
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q26_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim, embedding[1] AS first_val, label
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,

@@ -94,8 +94,14 @@ object TextOps {
       maxBucket: Int = 200
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = minhashSignatures(docs, shingleWidth)
-    val bands = minhashBands(sigs)
+    // The signature/band/token tables are each consumed 2-4 times by the
+    // joins below; without persist, Catalyst re-derives the whole
+    // shingle->hash->32-way-min pipeline from the raw scan at every use
+    // (observed 4x recompute in the physical plan). They are tiny
+    // relative to the corpus (a few longs per doc), so caching them is
+    // the standard LSH-dedup pattern at any scale.
+    val sigs = minhashSignatures(docs, shingleWidth).persist()
+    val bands = minhashBands(sigs).persist()
     val bounded = bands
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= maxBucket)
@@ -120,7 +126,7 @@ object TextOps {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(estJaccard >= threshold - 0.15)
       .select("doc_a", "doc_b")
-    val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")).persist()
     plausible
       .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
       .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")

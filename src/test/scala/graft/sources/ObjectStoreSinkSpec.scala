@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ingest._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.util.Base64
+
+class ObjectStoreSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("DSv2 writer lands objects with metadata sidecars") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("dsv2-out").toString
+    Seq(
+      ("p/a.bin", "alpha".getBytes, Map("iv" -> "x", "k" -> "v")),
+      ("p/b.bin", "beta".getBytes, Map("iv" -> "y"))
+    ).toDF("key", "data", "metadata")
+      .write
+      .format("graft-objects")
+      .option("root", out)
+      .mode("append")
+      .save()
+
+    val store = new LocalDirObjectStore(out)
+    assert(store.listKeys("p/") == Seq("p/a.bin", "p/b.bin"))
+    assert(new String(store.get("p/a.bin")) == "alpha")
+    assert(store.getMetadata("p/a.bin") == Map("iv" -> "x", "k" -> "v"))
+    assert(store.getMetadata("p/b.bin") == Map("iv" -> "y"))
+  }
+
+  test("DSv2 writer rejects wrong schema") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("dsv2-bad").toString
+    val e = intercept[Exception] {
+      Seq(("k", 1)).toDF("key", "oops").write.format("graft-objects").option("root", out).mode("append").save()
+    }
+    assert(e.getMessage.contains("key, data, metadata") || e.getMessage.contains("graft-objects"))
+  }
+
+  test("processDayV2: encrypt day through the V2 writer, round-trip decrypt") {
+    val (pub, priv) = Envelope.generateKeyPair()
+    val src = Files.createTempDirectory("v2-src")
+    val day = Files.createDirectories(src.resolve("2024-02-02"))
+    Files.write(day.resolve("f1.json"), """{"a":1}""".getBytes)
+    Files.write(day.resolve("f2.json"), ("x" * 5000).getBytes)
+    val out = Files.createTempDirectory("v2-out").toString
+    val cfg = IngestConfig(
+      src.toString,
+      LocalDirObjectStoreFactory(out),
+      "pfx/",
+      "kid",
+      Base64.getEncoder.encodeToString(pub.getEncoded),
+      Files.createTempDirectory("v2-wm").resolve("p.txt").toString
+    )
+    val dp = AuditSource.listDays(spark, src.toString).head
+    IngestJob.processDayV2(spark, cfg, dp, out)
+
+    val store = new LocalDirObjectStore(out)
+    val keys = store.listKeys("pfx/")
+    assert(keys == Seq("pfx/2024-02-02/f1.json.gz.enc", "pfx/2024-02-02/f2.json.gz.enc"))
+    val md = store.getMetadata(keys.head)
+    assert(md.keySet == Set("iv", "ciphertext", "datakeyencryptionkeyid"))
+    val plain = Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(keys.head), md), priv))
+    assert(new String(plain) == """{"a":1}""")
+  }
+}
