@@ -400,6 +400,37 @@ object RelationalOps {
         .orderBy("l_returnflag")
     }),
 
+    // Pivot: status counts per priority (DataFrame pivot with explicit
+    // value list, so the output schema is static at any scale).
+    "q29_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("status_f"),
+          coalesce(col("O"), lit(0L)).as("status_o"),
+          coalesce(col("P"), lit(0L)).as("status_p")
+        )
+        .orderBy("o_orderpriority")
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    "q34_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume")
+        )
+        .orderBy(col("o_custkey"), col("pct_rank"), col("o_orderkey"))
+    }),
+
     // Approximate distinct (HLL++) — no exact oracle by construction;
     // driver records a rows-only check.
     "q25_approx_distinct" -> ((s, dir) => {
@@ -523,6 +554,17 @@ object RelationalOps {
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95, round(median(l_extendedprice), 2) AS med
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_rank_funcs" ->
+      """SELECT o_orderkey, o_custkey, CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank, round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 20 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, pct_rank, o_orderkey""".stripMargin,
     "q26_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim, embedding[1] AS first_val, label
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,

@@ -264,6 +264,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Edit distance between consecutive docs' prefixes (fuzzy-similarity
+    // scalar function family; linear chain join, not pairwise).
+    "d08_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+      docs
+        .as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") < 100)
+        .select(
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist")
+        )
+        .orderBy("doc_a")
+    }),
+
     // Codegen zlib expressions over binary payloads: per-doc compressed
     // size + round-trip identity — the ingest pipeline's map step
     // (compress) surfaced as columns (rows-only: no zlib in the oracle).
@@ -336,6 +352,9 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d07_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d08_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin
   )
 }

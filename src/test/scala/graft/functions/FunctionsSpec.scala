@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ingest.{EncryptedObject, Envelope, Zlib}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.util.Base64
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import CompressionFunctions._
+  import EnvelopeFunctions._
+  import VectorFunctions._
+
+  test("zlib expressions round-trip and interop with the plain Scala implementation") {
+    import spark.implicits._
+    val data = Seq((1L, ("abc" * 1000).getBytes), (2L, Array.emptyByteArray)).toDF("id", "payload")
+    val out = data
+      .select($"id", $"payload", zlib_compress($"payload").as("z"))
+      .select($"id", $"payload", $"z", zlib_decompress($"z").as("back"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Array[Byte]]("back").sameElements(r.getAs[Array[Byte]]("payload")))
+      // cross-check: expression output inflates with the plain implementation
+      assert(Zlib.decompress(r.getAs[Array[Byte]]("z")).sameElements(r.getAs[Array[Byte]]("payload")))
+    }
+  }
+
+  test("vector kernels match driver-side math") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val row = df.select(dot_product($"a", $"b").as("d"), cosine_similarity($"a", $"b").as("c")).head()
+    assert(row.getDouble(0) == 32.0)
+    val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(row.getDouble(1) - expect) < 1e-12)
+  }
+
+  test("envelope_encrypt expression: struct shape, fresh keys per row, decryptable") {
+    import spark.implicits._
+    val (pub, priv) = Envelope.generateKeyPair()
+    val pubB64 = Base64.getEncoder.encodeToString(pub.getEncoded)
+    val df = Seq((1L, "secret-one".getBytes), (2L, "secret-one".getBytes)).toDF("id", "payload")
+    val rows = df
+      .select($"id", envelope_encrypt(zlib_compress($"payload"), pubB64, "kid-9").as("env"))
+      .select($"id", $"env.data", $"env.iv", $"env.wrapped_key", $"env.key_id")
+      .collect()
+      .sortBy(_.getLong(0))
+    assert(rows.forall(_.getString(4) == "kid-9"))
+    // same plaintext, fresh key+nonce per row
+    assert(rows(0).getString(2) != rows(1).getString(2))
+    assert(!rows(0).getAs[Array[Byte]](1).sameElements(rows(1).getAs[Array[Byte]](1)))
+    rows.foreach { r =>
+      val obj = EncryptedObject(
+        r.getAs[Array[Byte]](1),
+        Map("iv" -> r.getString(2), "ciphertext" -> r.getString(3), "datakeyencryptionkeyid" -> r.getString(4))
+      )
+      assert(new String(Zlib.decompress(Envelope.decrypt(obj, priv))) == "secret-one")
+    }
+  }
+}
