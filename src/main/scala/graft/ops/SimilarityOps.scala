@@ -85,6 +85,8 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
+    // IVF coarse-quantizer ANN (deterministic k-means; rows-only check).
+    "s04_ivf_ann" -> ((s, dir) => IvfIndex.ivfTopK(s, dir, queryId = 0L, k = 10)),
     // LSH-bucketed ANN (deterministic fixed-seed planes; no SQL oracle).
     "s02_ann_lsh" -> ((s, dir) => annLsh(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     // Embedding-cosine near-duplicate pairs corpus-wide: candidate ID

@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** Running per-user aggregate carried in stream state. */
+final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface — the streaming formalisation of the
   * reference's scheduled incremental batch (SURVEY.md §2.3): a file source
@@ -66,6 +69,29 @@ object EventStreams {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Per-user cumulative stats via arbitrary stateful processing
+    * (`mapGroupsWithState`) — the custom-state surface beyond built-in
+    * windows: state survives across micro-batches in the checkpoint, and
+    * each batch emits the updated running totals per user seen in it.
+    */
+  def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserStats] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserStats(userId, n, math.round(total * 100.0) / 100.0)
+          state.update(next)
+          next
+      }
+  }
 
   /** foreachBatch sink: the hook where per-batch (per-day) commit logic —
     * like the reference's watermark write — runs transactionally with the

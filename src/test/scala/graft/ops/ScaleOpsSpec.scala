@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("IVF: every vector lands in exactly one of k cells; search returns genuinely similar results") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.train(emb, k = 16, iters = 2)
+    assert(centroids.count() == 16)
+    val ivf = IvfIndex.search(emb, centroids, queryId = 0L, k = 10, nprobe = 4).collect()
+    assert(ivf.length == 10)
+    // IVF results must be a subset of a generous brute-force candidate set
+    val brute = SimilarityOps
+      .cosineTopK(emb, 0L, 150)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val hits = ivf.map(_.getLong(0)).count(brute.contains)
+    assert(hits >= 5, s"only $hits/10 IVF results in brute-force top-150")
+    // determinism
+    val again = IvfIndex.search(emb, centroids, queryId = 0L, k = 10, nprobe = 4).collect()
+    assert(ivf.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
+  }
+
+  test("salted join returns identical results to the plain join") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val customer = Tables.t(spark, sfDir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders
+      .join(customer, "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("t"))
+      .collect()
+      .sortBy(_.getString(0))
+    val salted = SkewJoin
+      .saltedInnerJoin(orders, customer, key = "o_custkey", uniqueCol = "o_orderkey", saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("t"))
+      .collect()
+      .sortBy(_.getString(0))
+    assert(plain.map(_.toString).sameElements(salted.map(_.toString)))
+  }
+
+  test("s04_ivf_ann query entry runs and is non-empty") {
+    assert(graft.SparkEntry.queries("s04_ivf_ann")(spark, sfDir).count() == 10)
+  }
+}

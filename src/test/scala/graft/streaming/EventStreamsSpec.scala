@@ -87,6 +87,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(seen.values().stream().allMatch(_ > 0))
   }
 
+  test("mapGroupsWithState: running totals accumulate across micro-batches") {
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 1)
+    val q = EventStreams
+      .runningUserStats(spark, events)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("stats_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the LAST emitted row per user must equal the batch totals
+    val out = spark.table("stats_out")
+    val finalPerUser = out
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events")) // counts only grow
+    val batch = graft.ops.Tables
+      .t(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("expected"))
+    val bad = finalPerUser
+      .join(batch, "user_id")
+      .filter(col("n_events") =!= col("expected"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("session windows cover all events for a sampled user") {
     val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
     val q = EventStreams
