@@ -48,6 +48,17 @@ object EventOps {
         .orderBy("user_id", "event_type")
     }),
 
+    // Semi-structured extraction: JSON props parsed per row (codegen'd
+    // get_json_object — schema-on-read over a string column).
+    "q35_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      t(s, dir, "events")
+        .filter(k.isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), min(k).as("min_k"))
+        .orderBy("event_type")
+    }),
+
     // As-of join: every event enriched with the latest purchase at-or-
     // before it for the same user ([[AsOfJoin]]; oracle = DuckDB's native
     // ASOF LEFT JOIN).
@@ -83,6 +94,10 @@ object EventOps {
     "q32_event_dedup" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dupes
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q35_json_extract" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k
+        |FROM events WHERE json_extract(props, '$.k') IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_asof_purchase" ->
       """SELECT e.event_id, e.user_id, p.event_id AS last_purchase_event_id
         |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
