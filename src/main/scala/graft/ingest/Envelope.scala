@@ -64,16 +64,26 @@ final case class EncryptedObject(ciphertext: Array[Byte], metadata: Map[String, 
   * DISCARDED (no `encrypt_and_digest`), so its output carries no integrity
   * protection anyway.
   *
-  * Deviation (documented, SURVEY.md §7.4): AES-EAX is absent from JCE and
-  * this build is offline, so we use AES/GCM/NoPadding with the identical
-  * envelope + metadata shape. Ciphertext bytes are random-keyed per object
-  * in the reference too, so byte-identity was never testable; round-trip
-  * and metadata shape are the spec (reference tests assert only object
-  * count + metadata arity, tests/test_audit_data_ingest.py:25-26).
+  * Two AES modes ([[AesMode]]):
+  *  - [[AesMode.Eax]] — reference parity: AES-EAX exactly as pycryptodome
+  *    `AES.MODE_EAX` (verified against the EAX paper's published test
+  *    vectors, see [[Eax]]), 16-byte nonce, and the tag DISCARDED like
+  *    the reference does — stored bytes are CTR output alone.
+  *  - [[AesMode.Gcm]] (default) — the hardened mode: AES/GCM/NoPadding
+  *    with the auth tag kept inside the ciphertext, identical envelope +
+  *    metadata shape. Recommended for new deployments; the reference's
+  *    tag-discarding is a faithful quirk, not a feature.
   */
 object Envelope {
+  sealed trait AesMode
+  object AesMode {
+    case object Gcm extends AesMode
+    case object Eax extends AesMode
+  }
+
   val DataKeyBytes = 16 // AES-128, matching get_random_bytes(16) (audit_data_ingest.py:109)
-  val NonceBytes = 12 // GCM-recommended; reference EAX default was 16
+  val NonceBytes = 12 // GCM-recommended nonce length
+  val EaxNonceBytes = 16 // pycryptodome EAX default, what the reference used
   private val GcmTagBits = 128
   private val RsaTransform = "RSA/ECB/OAEPWithSHA-256AndMGF1Padding"
 
@@ -85,8 +95,8 @@ object Envelope {
     k
   }
 
-  def generateNonce(): Array[Byte] = {
-    val n = new Array[Byte](NonceBytes)
+  def generateNonce(len: Int = NonceBytes): Array[Byte] = {
+    val n = new Array[Byte](len)
     rng.synchronized(rng.nextBytes(n))
     n
   }
@@ -132,11 +142,22 @@ object Envelope {
   /** Full per-object envelope: fresh data key + nonce, wrap, encrypt,
     * 3-key metadata — the Spark-side unit of audit_data_ingest.py:107-125.
     */
-  def encrypt(plaintext: Array[Byte], publicKey: PublicKey, masterKeyId: String): EncryptedObject = {
+  def encrypt(
+      plaintext: Array[Byte],
+      publicKey: PublicKey,
+      masterKeyId: String,
+      mode: AesMode = AesMode.Gcm
+  ): EncryptedObject = {
     val dataKey = generateDataKey()
-    val nonce = generateNonce()
+    val nonce = mode match {
+      case AesMode.Gcm => generateNonce(NonceBytes)
+      case AesMode.Eax => generateNonce(EaxNonceBytes)
+    }
     val wrapped = wrapKey(dataKey, publicKey)
-    val ct = aesEncrypt(plaintext, dataKey, nonce)
+    val ct = mode match {
+      case AesMode.Gcm => aesEncrypt(plaintext, dataKey, nonce)
+      case AesMode.Eax => Eax.encrypt(dataKey, nonce, plaintext)._1 // tag discarded (ref :120)
+    }
     EncryptedObject(
       ct,
       Map(
@@ -148,11 +169,14 @@ object Envelope {
   }
 
   /** Inverse of [[encrypt]] given the wrapping private key. */
-  def decrypt(obj: EncryptedObject, privateKey: PrivateKey): Array[Byte] = {
+  def decrypt(obj: EncryptedObject, privateKey: PrivateKey, mode: AesMode = AesMode.Gcm): Array[Byte] = {
     val nonce = Base64.getDecoder.decode(obj.metadata("iv"))
     val wrapped = Base64.getDecoder.decode(obj.metadata("ciphertext"))
     val dataKey = unwrapKey(wrapped, privateKey)
-    aesDecrypt(obj.ciphertext, dataKey, nonce)
+    mode match {
+      case AesMode.Gcm => aesDecrypt(obj.ciphertext, dataKey, nonce)
+      case AesMode.Eax => Eax.decrypt(dataKey, nonce, obj.ciphertext, tag = None)
+    }
   }
 
   /** Test-only helper: generate an RSA-2048 keypair (the reference's key

@@ -75,6 +75,16 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(Envelope.decrypt(obj, priv).sameElements("x".getBytes))
   }
 
+  test("EAX mode: reference-parity envelope (16-byte nonce, discarded tag) round-trips") {
+    val payload = "eax mode payload".getBytes
+    val obj = Envelope.encrypt(payload, pub, "k", Envelope.AesMode.Eax)
+    assert(obj.metadata.keySet == Set("iv", "ciphertext", "datakeyencryptionkeyid"))
+    assert(Base64.getDecoder.decode(obj.metadata("iv")).length == Envelope.EaxNonceBytes)
+    // tag discarded: ciphertext is CTR output only, same length as plaintext
+    assert(obj.ciphertext.length == payload.length)
+    assert(Envelope.decrypt(obj, priv, Envelope.AesMode.Eax).sameElements(payload))
+  }
+
   test("wrapKey/unwrapKey round-trips the 16-byte data key") {
     val dk = Envelope.generateDataKey()
     assert(dk.length == 16) // AES-128, matching get_random_bytes(16)
