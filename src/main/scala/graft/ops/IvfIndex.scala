@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.cosine_similarity
 
 /** IVF (inverted-file) approximate nearest neighbour — the coarse-
@@ -10,12 +9,16 @@ import graft.functions.VectorFunctions.cosine_similarity
   * corpus into cells; a query exactly scans only its `nprobe` nearest
   * cells instead of everything.
   *
-  * Training is Lloyd's algorithm as Spark jobs: assignment is a broadcast
-  * join against the k centroids (k rows — always broadcastable), the
-  * update step is a posexplode + per-(cluster, dim) average (one shuffle
-  * keyed on k*dim cells, never on the corpus). Deterministic: centroids
-  * initialise from the k lowest vec_ids and iterate a fixed number of
-  * rounds, so the index is identical across runs and cluster layouts.
+  * The k centroids are tiny (k <= 64) and live on the driver as plain
+  * arrays. Assignment embeds them as LITERAL vectors in a single
+  * projection — argmax-cosine via `array_max` over (sim, -cluster)
+  * structs — so it is shuffle-free and stays inside WholeStageCodegen
+  * (round 1 shipped a crossJoin + per-vector window here: a full
+  * corpus x k shuffle just to take an argmax). Lloyd's update step is
+  * the only shuffle in training, keyed on k*dim cells, never on the
+  * corpus. Deterministic: centroids initialise from the k lowest
+  * vec_ids and iterate a fixed number of rounds, so the index is
+  * identical across runs and cluster layouts.
   *
   * At 100 TB the assignment table `(vec_id, cluster)` is written
   * partitioned by cluster; queries touch nprobe/k of the data. Here the
@@ -23,6 +26,47 @@ import graft.functions.VectorFunctions.cosine_similarity
   * split into train/assign/search mirrors the real deployment.
   */
 object IvfIndex {
+
+  /** Driver-side centroid set — k rows, trivially collectable. */
+  type Centroids = Array[(Int, Array[Float])]
+
+  private def litVec(v: Array[Float]): Column = array(v.toSeq.map(lit): _*)
+
+  /** Driver-side cosine replicating CosineSimilarity's exact sequential
+    * double fold, so probe selection is bit-identical to executor scores.
+    */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  /** Nearest-centroid id as ONE shuffle-free expression: `array_max` over
+    * (sim, -cluster) structs — struct ordering gives sim desc then
+    * cluster asc on ties, matching the old window's ORDER BY.
+    */
+  private def nearestCluster(centroids: Centroids): Column = {
+    val scored = centroids.map { case (c, vec) =>
+      struct(cosine_similarity(col("embedding"), litVec(vec)).as("sim"), lit(-c).as("nc"))
+    }
+    array_max(array(scored.toSeq: _*)).getField("nc") * -1
+  }
+
+  /** Assign each vector to its nearest (max-cosine) centroid — a pure
+    * projection over the scan, no Exchange anywhere in the stage.
+    */
+  private def assign(emb: DataFrame, centroids: Centroids): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), nearestCluster(centroids).as("cluster"))
 
   /** Element-wise mean of the member vectors per cluster. */
   private def centroidUpdate(assigned: DataFrame): DataFrame =
@@ -34,64 +78,62 @@ object IvfIndex {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
 
-  /** Assign each vector to its nearest (max-cosine) centroid. */
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster"))
-    emb
-      .crossJoin(broadcast(centroids))
-      .select(
-        col("vec_id"),
-        col("embedding"),
-        col("cluster"),
-        cosine_similarity(col("embedding"), col("centroid")).as("sim")
-      )
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "cluster")
-  }
+  private def collectCentroids(df: DataFrame): Centroids =
+    df.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
 
   /** Train k centroids with `iters` Lloyd rounds (deterministic init from
-    * the k lowest vec_ids). Returns (cluster int, centroid array<float>).
+    * the k lowest vec_ids). Each round is one Spark job; the k-row result
+    * collects to the driver so the next assignment is again literal-based.
     */
-  def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb
+  def train(emb: DataFrame, k: Int, iters: Int): Centroids = {
+    var cents: Centroids = emb
       .orderBy("vec_id")
       .limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cluster"), col("embedding").as("centroid"))
-      .persist()
-    centroids.count()
-    for (_ <- 1 to iters) {
-      val next = centroidUpdate(assign(emb, centroids)).persist()
-      next.count()
-      centroids.unpersist()
-      centroids = next
-    }
-    centroids
+      .select("embedding")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).toArray }
+    for (_ <- 1 to iters)
+      cents = collectCentroids(centroidUpdate(assign(emb, cents)))
+    cents
   }
 
-  /** Exact search restricted to the query's `nprobe` nearest cells. */
-  def search(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int, nprobe: Int): DataFrame = {
-    val assigned = assign(emb, centroids)
-    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    val probeCells = centroids
-      .crossJoin(broadcast(q))
-      .select(col("cluster"), cosine_similarity(col("centroid"), col("qe")).as("sim"))
-      .orderBy(col("sim").desc, col("cluster"))
-      .limit(nprobe)
-      .select("cluster")
-    assigned
-      .join(broadcast(probeCells), "cluster")
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+  /** Exact search restricted to the query's `nprobe` nearest cells: probe
+    * cells are picked on the driver (k tiny), then ONE scan computes
+    * assignment + filter + cosine and ends in TakeOrderedAndProject.
+    */
+  def search(emb: DataFrame, centroids: Centroids, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val qe = emb
+      .filter(col("vec_id") === queryId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .toArray
+    val probes = centroids
+      .map { case (c, v) => (c, cosineLocal(v, qe)) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe)
+      .map(c => c._1: Any)
+    assign(emb, centroids)
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(qe)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** End-to-end: train + probe in one call (the `queries` entry shape). */
+  /** End-to-end: train + probe in one call (the `queries` entry shape).
+    * The corpus cache lives only for this call: the result is eagerly
+    * materialized via localCheckpoint (its blocks are released by the
+    * ContextCleaner once unreferenced, unlike CacheManager entries),
+    * then the input cache is dropped — no storage leak across queries.
+    */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
     val emb = Tables.t(spark, dir, "embeddings").persist()
-    val centroids = train(emb, k = 16, iters = 3)
-    search(emb, centroids, queryId, k, nprobe = 4)
+    try {
+      val centroids = train(emb, k = 16, iters = 3)
+      search(emb, centroids, queryId, k, nprobe = 4).localCheckpoint()
+    } finally emb.unpersist(blocking = false)
   }
 }

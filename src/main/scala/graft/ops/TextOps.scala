@@ -99,47 +99,61 @@ object TextOps {
     // shingle->hash->32-way-min pipeline from the raw scan at every use
     // (observed 4x recompute in the physical plan). They are tiny
     // relative to the corpus (a few longs per doc), so caching them is
-    // the standard LSH-dedup pattern at any scale.
+    // the standard LSH-dedup pattern at any scale. The caches live only
+    // for this call: the (small) pair result is eagerly materialized via
+    // localCheckpoint below, then every intermediate is unpersisted — in
+    // round 1 these leaked and degraded the whole shared-JVM bench run.
     val sigs = minhashSignatures(docs, shingleWidth).persist()
     val bands = minhashBands(sigs).persist()
-    val bounded = bands
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val candidates = bounded
-      .as("a")
-      .join(
-        bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val estJaccard =
-      aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0),
-        (acc, v) => acc + v
-      ).cast("double") / NumHashes
-    val plausible = candidates
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(estJaccard >= threshold - 0.15)
-      .select("doc_a", "doc_b")
     val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")).persist()
-    plausible
-      .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-      .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        round(
-          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-            size(array_union(col("toks_a"), col("toks_b"))),
-          4
-        ).as("jaccard")
-      )
-      .filter(col("jaccard") >= threshold)
+    try {
+      val bounded = bands
+        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+      val candidates = bounded
+        .as("a")
+        .join(
+          bounded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id")
+        )
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val estJaccard =
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / NumHashes
+      val plausible = candidates
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(estJaccard >= threshold - 0.15)
+        .select("doc_a", "doc_b")
+      plausible
+        .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          round(
+            size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+              size(array_union(col("toks_a"), col("toks_b"))),
+            4
+          ).as("jaccard")
+        )
+        .filter(col("jaccard") >= threshold)
+        // Eager: compute the pairs while the caches above are alive, and
+        // truncate lineage so the returned frame no longer references them.
+        // localCheckpoint blocks are cleaned by the ContextCleaner when the
+        // result is dropped (CacheManager entries are not — hence unpersist).
+        .localCheckpoint()
+    } finally {
+      sigs.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
+      tok.unpersist(blocking = false)
+    }
   }
 
   // ---------------------------------------------------------------- SimHash

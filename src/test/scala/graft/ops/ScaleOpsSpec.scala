@@ -11,7 +11,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("IVF: every vector lands in exactly one of k cells; search returns genuinely similar results") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val centroids = IvfIndex.train(emb, k = 16, iters = 2)
-    assert(centroids.count() == 16)
+    assert(centroids.length == 16)
     val ivf = IvfIndex.search(emb, centroids, queryId = 0L, k = 10, nprobe = 4).collect()
     assert(ivf.length == 10)
     // IVF results must be a subset of a generous brute-force candidate set
