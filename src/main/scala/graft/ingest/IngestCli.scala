@@ -11,10 +11,10 @@ import org.slf4j.LoggerFactory
   * task parallelism), `--hsm-key-param-name` (the key arrives as config,
   * not an SSM fetch; pass `--public-key-file` with the b64 key).
   *
-  * Exit codes: 0 success, 2 usage error, 3 source missing, 1 any other
-  * failure (mirroring the reference's error mapping: expected transient
-  * errors warn-and-exit for the scheduler to retry, unexpected ones
-  * propagate, :303-311).
+  * Exit codes: 0 success OR expected-transient failure (warn-and-exit so
+  * the scheduler retries, mirroring the reference's ExpiredTokenException
+  * handling, :303-308), 2 usage error, 3 source missing, 1 any other
+  * failure.
   */
 object IngestCli {
   private val log = LoggerFactory.getLogger(getClass)
@@ -28,7 +28,8 @@ object IngestCli {
       |  --public-key-file <path>   file holding the b64 X.509 RSA public key (required)
       |  --progress-file <path>     watermark file (required)
       |  --v2-sink                  write through the DataSource V2 graft-objects sink
-      |  --retries <n>              Spark task retries for the day job (default 3)
+      |  --aes-mode <gcm|eax>       payload cipher: gcm (hardened default) or eax (reference parity)
+      |  --retries <n>              store-put attempts AND Spark task retries (default 3)
       |""".stripMargin
 
   def parseArgs(args: Array[String]): Either[String, (IngestConfig, Boolean, Int)] = {
@@ -49,6 +50,16 @@ object IngestCli {
     val keyPath = Paths.get(m("public-key-file"))
     if (!Files.exists(keyPath)) return Left(s"Public key file not found: $keyPath")
     val pubB64 = new String(Files.readAllBytes(keyPath), StandardCharsets.UTF_8).trim
+    val retriesRaw = m.getOrElse("retries", "3")
+    val retries = scala.util.Try(retriesRaw.toInt).toOption match {
+      case Some(n) if n >= 1 => n
+      case _ => return Left(s"--retries must be a positive integer, got: $retriesRaw")
+    }
+    val aesMode = m.getOrElse("aes-mode", "gcm") match {
+      case "gcm" => Envelope.AesMode.Gcm
+      case "eax" => Envelope.AesMode.Eax
+      case other => return Left(s"--aes-mode must be gcm or eax, got: $other")
+    }
     Right(
       (
         IngestConfig(
@@ -57,13 +68,25 @@ object IngestCli {
           s3Prefix = m.getOrElse("s3-prefix", ""),
           masterKeyId = m("key-id"),
           publicKeyB64 = pubB64,
-          progressFile = m("progress-file")
+          progressFile = m("progress-file"),
+          aesMode = aesMode,
+          putRetries = retries
         ),
         v2,
-        m.getOrElse("retries", "3").toInt
+        retries
       )
     )
   }
+
+  /** True when the cause chain contains the expected-transient class
+    * (Spark wraps task failures in SparkException layers).
+    */
+  private[ingest] def isTransient(e: Throwable): Boolean =
+    Iterator
+      .iterate(e)(_.getCause)
+      .takeWhile(_ != null)
+      .take(10)
+      .exists(_.isInstanceOf[TransientCredentialsException])
 
   def main(args: Array[String]): Unit = {
     parseArgs(args) match {
@@ -96,6 +119,10 @@ object IngestCli {
             }
           log.info(s"Ingest complete: $summary")
         } catch {
+          case e: Throwable if isTransient(e) =>
+            // Expected transient (credentials expired): warn and exit CLEAN
+            // so the scheduler's next cadence retries (ref :303-308).
+            log.warn(s"Transient credential failure, exiting for scheduler retry: ${e.getMessage}")
           case e: java.io.FileNotFoundException =>
             log.error(s"Source missing: ${e.getMessage}")
             sys.exit(3)

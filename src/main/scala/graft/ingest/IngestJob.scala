@@ -1,7 +1,7 @@
 package graft.ingest
 
 import java.time.LocalDate
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.slf4j.LoggerFactory
 
 /** Engine config — the reference's 11 CLI args minus the ones Spark makes
@@ -14,11 +14,17 @@ import org.slf4j.LoggerFactory
   *                      (`f"{s3_prefix}{day}/{basename}"`, :173) — callers
   *                      must end it with `/` if they want one
   * @param masterKeyId   value of the `datakeyencryptionkeyid` metadata key
-  * @param publicKeyB64  b64 X.509 RSA public key (the reference fetches
-  *                      this from SSM once per day, :78; we take it as
-  *                      config and ship it in the task closure — same
-  *                      hoisting, no per-file fetch)
+  * @param publicKeyB64  b64 X.509 RSA public key (static-config default;
+  *                      see `keyProvider` for the rotating-fetch seam)
   * @param progressFile  watermark file path
+  * @param aesMode       payload cipher: [[Envelope.AesMode.Gcm]] (hardened
+  *                      default) or [[Envelope.AesMode.Eax]] (byte-level
+  *                      reference parity, audit_data_ingest.py:115,120)
+  * @param putRetries    max attempts per store operation — the reference's
+  *                      boto3 `max_attempts` (:190-197, default 10 at :262)
+  * @param keyProvider   when set, overrides `publicKeyB64`: consulted once
+  *                      per day on the driver (the reference's per-day SSM
+  *                      fetch, :78), enabling key rotation between days
   */
 final case class IngestConfig(
     srcDir: String,
@@ -26,19 +32,31 @@ final case class IngestConfig(
     s3Prefix: String,
     masterKeyId: String,
     publicKeyB64: String,
-    progressFile: String
-)
+    progressFile: String,
+    aesMode: Envelope.AesMode = Envelope.AesMode.Gcm,
+    putRetries: Int = 3,
+    keyProvider: Option[KeyProvider] = None
+) {
+
+  /** Wrapping key for the next day-batch: provider fetch if configured
+    * (the reference's once-per-day hoist), else the static config key.
+    */
+  def wrappingKeyB64(): String = keyProvider.map(_.wrappingKeyB64()).getOrElse(publicKeyB64)
+}
 
 /** Outcome for one file; days commit only when no file failed. */
 final case class FileResult(path: String, key: String, ok: Boolean, error: String)
 
-final case class DayResult(day: LocalDate, results: Seq[FileResult]) {
-  def ok: Boolean = results.forall(_.ok)
-  def failures: Seq[FileResult] = results.filterNot(_.ok)
+/** Per-day outcome: executor-side aggregated counts plus a bounded sample
+  * of failures (first [[IngestJob.MaxFailureSamples]] per task) — at 10⁹
+  * files/day the driver sees one tiny row per task, never one per file.
+  */
+final case class DayResult(day: LocalDate, filesOk: Long, filesFailed: Long, failureSamples: Seq[FileResult]) {
+  def ok: Boolean = filesFailed == 0L
 }
 
 final case class IngestSummary(days: Seq[DayResult]) {
-  def filesOk: Long = days.map(_.results.count(_.ok).toLong).sum
+  def filesOk: Long = days.map(_.filesOk).sum
 }
 
 /** The pipeline: scan dated dirs -> prune days <= watermark -> per day:
@@ -53,17 +71,30 @@ final case class IngestSummary(days: Seq[DayResult]) {
   *    reference (SURVEY.md §2.3).
   *  - Per-file failure isolation: one bad file fails its day but every
   *    sibling is still attempted (:96-104) — the map wraps each file in
-  *    try/catch and emits a status row; nothing short-circuits.
-  *  - Key layout `{prefix}{day}/{basename}.gz.enc` (:117,173).
+  *    try/catch and counts it; nothing short-circuits. Exception:
+  *    [[TransientCredentialsException]] aborts the task (and the run) so
+  *    [[IngestCli]] can exit clean for the scheduler to retry (:303-308).
+  *  - Key layout `{prefix}{day}/{relpath}.gz.enc` (:117,173) where relpath
+  *    is the file's path relative to the day directory — for the flat
+  *    layout the reference uses this IS the basename; for nested inputs it
+  *    keeps the sub-path, so two files with the same basename in different
+  *    subdirectories can never silently overwrite each other.
+  *  - Store operations run through [[RetryingObjectStore]] (`putRetries`
+  *    attempts, capped exponential backoff) — the reference's boto3
+  *    standard retry mode (:190-197).
   *
   * Scale notes (100 TB posture): no driver-side staging or collect of
   * content — executors read their own binaryFile splits and upload from
-  * `mapPartitions`; only the small per-file status rows come back to the
-  * driver. Parallelism = source bytes / `spark.sql.files.maxPartitionBytes`,
-  * no shuffle anywhere in the plan.
+  * `mapPartitions`; only ONE aggregated status row per task comes back to
+  * the driver (counts + a bounded failure sample), so the gather is
+  * O(#tasks) regardless of file count. Parallelism = source bytes /
+  * `spark.sql.files.maxPartitionBytes`, no shuffle anywhere in the plan.
   */
 object IngestJob {
   private val log = LoggerFactory.getLogger(getClass)
+
+  /** Max failure rows reported per task (and overall per day). */
+  val MaxFailureSamples = 20
 
   def run(spark: SparkSession, cfg: IngestConfig): IngestSummary = {
     val watermark = Watermark.read(cfg.progressFile)
@@ -75,14 +106,23 @@ object IngestJob {
       if (dayResult.ok) {
         Watermark.commit(cfg.progressFile, dp.day)
       } else {
-        val failed = dayResult.failures.map(f => s"${f.path}: ${f.error}").mkString("; ")
+        val failed = dayResult.failureSamples.map(f => s"${f.path}: ${f.error}").mkString("; ")
         throw new RuntimeException(
-          s"Failed to process day ${dp.day} (${dayResult.failures.size} file(s) failed): $failed"
+          s"Failed to process day ${dp.day} (${dayResult.filesFailed} file(s) failed): $failed"
         )
       }
       dayResult
     }
     IngestSummary(results)
+  }
+
+  /** Path of `filePath` relative to the (normalized) day directory; falls
+    * back to the basename if the prefix does not match (foreign URI form).
+    */
+  private[ingest] def relativePath(dayDirNorm: String, filePath: String): String = {
+    val norm = new org.apache.hadoop.fs.Path(filePath).toUri.getPath
+    if (norm.startsWith(dayDirNorm + "/")) norm.substring(dayDirNorm.length + 1)
+    else norm.substring(norm.lastIndexOf('/') + 1)
   }
 
   /** Alternative sink path: the same per-day transform written through the
@@ -100,16 +140,18 @@ object IngestJob {
     val dayStr = dp.day.toString
     val prefix = cfg.s3Prefix
     val keyId = cfg.masterKeyId
-    val pubB64 = cfg.publicKeyB64
+    val pubB64 = cfg.wrappingKeyB64()
+    val mode = cfg.aesMode
+    val dayDirNorm = new org.apache.hadoop.fs.Path(dp.path).toUri.getPath
     AuditSource
       .readDay(spark, dp.path)
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         val pubKey = Envelope.publicKeyFromBase64(pubB64)
         it.map { case (path, content) =>
-          val basename = path.substring(path.lastIndexOf('/') + 1)
-          val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId)
-          (s"$prefix$dayStr/$basename.gz.enc", obj.ciphertext, obj.metadata)
+          val rel = relativePath(dayDirNorm, path)
+          val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId, mode)
+          (s"$prefix$dayStr/$rel.gz.enc", obj.ciphertext, obj.metadata)
         }
       }
       .toDF("key", "data", "metadata")
@@ -120,35 +162,52 @@ object IngestJob {
       .save()
   }
 
-  /** One day = one Spark job; every file attempted, statuses gathered. */
+  /** One day = one Spark job; every file attempted, statuses aggregated
+    * executor-side (ok/failed counts + first-N failure samples per task).
+    */
   def processDay(spark: SparkSession, cfg: IngestConfig, dp: DayPartition): DayResult = {
     import spark.implicits._
     val dayStr = dp.day.toString
     val prefix = cfg.s3Prefix
     val keyId = cfg.masterKeyId
-    val pubB64 = cfg.publicKeyB64
-    val factory = cfg.storeFactory
+    val pubB64 = cfg.wrappingKeyB64() // per-day fetch (ref :78)
+    val mode = cfg.aesMode
+    val factory: ObjectStoreFactory = RetryingObjectStoreFactory(cfg.storeFactory, cfg.putRetries)
+    val dayDirNorm = new org.apache.hadoop.fs.Path(dp.path).toUri.getPath
+    val maxSamples = MaxFailureSamples
 
     val files = AuditSource.readDay(spark, dp.path)
-    val statuses: Dataset[FileResult] = files
+    val perTask = files
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         // Per-partition init: parse key once, one store client per task —
         // the loop-invariant hoisting the reference does per day (:78).
         val pubKey = Envelope.publicKeyFromBase64(pubB64)
         val store = factory.create()
-        it.map { case (path, content) =>
-          val basename = path.substring(path.lastIndexOf('/') + 1)
-          val key = s"$prefix$dayStr/$basename.gz.enc"
+        var ok = 0L
+        var failed = 0L
+        val samples = scala.collection.mutable.ArrayBuffer[FileResult]()
+        it.foreach { case (path, content) =>
+          val key = s"$prefix$dayStr/${relativePath(dayDirNorm, path)}.gz.enc"
           try {
-            val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId)
+            val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId, mode)
             store.put(key, obj.ciphertext, obj.metadata)
-            FileResult(path, key, ok = true, error = null)
+            ok += 1
           } catch {
-            case e: Throwable => FileResult(path, key, ok = false, error = e.toString)
+            case e: TransientCredentialsException => throw e // abort run; CLI exits clean (ref :303-308)
+            case e: Throwable =>
+              failed += 1
+              if (samples.size < maxSamples) samples += FileResult(path, key, ok = false, error = e.toString)
           }
         }
+        Iterator.single((ok, failed, samples.toSeq))
       }
-    DayResult(dp.day, statuses.collect().toSeq) // status rows only — tiny
+    val parts = perTask.collect() // ONE small row per task, never per file
+    DayResult(
+      dp.day,
+      filesOk = parts.iterator.map(_._1).sum,
+      filesFailed = parts.iterator.map(_._2).sum,
+      failureSamples = parts.iterator.flatMap(_._3).toSeq.sortBy(_.path).take(MaxFailureSamples)
+    )
   }
 }

@@ -27,6 +27,56 @@ trait ObjectStoreFactory extends Serializable {
   def create(): ObjectStore
 }
 
+/** Expected-transient failure — the analog of the reference's
+  * `ExpiredTokenException` (audit_data_ingest.py:303-308): ambient
+  * credentials expired mid-run. Deliberately NOT retried by
+  * [[RetryingObjectStore]] (backoff cannot refresh credentials); it
+  * propagates to [[IngestCli]], which maps it to a clean warn-and-exit so
+  * the scheduler retries the whole run, exactly like the reference.
+  */
+class TransientCredentialsException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+/** Retry-with-exponential-backoff decorator over any [[ObjectStore]] —
+  * the SDK-level retry policy the reference configures on its boto3
+  * client (`retries={'max_attempts': retries, 'mode': 'standard'}`,
+  * audit_data_ingest.py:190-197), applied at the store seam so a flaky
+  * put costs a short sleep instead of burning a whole Spark task attempt.
+  */
+class RetryingObjectStore(inner: ObjectStore, maxAttempts: Int, baseDelayMs: Long = 50)
+    extends ObjectStore {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+
+  private def retry[T](op: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: TransientCredentialsException => throw e
+        case _: Throwable if attempt < maxAttempts =>
+          // standard-mode-style capped exponential backoff
+          Thread.sleep(math.min(baseDelayMs << (attempt - 1), 5000L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def put(key: String, data: Array[Byte], metadata: Map[String, String]): Unit =
+    retry(inner.put(key, data, metadata))
+  override def listKeys(prefix: String): Seq[String] = retry(inner.listKeys(prefix))
+  override def get(key: String): Array[Byte] = retry(inner.get(key))
+  override def getMetadata(key: String): Map[String, String] = retry(inner.getMetadata(key))
+}
+
+final case class RetryingObjectStoreFactory(
+    inner: ObjectStoreFactory,
+    maxAttempts: Int,
+    baseDelayMs: Long = 50
+) extends ObjectStoreFactory {
+  override def create(): ObjectStore = new RetryingObjectStore(inner.create(), maxAttempts, baseDelayMs)
+}
+
 /** Filesystem-backed object store: key -> file under a root dir, metadata
   * as a `<key>.metadata.json` sidecar. Keys may contain `/` (the layout
   * `{prefix}{day}/{basename}.gz.enc`, audit_data_ingest.py:173).

@@ -41,4 +41,32 @@ class IngestCliSpec extends AnyFunSuite {
     val Left(err) = IngestCli.parseArgs(Array("oops")): @unchecked
     assert(err.contains("Unexpected"))
   }
+
+  private def baseArgs(kf: String) = Array(
+    "--src-dir", "/s", "--out-root", "/o", "--key-id", "k",
+    "--public-key-file", kf, "--progress-file", "/p.txt"
+  )
+
+  test("parseArgs: malformed --retries is a usage error, not an exception") {
+    val Left(err) = IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--retries", "lots")): @unchecked
+    assert(err.contains("--retries"))
+    val Left(err2) = IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--retries", "0")): @unchecked
+    assert(err2.contains("--retries"))
+  }
+
+  test("parseArgs: --aes-mode eax selects reference-parity cipher; bad mode is a usage error") {
+    val Right((cfg, _, _)) =
+      IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--aes-mode", "eax")): @unchecked
+    assert(cfg.aesMode == Envelope.AesMode.Eax)
+    val Right((cfg2, _, _)) = IngestCli.parseArgs(baseArgs(keyFile())): @unchecked
+    assert(cfg2.aesMode == Envelope.AesMode.Gcm)
+    val Left(err) = IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--aes-mode", "cbc")): @unchecked
+    assert(err.contains("--aes-mode"))
+  }
+
+  test("parseArgs: --retries feeds both task retries and store put attempts") {
+    val Right((cfg, _, retries)) =
+      IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--retries", "7")): @unchecked
+    assert(retries == 7 && cfg.putRetries == 7)
+  }
 }

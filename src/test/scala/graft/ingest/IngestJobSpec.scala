@@ -141,6 +141,78 @@ class IngestJobSpec extends AnyFunSuite {
     assert(LocalDirObjectStoreFactory(out.toString).create().listKeys("").size == 15)
   }
 
+  test("EAX mode end-to-end: objects decrypt via AES-EAX with 16-byte nonce (reference parity)") {
+    val (src, contents) = makeSource()
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(src, out, progress).copy(aesMode = Envelope.AesMode.Eax)
+
+    val summary = IngestJob.run(spark, cfg)
+    assert(summary.filesOk == 15)
+
+    val store = cfg.storeFactory.create()
+    for ((rel, orig) <- contents) {
+      val key = s"audit/$rel.gz.enc"
+      val md = store.getMetadata(key)
+      assert(Base64.getDecoder.decode(md("iv")).length == Envelope.EaxNonceBytes, key)
+      val plain = Zlib.decompress(
+        Envelope.decrypt(EncryptedObject(store.get(key), md), priv, Envelope.AesMode.Eax)
+      )
+      assert(plain.sameElements(orig), s"EAX round-trip mismatch for $key")
+    }
+  }
+
+  test("nested files with identical basenames get distinct keys (no silent overwrite)") {
+    val src = Files.createTempDirectory("audit-src-nested")
+    val day = Files.createDirectories(src.resolve("2021-03-03"))
+    Files.write(day.resolve("a.log"), "top".getBytes)
+    Files.write(Files.createDirectories(day.resolve("sub1")).resolve("a.log"), "one".getBytes)
+    Files.write(Files.createDirectories(day.resolve("sub2")).resolve("a.log"), "two".getBytes)
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(src, out, progress)
+
+    val summary = IngestJob.run(spark, cfg)
+    assert(summary.filesOk == 3)
+
+    val store = cfg.storeFactory.create()
+    val keys = store.listKeys("audit/2021-03-03/")
+    assert(keys.toSet == Set(
+      "audit/2021-03-03/a.log.gz.enc",
+      "audit/2021-03-03/sub1/a.log.gz.enc",
+      "audit/2021-03-03/sub2/a.log.gz.enc"
+    ))
+    val got = keys.map { k =>
+      new String(Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(k), store.getMetadata(k)), priv)))
+    }
+    assert(got.sorted == Seq("one", "top", "two"))
+  }
+
+  test("key rotation: keyProvider is consulted per day and later days use the rotated key") {
+    val (src, _) = makeSource()
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    // Rotates to a second keypair after the first fetch.
+    val (pub2, priv2) = Envelope.generateKeyPair()
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rotating = new KeyProvider {
+      override def wrappingKeyB64(): String = {
+        val n = calls.incrementAndGet()
+        val k = if (n == 1) pub else pub2
+        Base64.getEncoder.encodeToString(k.getEncoded)
+      }
+    }
+    val cfg = cfgFor(src, out, progress).copy(keyProvider = Some(rotating))
+    IngestJob.run(spark, cfg)
+    assert(calls.get() == 3) // one fetch per day
+    val store = cfg.storeFactory.create()
+    // day 1 decrypts with key 1, day 3 with the rotated key 2
+    val k1 = "audit/2020-10-10/audit-data-1.json.gz.enc"
+    val k3 = "audit/2020-10-12/audit-data-1.json.gz.enc"
+    Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(k1), store.getMetadata(k1)), priv))
+    Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(k3), store.getMetadata(k3)), priv2))
+  }
+
   test("missing source dir raises (ref failure-path test)") {
     val out = Files.createTempDirectory("audit-out")
     val progress = Files.createTempDirectory("wm").resolve("progress.txt")
