@@ -210,15 +210,21 @@ object RelationalOps {
     // ROLLUP hierarchy totals. SQL form: the DataFrame rollup + post-agg
     // coalesce trips Spark's ambiguous-self-join detector on the re-read
     // grouping attrs, so express the pivot through the SQL surface.
+    // View names are per-invocation (and dropped right after analysis
+    // resolves them) so concurrent queries on one session cannot race.
     "q13_rollup" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("customer_ru")
-      t(s, dir, "nation").createOrReplaceTempView("nation_ru")
-      t(s, dir, "region").createOrReplaceTempView("region_ru")
-      s.sql("""
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (c, n, r) = (s"customer_ru_$tag", s"nation_ru_$tag", s"region_ru_$tag")
+      t(s, dir, "customer").createOrReplaceTempView(c)
+      t(s, dir, "nation").createOrReplaceTempView(n)
+      t(s, dir, "region").createOrReplaceTempView(r)
+      val df = s.sql(s"""
         SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_customers
-        FROM customer_ru JOIN nation_ru ON c_nationkey = n_nationkey JOIN region_ru ON n_regionkey = r_regionkey
+        FROM $c JOIN $n ON c_nationkey = n_nationkey JOIN $r ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name
       """)
+      Seq(c, n, r).foreach(s.catalog.dropTempView)
+      df
     }),
 
     // CUBE over two dimensions.
@@ -236,16 +242,42 @@ object RelationalOps {
     }),
 
     // GROUPING SETS (SQL surface — no DataFrame equivalent in Spark).
+    // Unique per-invocation view name, dropped after analysis (no race).
     "q15_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
-      s.sql("""
+      val v = s"orders_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, dir, "orders").createOrReplaceTempView(v)
+      val df = s.sql(s"""
         SELECT coalesce(o_orderpriority, 'ALL') AS dim_priority,
                coalesce(o_orderstatus, 'ALL') AS dim_status,
                count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM orders_gs
+        FROM $v
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY dim_priority, dim_status
       """)
+      s.catalog.dropTempView(v)
+      df
+    }),
+
+    // Salted skew join: ~2/3 of orders are remapped onto ONE customer key,
+    // the classic hot-key shape that stalls a plain shuffle join on a
+    // single reducer. SkewJoin.saltedInnerJoin splits the hot key across
+    // saltFactor sub-partitions; the merge hint forces the shuffle path
+    // (broadcast would hide the skew at this SF — at 100 TB neither side
+    // broadcasts). Results are identical to the unsalted join, which is
+    // exactly what the oracle checks.
+    "q36_skew_salted" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 3 < 2, lit(1L)).otherwise(col("o_custkey")).as("skew_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice")
+      )
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("skew_custkey"), col("c_mktsegment"))
+      SkewJoin
+        .saltedInnerJoin(orders, cust.hint("merge"), key = "skew_custkey", uniqueCol = "o_orderkey", saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
     }),
 
     // Set operations: INTERSECT / EXCEPT (distinct semantics).
@@ -515,6 +547,13 @@ object RelationalOps {
     "q15_grouping_sets" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS dim_priority, coalesce(o_orderstatus, 'ALL') AS dim_status, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) ORDER BY dim_priority, dim_status""".stripMargin,
+    // Oracle is the PLAIN (unsalted) join — salting must be invisible in
+    // the result.
+    "q36_skew_salted" ->
+      """WITH o AS (SELECT CASE WHEN o_orderkey % 3 < 2 THEN 1 ELSE o_custkey END AS skew_custkey, o_totalprice FROM orders)
+        |SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM o JOIN customer ON skew_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q16_setops" ->
       """SELECT 'both' AS op, nationkey FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
         |UNION ALL

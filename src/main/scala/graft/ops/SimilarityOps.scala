@@ -112,6 +112,23 @@ object SimilarityOps {
         .select(col("vec_a"), col("vec_b"), round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
         .filter(col("cos_sim") > 0.4)
         .orderBy("vec_a", "vec_b")
+    }),
+    // Exact near-dup baseline on a bounded id range: the oracle-checked
+    // twin of s03 (whose LSH candidate set is recall<1 by design at this
+    // similarity regime). All-pairs over <=200 vectors — the correctness
+    // kernel, not the scale path; s03 is the scale path.
+    "s05_neardup_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      emb
+        .as("a")
+        .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"),
+          round(cosine_similarity(col("a.embedding"), col("b.embedding")), 6).as("cos_sim")
+        )
+        .filter(col("cos_sim") > 0.4)
+        .orderBy("vec_a", "vec_b")
     })
   )
 
@@ -120,6 +137,13 @@ object SimilarityOps {
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) /
         |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))), 6) AS cos_sim
-        |FROM embeddings, q WHERE vec_id != 0 ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+        |FROM embeddings, q WHERE vec_id != 0 ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "s05_neardup_exact" ->
+      """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200)
+        |SELECT * FROM p WHERE cos_sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin
   )
 }

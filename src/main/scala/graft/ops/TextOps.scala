@@ -311,6 +311,31 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Exact-Jaccard verify kernel with a SQL-expressible candidate set:
+    // each doc against the next 3 doc_ids, as an EQUI-join (offsets
+    // exploded onto the left side — no range/theta join, so at scale it
+    // is a plain hash join). This is the oracle-checked twin of the
+    // verify stage inside x02, whose LSH candidate set is engine-specific.
+    "d09_jaccard_pairs" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val left = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+      left
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          round(
+            size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+              size(array_union(col("toks_a"), col("toks_b"))),
+            4
+          ).as("jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Winnowing document fingerprints (rolling hash): character 5-gram
     // hashes, minimum per sliding window of 4 — the standard local
     // fingerprinting scheme; deterministic, rows-only check (the hash
@@ -369,6 +394,12 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d08_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
-        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin,
+    "d09_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_cat(a.toks, b.toks))), 4) AS jaccard
+        |FROM tok a JOIN tok b ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 3
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
