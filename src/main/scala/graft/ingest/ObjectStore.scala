@@ -37,15 +37,47 @@ trait ObjectStoreFactory extends Serializable {
 class TransientCredentialsException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
+/** Failure a store implementation has classified as retryable (throttling,
+  * 5xx, connection reset — what boto3's standard mode calls a "transient
+  * error"). [[RetryingObjectStore]] retries ONLY this class and raw
+  * IO-shaped failures; anything else (bad key, serialization bug,
+  * programming error) is permanent and surfaces on the first attempt
+  * instead of burning `maxAttempts` sleeps per file.
+  */
+class RetryableStoreException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
 /** Retry-with-exponential-backoff decorator over any [[ObjectStore]] —
   * the SDK-level retry policy the reference configures on its boto3
   * client (`retries={'max_attempts': retries, 'mode': 'standard'}`,
   * audit_data_ingest.py:190-197), applied at the store seam so a flaky
   * put costs a short sleep instead of burning a whole Spark task attempt.
+  *
+  * Error classification mirrors the standard mode: retry on
+  * [[RetryableStoreException]] and `java.io.IOException`-shaped causes
+  * (network-ish), never on [[TransientCredentialsException]] (backoff
+  * cannot refresh credentials), and never on anything else — a
+  * deterministic failure fails fast.
   */
 class RetryingObjectStore(inner: ObjectStore, maxAttempts: Int, baseDelayMs: Long = 50)
     extends ObjectStore {
   require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+
+  /** boto3-standard-style classifier: walk the cause chain looking for an
+    * explicitly-retryable marker or an IO failure.
+    */
+  private def isRetryable(e: Throwable): Boolean = {
+    var cur = e
+    while (cur != null) {
+      cur match {
+        case _: TransientCredentialsException => return false
+        case _: RetryableStoreException => return true
+        case _: java.io.IOException => return true
+        case _ => cur = cur.getCause
+      }
+    }
+    false
+  }
 
   private def retry[T](op: => T): T = {
     var attempt = 1
@@ -53,7 +85,7 @@ class RetryingObjectStore(inner: ObjectStore, maxAttempts: Int, baseDelayMs: Lon
       try return op
       catch {
         case e: TransientCredentialsException => throw e
-        case _: Throwable if attempt < maxAttempts =>
+        case e: Throwable if attempt < maxAttempts && isRetryable(e) =>
           // standard-mode-style capped exponential backoff
           Thread.sleep(math.min(baseDelayMs << (attempt - 1), 5000L))
           attempt += 1

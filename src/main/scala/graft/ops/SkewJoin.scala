@@ -15,22 +15,43 @@ import org.apache.spark.sql.functions._
   *
   * Cost model: replicates the SMALL side saltFactor-fold — use when
   * |small| * saltFactor is still far below the skewed partition size.
+  * The guard makes misuse loud: when the plan-estimated replicated size
+  * (sizeInBytes × saltFactor) exceeds `maxReplicatedBytes`, the call
+  * throws instead of silently shuffling a replica explosion at scale.
   * Results are identical to the plain equi-join (inner) by construction.
   */
 object SkewJoin {
 
+  /** Default ceiling on the replicated small side: 1 GiB (≈8 shuffle
+    * partitions' worth at the usual 128 MiB target — past that, salting is
+    * amplifying the problem it is meant to fix).
+    */
+  val DefaultMaxReplicatedBytes: Long = 1L << 30
+
   /** Inner-join `large` with `small` on `key`, salting `large` by
     * `saltFactor` using `uniqueCol` (any column unique-ish per row on the
     * large side — determinism of the salt keeps re-runs identical).
+    *
+    * @param maxReplicatedBytes cost guard: estimated |small| × saltFactor
+    *        bytes (Catalyst stats) above this throws IllegalArgumentException
     */
   def saltedInnerJoin(
       large: DataFrame,
       small: DataFrame,
       key: String,
       uniqueCol: String,
-      saltFactor: Int
+      saltFactor: Int,
+      maxReplicatedBytes: Long = DefaultMaxReplicatedBytes
   ): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    val smallBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    val replicatedBytes = smallBytes * saltFactor
+    require(
+      replicatedBytes <= maxReplicatedBytes,
+      s"saltedInnerJoin would replicate ~$smallBytes bytes x$saltFactor = $replicatedBytes bytes " +
+        s"(> $maxReplicatedBytes cap): the 'small' side is not small enough for salting — " +
+        "lower saltFactor, pre-filter the small side, or rely on AQE skew-join splitting"
+    )
     val salted = large.withColumn("_salt", pmod(hash(col(uniqueCol)), lit(saltFactor)))
     val replicated = small.withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -55,6 +55,12 @@ class OpsSpec extends AnyFunSuite {
     assert(both ++ custOnly == allCustNations)
   }
 
+  test("q35 parses JSON exactly once per row (single JsonToStructs in the optimized plan)") {
+    val plan = SparkEntry.queries("q35_json_extract")(spark, sfDir).queryExecution.optimizedPlan.toString
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses == 1, s"expected exactly 1 JsonToStructs, found $parses in:\n$plan")
+  }
+
   test("d01 exact dedup accounts for every document") {
     val d1 = SparkEntry.queries("d01_exact_dedup")(spark, sfDir)
     assert(d1.agg(sum("n_copies")).head().getLong(0) == Tables.t(spark, sfDir, "documents").count())

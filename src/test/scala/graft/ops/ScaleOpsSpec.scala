@@ -45,6 +45,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.map(_.toString).sameElements(salted.map(_.toString)))
   }
 
+  test("salted join cost guard: an over-sized small side is rejected loudly") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val customer = Tables.t(spark, sfDir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(
+        orders, customer, key = "o_custkey", uniqueCol = "o_orderkey",
+        saltFactor = 8, maxReplicatedBytes = 1024L // deliberately tiny cap
+      )
+    }
+    assert(e.getMessage.contains("not small enough for salting"))
+  }
+
   test("s04_ivf_ann query entry runs and is non-empty") {
     assert(graft.SparkEntry.queries("s04_ivf_ann")(spark, sfDir).count() == 10)
   }
