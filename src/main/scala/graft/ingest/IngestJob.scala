@@ -168,46 +168,78 @@ object IngestJob {
   def processDay(spark: SparkSession, cfg: IngestConfig, dp: DayPartition): DayResult = {
     import spark.implicits._
     val dayStr = dp.day.toString
+    val files = AuditSource
+      .readDay(spark, dp.path)
+      .as[(String, Array[Byte])]
+      .map { case (path, content) => (path, content, dayStr) }
+    val (ok, failed, samples, _) = uploadFiles(files, cfg, dayDirFor(dp.path, dayStr))
+    DayResult(dp.day, filesOk = ok, filesFailed = failed, failureSamples = samples)
+  }
+
+  /** Normalized day-directory path used to relativize file paths into
+    * object keys. `dayDir` already names the day's directory here; the
+    * streaming path derives it as `srcRoot/dayStr` instead.
+    */
+  private def dayDirFor(dayDir: String, dayStr: String): String => String = {
+    val norm = new org.apache.hadoop.fs.Path(dayDir).toUri.getPath
+    require(norm.endsWith("/" + dayStr) || norm == dayStr, s"day dir $norm does not match day $dayStr")
+    _ => norm
+  }
+
+  /** Executor-side encrypt+upload over `(path, content, dayStr)` rows —
+    * shared by the batch day-loop ([[processDay]]) and the streaming sink
+    * ([[IngestStream]]). Wrapping key fetched ONCE per invocation on the
+    * driver (per day in the batch loop, per micro-batch ≈ per day in the
+    * stream — the reference's per-day SSM hoist, :78).
+    *
+    * @param dayDirNormFor maps a day string to the normalized directory
+    *        prefix stripped from file paths when forming object keys
+    * @return (okCount, failedCount, bounded failure samples, max day seen)
+    */
+  private[ingest] def uploadFiles(
+      files: org.apache.spark.sql.Dataset[(String, Array[Byte], String)],
+      cfg: IngestConfig,
+      dayDirNormFor: String => String
+  ): (Long, Long, Seq[FileResult], Option[String]) = {
+    import files.sparkSession.implicits._
     val prefix = cfg.s3Prefix
     val keyId = cfg.masterKeyId
     val pubB64 = cfg.wrappingKeyB64() // per-day fetch (ref :78)
     val mode = cfg.aesMode
     val factory: ObjectStoreFactory = RetryingObjectStoreFactory(cfg.storeFactory, cfg.putRetries)
-    val dayDirNorm = new org.apache.hadoop.fs.Path(dp.path).toUri.getPath
     val maxSamples = MaxFailureSamples
 
-    val files = AuditSource.readDay(spark, dp.path)
-    val perTask = files
-      .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        // Per-partition init: parse key once, one store client per task —
-        // the loop-invariant hoisting the reference does per day (:78).
-        val pubKey = Envelope.publicKeyFromBase64(pubB64)
-        val store = factory.create()
-        var ok = 0L
-        var failed = 0L
-        val samples = scala.collection.mutable.ArrayBuffer[FileResult]()
-        it.foreach { case (path, content) =>
-          val key = s"$prefix$dayStr/${relativePath(dayDirNorm, path)}.gz.enc"
-          try {
-            val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId, mode)
-            store.put(key, obj.ciphertext, obj.metadata)
-            ok += 1
-          } catch {
-            case e: TransientCredentialsException => throw e // abort run; CLI exits clean (ref :303-308)
-            case e: Throwable =>
-              failed += 1
-              if (samples.size < maxSamples) samples += FileResult(path, key, ok = false, error = e.toString)
-          }
+    val perTask = files.mapPartitions { it =>
+      // Per-partition init: parse key once, one store client per task —
+      // the loop-invariant hoisting the reference does per day (:78).
+      val pubKey = Envelope.publicKeyFromBase64(pubB64)
+      val store = factory.create()
+      var ok = 0L
+      var failed = 0L
+      var maxDay = "" // ISO dates sort lexicographically = chronologically
+      val samples = scala.collection.mutable.ArrayBuffer[FileResult]()
+      it.foreach { case (path, content, dayStr) =>
+        val key = s"$prefix$dayStr/${relativePath(dayDirNormFor(dayStr), path)}.gz.enc"
+        if (dayStr > maxDay) maxDay = dayStr
+        try {
+          val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId, mode)
+          store.put(key, obj.ciphertext, obj.metadata)
+          ok += 1
+        } catch {
+          case e: TransientCredentialsException => throw e // abort run; CLI exits clean (ref :303-308)
+          case e: Throwable =>
+            failed += 1
+            if (samples.size < maxSamples) samples += FileResult(path, key, ok = false, error = e.toString)
         }
-        Iterator.single((ok, failed, samples.toSeq))
       }
+      Iterator.single((ok, failed, samples.toSeq, maxDay))
+    }
     val parts = perTask.collect() // ONE small row per task, never per file
-    DayResult(
-      dp.day,
-      filesOk = parts.iterator.map(_._1).sum,
-      filesFailed = parts.iterator.map(_._2).sum,
-      failureSamples = parts.iterator.flatMap(_._3).toSeq.sortBy(_.path).take(MaxFailureSamples)
+    (
+      parts.iterator.map(_._1).sum,
+      parts.iterator.map(_._2).sum,
+      parts.iterator.flatMap(_._3).toSeq.sortBy(_.path).take(MaxFailureSamples),
+      parts.iterator.map(_._4).filter(_.nonEmpty).maxOption
     )
   }
 }

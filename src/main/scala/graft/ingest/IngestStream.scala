@@ -1,0 +1,80 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.slf4j.LoggerFactory
+
+/** Streaming form of the ingest pipeline: the reference's scheduled
+  * 12-hour incremental run (`/root/reference/ci/resources.yml:20-23`)
+  * expressed as ONE Structured Streaming query over the custom
+  * `graft-audit` DSv2 source ([[graft.sources.AuditStreamSourceProvider]])
+  * instead of an external scheduler re-invoking a batch job.
+  *
+  * Shape: `readStream.format("graft-audit")` admits one pending day per
+  * micro-batch (oldest first); `foreachBatch` runs the same executor-side
+  * compress→envelope-encrypt→put loop as the batch day-loop
+  * ([[IngestJob.uploadFiles]]); `Trigger.AvailableNow` drains the backlog
+  * then terminates. The checkpointed offset log IS the watermark — a
+  * restart resumes from the last committed day — and each committed day is
+  * mirrored into the reference-format progress file so batch and stream
+  * stay interchangeable.
+  *
+  * Failure semantics match the reference's commit-or-abort day loop
+  * (audit_data_ingest.py:50-68): any failed file in a day raises, the
+  * micro-batch aborts, its offset is never committed, and the next run
+  * re-processes the whole day (at-least-once, fresh key+nonce per
+  * attempt).
+  */
+object IngestStream {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** The streaming source DataFrame of `(path, content, day)`. */
+  def source(spark: SparkSession, cfg: IngestConfig): DataFrame =
+    spark.readStream
+      .format("graft-audit")
+      .option("srcDir", cfg.srcDir)
+      .option("progressFile", cfg.progressFile)
+      .load()
+
+  /** Process one micro-batch (≈ one day): encrypt+upload every file, then
+    * commit-or-abort. Defensive about multi-day batches (possible only if
+    * a foreign ReadLimit coalesces days): files carry their own day, so
+    * keys stay correct regardless.
+    */
+  private[ingest] def processBatch(cfg: IngestConfig, batch: DataFrame, batchId: Long): Unit = {
+    import batch.sparkSession.implicits._
+    val srcRootNorm = new org.apache.hadoop.fs.Path(cfg.srcDir).toUri.getPath
+    val files = batch
+      .select("path", "content", "day")
+      .as[(String, Array[Byte], java.sql.Date)]
+      .map { case (path, content, day) => (path, content, day.toLocalDate.toString) }
+    val (ok, failed, samples, maxDay) = IngestJob.uploadFiles(files, cfg, dayStr => s"$srcRootNorm/$dayStr")
+    if (failed > 0) {
+      val detail = samples.map(f => s"${f.path}: ${f.error}").mkString("; ")
+      throw new RuntimeException(s"Batch $batchId: $failed file(s) failed: $detail")
+    }
+    // Mirror the completed day into the reference-format progress file
+    // HERE rather than only in the source's commit() callback: Spark
+    // delivers source.commit(end) while constructing the NEXT batch, so
+    // the final day of an AvailableNow drain would never reach the mirror.
+    // Writing it just before the offset commit keeps at-least-once (a
+    // crash in between re-runs the day; puts are idempotent by key).
+    maxDay.foreach(d => Watermark.commit(cfg.progressFile, java.time.LocalDate.parse(d)))
+    log.info(s"Batch $batchId committed: $ok file(s), watermark mirror -> $maxDay")
+  }
+
+  /** Run one `Trigger.AvailableNow` drain of the backlog: every pending
+    * day in order, one micro-batch each, then terminate. Restart-safe via
+    * `checkpointDir`; throws on a poisoned day (offset stays on the last
+    * good day).
+    */
+  def runAvailableNow(spark: SparkSession, cfg: IngestConfig, checkpointDir: String): Unit = {
+    val query = source(spark, cfg).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(cfg, df, id))
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+  }
+}
