@@ -123,6 +123,70 @@ object IvfIndex {
       .limit(k)
   }
 
+  // ---- Materialized index: the real 100 TB deployment shape ------------
+  //
+  // `build` persists what `ivfTopK` recomputes per call: the assignment
+  // table written as parquet PARTITIONED BY cluster (one directory per
+  // cell) plus a tiny centroid sidecar. `searchIndex` then reads ONLY the
+  // `nprobe` probed cells — partition pruning at plan time, so a search
+  // touches nprobe/k of the corpus bytes no matter how large the corpus.
+
+  /** Train and materialize the index at `indexDir`: `assignment/`
+    * (vec_id, embedding) partitioned by `cluster`, and `centroids/` (k
+    * rows). Returns the centroids for immediate reuse.
+    */
+  def build(emb: DataFrame, indexDir: String, k: Int, iters: Int): Centroids = {
+    val cents = train(emb, k, iters)
+    assign(emb, cents)
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexDir/assignment")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.toSeq
+      .map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+    cents
+  }
+
+  /** Load the k-row centroid sidecar back onto the driver. */
+  def loadCentroids(spark: SparkSession, indexDir: String): Centroids =
+    collectCentroids(spark.read.parquet(s"$indexDir/centroids").select("cluster", "centroid"))
+
+  /** Search a materialized index: probe cells are picked on the driver
+    * from the sidecar, and the assignment scan carries a
+    * `cluster IN (probes)` partition filter — Spark prunes the non-probed
+    * cell directories at plan time (asserted by ScaleOpsSpec), so the
+    * exact rerank reads only nprobe/k of the index.
+    */
+  def searchIndex(
+      spark: SparkSession,
+      indexDir: String,
+      queryVec: Array[Float],
+      k: Int,
+      nprobe: Int,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val probes = cents
+      .map { case (c, v) => (c, cosineLocal(v, queryVec)) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe)
+      .map(c => c._1: Any)
+    val scan = spark.read.parquet(s"$indexDir/assignment")
+    val pruned = scan.filter(col("cluster").isin(probes: _*))
+    val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    excluded
+      .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** End-to-end: train + probe in one call (the `queries` entry shape).
     * The corpus cache lives only for this call: the result is eagerly
     * materialized via localCheckpoint (its blocks are released by the

@@ -463,14 +463,25 @@ object RelationalOps {
         .orderBy(col("o_custkey"), col("pct_rank"), col("o_orderkey"))
     }),
 
-    // Approximate distinct (HLL++) — no exact oracle by construction;
-    // driver records a rows-only check.
+    // Approximate distinct (HLL++). The raw estimates can't hash-match a
+    // foreign engine's HLL, so the comparable surface is a TOLERANCE BAND:
+    // each engine emits its exact distinct counts plus a boolean saying
+    // its own approx estimate landed within 5% of them — the strict
+    // row-hash compare then verifies both engines' sketches against
+    // ground truth (HLL++ rsd defaults ~2-3% observed error; 5% is the
+    // documented band).
     "q25_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts")
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          (abs(
+            approx_count_distinct(col("l_orderkey"), 0.01).cast("double") / countDistinct(col("l_orderkey")) - 1
+          ) <= 0.05).as("orders_within_5pct"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(
+            approx_count_distinct(col("l_partkey"), 0.01).cast("double") / countDistinct(col("l_partkey")) - 1
+          ) <= 0.05).as("parts_within_5pct")
         )
         .orderBy("l_returnflag")
     })
@@ -611,6 +622,18 @@ object RelationalOps {
       """SELECT coalesce(c.nk, s.nk) AS nationkey, coalesce(n_custs, 0) AS n_custs, coalesce(n_supps, 0) AS n_supps FROM
         |  (SELECT c_nationkey AS nk, count(*) AS n_custs FROM customer GROUP BY 1) c
         |  FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supps FROM supplier GROUP BY 1) s ON c.nk = s.nk
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+    // Tolerance-band HLL oracle: each engine validates its OWN sketch
+    // against its exact distinct counts; the hash compare checks the
+    // exact counts and both engines' within-band booleans. Spark's sketch
+    // runs at rsd=0.01 (default 0.05 has observed error past 5% on these
+    // cardinalities); DuckDB's default precision is already inside it.
+    "q25_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) / count(DISTINCT l_orderkey) - 1) <= 0.05 AS orders_within_5pct,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE) / count(DISTINCT l_partkey) - 1) <= 0.05 AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -34,25 +34,39 @@ object SimilarityOps {
   }
 
   // Fixed-seed random hyperplanes for sign-LSH: L tables x R planes
-  // (OR-amplification across tables, AND within a table). 4x4 is tuned for
-  // recall at cosine ~0.4+ on 64-dim data; raise R for higher-similarity
-  // regimes (near-dup at 0.9 supports R=8+ with far fewer candidates).
-  private val NumTables = 4
-  private val PlanesPerTable = 4
+  // (OR-amplification across tables, AND within a table). The (L, R) pair
+  // is THE recall/cost knob: P(candidate | cos θ) = 1-(1-p^R)^L with
+  // p = 1-θ/π. The 4x4 default favours candidate-set size; at this
+  // corpus's ~0.45-cosine regime it yields ~50% pair recall
+  // (SimilarityRecallSpec pins the measured figure), while 8 tables x 3
+  // planes clears 0.8 at ~4x the candidate volume. High-similarity
+  // near-dup corpora (0.9+) support R=8+ with BOTH high recall and few
+  // candidates — the regime LSH is actually built for.
+  val NumTables = 4
+  val PlanesPerTable = 4
   private val Dim = 64
-  private val planes: Seq[Seq[Seq[Double]]] = {
+
+  private def makePlanes(numTables: Int, planesPerTable: Int): Seq[Seq[Seq[Double]]] = {
     val rnd = new Random(9876)
-    Seq.fill(NumTables, PlanesPerTable)(Seq.fill(Dim)(rnd.nextGaussian()))
+    Seq.fill(numTables, planesPerTable)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
+  private val planes: Seq[Seq[Seq[Double]]] = makePlanes(NumTables, PlanesPerTable)
 
   /** LSH bands: one (table, bucket) row per table per vector. Vectors
     * sharing a (table, bucket) are ANN candidates; at scale the bucket is
     * the shuffle key, so candidate generation is a balanced hash join over
     * ~|corpus| * L small rows — never a cross join over the corpus.
     */
-  def lshBands(emb: DataFrame): DataFrame = {
+  def lshBands(
+      emb: DataFrame,
+      numTables: Int = NumTables,
+      planesPerTable: Int = PlanesPerTable
+  ): DataFrame = {
+    val ps =
+      if (numTables == NumTables && planesPerTable == PlanesPerTable) planes
+      else makePlanes(numTables, planesPerTable)
     val v = col("embedding")
-    val tableStructs = planes.zipWithIndex.map { case (tablePlanes, ti) =>
+    val tableStructs = ps.zipWithIndex.map { case (tablePlanes, ti) =>
       val bucket = tablePlanes.zipWithIndex
         .map { case (p, i) =>
           when(dot_product(v, array(p.map(lit): _*)) >= 0, lit(1 << i)).otherwise(lit(0))
@@ -63,6 +77,36 @@ object SimilarityOps {
     emb
       .select(col("vec_id"), col("embedding"), explode(array(tableStructs: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs corpus-wide: candidate ID pairs
+    * from LSH bucket collisions (small rows, deduped across tables), then
+    * ONE fused-codegen cosine per surviving pair. Recall < 1 by design —
+    * quantified against the exact kernel by SimilarityRecallSpec; tune
+    * (numTables, planesPerTable) per the formula above.
+    */
+  def neardupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      numTables: Int = NumTables,
+      planesPerTable: Int = PlanesPerTable
+  ): DataFrame = {
+    val b = lshBands(emb, numTables, planesPerTable).select("vec_id", "table", "bucket")
+    val pairs = b
+      .as("a")
+      .join(
+        b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id")
+      )
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** ANN via multi-table LSH: gather candidates sharing any (table,
@@ -89,30 +133,9 @@ object SimilarityOps {
     "s04_ivf_ann" -> ((s, dir) => IvfIndex.ivfTopK(s, dir, queryId = 0L, k = 10)),
     // LSH-bucketed ANN (deterministic fixed-seed planes; no SQL oracle).
     "s02_ann_lsh" -> ((s, dir) => annLsh(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
-    // Embedding-cosine near-duplicate pairs corpus-wide: candidate ID
-    // pairs from LSH bucket collisions (small rows, deduped across
-    // tables), then ONE fused-codegen cosine per surviving pair.
     // Threshold 0.4 matches this corpus's similarity structure (max
     // pairwise cosine ~0.51); for true near-dup corpora raise to 0.9+.
-    "s03_embed_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val b = lshBands(emb).select("vec_id", "table", "bucket")
-      val pairs = b
-        .as("a")
-        .join(
-          b.as("b"),
-          col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id")
-        )
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      pairs
-        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"), round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
-        .filter(col("cos_sim") > 0.4)
-        .orderBy("vec_a", "vec_b")
-    }),
+    "s03_embed_neardup" -> ((s, dir) => neardupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness

@@ -27,6 +27,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivf.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
   }
 
+  test("materialized IVF index: search reads only the nprobe cluster partitions (plan-time pruning)") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    val cents = IvfIndex.build(emb, indexDir, k = 16, iters = 2)
+    assert(IvfIndex.loadCentroids(spark, indexDir).map(_._1).sameElements(cents.map(_._1)))
+
+    val qvec = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+    val res = IvfIndex.searchIndex(spark, indexDir, qvec, k = 10, nprobe = 4, excludeId = Some(0L))
+
+    // plan-time pruning: the scan carries a cluster IN (...) partition
+    // filter listing exactly the nprobe probed cells
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter in:\n$plan")
+    val inList = "cluster#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(inList.isDefined, s"no cluster IN(...) partition filter in:\n$plan")
+    assert(inList.get.group(1).split(",").length == 4, s"expected 4 probed cells: ${inList.get}")
+
+    // same answer as the on-the-fly search over the same centroids
+    val onTheFly = IvfIndex.search(emb, cents, queryId = 0L, k = 10, nprobe = 4).collect()
+    assert(res.collect().map(_.toString).sameElements(onTheFly.map(_.toString)))
+  }
+
   test("salted join returns identical results to the plain join") {
     val orders = Tables.t(spark, sfDir, "orders")
     val customer = Tables.t(spark, sfDir, "customer").withColumnRenamed("c_custkey", "o_custkey")
