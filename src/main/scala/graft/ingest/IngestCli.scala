@@ -28,11 +28,22 @@ object IngestCli {
       |  --public-key-file <path>   file holding the b64 X.509 RSA public key (required)
       |  --progress-file <path>     watermark file (required)
       |  --v2-sink                  write through the DataSource V2 graft-objects sink
+      |  --streaming <checkpoint>   run as ONE Structured Streaming AvailableNow drain over the
+      |                             graft-audit source (one day per micro-batch, checkpoint =
+      |                             watermark, restart-resume) instead of the batch day-loop
       |  --aes-mode <gcm|eax>       payload cipher: gcm (hardened default) or eax (reference parity)
       |  --retries <n>              store-put attempts AND Spark task retries (default 3)
       |""".stripMargin
 
-  def parseArgs(args: Array[String]): Either[String, (IngestConfig, Boolean, Int)] = {
+  /** Parsed CLI: config plus the sink/engine mode selectors. */
+  final case class ParsedArgs(
+      cfg: IngestConfig,
+      useV2: Boolean,
+      retries: Int,
+      streamingCheckpoint: Option[String]
+  )
+
+  def parseArgs(args: Array[String]): Either[String, ParsedArgs] = {
     val m = scala.collection.mutable.Map[String, String]()
     var v2 = false
     var i = 0
@@ -60,8 +71,11 @@ object IngestCli {
       case "eax" => Envelope.AesMode.Eax
       case other => return Left(s"--aes-mode must be gcm or eax, got: $other")
     }
+    val streaming = m.get("streaming")
+    if (streaming.exists(_.isEmpty)) return Left("--streaming requires a checkpoint directory")
+    if (streaming.isDefined && v2) return Left("--streaming and --v2-sink are mutually exclusive")
     Right(
-      (
+      ParsedArgs(
         IngestConfig(
           srcDir = m("src-dir"),
           storeFactory = LocalDirObjectStoreFactory(m("out-root")),
@@ -73,7 +87,8 @@ object IngestCli {
           putRetries = retries
         ),
         v2,
-        retries
+        retries,
+        streaming
       )
     )
   }
@@ -94,7 +109,7 @@ object IngestCli {
         System.err.println(err)
         System.err.println(usage)
         sys.exit(2)
-      case Right((cfg, useV2, retries)) =>
+      case Right(ParsedArgs(cfg, useV2, retries, streamingCkpt)) =>
         val spark = SparkSession
           .builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -104,7 +119,10 @@ object IngestCli {
           .getOrCreate()
         try {
           val summary =
-            if (useV2) {
+            if (streamingCkpt.isDefined) {
+              IngestStream.runAvailableNow(spark, cfg, streamingCkpt.get)
+              s"streaming drain complete (checkpoint ${streamingCkpt.get})"
+            } else if (useV2) {
               val root = cfg.storeFactory.asInstanceOf[LocalDirObjectStoreFactory].root
               val watermark = Watermark.read(cfg.progressFile)
               val days = AuditSource.pendingDays(spark, cfg.srcDir, watermark)

@@ -484,6 +484,111 @@ object RelationalOps {
           ) <= 0.05).as("parts_within_5pct")
         )
         .orderBy("l_returnflag")
+    }),
+
+    // Correlated EXISTS / NOT EXISTS subqueries (SQL form — the DataFrame
+    // API has no EXISTS; semi/anti joins are its spelling, covered by
+    // q05/q07). Both branches stream the same broadcast-able probe.
+    "q37_exists_subquery" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (c, o) = (s"customer_ex_$tag", s"orders_ex_$tag")
+      t(s, dir, "customer").createOrReplaceTempView(c)
+      t(s, dir, "orders").createOrReplaceTempView(o)
+      val df = s.sql(s"""
+        SELECT 'has_urgent' AS cls, c_custkey FROM $c
+          WHERE c_custkey < 50 AND EXISTS (SELECT 1 FROM $o WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'no_urgent' AS cls, c_custkey FROM $c
+          WHERE c_custkey < 50 AND NOT EXISTS (SELECT 1 FROM $o WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY cls, c_custkey
+      """)
+      Seq(c, o).foreach(s.catalog.dropTempView)
+      df
+    }),
+
+    // RANGE window frame (value-based, not row-based): events in the
+    // trailing hour per user. Seconds-granularity key on both engines.
+    "q38_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec")).rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_sec"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("n_last_hour"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Regex scalar functions: extract, global replace, match-test.
+    "q39_regex_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          col("c_mktsegment").rlike("AUTO|BUILD").as("seg_match")
+        )
+        .orderBy("c_custkey")
+    }),
+
+    // FILTER-clause conditional aggregates (ANSI) — one pass computing
+    // differently-predicated aggregates, instead of self-joining.
+    "q40_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count(*) FILTER (WHERE l_discount > 0.05)").as("n_discounted"),
+          expr("round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2)").as("rev_bulk"),
+          count(lit(1)).as("n_total")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // Array position explode + per-position aggregate — the column-wise
+    // profile of the embedding corpus (posexplode == UNNEST WITH
+    // ORDINALITY). One shuffle keyed on the 64 positions.
+    "q41_posexplode_agg" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(
+          round(avg(col("v")), 4).as("mean_v"),
+          round(min(col("v")).cast("double"), 6).as("min_v"),
+          round(max(col("v")).cast("double"), 6).as("max_v")
+        )
+        .orderBy("pos")
+    }),
+
+    // Ordered string aggregation (listagg/string_agg): deterministic via
+    // explicit lexicographic element order on both engines.
+    "q42_string_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 50)
+        .groupBy("c_mktsegment")
+        .agg(
+          expr("array_join(array_sort(collect_list(CAST(c_custkey AS STRING))), ',')").as("custkeys"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("c_mktsegment")
+    }),
+
+    // first/last/nth window values over an explicit full-partition frame
+    // (last_value needs UNBOUNDED FOLLOWING to be well-defined).
+    "q43_first_last_window" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok")
+        )
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -634,6 +739,48 @@ object RelationalOps {
         |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) / count(DISTINCT l_orderkey) - 1) <= 0.05 AS orders_within_5pct,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE) / count(DISTINCT l_partkey) - 1) <= 0.05 AS parts_within_5pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_exists_subquery" ->
+      """SELECT 'has_urgent' AS cls, c_custkey FROM customer
+        |  WHERE c_custkey < 50 AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'no_urgent' AS cls, c_custkey FROM customer
+        |  WHERE c_custkey < 50 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY cls, c_custkey""".stripMargin,
+    "q38_range_window" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+    "q39_regex_funcs" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        |  regexp_matches(c_mktsegment, 'AUTO|BUILD') AS seg_match
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    "q40_filter_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS rev_bulk,
+        |  count(*) AS n_total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_posexplode_agg" ->
+      """SELECT CAST(gs.i - 1 AS INT) AS pos, round(avg(embedding[gs.i]), 4) AS mean_v,
+        |  round(CAST(min(embedding[gs.i]) AS DOUBLE), 6) AS min_v, round(CAST(max(embedding[gs.i]) AS DOUBLE), 6) AS max_v
+        |FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_string_agg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
+        |  count(*) AS n
+        |FROM customer WHERE c_custkey < 50 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q43_first_last_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

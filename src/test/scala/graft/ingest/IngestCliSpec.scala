@@ -14,14 +14,14 @@ class IngestCliSpec extends AnyFunSuite {
 
   test("parseArgs: full happy path") {
     val kf = keyFile()
-    val Right((cfg, v2, retries)) = IngestCli.parseArgs(
+    val Right(IngestCli.ParsedArgs(cfg, v2, retries, streaming)) = IngestCli.parseArgs(
       Array(
         "--src-dir", "/s", "--out-root", "/o", "--s3-prefix", "p/", "--key-id", "k",
         "--public-key-file", kf, "--progress-file", "/p.txt", "--v2-sink", "--retries", "5"
       )
     ): @unchecked
     assert(cfg.srcDir == "/s" && cfg.s3Prefix == "p/" && cfg.masterKeyId == "k")
-    assert(cfg.publicKeyB64.nonEmpty && v2 && retries == 5)
+    assert(cfg.publicKeyB64.nonEmpty && v2 && retries == 5 && streaming.isEmpty)
   }
 
   test("parseArgs: missing required options named in the error") {
@@ -55,18 +55,28 @@ class IngestCliSpec extends AnyFunSuite {
   }
 
   test("parseArgs: --aes-mode eax selects reference-parity cipher; bad mode is a usage error") {
-    val Right((cfg, _, _)) =
+    val Right(IngestCli.ParsedArgs(cfg, _, _, _)) =
       IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--aes-mode", "eax")): @unchecked
     assert(cfg.aesMode == Envelope.AesMode.Eax)
-    val Right((cfg2, _, _)) = IngestCli.parseArgs(baseArgs(keyFile())): @unchecked
+    val Right(IngestCli.ParsedArgs(cfg2, _, _, _)) = IngestCli.parseArgs(baseArgs(keyFile())): @unchecked
     assert(cfg2.aesMode == Envelope.AesMode.Gcm)
     val Left(err) = IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--aes-mode", "cbc")): @unchecked
     assert(err.contains("--aes-mode"))
   }
 
   test("parseArgs: --retries feeds both task retries and store put attempts") {
-    val Right((cfg, _, retries)) =
+    val Right(IngestCli.ParsedArgs(cfg, _, retries, _)) =
       IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--retries", "7")): @unchecked
     assert(retries == 7 && cfg.putRetries == 7)
+  }
+
+  test("parseArgs: --streaming selects the streaming drain; exclusive with --v2-sink") {
+    val Right(IngestCli.ParsedArgs(_, _, _, streaming)) =
+      IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--streaming", "/ckpt")): @unchecked
+    assert(streaming.contains("/ckpt"))
+    val Left(err) = IngestCli.parseArgs(
+      baseArgs(keyFile()) ++ Array("--streaming", "/ckpt", "--v2-sink")
+    ): @unchecked
+    assert(err.contains("mutually exclusive"))
   }
 }
