@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions._
+
+/** SQL surface for the engine's custom codegen expressions — the
+  * idiomatic `SparkSessionExtensions` entry point, so a pure-SQL user
+  * (spark-sql, Thrift server, notebooks) gets the same fused kernels the
+  * DataFrame API exposes through [[graft.functions.VectorFunctions]] etc.
+  *
+  * Activate per session:
+  *   `--conf spark.sql.extensions=graft.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions())`.
+  *
+  * Injected functions (all whole-stage-codegen expressions, no UDFs):
+  *  - `graft_dot_product(array<float|double>, array<float|double>) -> double`
+  *  - `graft_cosine_similarity(array<float|double>, array<float|double>) -> double`
+  *  - `graft_zlib_compress(binary) -> binary` / `graft_zlib_decompress(binary) -> binary`
+  *  - `graft_envelope_encrypt(binary, pubKeyB64 literal, keyId literal) -> struct`
+  *    (key material must be foldable string literals — it is parsed once
+  *    at plan time, not per row)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def inject(
+      ext: SparkSessionExtensions,
+      name: String,
+      clazz: Class[_],
+      arity: Int
+  )(build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction(
+      (
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
+          build(args)
+        }
+      )
+    )
+
+  private def stringLiteral(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) if s != null => s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a string literal (got ${other.sql}): key material is parsed once at plan time"
+      )
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "graft_dot_product", classOf[DotProduct], 2)(a => DotProduct(a(0), a(1)))
+    inject(ext, "graft_cosine_similarity", classOf[CosineSimilarity], 2)(a => CosineSimilarity(a(0), a(1)))
+    inject(ext, "graft_zlib_compress", classOf[ZlibCompress], 1)(a => ZlibCompress(a(0)))
+    inject(ext, "graft_zlib_decompress", classOf[ZlibDecompress], 1)(a => ZlibDecompress(a(0)))
+    inject(ext, "graft_envelope_encrypt", classOf[EnvelopeEncryptExpr], 3) { a =>
+      EnvelopeEncryptExpr(a(0), stringLiteral(a(1), "pubKeyB64"), stringLiteral(a(2), "keyId"))
+    }
+  }
+}

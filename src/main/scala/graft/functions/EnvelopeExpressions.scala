@@ -31,6 +31,15 @@ case class EnvelopeEncryptExpr(child: Expression, pubKeyB64: String, keyId: Stri
   override def prettyName: String = "graft_envelope_encrypt"
   override lazy val deterministic: Boolean = false
 
+  // UnaryExpression would derive foldable from the child, and a foldable
+  // "nondeterministic" expression gets CONSTANT-FOLDED — ConstantFolding
+  // checks foldable only, so a literal input made the optimizer evaluate
+  // the encryption once per consuming projection at plan time (observed:
+  // obj.data / obj.iv / obj.wrapped_key folded from three different
+  // encryptions — undecryptable). Spark's own RDG/Uuid pin this the same
+  // way.
+  override def foldable: Boolean = false
+
   @transient private lazy val pubKey = Envelope.publicKeyFromBase64(pubKeyB64)
 
   override def dataType: DataType = EnvelopeEncryptExpr.schema

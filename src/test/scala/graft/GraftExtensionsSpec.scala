@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end check of the SQL extension surface: a session built with
+  * `withExtensions(new GraftExtensions())` can call the custom codegen
+  * expressions from pure SQL text.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** New session over the shared SparkContext, with the extensions
+    * applied at build time (the public activation path). The shared
+    * session is restored afterwards.
+    */
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    val shared = SparkSpec.spark // ensures the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().withExtensions(new GraftExtensions()).getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("vector kernels callable from SQL text") {
+    withExtendedSession { s =>
+      val r = s
+        .sql("""SELECT round(graft_dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)), 6) AS dp,
+                |       round(graft_cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS cs
+                |""".stripMargin)
+        .head()
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 1.0)
+    }
+  }
+
+  test("zlib round-trip from SQL text") {
+    withExtendedSession { s =>
+      val r = s
+        .sql("SELECT CAST(graft_zlib_decompress(graft_zlib_compress(CAST('hello graft' AS BINARY))) AS STRING) AS v")
+        .head()
+      assert(r.getString(0) == "hello graft")
+    }
+  }
+
+  test("envelope encrypt from SQL: struct output decrypts; non-literal key rejected") {
+    withExtendedSession { s =>
+      val (pub, priv) = graft.ingest.Envelope.generateKeyPair()
+      val pubB64 = java.util.Base64.getEncoder.encodeToString(pub.getEncoded)
+      // Per-field projection is the regression pin: before foldable=false
+      // on EnvelopeEncryptExpr, ConstantFolding evaluated the encryption
+      // once PER CONSUMING FIELD at plan time, mixing fields from three
+      // different encryptions (undecryptable).
+      val row = s
+        .sql(s"SELECT graft_envelope_encrypt(CAST('payload' AS BINARY), '$pubB64', 'kid') AS obj")
+        .select("obj.data", "obj.iv", "obj.wrapped_key")
+        .head()
+      val md = Map(
+        "iv" -> row.getString(1),
+        "ciphertext" -> row.getString(2),
+        "datakeyencryptionkeyid" -> "kid"
+      )
+      val plain = graft.ingest.Envelope.decrypt(graft.ingest.EncryptedObject(row.getAs[Array[Byte]](0), md), priv)
+      assert(new String(plain, "UTF-8") == "payload")
+
+      val e = intercept[Exception](
+        s.sql("SELECT graft_envelope_encrypt(CAST('x' AS BINARY), CAST(rand() AS STRING), 'kid')").head()
+      )
+      assert(e.getMessage.contains("string literal"))
+    }
+  }
+}
