@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables.{t, Q}
 import scala.util.Random
 
@@ -363,10 +364,68 @@ object TextOps {
           array_max(col("fps")).as("max_fp")
         )
         .orderBy("doc_id")
+    }),
+
+    // TF-IDF: each document's most characteristic term. tf = in-doc
+    // count, idf = ln(N / df); top term per doc by (score desc, term asc)
+    // so ties are deterministic. Shuffles are keyed on (doc_id, term) and
+    // term — both high-cardinality, no skew pivot; the 1-row corpus count
+    // is broadcast.
+    "d10_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf rows are distinct per (doc, term)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df_, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus n-gram (bigram) frequencies — the other half of n-gram
+    // analysis next to d09's Jaccard: top-20 bigrams by count. One narrow
+    // generate + one agg shuffle keyed on the bigram, top-k via
+    // TakeOrderedAndProject.
+    "d11_bigram_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(tokens(col("text")).as("toks"))
+        .select(
+          explode(
+            when(
+              size(col("toks")) >= 2,
+              expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")
+            ).otherwise(array().cast("array<string>"))
+          ).as("bigram")
+        )
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d10_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, round(score, 6) AS tfidf FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d11_bigram_freq" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
