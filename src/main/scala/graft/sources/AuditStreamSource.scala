@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -86,7 +86,7 @@ private[sources] class AuditStreamTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-audit($srcDir)"
   override def schema(): StructType = AuditStreamSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -94,8 +94,30 @@ private[sources] class AuditStreamTable(options: CaseInsensitiveStringMap)
         override def readSchema(): StructType = AuditStreamSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new AuditMicroBatchStream(srcDir, options)
+        // Batch form: ALL days after the watermark in one scan — the
+        // manifest/analytics view of the same source
+        // (`spark.read.format("graft-audit")`), sharing the streaming
+        // reader's listing, bin-packing, and whole-file reader.
+        override def toBatch: Batch = new AuditBatchScan(srcDir, options)
       }
     }
+}
+
+/** One-shot batch scan of every pending day (strict `>` the optional
+  * `startDay`/`progressFile` watermark, like the stream's initial offset).
+  */
+private[sources] class AuditBatchScan(srcDir: String, options: CaseInsensitiveStringMap) extends Batch {
+  private def stream = new AuditMicroBatchStream(srcDir, options)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = stream
+    val start = s.initialOffset()
+    val end = s.reportLatestOffset()
+    if (end.asInstanceOf[AuditDayOffset].day.isEmpty) Array.empty
+    else s.planInputPartitions(start, end)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = stream.createReaderFactory()
 }
 
 /** Offset: the last fully-committed day (None = nothing committed). */

@@ -145,6 +145,54 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(keys.count(_.startsWith("audit/2021-07-02/")) == 4) // 3 fixture files + poison.json
   }
 
+  test("batch read of the same source: manifest aggregation over all pending days") {
+    import org.apache.spark.sql.functions._
+    val src = makeSource(Seq("2021-09-01", "2021-09-02"))
+    val manifest = spark.read
+      .format("graft-audit")
+      .option("srcDir", src.toString)
+      .load()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_files"), sum(length(col("content"))).as("n_bytes"))
+      .orderBy("day")
+      .collect()
+    assert(manifest.length == 2)
+    assert(manifest.forall(_.getLong(1) == 3)) // 3 files per day incl. the empty one
+    assert(manifest.map(_.getDate(0).toString).sameElements(Array("2021-09-01", "2021-09-02")))
+
+    // watermark option prunes day 1 entirely
+    val pruned = spark.read
+      .format("graft-audit")
+      .option("srcDir", src.toString)
+      .option("startDay", "2021-09-01")
+      .load()
+    assert(pruned.select("day").distinct().collect().map(_.getDate(0).toString).sameElements(Array("2021-09-02")))
+  }
+
+  test("streaming analytics compose over the source: per-day file counts via foreachBatch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = makeSource(Seq("2021-10-01", "2021-10-02"))
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val seen = new ConcurrentHashMap[String, Long]()
+    val q = spark.readStream
+      .format("graft-audit")
+      .option("srcDir", src.toString)
+      .load()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.put(r.getDate(0).toString, r.getLong(1)))
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.get("2021-10-01") == 3L && seen.get("2021-10-02") == 3L)
+  }
+
   test("source honors a pre-existing progress file as the initial watermark (batch -> stream migration)") {
     val src = makeSource(Seq("2021-08-01", "2021-08-02"))
     val out = Files.createTempDirectory("stream-out")
