@@ -6,13 +6,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise posture: single-shot timings on a shared VM recorded 10-80x
   * phantom regressions (BENCH_r02 x02=89.6s vs 8.8s standalone), so each
-  * query now runs one UNTIMED warmup rep (JIT + page cache + shuffle-file
+  * query runs one UNTIMED warmup rep (JIT + page cache + shuffle-file
   * warm) followed by `Reps` timed reps; the reported figure is the MIN —
   * the rep least contaminated by external contention — and the raw reps
   * are kept in the JSON (`"reps"`) so a reader can tell steady-state from
-  * weather. Failures are reported per query (`"failed":[...]`) instead of
-  * being folded into a normal-looking duration, and the catalog cache is
-  * cleared between reps so one rep's storage never skews the next.
+  * weather. The passes are INTERLEAVED (warmup pass over every query,
+  * then full timed pass 1, then full timed pass 2) so a query's reps are
+  * separated by a whole pass: a multi-minute contention window hits one
+  * rep of many queries, not both reps of a few (observed: a sustained
+  * window inflated back-to-back reps of 3 adjacent doc queries 10-40x
+  * while min-of-2 back-to-back couldn't tell). Failures are reported per
+  * query (`"failed":[...]`) instead of being folded into a normal-looking
+  * duration, and the catalog cache is cleared between reps so one rep's
+  * storage never skews the next.
   */
 object Bench {
   val Reps = 2
@@ -40,12 +46,16 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, warmOk) = timeOnce(fn) // warmup: untimed, but a failure still counts
-      val reps =
-        if (warmOk) (1 to Reps).map(_ => timeOnce(fn))
-        else Seq((Double.NaN, false))
-      val allOk = warmOk && reps.forall(_._2)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmOk = ordered.map { case (name, fn) => name -> timeOnce(fn)._2 }.toMap
+    val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Reps).map { _ =>
+      ordered.map { case (name, fn) =>
+        name -> (if (warmOk(name)) timeOnce(fn) else (Double.NaN, false))
+      }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val reps = passes.map(_(name))
+      val allOk = warmOk(name) && reps.forall(_._2)
       val times = reps.map(_._1)
       (name, if (allOk) times.min else Double.NaN, times, allOk)
     }
