@@ -136,6 +136,27 @@ object SimilarityOps {
     // Threshold 0.4 matches this corpus's similarity structure (max
     // pairwise cosine ~0.51); for true near-dup corpora raise to 0.9+.
     "s03_embed_neardup" -> ((s, dir) => neardupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+    // Symmetric int8 quantization of the embedding corpus — the storage/
+    // bandwidth lever for 100 TB vector search (4x smaller than float32,
+    // SIMD-friendly dot products). Per vector: scale = 127/max|v|,
+    // q_i = round(v_i * scale). Emits exact-integer summaries (sum, min,
+    // max, saturation count) so the DuckDB oracle compares integers, not
+    // float round-off. Narrow per-row projection, no shuffle.
+    "s06_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("mx", expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+        .filter(col("mx") > 0)
+        .withColumn("qs", expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 127.0d / mx) AS INT))"))
+        .select(
+          col("vec_id"),
+          expr("CAST(aggregate(qs, 0, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+          expr("array_min(qs)").as("q_min"),
+          expr("array_max(qs)").as("q_max"),
+          expr("CAST(size(filter(qs, x -> abs(x) = 127)) AS INT)").as("n_sat")
+        )
+        .orderBy("vec_id")
+    }),
+
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness
@@ -161,6 +182,12 @@ object SimilarityOps {
         |SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) /
         |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))), 6) AS cos_sim
         |FROM embeddings, q WHERE vec_id != 0 ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "s06_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / mx) AS INT)) AS qs FROM m WHERE mx > 0)
+        |SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS q_sum, list_min(qs) AS q_min, list_max(qs) AS q_max,
+        |  CAST(len(list_filter(qs, x -> abs(x) = 127)) AS INT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

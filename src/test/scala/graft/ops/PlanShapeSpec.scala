@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB posture depends on — the
+  * shapes SURVEY §8/§9 documents. A change that silently un-pushes a
+  * filter, turns a top-k into a global sort, or re-introduces a shuffle
+  * into the IVF assignment fails HERE, not in a profile at scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q02_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), s"no filters pushed:\n$p")
+  }
+
+  test("q01: scan is column-pruned (ReadSchema strictly narrower than the table)") {
+    val p = plan("q01_pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").length
+    assert(cols > 0 && cols <= 7, s"expected <=7 of lineitem's 11 columns read, got $cols:\n$read")
+  }
+
+  test("q24: top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q24_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05: fixed-size dims join via BroadcastHashJoin") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s01: cosine kernel runs as the codegen expression with a broadcast 1-row query side") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("graft_cosine_similarity"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("IVF assignment is shuffle-free (no Exchange between scan and argmax projection)") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val cents = IvfIndex.train(emb, k = 8, iters = 1)
+    val assigned = IvfIndex.search(emb, cents, queryId = 0L, k = 5, nprobe = 8)
+    val p = assigned.queryExecution.executedPlan.toString
+    // the only allowed mention is the final top-k; assignment itself must not repartition
+    assert(!p.contains("Exchange hashpartitioning"), s"IVF assignment shuffles:\n$p")
+  }
+
+  test("x02: near-dup candidates come from an equi-join on bucket keys, not a cartesian") {
+    val p = plan("x02_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
