@@ -572,6 +572,28 @@ object RelationalOps {
         .orderBy("c_mktsegment")
     }),
 
+    // Approximate percentile (t-digest/GK-style sketches differ per
+    // engine) — same tolerance-band oracle pattern as q25: each engine
+    // emits the exact percentile plus a boolean saying its own sketch
+    // landed within 1% of it.
+    "q44_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5d)"), 2).as("exact_p50"),
+          (abs(
+            expr("percentile_approx(l_extendedprice, 0.5d, 10000)") /
+              expr("percentile(l_extendedprice, 0.5d)") - 1
+          ) <= 0.01).as("p50_within_1pct"),
+          round(expr("percentile(l_extendedprice, 0.95d)"), 2).as("exact_p95"),
+          (abs(
+            expr("percentile_approx(l_extendedprice, 0.95d, 10000)") /
+              expr("percentile(l_extendedprice, 0.95d)") - 1
+          ) <= 0.01).as("p95_within_1pct")
+        )
+        .orderBy("l_returnflag")
+    }),
+
     // first/last/nth window values over an explicit full-partition frame
     // (last_value needs UNBOUNDED FOLLOWING to be well-defined).
     "q43_first_last_window" -> ((s, dir) => {
@@ -773,6 +795,13 @@ object RelationalOps {
         |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
         |  count(*) AS n
         |FROM customer WHERE c_custkey < 50 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q44_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  abs(approx_quantile(l_extendedprice, 0.5) / quantile_cont(l_extendedprice, 0.5) - 1) <= 0.01 AS p50_within_1pct,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+        |  abs(approx_quantile(l_extendedprice, 0.95) / quantile_cont(l_extendedprice, 0.95) - 1) <= 0.01 AS p95_within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_first_last_window" ->
       """SELECT o_orderkey, o_custkey,
         |  first_value(o_orderkey) OVER w AS first_ok,
