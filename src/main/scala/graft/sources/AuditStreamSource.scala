@@ -273,6 +273,10 @@ private[sources] class AuditFileReader(partition: AuditFilesPartition, conf: Ser
   override def next(): Boolean = {
     if (!it.hasNext) return false
     val (pathStr, len, epochDay) = it.next()
+    // One file = one row = one in-memory byte array (the reference reads
+    // whole files too, audit_data_ingest.py:118); fail loudly rather than
+    // silently truncating past the JVM array limit.
+    require(len <= Int.MaxValue, s"$pathStr is $len bytes — exceeds the 2 GiB single-row limit")
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf.value)
     val buf = new Array[Byte](len.toInt)
