@@ -594,6 +594,39 @@ object RelationalOps {
         .orderBy("l_returnflag")
     }),
 
+    // Null-handling scalar functions: nullif / coalesce / greatest /
+    // least — the null-propagation corners every SQL port gets subtly
+    // wrong.
+    "q45_null_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(
+          col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+          expr("coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED')").as("seg_coalesced"),
+          round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_floor0"),
+          round(least(col("c_acctbal"), lit(0.0)), 2).as("bal_cap0")
+        )
+        .orderBy("c_custkey")
+    }),
+
+    // Moving average over a bounded ROWS frame (7-row trailing window per
+    // customer) — the row-frame twin of q38's RANGE frame.
+    "q46_moving_avg" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, 0)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          round(avg(col("o_totalprice")).over(w), 2).as("trailing_avg_7")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // first/last/nth window values over an explicit full-partition frame
     // (last_value needs UNBOUNDED FOLLOWING to be well-defined).
     "q43_first_last_window" -> ((s, dir) => {
@@ -795,6 +828,17 @@ object RelationalOps {
         |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
         |  count(*) AS n
         |FROM customer WHERE c_custkey < 50 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q45_null_funcs" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_coalesced,
+        |  round(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
+        |  round(least(c_acctbal, 0.0), 2) AS bal_cap0
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    "q46_moving_avg" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_avg_7
+        |FROM orders WHERE o_custkey < 20 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q44_approx_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
