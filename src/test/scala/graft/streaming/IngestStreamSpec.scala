@@ -145,6 +145,29 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(keys.count(_.startsWith("audit/2021-07-02/")) == 4) // 3 fixture files + poison.json
   }
 
+  test("EAX mode flows through the streaming drain (reference-parity cipher per object)") {
+    val src = makeSource(Seq("2021-11-01"))
+    val out = Files.createTempDirectory("stream-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val cfg = cfgFor(src, LocalDirObjectStoreFactory(out.toString), progress)
+      .copy(aesMode = Envelope.AesMode.Eax)
+
+    IngestStream.runAvailableNow(spark, cfg, checkpoint)
+
+    val store = cfg.storeFactory.create()
+    val md = store.getMetadata("audit/2021-11-01/a.json.gz.enc")
+    assert(java.util.Base64.getDecoder.decode(md("iv")).length == Envelope.EaxNonceBytes)
+    val plain = Zlib.decompress(
+      Envelope.decrypt(
+        EncryptedObject(store.get("audit/2021-11-01/a.json.gz.enc"), md),
+        priv,
+        Envelope.AesMode.Eax
+      )
+    )
+    assert(new String(plain, "UTF-8") == """{"day":"2021-11-01","n":1}""")
+  }
+
   test("batch read of the same source: manifest aggregation over all pending days") {
     import org.apache.spark.sql.functions._
     val src = makeSource(Seq("2021-09-01", "2021-09-02"))
