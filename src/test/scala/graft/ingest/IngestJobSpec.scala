@@ -59,6 +59,24 @@ class IngestJobSpec extends AnyFunSuite {
       progressFile = progress.toString
     )
 
+  test("distributed read-back: IngestReader decrypts every landed object to the original bytes") {
+    val (src, contents) = makeSource()
+    val out = Files.createTempDirectory("audit-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(src, out, progress)
+    IngestJob.run(spark, cfg)
+
+    val privB64 = java.util.Base64.getEncoder.encodeToString(priv.getEncoded)
+    val rows = IngestReader
+      .read(spark, cfg.storeFactory, "audit/", privB64)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+    assert(rows.size == 15)
+    for ((rel, orig) <- contents)
+      assert(rows(s"audit/$rel.gz.enc").sameElements(orig), s"read-back mismatch for $rel")
+  }
+
   test("full run: all days processed, key layout + metadata + round-trip, watermark committed") {
     val (src, contents) = makeSource()
     val out = Files.createTempDirectory("audit-out")
