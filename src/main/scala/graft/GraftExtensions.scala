@@ -3,9 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions._
+
+/** Algebraic simplification for the codec expressions:
+  * `graft_zlib_decompress(graft_zlib_compress(x))` is the identity
+  * (zlib is lossless), so composed pipelines — e.g. a view that
+  * compresses feeding a consumer that inflates — skip both passes
+  * entirely. The reverse composition is NOT rewritten:
+  * `compress(decompress(x))` can differ byte-wise from `x` (compression
+  * level / encoder choices), and byte equality is what the sink stores.
+  */
+object CodecSimplification extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ZlibDecompress(ZlibCompress(child)) => child
+  }
+}
 
 /** SQL surface for the engine's custom codegen expressions — the
   * idiomatic `SparkSessionExtensions` entry point, so a pure-SQL user
@@ -52,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CodecSimplification)
     inject(ext, "graft_dot_product", classOf[DotProduct], 2)(a => DotProduct(a(0), a(1)))
     inject(ext, "graft_cosine_similarity", classOf[CosineSimilarity], 2)(a => CosineSimilarity(a(0), a(1)))
     inject(ext, "graft_zlib_compress", classOf[ZlibCompress], 1)(a => ZlibCompress(a(0)))

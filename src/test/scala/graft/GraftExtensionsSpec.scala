@@ -37,6 +37,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("CodecSimplification rule elides decompress(compress(x)) — and ONLY that direction") {
+    withExtendedSession { s =>
+      // Column input (literals would be constant-folded before the rule
+      // and prove nothing).
+      s.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(5)
+        .createOrReplaceTempView("docs_codec")
+      val roundTrip = s.sql(
+        "SELECT doc_id, graft_zlib_decompress(graft_zlib_compress(CAST(text AS BINARY))) AS v FROM docs_codec"
+      )
+      val p = roundTrip.queryExecution.optimizedPlan.toString
+      assert(!p.contains("graft_zlib"), s"codec round-trip not elided:\n$p")
+      assert(roundTrip.count() == 5)
+
+      // compress(decompress(compress(x))): the INNER round trip elides,
+      // the outer compress must survive (re-compression is not
+      // byte-identity, so compress∘decompress is never rewritten)
+      val reverse = s.sql(
+        """SELECT graft_zlib_compress(graft_zlib_decompress(graft_zlib_compress(CAST(text AS BINARY)))) AS v
+          |FROM docs_codec""".stripMargin
+      )
+      val rp = reverse.queryExecution.optimizedPlan.toString
+      assert(rp.contains("graft_zlib_compress"), s"outer compress wrongly elided:\n$rp")
+      assert(!rp.contains("graft_zlib_decompress"), s"inner round trip not elided:\n$rp")
+      s.catalog.dropTempView("docs_codec")
+    }
+  }
+
   test("zlib round-trip from SQL text") {
     withExtendedSession { s =>
       val r = s
