@@ -366,6 +366,59 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Duplicate CLUSTERING — the step after near-dup pair generation:
+    // connected components over the pair graph, one cluster id (= min
+    // doc_id in the component) per involved doc, so dedup can keep one
+    // representative per cluster. Min-label propagation WITH POINTER
+    // DOUBLING (label(label) folded in each round), so convergence is
+    // O(log diameter) rounds — the sf corpus has components of ~100 docs
+    // with diameter ~30+, where naive neighbor-min would need ~30 shuffle
+    // rounds; this needs ~7. Each round is two small self-joins keyed on
+    // ids; lineage is truncated per round with localCheckpoint. At 100 TB
+    // the same loop runs with the pair table as the only large input
+    // (|labels| = #docs-in-pairs << corpus).
+    "d12_dup_clusters" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val left = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+      val pairs = left
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .filter(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))) >= 0.7
+        )
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+        .localCheckpoint()
+      var labels = edges.select(col("u").as("id")).distinct().withColumn("label", col("id")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nm = edges
+          .join(labels.withColumnRenamed("id", "v"), "v")
+          .groupBy(col("u").as("id"))
+          .agg(min(col("label")).as("nlabel"))
+        val l1 = labels
+          .join(nm, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        val jump = l1.select(col("id").as("jid"), col("label").as("jlabel"))
+        val l2 = l1
+          .join(jump, l1("label") === jump("jid"))
+          .select(col("id"), least(col("label"), col("jlabel")).as("label"))
+          .localCheckpoint()
+        converged = l2.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old"))
+          .isEmpty
+        labels = l2
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    }),
+
     // TF-IDF: each document's most characteristic term. tf = in-doc
     // count, idf = ln(N / df); top term per doc by (score desc, term asc)
     // so ties are deterministic. Shuffles are keyed on (doc_id, term) and
@@ -412,6 +465,17 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Connected components as a recursive reachability CTE: cluster id =
+    // min doc_id reachable in the undirected pair graph.
+    "d12_dup_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks)) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (SELECT u AS id, u AS r FROM edges UNION SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d10_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
