@@ -22,12 +22,18 @@ final case class DayPartition(day: LocalDate, path: String)
 object AuditSource {
   private val log = LoggerFactory.getLogger(getClass)
 
+  /** Test-visible count of day-listing RPCs (IngestStreamSpec pins the
+    * per-scan listing cost); never used for control flow.
+    */
+  val listDayCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** List dated child dirs, skipping non-dated names with a warning
     * (audit_data_ingest.py:30-32), sorted ascending so commit order is
     * chronological (the reference silently relies on `hdfs -ls` sort
     * order, :144-150 — we sort explicitly).
     */
   def listDays(spark: SparkSession, srcDir: String): Seq[DayPartition] = {
+    listDayCalls.incrementAndGet()
     val p = new Path(srcDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) throw new java.io.FileNotFoundException(s"Source dir not found: $srcDir")

@@ -74,7 +74,52 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((df: DataFrame, id: Long) => processBatch(cfg, df, id))
       .start()
-    try query.awaitTermination()
-    finally if (query.isActive) query.stop()
+    try {
+      query.awaitTermination()
+      reconcileMirror(spark, cfg, checkpointDir)
+    } finally if (query.isActive) query.stop()
+  }
+
+  /** Align the reference-format progress file with the checkpoint's LAST
+    * COMMITTED end offset. The per-batch mirror in [[processBatch]] derives
+    * the day from observed rows, so a trailing day directory with ZERO
+    * files (a valid, admitted batch) never reaches it — leaving the mirror
+    * behind the checkpoint and making a later batch-mode run re-list that
+    * (empty) day. The committed end offset IS the admitted day, so after a
+    * drain we read it back from the checkpoint: `commits/<maxBatchId>`
+    * proves the batch completed; `offsets/<maxBatchId>`'s source line is
+    * the [[graft.sources]] day offset (`{"day":"YYYY-MM-DD"}`). Mirror
+    * only moves FORWARD — a replayed or stale checkpoint can never drag
+    * the watermark back.
+    */
+  private[ingest] def reconcileMirror(spark: SparkSession, cfg: IngestConfig, checkpointDir: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val commitsPath = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = commitsPath.getFileSystem(hc)
+    if (!fs.exists(commitsPath)) return
+    val lastBatch = fs
+      .listStatus(commitsPath)
+      .iterator
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max)
+    if (lastBatch < 0) return
+    val offsetFile = new org.apache.hadoop.fs.Path(checkpointDir, s"offsets/$lastBatch")
+    val in = fs.open(offsetFile)
+    val content =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    // Offset-log layout: "v1" \n metadata json \n one offset json per source.
+    val dayLine = content.linesIterator.toSeq.drop(2).headOption
+    for {
+      line <- dayLine
+      m <- """"day"\s*:\s*"(\d{4}-\d{2}-\d{2})"""".r.findFirstMatchIn(line)
+      day = java.time.LocalDate.parse(m.group(1))
+      if Watermark.read(cfg.progressFile).forall(_.isBefore(day))
+    } {
+      Watermark.commit(cfg.progressFile, day)
+      log.info(s"Progress mirror reconciled to checkpoint end offset: $day")
+    }
   }
 }

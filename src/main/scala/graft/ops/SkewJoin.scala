@@ -44,14 +44,27 @@ object SkewJoin {
       maxReplicatedBytes: Long = DefaultMaxReplicatedBytes
   ): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // Catalyst sizeInBytes for non-file-backed or post-agg plans without CBO
+    // can be a propagated overestimate, up to spark.sql.defaultSizeInBytes
+    // (= Long.MaxValue when unset). An estimate at or beyond that default
+    // carries no information — warn and skip the guard instead of spuriously
+    // rejecting a plan whose true small side is fine.
     val smallBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes
-    val replicatedBytes = smallBytes * saltFactor
-    require(
-      replicatedBytes <= maxReplicatedBytes,
-      s"saltedInnerJoin would replicate ~$smallBytes bytes x$saltFactor = $replicatedBytes bytes " +
-        s"(> $maxReplicatedBytes cap): the 'small' side is not small enough for salting — " +
-        "lower saltFactor, pre-filter the small side, or rely on AQE skew-join splitting"
-    )
+    val unknownDefault = BigInt(small.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (smallBytes >= unknownDefault) {
+      System.err.println(
+        s"[graft] saltedInnerJoin: small-side size estimate ($smallBytes) is the unknown-stats " +
+          "default — replication cost guard skipped; verify the small side is genuinely small"
+      )
+    } else {
+      val replicatedBytes = smallBytes * saltFactor
+      require(
+        replicatedBytes <= maxReplicatedBytes,
+        s"saltedInnerJoin would replicate ~$smallBytes bytes x$saltFactor = $replicatedBytes bytes " +
+          s"(> $maxReplicatedBytes cap): the 'small' side is not small enough for salting — " +
+          "lower saltFactor, pre-filter the small side, or rely on AQE skew-join splitting"
+      )
+    }
     val salted = large.withColumn("_salt", pmod(hash(col(uniqueCol)), lit(saltFactor)))
     val replicated = small.withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -394,10 +394,11 @@ object TextOps {
         .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("u", "v")
         .localCheckpoint()
+      val maxRounds = 20
       var labels = edges.select(col("u").as("id")).distinct().withColumn("label", col("id")).localCheckpoint()
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      while (!converged && rounds < maxRounds) {
         val nm = edges
           .join(labels.withColumnRenamed("id", "v"), "v")
           .groupBy(col("u").as("id"))
@@ -409,13 +410,28 @@ object TextOps {
         val l2 = l1
           .join(jump, l1("label") === jump("jid"))
           .select(col("id"), least(col("label"), col("jlabel")).as("label"))
+        // Convergence check piggybacks on the SAME job that materializes
+        // the round (the eager localCheckpoint): the changed-count is an
+        // observed metric folded into that query, so each round costs ONE
+        // driver action instead of checkpoint + a separate join-and-scan.
+        val obs = org.apache.spark.sql.Observation(s"d12_round_$rounds")
+        val cp = l2
+          .join(labels.withColumnRenamed("label", "old"), "id")
+          .select(col("id"), col("label"), (col("label") =!= col("old")).as("chg"))
+          .observe(obs, sum(col("chg").cast("long")).as("changed"))
           .localCheckpoint()
-        converged = l2.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old"))
-          .isEmpty
-        labels = l2
+        // sum over zero rows is null => treat as converged (empty graph).
+        converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+        labels = cp.select("id", "label")
         rounds += 1
       }
+      // Pointer doubling needs component diameter > ~2^maxRounds to hit the
+      // cap, but if it ever does, a silent return would be a WRONG answer
+      // (non-converged labels) — fail loudly instead.
+      if (!converged)
+        throw new IllegalStateException(
+          s"d12_dup_clusters: label propagation did not converge within $maxRounds rounds"
+        )
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
     }),
 

@@ -97,8 +97,12 @@ private[sources] class AuditStreamTable(options: CaseInsensitiveStringMap)
         // Batch form: ALL days after the watermark in one scan — the
         // manifest/analytics view of the same source
         // (`spark.read.format("graft-audit")`), sharing the streaming
-        // reader's listing, bin-packing, and whole-file reader.
-        override def toBatch: Batch = new AuditBatchScan(srcDir, options)
+        // reader's listing, bin-packing, and whole-file reader. ONE batch
+        // per Scan: Spark's planner may call toBatch more than once while
+        // building/cloning the physical plan, and each listing is a real
+        // RPC against the source filesystem.
+        private lazy val batch = new AuditBatchScan(srcDir, options)
+        override def toBatch: Batch = batch
       }
     }
 }
@@ -107,15 +111,13 @@ private[sources] class AuditStreamTable(options: CaseInsensitiveStringMap)
   * `startDay`/`progressFile` watermark, like the stream's initial offset).
   */
 private[sources] class AuditBatchScan(srcDir: String, options: CaseInsensitiveStringMap) extends Batch {
-  private def stream = new AuditMicroBatchStream(srcDir, options)
+  // ONE stream per scan, ONE day-listing per plan (the previous shape
+  // built a fresh stream per method call and listed the source three
+  // times per scan; IngestStreamSpec pins the listing count now).
+  private val stream = new AuditMicroBatchStream(srcDir, options)
+  private lazy val planned: Array[InputPartition] = stream.planAllPending()
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val s = stream
-    val start = s.initialOffset()
-    val end = s.reportLatestOffset()
-    if (end.asInstanceOf[AuditDayOffset].day.isEmpty) Array.empty
-    else s.planInputPartitions(start, end)
-  }
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory = stream.createReaderFactory()
 }
@@ -158,12 +160,17 @@ private[sources] class AuditMicroBatchStream(srcDir: String, options: CaseInsens
 
   /** Ceiling pinned by Trigger.AvailableNow at query start: the newest day
     * listed then; later-arriving days wait for the next run, exactly like
-    * one scheduled run of the reference.
+    * one scheduled run of the reference. `availableNowPinned` distinguishes
+    * "prepare ran and listed NOTHING" (admit nothing — a day landing
+    * mid-run must wait) from "not an AvailableNow run" (no bound): a bare
+    * `Option` ceiling can't represent both as `None`.
     */
   @volatile private var availableNowCeiling: Option[LocalDate] = None
+  @volatile private var availableNowPinned: Boolean = false
 
   override def prepareForTriggerAvailableNow(): Unit = {
     availableNowCeiling = AuditSource.listDays(spark, srcDir).lastOption.map(_.day)
+    availableNowPinned = true
     log.info(s"AvailableNow ceiling pinned at $availableNowCeiling")
   }
 
@@ -185,9 +192,13 @@ private[sources] class AuditMicroBatchStream(srcDir: String, options: CaseInsens
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val wm = start.asInstanceOf[AuditDayOffset].day
-    val pending = AuditSource
-      .pendingDays(spark, srcDir, wm)
-      .filter(d => availableNowCeiling.forall(c => !d.day.isAfter(c)))
+    val all = AuditSource.pendingDays(spark, srcDir, wm)
+    val pending =
+      if (!availableNowPinned) all
+      else availableNowCeiling match {
+        case Some(c) => all.filter(d => !d.day.isAfter(c))
+        case None => Nil // pinned on an empty source: nothing admitted this run
+      }
     pending.headOption match {
       case Some(next) => AuditDayOffset(Some(next.day))
       case None => start
@@ -210,6 +221,18 @@ private[sources] class AuditMicroBatchStream(srcDir: String, options: CaseInsens
     val days = AuditSource
       .pendingDays(spark, srcDir, startWm)
       .filter(d => !d.day.isAfter(endDay))
+    planDays(days, s"(${startWm.getOrElse("-")}, $endDay]")
+  }
+
+  /** Batch form ([[AuditBatchScan]]): EVERY pending day planned from one
+    * day-listing — no separate initial/latest-offset listings.
+    */
+  private[sources] def planAllPending(): Array[InputPartition] = {
+    val wm = initialOffset().asInstanceOf[AuditDayOffset].day
+    planDays(AuditSource.pendingDays(spark, srcDir, wm), s"(${wm.getOrElse("-")}, *]")
+  }
+
+  private def planDays(days: Seq[graft.ingest.DayPartition], range: String): Array[InputPartition] = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val files = days.flatMap { dp =>
       val p = new Path(dp.path)
@@ -225,7 +248,7 @@ private[sources] class AuditMicroBatchStream(srcDir: String, options: CaseInsens
         .toSeq
     }
     val bins = AuditMicroBatchStream.binPack(files, maxPartitionBytes)
-    log.info(s"Batch (${startWm.getOrElse("-")}, $endDay]: ${files.size} file(s) in ${bins.length} partition(s)")
+    log.info(s"Batch $range: ${files.size} file(s) in ${bins.length} partition(s)")
     bins.map(b => AuditFilesPartition(b): InputPartition)
   }
 

@@ -11,6 +11,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(graft.ops.Tables.NanosConf, "true") // events table is TIMESTAMP(NANOS)
     .config(
       "spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString

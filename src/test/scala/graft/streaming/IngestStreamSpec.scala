@@ -216,6 +216,38 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(seen.get("2021-10-01") == 3L && seen.get("2021-10-02") == 3L)
   }
 
+  test("batch scan plans from ONE source listing (no per-method stream rebuild)") {
+    val src = makeSource(Seq("2021-12-01", "2021-12-02"))
+    val df = spark.read
+      .format("graft-audit")
+      .option("srcDir", src.toString)
+      .load()
+    val before = AuditSource.listDayCalls.get()
+    assert(df.count() == 6)
+    val listings = AuditSource.listDayCalls.get() - before
+    assert(listings == 1, s"batch scan listed the source $listings times; expected exactly 1")
+  }
+
+  test("a trailing EMPTY day still advances the progress mirror (reconciled from the checkpoint)") {
+    val src = makeSource(Seq("2022-01-01"))
+    Files.createDirectories(src.resolve("2022-01-02")) // admitted day with ZERO files
+    val out = Files.createTempDirectory("stream-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val cfg = cfgFor(src, LocalDirObjectStoreFactory(out.toString), progress)
+
+    IngestStream.runAvailableNow(spark, cfg, checkpoint)
+
+    // The per-batch mirror derives from observed rows, which an empty day
+    // has none of — the reconcile step must land the checkpoint's end
+    // offset so a later BATCH-mode run does not re-list the empty day.
+    assert(Watermark.read(progress.toString).contains(LocalDate.parse("2022-01-02")))
+    // and the stream checkpoint agrees on restart: nothing pending
+    val before = cfg.storeFactory.create().listKeys("audit/").size
+    IngestStream.runAvailableNow(spark, cfg, checkpoint)
+    assert(cfg.storeFactory.create().listKeys("audit/").size == before)
+  }
+
   test("source honors a pre-existing progress file as the initial watermark (batch -> stream migration)") {
     val src = makeSource(Seq("2021-08-01", "2021-08-02"))
     val out = Files.createTempDirectory("stream-out")
