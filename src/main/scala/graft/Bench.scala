@@ -19,9 +19,21 @@ import org.apache.spark.sql.SparkSession
   * query (`"failed":[...]`) instead of being folded into a normal-looking
   * duration, and the catalog cache is cleared between reps so one rep's
   * storage never skews the next.
+  *
+  * Interleaving is still beatable: a contention window spanning a WHOLE
+  * pass poisons both reps of the alphabetical tail at once (observed in
+  * round 3: s01–s04 recorded 8–60x their standalone times, both reps).
+  * So after the interleaved passes, any query whose reps disagree by more
+  * than [[ContentionRatio]] gets extra ISOLATED reps (run at the end,
+  * when the window has usually passed) until two reps agree within the
+  * ratio or [[MaxExtraReps]] is spent; queries whose reps never agreed
+  * are flagged in `"contended":[...]` so a reader knows the min is still
+  * weather-bound rather than steady-state.
   */
 object Bench {
   val Reps = 2
+  val ContentionRatio = 5.0
+  val MaxExtraReps = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,21 +66,42 @@ object Bench {
         name -> (if (warmOk(name)) timeOnce(fn) else (Double.NaN, false))
       }.toMap
     }
-    val results = ordered.map { case (name, _) =>
-      val reps = passes.map(_(name))
-      val allOk = warmOk(name) && reps.forall(_._2)
-      val times = reps.map(_._1)
-      (name, if (allOk) times.min else Double.NaN, times, allOk)
+    // Reps agree when the two fastest are within ContentionRatio of each
+    // other — then the min is a steady-state figure, not one lucky rep.
+    def settled(ts: Seq[Double]): Boolean = {
+      val sorted = ts.sorted
+      sorted.length >= 2 && sorted(1) <= sorted.head * ContentionRatio
+    }
+    val results = ordered.map { case (name, fn) =>
+      val firstReps = passes.map(_(name))
+      val allOk = warmOk(name) && firstReps.forall(_._2)
+      var times = firstReps.map(_._1)
+      var ok = allOk
+      if (ok) {
+        // Isolated re-timing for queries the interleaved passes disagree
+        // on: a pass-spanning contention window inflates BOTH reps, so
+        // keep timing until two reps corroborate each other.
+        var extra = 0
+        while (ok && !settled(times) && extra < MaxExtraReps) {
+          val (t, o) = timeOnce(fn)
+          times = times :+ t
+          ok = o
+          extra += 1
+        }
+      }
+      val contended = ok && !settled(times)
+      (name, if (ok) times.min else Double.NaN, times, ok, contended)
     }
     def fmt(d: Double): String = if (d.isNaN) "null" else d.toString
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val reps = results
-      .map { case (k, _, ts, _) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val contended = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.filterNot(_._2.isNaN).map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"contended":$contended,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
