@@ -20,6 +20,15 @@ import graft.functions._
 object CodecSimplification extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ZlibDecompress(ZlibCompress(child)) => child
+    // decrypt∘encrypt is the identity ONLY when the decrypting private key
+    // is provably the counterpart of the encrypting public key (checked by
+    // deriving the public key from the private's CRT parameters at plan
+    // time) and the cipher mode matches the encryptor's (GCM). Mismatched
+    // keys must NOT elide: the un-elided query fails loudly at runtime,
+    // which is the correct behavior.
+    case graft.functions.EnvelopeDecryptExpr(EnvelopeEncryptExpr(child, pubB64, _), privB64, graft.ingest.Envelope.AesMode.Gcm)
+        if graft.ingest.Envelope.isKeyPair(pubB64, privB64) =>
+      child
   }
 }
 
@@ -75,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_zlib_decompress", classOf[ZlibDecompress], 1)(a => ZlibDecompress(a(0)))
     inject(ext, "graft_envelope_encrypt", classOf[EnvelopeEncryptExpr], 3) { a =>
       EnvelopeEncryptExpr(a(0), stringLiteral(a(1), "pubKeyB64"), stringLiteral(a(2), "keyId"))
+    }
+    inject(ext, "graft_envelope_decrypt", classOf[EnvelopeDecryptExpr], 3) { a =>
+      EnvelopeDecryptExpr(
+        a(0),
+        stringLiteral(a(1), "privKeyDerB64"),
+        EnvelopeFunctions.parseAesMode(stringLiteral(a(2), "mode"))
+      )
     }
   }
 }

@@ -179,6 +179,25 @@ object Envelope {
     }
   }
 
+  /** True iff `pubB64` (X.509/SPKI, base64) is the public counterpart of
+    * `privDerB64` (PKCS#8 DER, base64) — derived from the private key's
+    * CRT parameters and compared by encoding. Never throws: unparseable or
+    * non-CRT material is simply "not a pair". Used by the optimizer to
+    * prove `decrypt(encrypt(x))` is the identity before eliding it.
+    */
+  def isKeyPair(pubB64: String, privDerB64: String): Boolean =
+    try {
+      val priv = privateKeyFromDer(Base64.getDecoder.decode(privDerB64.replaceAll("\\s", "")))
+      priv match {
+        case crt: java.security.interfaces.RSAPrivateCrtKey =>
+          val derived = KeyFactory
+            .getInstance("RSA")
+            .generatePublic(new java.security.spec.RSAPublicKeySpec(crt.getModulus, crt.getPublicExponent))
+          java.util.Arrays.equals(derived.getEncoded, publicKeyFromBase64(pubB64).getEncoded)
+        case _ => false
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Test-only helper: generate an RSA-2048 keypair (the reference's key
     * comes from an HSM via SSM; tests need a local stand-in).
     */

@@ -312,6 +312,43 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // End-to-end envelope round-trip through the DSv2 object-store sink
+    // AND source: compress+encrypt the documents corpus with the codegen/
+    // expression pipeline, land it as objects (`graft-objects` BATCH_WRITE),
+    // read it back (BATCH_READ), decrypt∘inflate with the expression duals,
+    // and recover the exact pre-ingest rows — oracle-checked against the
+    // documents table itself. The one query that proves write path, read
+    // path, and both envelope expressions agree byte-for-byte.
+    "x06_envelope_roundtrip" -> ((s, dir) => {
+      import graft.functions.{CompressionFunctions => CF, EnvelopeFunctions => EF}
+      val (pub, priv) = graft.ingest.Envelope.generateKeyPair()
+      val pubB64 = java.util.Base64.getEncoder.encodeToString(pub.getEncoded)
+      val privB64 = java.util.Base64.getEncoder.encodeToString(priv.getEncoded)
+      val root = java.nio.file.Files.createTempDirectory("x06-store").toString
+      t(s, dir, "documents")
+        .select(
+          concat(lit("x06/"), col("doc_id")).as("key"),
+          EF.envelope_encrypt(CF.zlib_compress(encode(col("text"), "UTF-8")), pubB64, "x06-key").as("obj")
+        )
+        .select(
+          col("key"),
+          col("obj.data").as("data"),
+          map(
+            lit("iv"), col("obj.iv"),
+            lit("ciphertext"), col("obj.wrapped_key"),
+            lit("datakeyencryptionkeyid"), col("obj.key_id")
+          ).as("metadata")
+        )
+        .write.format("graft-objects").option("root", root).mode("append").save()
+      graft.ingest.IngestReader
+        .read(s, root, "x06/", privB64)
+        .select(
+          element_at(split(col("key"), "/"), -1).cast("long").as("doc_id"),
+          decode(col("content"), "UTF-8").as("text")
+        )
+        .orderBy("doc_id")
+    }),
+
     // Exact-Jaccard verify kernel with a SQL-expressible candidate set:
     // each doc against the next 3 doc_ids, as an EQUI-join (offsets
     // exploded onto the left side — no range/theta join, so at scale it
@@ -481,6 +518,10 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The round-trip must reproduce the source table exactly — the oracle
+    // IS the pre-ingest corpus (encrypt/decrypt happen engine-side only).
+    "x06_envelope_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // Connected components as a recursive reachability CTE: cluster id =
     // min doc_id reachable in the undirected pair graph.
     "d12_dup_clusters" ->

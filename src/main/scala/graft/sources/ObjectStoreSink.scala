@@ -1,26 +1,42 @@
 package graft.sources
 
 import java.util
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.ingest.{LocalDirObjectStore, ObjectStore}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ingest.{LocalDirObjectStoreFactory, ObjectStore, ObjectStoreFactory}
 import scala.jdk.CollectionConverters._
 
-/** DataSource V2 batch writer for the object-store sink — the "proper"
-  * v2 form of the reference's S3 upload (audit_data_ingest.py:169-187;
-  * SURVEY.md §7.3): rows of `(key string, data binary, metadata
-  * map<string,string>)` become objects with user metadata.
+/** DataSource V2 table over the object-store seam — both sides of the
+  * reference's S3 surface (audit_data_ingest.py:169-187; SURVEY.md §7.3):
   *
-  * `df.write.format("graft-objects").option("root", dir).mode("append").save()`
+  *  - BATCH_WRITE: rows of `(key string, data binary, metadata
+  *    map<string,string>)` become objects with user metadata —
+  *    `df.write.format("graft-objects").option("root", dir).mode("append").save()`
+  *  - BATCH_READ: the landed corpus back as the same schema —
+  *    `spark.read.format("graft-objects").option("root", dir)
+  *    .option("prefix", "audit/").load()` — so decrypt/inflate compose
+  *    with Catalyst (column pruning reaches the store: a key-only query
+  *    never fetches bytes or metadata sidecars).
   *
   * One store client per task (the reference's one-boto3-client-per-thread,
   * :190-197); task retries re-put idempotently by key, giving the same
-  * at-least-once semantics as the day-loop sink.
+  * at-least-once semantics as the day-loop sink. Reads are idempotent.
+  *
+  * 100 TB posture: the driver holds key NAMES only (one listing per scan);
+  * bytes move store→executor in the tasks. Partitions are round-robin
+  * slices of the key list capped at 2× default parallelism — small
+  * prefixes don't schedule thousands of empty tasks, large prefixes keep
+  * every core busy (override with option `numPartitions`).
   */
 class ObjectStoreSinkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-objects"
@@ -32,11 +48,7 @@ class ObjectStoreSinkProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]
-  ): Table = {
-    val root = properties.get("root")
-    require(root != null && root.nonEmpty, "graft-objects sink requires option 'root'")
-    new ObjectStoreTable(root)
-  }
+  ): Table = new ObjectStoreTable(StoreOptions.factoryFrom(properties.get))
 }
 
 object ObjectStoreSinkProvider {
@@ -47,11 +59,23 @@ object ObjectStoreSinkProvider {
   ))
 }
 
-private[sources] class ObjectStoreTable(root: String) extends Table with SupportsWrite {
-  override def name(): String = s"graft-objects($root)"
+/** Resolves DSv2 options to an [[ObjectStoreFactory]] (the ingest seam) —
+  * one place to grow new store kinds without touching the table plumbing.
+  */
+private[graft] object StoreOptions {
+  def factoryFrom(get: String => String): ObjectStoreFactory = {
+    val root = get("root")
+    require(root != null && root.nonEmpty, "graft-objects requires option 'root'")
+    LocalDirObjectStoreFactory(root)
+  }
+}
+
+private[sources] class ObjectStoreTable(factory: ObjectStoreFactory)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graft-objects($factory)"
   override def schema(): StructType = ObjectStoreSinkProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val cols = info.schema().fieldNames.toSeq
@@ -61,15 +85,23 @@ private[sources] class ObjectStoreTable(root: String) extends Table with Support
     )
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new ObjectStoreBatchWrite(root)
+        override def toBatch: BatchWrite = new ObjectStoreBatchWrite(factory)
       }
     }
   }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val prefix = Option(options.get("prefix")).getOrElse("")
+    val numPartitions = Option(options.get("numpartitions")).map(_.toInt)
+    new ObjectStoreScanBuilder(factory, prefix, numPartitions)
+  }
 }
 
-private[sources] class ObjectStoreBatchWrite(root: String) extends BatchWrite {
+// ---------------------------------------------------------------- write
+
+private[sources] class ObjectStoreBatchWrite(factory: ObjectStoreFactory) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ObjectStoreWriterFactory(root)
+    ObjectStoreWriterFactory(factory)
   // Objects are visible as soon as each task commits (object stores have
   // no atomic multi-object commit); the job-level commit is a no-op, like
   // the reference's per-file uploads inside a day batch.
@@ -77,9 +109,9 @@ private[sources] class ObjectStoreBatchWrite(root: String) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] case class ObjectStoreWriterFactory(root: String) extends DataWriterFactory {
+private[sources] case class ObjectStoreWriterFactory(factory: ObjectStoreFactory) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ObjectStoreDataWriter(new LocalDirObjectStore(root))
+    new ObjectStoreDataWriter(factory.create())
 }
 
 private[sources] class ObjectStoreDataWriter(store: ObjectStore) extends DataWriter[InternalRow] {
@@ -108,3 +140,82 @@ private[sources] class ObjectStoreDataWriter(store: ObjectStore) extends DataWri
 }
 
 case class ObjectsWritten(count: Long) extends WriterCommitMessage
+
+// ----------------------------------------------------------------- read
+
+private[sources] class ObjectStoreScanBuilder(
+    factory: ObjectStoreFactory,
+    prefix: String,
+    numPartitions: Option[Int]
+) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  // Column pruning reaches the store client: a projection of `key` alone
+  // plans tasks that call neither get() nor getMetadata() — at 100 TB a
+  // manifest query over the landed corpus moves key names, not bytes.
+  private var required: StructType = ObjectStoreSinkProvider.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = new ObjectStoreBatchScan(factory, prefix, required, numPartitions)
+  }
+}
+
+private[sources] case class ObjectKeysPartition(keys: Seq[String]) extends InputPartition
+
+private[sources] class ObjectStoreBatchScan(
+    factory: ObjectStoreFactory,
+    prefix: String,
+    required: StructType,
+    numPartitions: Option[Int]
+) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val keys = factory.create().listKeys(prefix) // names only, never bytes
+    if (keys.isEmpty) return Array.empty
+    val spark = SparkSession.active
+    val slices = numPartitions.getOrElse(
+      math.max(1, math.min(keys.size, spark.sparkContext.defaultParallelism * 2))
+    )
+    val perSlice = math.max(1, math.ceil(keys.size.toDouble / slices).toInt)
+    keys.grouped(perSlice).map(ObjectKeysPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ObjectStoreReaderFactory(factory, required.fieldNames)
+}
+
+private[sources] case class ObjectStoreReaderFactory(factory: ObjectStoreFactory, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ObjectStoreRowReader(partition.asInstanceOf[ObjectKeysPartition].keys, factory.create(), fields)
+}
+
+/** One object per row, fetching ONLY the pruned columns: `data` costs a
+  * get(), `metadata` a sidecar read, `key` is free (already listed).
+  */
+private[sources] class ObjectStoreRowReader(keys: Seq[String], store: ObjectStore, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val it = keys.iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val key = it.next()
+    val values: Array[Any] = fields.map {
+      case "key" => UTF8String.fromString(key)
+      case "data" => store.get(key)
+      case "metadata" =>
+        val md = store.getMetadata(key)
+        new ArrayBasedMapData(
+          new GenericArrayData(md.keys.map(UTF8String.fromString).toArray[Any]),
+          new GenericArrayData(md.values.map(UTF8String.fromString).toArray[Any])
+        )
+      case other => throw new IllegalStateException(s"Unknown graft-objects column: $other")
+    }
+    current = new GenericInternalRow(values)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -75,6 +75,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("decrypt∘encrypt elides ONLY when the keys are provably a pair") {
+    withExtendedSession { s =>
+      val (pubA, privA) = graft.ingest.Envelope.generateKeyPair()
+      val (_, privB) = graft.ingest.Envelope.generateKeyPair()
+      val pubA64 = java.util.Base64.getEncoder.encodeToString(pubA.getEncoded)
+      val privA64 = java.util.Base64.getEncoder.encodeToString(privA.getEncoded)
+      val privB64 = java.util.Base64.getEncoder.encodeToString(privB.getEncoded)
+      s.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(5)
+        .createOrReplaceTempView("docs_env")
+
+      // Matching pair: both crypto passes vanish from the optimized plan.
+      val matched = s.sql(
+        s"""SELECT doc_id, CAST(graft_envelope_decrypt(
+           |  graft_envelope_encrypt(CAST(text AS BINARY), '$pubA64', 'kid'), '$privA64', 'gcm') AS STRING) AS v
+           |FROM docs_env""".stripMargin
+      )
+      val mp = matched.queryExecution.optimizedPlan.toString
+      assert(!mp.contains("graft_envelope"), s"matching-pair round trip not elided:\n$mp")
+      assert(matched.collect().forall(r => r.getString(1) != null))
+
+      // Foreign private key: NOT elided (and the un-elided query fails at
+      // runtime, which is the correct loud behavior for a wrong key).
+      val mismatched = s.sql(
+        s"""SELECT graft_envelope_decrypt(
+           |  graft_envelope_encrypt(CAST(text AS BINARY), '$pubA64', 'kid'), '$privB64', 'gcm') AS v
+           |FROM docs_env""".stripMargin
+      )
+      val up = mismatched.queryExecution.optimizedPlan.toString
+      assert(up.contains("graft_envelope_decrypt"), s"mismatched keys wrongly elided:\n$up")
+      intercept[Exception](mismatched.collect())
+      s.catalog.dropTempView("docs_env")
+    }
+  }
+
   test("envelope encrypt from SQL: struct output decrypts; non-literal key rejected") {
     withExtendedSession { s =>
       val (pub, priv) = graft.ingest.Envelope.generateKeyPair()

@@ -57,4 +57,36 @@ class FunctionsSpec extends AnyFunSuite {
       assert(new String(Zlib.decompress(Envelope.decrypt(obj, priv))) == "secret-one")
     }
   }
+
+  test("envelope_decrypt expression inverts envelope_encrypt (GCM) column-to-column") {
+    import spark.implicits._
+    val (pub, priv) = Envelope.generateKeyPair()
+    val pubB64 = Base64.getEncoder.encodeToString(pub.getEncoded)
+    val privB64 = Base64.getEncoder.encodeToString(priv.getEncoded)
+    val out = Seq((1L, "alpha".getBytes), (2L, Array.emptyByteArray))
+      .toDF("id", "payload")
+      .select($"id", $"payload", envelope_decrypt(envelope_encrypt($"payload", pubB64, "kid"), privB64).as("back"))
+      .collect()
+      .sortBy(_.getLong(0))
+    assert(out.forall(r => r.getAs[Array[Byte]](1).sameElements(r.getAs[Array[Byte]](2))))
+  }
+
+  test("envelope_decrypt handles EAX objects and metadata-map input (the graft-objects read shape)") {
+    import spark.implicits._
+    val (pub, priv) = Envelope.generateKeyPair()
+    val privB64 = Base64.getEncoder.encodeToString(priv.getEncoded)
+    // EAX objects produced by the batch ingest path (driver-side encrypt),
+    // presented as the (data, metadata map) read schema.
+    val objs = Seq("one", "two").zipWithIndex.map { case (s, i) =>
+      val o = Envelope.encrypt(s.getBytes, pub, "kid", Envelope.AesMode.Eax)
+      (i.toLong, o.ciphertext, o.metadata)
+    }
+    val back = objs
+      .toDF("id", "data", "metadata")
+      .select($"id", envelope_decrypt(encrypted_object($"data", $"metadata"), privB64, "eax").as("plain"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => new String(r.getAs[Array[Byte]](1)))
+    assert(back.sameElements(Array("one", "two")))
+  }
 }

@@ -68,7 +68,7 @@ class IngestJobSpec extends AnyFunSuite {
 
     val privB64 = java.util.Base64.getEncoder.encodeToString(priv.getEncoded)
     val rows = IngestReader
-      .read(spark, cfg.storeFactory, "audit/", privB64)
+      .read(spark, out.toString, "audit/", privB64)
       .collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .toMap

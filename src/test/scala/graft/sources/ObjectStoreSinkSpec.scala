@@ -38,6 +38,41 @@ class ObjectStoreSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key, data, metadata") || e.getMessage.contains("graft-objects"))
   }
 
+  test("DSv2 batch read: landed objects come back as (key, data, metadata); prefix prunes the listing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("dsv2-read").toString
+    Seq(
+      ("p/a.bin", "alpha".getBytes, Map("iv" -> "x")),
+      ("p/b.bin", "beta".getBytes, Map("iv" -> "y", "k" -> "v")),
+      ("q/c.bin", "gamma".getBytes, Map.empty[String, String])
+    ).toDF("key", "data", "metadata")
+      .write.format("graft-objects").option("root", out).mode("append").save()
+
+    val all = spark.read.format("graft-objects").option("root", out).load()
+    assert(all.count() == 3)
+    val p = spark.read.format("graft-objects").option("root", out).option("prefix", "p/").load()
+    val rows = p.collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1)), r.getAs[Map[String, String]](2))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array("p/a.bin", "p/b.bin")))
+    assert(rows.map(_._2).sameElements(Array("alpha", "beta")))
+    assert(rows(1)._3 == Map("iv" -> "y", "k" -> "v"))
+  }
+
+  test("column pruning reaches the store client: unselected columns are never fetched") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("dsv2-prune").toString
+    Seq(("p/a.bin", "alpha".getBytes, Map("iv" -> "x")))
+      .toDF("key", "data", "metadata")
+      .write.format("graft-objects").option("root", out).mode("append").save()
+    // Sabotage the metadata sidecar: any scan that calls getMetadata now
+    // fails loudly, so a passing pruned scan PROVES the fetch was skipped.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "p/a.bin.metadata.json"))
+
+    val df = spark.read.format("graft-objects").option("root", out).load()
+    assert(df.select("key").as[String].collect().sameElements(Array("p/a.bin")))
+    assert(new String(df.select("data").as[Array[Byte]].head()) == "alpha")
+    intercept[org.apache.spark.SparkException](df.select("metadata").collect())
+  }
+
   test("processDayV2: encrypt day through the V2 writer, round-trip decrypt") {
     val (pub, priv) = Envelope.generateKeyPair()
     val src = Files.createTempDirectory("v2-src")
