@@ -95,22 +95,27 @@ object AuditSource {
     }
   }
 
-  /** Scale-path variant: ALL pending days in one scan, with a `day` column
-    * derived from the parent directory name — lets one Spark job cover the
-    * whole backlog instead of a day-at-a-time driver loop. Day-ordered
-    * commit still requires per-day completion tracking, so [[IngestJob]]
-    * uses the per-day loop for watermark fidelity; this reader serves
-    * manifest/analytics queries over the source.
+  /** Scale-path variant: ALL pending days in one logical scan, with a
+    * `day` column — lets one Spark job cover the whole backlog instead of
+    * a day-at-a-time driver loop ([[IngestJob.runBacklog]] commits its
+    * watermark from this, day-ordered; manifest/analytics queries use it
+    * too). Built as a union of per-day [[readDay]] scans with a LITERAL
+    * day, so nested files attribute to the right day (a parent-dir parse
+    * would name the subdirectory) and zero-length files are kept. Driver
+    * cost is one listing per pending day — the same as the day-loop pays;
+    * a multi-year backlog (1000s of days) should be chunked by the caller
+    * into bounded runs, which the day-ordered watermark makes safe.
     */
   def readPending(spark: SparkSession, srcDir: String, watermark: Option[LocalDate]): DataFrame = {
     val days = pendingDays(spark, srcDir, watermark)
     if (days.isEmpty) {
-      spark.read.format("binaryFile").load(srcDir).limit(0).withColumn("day", lit(null).cast("date"))
+      spark.read.format("binaryFile").load(srcDir).limit(0)
+        .select(col("path"), col("content"))
+        .withColumn("day", lit(null).cast("date"))
     } else {
-      spark.read
-        .format("binaryFile")
-        .load(days.map(_.path): _*)
-        .withColumn("day", to_date(element_at(split(regexp_replace(col("path"), "/[^/]*$", ""), "/"), -1)))
+      days
+        .map(dp => readDay(spark, dp.path).withColumn("day", lit(java.sql.Date.valueOf(dp.day))))
+        .reduce(_.unionAll(_))
     }
   }
 }

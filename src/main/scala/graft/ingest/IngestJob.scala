@@ -116,6 +116,58 @@ object IngestJob {
     IngestSummary(results)
   }
 
+  /** Whole-backlog variant: EVERY pending day in ONE Spark job, with the
+    * watermark still committed in day order. The reference's loop
+    * (audit_data_ingest.py:50-68) schedules one job per day; with a long
+    * backlog of small days that pays per-job scheduling overhead per day
+    * and caps parallelism at one day's bytes. Here all pending days scan
+    * together ([[AuditSource.readPending]]), statuses aggregate
+    * executor-side PER DAY (one tiny `(day, counts, samples)` row per
+    * task×day), and the driver then walks days oldest-first committing the
+    * watermark for each clean day until the first dirty one, which aborts
+    * the run exactly like the loop.
+    *
+    * Documented divergences from the sequential loop, both safe under
+    * at-least-once:
+    *  - files of days AFTER a failed day have already been uploaded; the
+    *    watermark never advances past the failure, so a re-run re-puts
+    *    them (idempotent by key, fresh encryption bytes — the same
+    *    visibility model as partially-uploaded days, which object stores
+    *    already expose);
+    *  - the wrapping key is fetched once per RUN, not once per day, so
+    *    key rotation granularity in backlog mode is the run.
+    */
+  def runBacklog(spark: SparkSession, cfg: IngestConfig): IngestSummary = {
+    val watermark = Watermark.read(cfg.progressFile)
+    val days = AuditSource.pendingDays(spark, cfg.srcDir, watermark)
+    log.info(s"Watermark=$watermark; ${days.size} pending day(s) in one backlog job")
+    if (days.isEmpty) return IngestSummary(Nil)
+    import spark.implicits._
+    val srcRootNorm = new org.apache.hadoop.fs.Path(cfg.srcDir).toUri.getPath
+    val files = AuditSource
+      .readPending(spark, cfg.srcDir, watermark)
+      .select(org.apache.spark.sql.functions.col("path"), org.apache.spark.sql.functions.col("content"),
+        org.apache.spark.sql.functions.col("day").cast("string"))
+      .as[(String, Array[Byte], String)]
+    val perDay = uploadFilesPerDay(files, cfg, dayStr => s"$srcRootNorm/$dayStr")
+    val results = scala.collection.mutable.ArrayBuffer[DayResult]()
+    for (dp <- days) {
+      val (ok, failed, samples) = perDay.getOrElse(dp.day.toString, (0L, 0L, Seq.empty[FileResult]))
+      val dayResult = DayResult(dp.day, filesOk = ok, filesFailed = failed, failureSamples = samples)
+      results += dayResult
+      if (dayResult.ok) {
+        Watermark.commit(cfg.progressFile, dp.day)
+      } else {
+        val detail = samples.map(f => s"${f.path}: ${f.error}").mkString("; ")
+        throw new RuntimeException(
+          s"Failed to process day ${dp.day} ($failed file(s) failed): $detail " +
+            "(watermark held at the last clean day; later days re-run on retry)"
+        )
+      }
+    }
+    IngestSummary(results.toSeq)
+  }
+
   /** Path of `filePath` relative to the (normalized) day directory; falls
     * back to the basename if the prefix does not match (foreign URI form).
     */
@@ -241,5 +293,55 @@ object IngestJob {
       parts.iterator.flatMap(_._3).toSeq.sortBy(_.path).take(MaxFailureSamples),
       parts.iterator.map(_._4).filter(_.nonEmpty).maxOption
     )
+  }
+
+  /** Backlog-mode upload: same executor-side encrypt+put loop as
+    * [[uploadFiles]], but statuses aggregate PER DAY within each task, so
+    * the day-ordered commit can tell clean days from dirty ones after one
+    * job. Driver gather is O(#tasks × #days-touched-per-task) tiny rows.
+    */
+  private[ingest] def uploadFilesPerDay(
+      files: org.apache.spark.sql.Dataset[(String, Array[Byte], String)],
+      cfg: IngestConfig,
+      dayDirNormFor: String => String
+  ): Map[String, (Long, Long, Seq[FileResult])] = {
+    import files.sparkSession.implicits._
+    val prefix = cfg.s3Prefix
+    val keyId = cfg.masterKeyId
+    val pubB64 = cfg.wrappingKeyB64() // once per run (see runBacklog scaladoc)
+    val mode = cfg.aesMode
+    val factory: ObjectStoreFactory = RetryingObjectStoreFactory(cfg.storeFactory, cfg.putRetries)
+    val maxSamples = MaxFailureSamples
+
+    val perTaskDay = files.mapPartitions { it =>
+      val pubKey = Envelope.publicKeyFromBase64(pubB64)
+      val store = factory.create()
+      val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Long, scala.collection.mutable.ArrayBuffer[FileResult])]()
+      it.foreach { case (path, content, dayStr) =>
+        val key = s"$prefix$dayStr/${relativePath(dayDirNormFor(dayStr), path)}.gz.enc"
+        val entry = acc.getOrElseUpdate(dayStr, (0L, 0L, scala.collection.mutable.ArrayBuffer[FileResult]()))
+        try {
+          val obj = Envelope.encrypt(Zlib.compress(content), pubKey, keyId, mode)
+          store.put(key, obj.ciphertext, obj.metadata)
+          acc(dayStr) = (entry._1 + 1, entry._2, entry._3)
+        } catch {
+          case e: TransientCredentialsException => throw e // abort run; CLI exits clean (ref :303-308)
+          case e: Throwable =>
+            if (entry._3.size < maxSamples) entry._3 += FileResult(path, key, ok = false, error = e.toString)
+            acc(dayStr) = (entry._1, entry._2 + 1, entry._3)
+        }
+      }
+      acc.iterator.map { case (day, (ok, failed, samples)) => (day, ok, failed, samples.toSeq) }
+    }
+    perTaskDay
+      .collect()
+      .groupBy(_._1)
+      .map { case (day, rows) =>
+        day -> (
+          rows.iterator.map(_._2).sum,
+          rows.iterator.map(_._3).sum,
+          rows.iterator.flatMap(_._4).toSeq.sortBy(_.path).take(MaxFailureSamples)
+        )
+      }
   }
 }

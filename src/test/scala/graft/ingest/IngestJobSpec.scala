@@ -59,6 +59,64 @@ class IngestJobSpec extends AnyFunSuite {
       progressFile = progress.toString
     )
 
+  test("runBacklog: whole 3-day backlog lands in ONE Spark job, watermark committed day-ordered") {
+    val (src, contents) = makeSource()
+    val out = Files.createTempDirectory("backlog-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val cfg = cfgFor(src, out, progress)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val summary =
+      try IngestJob.runBacklog(spark, cfg)
+      finally {
+        Thread.sleep(2000) // let the async listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+      }
+
+    assert(summary.days.map(_.day.toString) == Seq("2020-10-10", "2020-10-11", "2020-10-12"))
+    assert(summary.filesOk == 15)
+    assert(Watermark.read(cfg.progressFile).contains(LocalDate.parse("2020-10-12")))
+    assert(jobs.get() == 1, s"backlog scheduled ${jobs.get()} Spark job(s); expected exactly 1")
+
+    // layout + content parity with the day-loop, incl. the 0-byte file
+    val store = cfg.storeFactory.create()
+    val keys = store.listKeys("audit/")
+    assert(keys.size == 15)
+    assert(keys.contains("audit/2020-10-10/audit-data-4.json.gz.enc"))
+    val k = "audit/2020-10-11/audit-data-1.json.gz.enc"
+    val plain = Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(k), store.getMetadata(k)), priv))
+    assert(plain.sameElements(contents("2020-10-11/audit-data-1.json")))
+  }
+
+  test("runBacklog: dirty middle day holds the watermark at the last clean day; re-run completes") {
+    val (src, _) = makeSource()
+    Files.write(src.resolve("2020-10-11").resolve("poison.json"), "bad".getBytes)
+    val out = Files.createTempDirectory("backlog-out")
+    val progress = Files.createTempDirectory("wm").resolve("progress.txt")
+    val bad = cfgFor(src, out, progress).copy(storeFactory = PoisonedStoreFactory(out.toString))
+
+    val e = intercept[RuntimeException](IngestJob.runBacklog(spark, bad))
+    assert(e.getMessage.contains("2020-10-11"))
+    // commit stopped at the clean day BEFORE the dirty one
+    assert(Watermark.read(progress.toString).contains(LocalDate.parse("2020-10-10")))
+    // single-job divergence from the loop (documented): later days were
+    // attempted — their objects exist but stay unwatermarked
+    val store = bad.storeFactory.create()
+    assert(store.listKeys("audit/2020-10-12/").size == 5)
+
+    // healthy store, same progress file: days 2+3 re-run, backlog completes
+    val good = cfgFor(src, out, progress)
+    val summary2 = IngestJob.runBacklog(spark, good)
+    assert(summary2.days.map(_.day.toString) == Seq("2020-10-11", "2020-10-12"))
+    assert(Watermark.read(progress.toString).contains(LocalDate.parse("2020-10-12")))
+    assert(store.listKeys("audit/2020-10-11/").size == 6) // 5 fixtures + poison.json
+  }
+
   test("distributed read-back: IngestReader decrypts every landed object to the original bytes") {
     val (src, contents) = makeSource()
     val out = Files.createTempDirectory("audit-out")
