@@ -1,0 +1,304 @@
+package graft.ingest
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 request signing, implemented from the public
+  * specification (AWS General Reference, "Signature Version 4 signing
+  * process") — no SDK dependency, so the store compiles in a zero-egress
+  * environment. Deterministic given (request, credentials, timestamp);
+  * [[graft.ingest.SigV4Spec]] pins it to the published worked examples.
+  */
+object SigV4 {
+  val Algorithm = "AWS4-HMAC-SHA256"
+
+  def sha256Hex(data: Array[Byte]): String =
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(data))
+
+  def hex(bytes: Array[Byte]): String = bytes.map("%02x".format(_)).mkString
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  /** kSigning = HMAC(HMAC(HMAC(HMAC("AWS4"+secret, date), region), service), "aws4_request") */
+  def signingKey(secret: String, date: String, region: String, service: String): Array[Byte] =
+    hmac(hmac(hmac(hmac(("AWS4" + secret).getBytes(UTF_8), date), region), service), "aws4_request")
+
+  /** AWS-flavored RFC 3986 encoding: unreserved chars (A-Za-z0-9-._~)
+    * stay; everything else percent-encodes UTF-8 bytes uppercase; '/'
+    * survives in paths but encodes in query values.
+    */
+  def uriEncode(s: String, encodeSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      val unreserved =
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          c == '-' || c == '.' || c == '_' || c == '~'
+      if (unreserved || (c == '/' && !encodeSlash)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Canonical query string: params sorted by encoded name, values encoded. */
+  def canonicalQuery(params: Seq[(String, String)]): String =
+    params
+      .map { case (k, v) => (uriEncode(k, encodeSlash = true), uriEncode(v, encodeSlash = true)) }
+      .sorted
+      .map { case (k, v) => s"$k=$v" }
+      .mkString("&")
+
+  def canonicalRequest(
+      method: String,
+      canonicalUri: String,
+      canonicalQueryString: String,
+      headers: Seq[(String, String)], // lowercase names, trimmed values
+      payloadHashHex: String
+  ): String = {
+    val sorted = headers.sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = sorted.map(_._1).mkString(";")
+    s"$method\n$canonicalUri\n$canonicalQueryString\n$canonicalHeaders\n$signedHeaders\n$payloadHashHex"
+  }
+
+  def stringToSign(amzDateTime: String, scope: String, canonicalRequest: String): String =
+    s"$Algorithm\n$amzDateTime\n$scope\n${sha256Hex(canonicalRequest.getBytes(UTF_8))}"
+
+  def signature(
+      secret: String,
+      date: String,
+      region: String,
+      service: String,
+      toSign: String
+  ): String = hex(hmac(signingKey(secret, date, region, service), toSign))
+
+  def authorizationHeader(
+      accessKey: String,
+      scope: String,
+      signedHeaders: Seq[String],
+      signatureHex: String
+  ): String =
+    s"$Algorithm Credential=$accessKey/$scope, SignedHeaders=${signedHeaders.sorted.mkString(";")}, Signature=$signatureHex"
+}
+
+final case class S3Credentials(accessKey: String, secretKey: String, sessionToken: Option[String] = None)
+
+/** S3-REST [[ObjectStore]] — the production implementation of the seam the
+  * reference fills with boto3 (audit_data_ingest.py:169-197), written
+  * against the public S3 REST API (PutObject, GetObject, HeadObject,
+  * ListObjectsV2, multipart upload) with hand-rolled SigV4 signing.
+  *
+  * COMPILED BUT UNEXERCISED against a live endpoint in this repository:
+  * the build environment has zero egress, so CI covers (a) the signing
+  * math against AWS's published worked examples ([[SigV4Spec]]) and
+  * (b) the seam contract via [[LocalDirObjectStore]]
+  * (ObjectStoreContractSpec) — the interface both implementations share.
+  *
+  * Semantics mapped to the seam:
+  *  - `put` ≤ `multipartThreshold` is one PutObject with `x-amz-meta-*`
+  *    user metadata; larger payloads use multipart upload (metadata rides
+  *    the CreateMultipartUpload call). At 100 TB the big objects are the
+  *    point: parts stream without buffering the whole object twice.
+  *  - `listKeys` paginates ListObjectsV2 with continuation tokens — the
+  *    reference's paginator (boto3 `list_objects_v2`).
+  *  - errors classify into the seam's taxonomy: expired/invalid-token →
+  *    [[TransientCredentialsException]] (run aborts clean for the
+  *    scheduler, ref :303-308); 5xx/429/408 →
+  *    [[RetryableStoreException]] (so [[RetryingObjectStore]] retries with
+  *    backoff, the boto3 "standard" mode, ref :190-197); other 4xx raise.
+  *
+  * @param endpoint  e.g. "https://s3.eu-west-2.amazonaws.com" or any
+  *                  S3-compatible endpoint (path-style addressing)
+  * @param clock     injectable for deterministic signing in tests
+  */
+class S3ObjectStore(
+    endpoint: String,
+    region: String,
+    bucket: String,
+    creds: S3Credentials,
+    multipartThreshold: Int = 64 * 1024 * 1024,
+    partSize: Int = 64 * 1024 * 1024,
+    clock: () => Instant = () => Instant.now()
+) extends ObjectStore {
+  // The public S3 API enforces a 5 MiB minimum for non-final parts
+  // server-side; not required here so tests can drive multipart against a
+  // small in-process fake endpoint.
+  require(partSize > 0 && multipartThreshold > 0, "part size and multipart threshold must be positive")
+
+  private val amzDateFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+  private val host = new URL(endpoint).getAuthority
+
+  private def pathFor(key: String): String = s"/$bucket/${SigV4.uriEncode(key, encodeSlash = false)}"
+
+  /** Sign + send one request; returns (status, body, responseHeaders). */
+  private def request(
+      method: String,
+      key: Option[String],
+      query: Seq[(String, String)],
+      extraHeaders: Map[String, String],
+      payload: Array[Byte]
+  ): (Int, Array[Byte], Map[String, String]) = {
+    val now = clock()
+    val amzDate = amzDateFmt.format(now)
+    val date = dateFmt.format(now)
+    val payloadHash = SigV4.sha256Hex(payload)
+    val uri = key.map(pathFor).getOrElse(s"/$bucket")
+    val baseHeaders = Map(
+      "host" -> host,
+      "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadHash
+    ) ++ creds.sessionToken.map("x-amz-security-token" -> _) ++
+      extraHeaders.map { case (k, v) => k.toLowerCase -> v.trim }
+    val canonicalQ = SigV4.canonicalQuery(query)
+    val canonical = SigV4.canonicalRequest(method, uri, canonicalQ, baseHeaders.toSeq, payloadHash)
+    val scope = s"$date/$region/s3/aws4_request"
+    val toSign = SigV4.stringToSign(amzDate, scope, canonical)
+    val sig = SigV4.signature(creds.secretKey, date, region, "s3", toSign)
+    val auth = SigV4.authorizationHeader(creds.accessKey, scope, baseHeaders.keys.toSeq, sig)
+
+    val qs = if (canonicalQ.isEmpty) "" else s"?$canonicalQ"
+    val conn = new URL(s"$endpoint$uri$qs").openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      (baseHeaders - "host").foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setRequestProperty("Authorization", auth)
+      if (payload.nonEmpty || method == "PUT" || method == "POST") {
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(payload.length)
+        val out = conn.getOutputStream
+        try out.write(payload)
+        finally out.close()
+      }
+      val status = conn.getResponseCode
+      val body = readAll(if (status >= 400) conn.getErrorStream else conn.getInputStream)
+      val respHeaders = {
+        import scala.jdk.CollectionConverters._
+        conn.getHeaderFields.asScala.collect {
+          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
+        }.toMap
+      }
+      (status, body, respHeaders)
+    } finally conn.disconnect()
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    if (in == null) return Array.emptyByteArray
+    val buf = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    buf.toByteArray
+  }
+
+  /** Map an S3 error response into the seam's exception taxonomy. */
+  private def fail(op: String, status: Int, body: Array[Byte]): Nothing = {
+    val text = new String(body, UTF_8)
+    val tokenCodes = Seq("ExpiredToken", "InvalidToken", "TokenRefreshRequired", "ExpiredTokenException")
+    if (tokenCodes.exists(text.contains))
+      throw new TransientCredentialsException(s"$op: credentials expired (HTTP $status)")
+    if (status >= 500 || status == 429 || status == 408)
+      throw new RetryableStoreException(s"$op: HTTP $status: ${text.take(200)}")
+    throw new RuntimeException(s"$op failed: HTTP $status: ${text.take(500)}")
+  }
+
+  override def put(key: String, data: Array[Byte], metadata: Map[String, String]): Unit = {
+    val metaHeaders = metadata.map { case (k, v) => s"x-amz-meta-${k.toLowerCase}" -> v }
+    if (data.length < multipartThreshold) {
+      val (status, body, _) = request("PUT", Some(key), Nil, metaHeaders, data)
+      if (status / 100 != 2) fail(s"put $key", status, body)
+    } else putMultipart(key, data, metaHeaders)
+  }
+
+  private def putMultipart(key: String, data: Array[Byte], metaHeaders: Map[String, String]): Unit = {
+    val (cs, cb, _) = request("POST", Some(key), Seq("uploads" -> ""), metaHeaders, Array.emptyByteArray)
+    if (cs / 100 != 2) fail(s"create-multipart $key", cs, cb)
+    val uploadId = firstTag(new String(cb, UTF_8), "UploadId")
+      .getOrElse(throw new RuntimeException(s"create-multipart $key: no UploadId in response"))
+    try {
+      val etags = data.grouped(partSize).zipWithIndex.map { case (part, i) =>
+        val partNum = (i + 1).toString
+        val (ps, pb, ph) =
+          request("PUT", Some(key), Seq("partNumber" -> partNum, "uploadId" -> uploadId), Map.empty, part)
+        if (ps / 100 != 2) fail(s"upload-part $key#$partNum", ps, pb)
+        partNum -> ph.getOrElse("etag", "")
+      }.toSeq
+      val completeXml =
+        etags
+          .map { case (n, e) => s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>" }
+          .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+      val (fs, fb, _) =
+        request("POST", Some(key), Seq("uploadId" -> uploadId), Map.empty, completeXml.getBytes(UTF_8))
+      if (fs / 100 != 2) fail(s"complete-multipart $key", fs, fb)
+    } catch {
+      case e: Throwable =>
+        // Best-effort abort so failed uploads don't accumulate billed parts.
+        try request("DELETE", Some(key), Seq("uploadId" -> uploadId), Map.empty, Array.emptyByteArray)
+        catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  override def get(key: String): Array[Byte] = {
+    val (status, body, _) = request("GET", Some(key), Nil, Map.empty, Array.emptyByteArray)
+    if (status / 100 != 2) fail(s"get $key", status, body)
+    body
+  }
+
+  override def getMetadata(key: String): Map[String, String] = {
+    val (status, body, headers) = request("HEAD", Some(key), Nil, Map.empty, Array.emptyByteArray)
+    if (status / 100 != 2) fail(s"head $key", status, body)
+    headers.collect { case (k, v) if k.startsWith("x-amz-meta-") => k.stripPrefix("x-amz-meta-") -> v }
+  }
+
+  override def listKeys(prefix: String): Seq[String] = {
+    val keys = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val query = Seq("list-type" -> "2", "prefix" -> prefix) ++ token.map("continuation-token" -> _)
+      val (status, body, _) = request("GET", None, query, Map.empty, Array.emptyByteArray)
+      if (status / 100 != 2) fail(s"list $prefix", status, body)
+      val xml = new String(body, UTF_8)
+      keys ++= allTags(xml, "Key").map(xmlUnescape)
+      token = firstTag(xml, "NextContinuationToken")
+      more = firstTag(xml, "IsTruncated").contains("true") && token.isDefined
+    }
+    keys.result().sorted
+  }
+
+  // Minimal XML field extraction — the two S3 responses consumed here are
+  // flat; keys are XML-escaped by the service.
+  private def firstTag(xml: String, tag: String): Option[String] =
+    s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml).map(_.group(1))
+  private def allTags(xml: String, tag: String): Seq[String] =
+    s"<$tag>([^<]*)</$tag>".r.findAllMatchIn(xml).map(_.group(1)).toSeq
+  private def xmlUnescape(s: String): String =
+    s.replace("&quot;", "\"").replace("&apos;", "'").replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+}
+
+/** Serializable factory (one client per executor task, like the
+  * reference's client-per-thread, audit_data_ingest.py:190-197).
+  */
+final case class S3ObjectStoreFactory(
+    endpoint: String,
+    region: String,
+    bucket: String,
+    accessKey: String,
+    secretKey: String,
+    sessionToken: Option[String] = None
+) extends ObjectStoreFactory {
+  override def create(): ObjectStore =
+    new S3ObjectStore(endpoint, region, bucket, S3Credentials(accessKey, secretKey, sessionToken))
+}

@@ -61,12 +61,31 @@ object ObjectStoreSinkProvider {
 
 /** Resolves DSv2 options to an [[ObjectStoreFactory]] (the ingest seam) —
   * one place to grow new store kinds without touching the table plumbing.
+  * `root` selects [[LocalDirObjectStoreFactory]]; `s3.bucket` (+endpoint,
+  * region, credentials) selects [[graft.ingest.S3ObjectStoreFactory]]
+  * (compiled against the public S3 REST API; unexercised in the
+  * zero-egress CI — see its scaladoc).
   */
 private[graft] object StoreOptions {
   def factoryFrom(get: String => String): ObjectStoreFactory = {
-    val root = get("root")
-    require(root != null && root.nonEmpty, "graft-objects requires option 'root'")
-    LocalDirObjectStoreFactory(root)
+    def opt(k: String): Option[String] = Option(get(k)).filter(_.nonEmpty)
+    opt("s3.bucket") match {
+      case Some(bucket) =>
+        def req(k: String): String =
+          opt(k).getOrElse(throw new IllegalArgumentException(s"graft-objects s3 store requires option '$k'"))
+        graft.ingest.S3ObjectStoreFactory(
+          endpoint = req("s3.endpoint"),
+          region = req("s3.region"),
+          bucket = bucket,
+          accessKey = req("s3.accesskey"),
+          secretKey = req("s3.secretkey"),
+          sessionToken = opt("s3.sessiontoken")
+        )
+      case None =>
+        val root = opt("root")
+        require(root.isDefined, "graft-objects requires option 'root' (local dir) or 's3.bucket'")
+        LocalDirObjectStoreFactory(root.get)
+    }
   }
 }
 
