@@ -45,18 +45,60 @@ object MultimodalOps {
     StructField("duration_ms", LongType, nullable = false)
   ))
 
-  /** Deterministic stand-in for the real media codec. A real
-    * implementation decodes pixels/samples; this derives stable
-    * pseudo-features from the payload bytes so the distributed plumbing
-    * is fully testable end-to-end.
+  /** THE CODEC SEAM. Implement with a real decoder (JavaCV, TwelveMonkeys,
+    * ffmpeg-over-a-pipe) and inject it into [[extractFeatures]]/
+    * [[sampleFrames]]/[[resize]] — the distributed plumbing (schema,
+    * partitioning, batch shape, fan-out layout) never changes.
+    *
+    * Contract (MultimodalCodecSpec property-checks it over the stub):
+    *  - Serializable: instances ship inside task closures;
+    *  - deterministic per payload: tasks are retried and speculated, so
+    *    decode(p) must be a pure function of the bytes;
+    *  - `decode` returns exactly `featureDim` components, each finite and
+    *    >= 0, with L1 norm 1 for non-empty payloads (0 for empty) — the
+    *    normalization downstream similarity ops assume;
+    *  - `sampleFrames` yields at most `maxFrames` frames, indexed
+    *    contiguously from 0.
     */
-  object StubCodec {
-    val FeatureDim = 8
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
 
-    /** "Decode + feature-extract": byte histogram folded to FeatureDim
-      * buckets, L1-normalised — deterministic in the payload alone.
+    /** "Decode + feature-extract" one payload into a feature vector. */
+    def decode(payload: Array[Byte]): Array[Float]
+
+    /** "Frame sampling": asset -> up to maxFrames (frameIdx, frameHash). */
+    def sampleFrames(payload: Array[Byte], strideBytes: Int, maxFrames: Int): Seq[(Int, Long)]
+
+    /** "Resize/transcode" one payload (thumbnailer shape). */
+    def resizePayload(payload: Array[Byte], scaleDiv: Int): Array[Byte]
+  }
+
+  /** Shannon byte entropy (bits/byte) — codec-independent signal used for
+    * corrupt/blank-media triage regardless of the injected decoder.
+    */
+  def byteEntropy(payload: Array[Byte]): Double = {
+    if (payload.isEmpty) return 0.0
+    val counts = new Array[Long](256)
+    payload.foreach(b => counts(b & 0xff) += 1)
+    val n = payload.length.toDouble
+    counts.foldLeft(0.0) { (acc, c) =>
+      if (c == 0) acc else acc - (c / n) * (math.log(c / n) / math.log(2))
+    }
+  }
+
+  /** Deterministic stand-in for the real media codec (no media libraries
+    * exist in this environment). A real implementation decodes
+    * pixels/samples; this derives stable pseudo-features from the payload
+    * bytes so the distributed plumbing is fully testable end-to-end.
+    */
+  object StubCodec extends MediaCodec {
+    val FeatureDim = 8
+    override def featureDim: Int = FeatureDim
+
+    /** Byte histogram folded to FeatureDim buckets, L1-normalised —
+      * deterministic in the payload alone.
       */
-    def decode(payload: Array[Byte]): Array[Float] = {
+    override def decode(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
@@ -67,23 +109,10 @@ object MultimodalOps {
       hist.map(h => (h.toDouble / total).toFloat)
     }
 
-    /** Shannon byte entropy (bits/byte) — a cheap real signal used for
-      * corrupt/blank-media triage even with the codec stubbed.
+    /** Every strideBytes-th window hashed — the shape of video frame
+      * extraction (asset -> many indexed frames).
       */
-    def byteEntropy(payload: Array[Byte]): Double = {
-      if (payload.isEmpty) return 0.0
-      val counts = new Array[Long](256)
-      payload.foreach(b => counts(b & 0xff) += 1)
-      val n = payload.length.toDouble
-      counts.foldLeft(0.0) { (acc, c) =>
-        if (c == 0) acc else acc - (c / n) * (math.log(c / n) / math.log(2))
-      }
-    }
-
-    /** "Frame sampling": every strideBytes-th window hashed — the shape of
-      * video frame extraction (asset -> many indexed frames).
-      */
-    def sampleFrames(payload: Array[Byte], strideBytes: Int, maxFrames: Int): Seq[(Int, Long)] = {
+    override def sampleFrames(payload: Array[Byte], strideBytes: Int, maxFrames: Int): Seq[(Int, Long)] = {
       val n = math.min(maxFrames, math.max(0, payload.length / math.max(1, strideBytes)))
       (0 until n).map { i =>
         val start = i * strideBytes
@@ -94,6 +123,10 @@ object MultimodalOps {
         (i, h)
       }
     }
+
+    /** Deterministic payload-size reduction (every scaleDiv-th byte). */
+    override def resizePayload(payload: Array[Byte], scaleDiv: Int): Array[Byte] =
+      payload.grouped(scaleDiv).map(_.head).toArray
   }
 
   /** Batch feature extraction: one pass over payload partitions, no
@@ -101,7 +134,7 @@ object MultimodalOps {
     * Equivalent shape to a vectorized-batch UDF: per-partition iterator in,
     * iterator out, constant memory beyond one asset.
     */
-  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+  def extractFeatures(assets: Dataset[MediaAsset], codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
@@ -110,8 +143,8 @@ object MultimodalOps {
           a.asset_id,
           a.media_type,
           payload.length.toLong,
-          StubCodec.byteEntropy(payload),
-          StubCodec.decode(payload)
+          byteEntropy(payload),
+          codec.decode(payload)
         )
       }
     }
@@ -121,11 +154,16 @@ object MultimodalOps {
     * At scale the output is re-partitionable by (asset_id, frame_idx)
     * for downstream per-frame work.
     */
-  def sampleFrames(assets: Dataset[MediaAsset], strideBytes: Int = 4096, maxFrames: Int = 16): Dataset[FrameSample] = {
+  def sampleFrames(
+      assets: Dataset[MediaAsset],
+      strideBytes: Int = 4096,
+      maxFrames: Int = 16,
+      codec: MediaCodec = StubCodec
+  ): Dataset[FrameSample] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
       val payload = Option(a.payload).getOrElse(Array.emptyByteArray)
-      StubCodec.sampleFrames(payload, strideBytes, maxFrames).map { case (i, h) =>
+      codec.sampleFrames(payload, strideBytes, maxFrames).map { case (i, h) =>
         FrameSample(a.asset_id, i, h)
       }
     }
@@ -135,12 +173,15 @@ object MultimodalOps {
     * metadata contract (width/height scaled) — the plumbing for a real
     * thumbnailer.
     */
-  def resize(assets: Dataset[MediaAsset], scaleDiv: Int): Dataset[MediaAsset] = {
+  def resize(assets: Dataset[MediaAsset], scaleDiv: Int, codec: MediaCodec = StubCodec): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.map { a =>
       val payload = Option(a.payload).getOrElse(Array.emptyByteArray)
-      val out = payload.grouped(scaleDiv).map(_.head).toArray
-      a.copy(payload = out, width = a.width / scaleDiv, height = a.height / scaleDiv)
+      a.copy(
+        payload = codec.resizePayload(payload, scaleDiv),
+        width = a.width / scaleDiv,
+        height = a.height / scaleDiv
+      )
     }
   }
 
