@@ -173,7 +173,7 @@ private[ingest] object JsonMini {
       .toMap
   }
 
-  private def unesc(s: String): String = {
+  def unesc(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {

@@ -92,6 +92,84 @@ object SigV4 {
 
 final case class S3Credentials(accessKey: String, secretKey: String, sessionToken: Option[String] = None)
 
+/** One SigV4-signed HTTP round-trip — shared by the S3 store and the
+  * SSM-shaped [[ParameterStoreKeyProvider]]. Signs host, x-amz-date,
+  * x-amz-content-sha256, the session token when present, and every extra
+  * header the caller passes.
+  */
+private[ingest] object SignedHttp {
+  private val amzDateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+
+  /** @return (status, body, lowercased response headers) */
+  def request(
+      endpoint: String,
+      region: String,
+      service: String,
+      creds: S3Credentials,
+      method: String,
+      uri: String, // already canonical (URI-encoded path)
+      query: Seq[(String, String)],
+      extraHeaders: Map[String, String],
+      payload: Array[Byte],
+      clock: () => Instant
+  ): (Int, Array[Byte], Map[String, String]) = {
+    val now = clock()
+    val amzDate = amzDateFmt.format(now)
+    val date = dateFmt.format(now)
+    val payloadHash = SigV4.sha256Hex(payload)
+    val host = new URL(endpoint).getAuthority
+    val baseHeaders = Map(
+      "host" -> host,
+      "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> payloadHash
+    ) ++ creds.sessionToken.map("x-amz-security-token" -> _) ++
+      extraHeaders.map { case (k, v) => k.toLowerCase -> v.trim }
+    val canonicalQ = SigV4.canonicalQuery(query)
+    val canonical = SigV4.canonicalRequest(method, uri, canonicalQ, baseHeaders.toSeq, payloadHash)
+    val scope = s"$date/$region/$service/aws4_request"
+    val toSign = SigV4.stringToSign(amzDate, scope, canonical)
+    val sig = SigV4.signature(creds.secretKey, date, region, service, toSign)
+    val auth = SigV4.authorizationHeader(creds.accessKey, scope, baseHeaders.keys.toSeq, sig)
+
+    val qs = if (canonicalQ.isEmpty) "" else s"?$canonicalQ"
+    val conn = new URL(s"$endpoint$uri$qs").openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      (baseHeaders - "host").foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setRequestProperty("Authorization", auth)
+      if (payload.nonEmpty || method == "PUT" || method == "POST") {
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(payload.length)
+        val out = conn.getOutputStream
+        try out.write(payload)
+        finally out.close()
+      }
+      val status = conn.getResponseCode
+      val body = readAll(if (status >= 400) conn.getErrorStream else conn.getInputStream)
+      val respHeaders = {
+        import scala.jdk.CollectionConverters._
+        conn.getHeaderFields.asScala.collect {
+          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
+        }.toMap
+      }
+      (status, body, respHeaders)
+    } finally conn.disconnect()
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    if (in == null) return Array.emptyByteArray
+    val buf = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    buf.toByteArray
+  }
+}
+
 /** S3-REST [[ObjectStore]] — the production implementation of the seam the
   * reference fills with boto3 (audit_data_ingest.py:169-197), written
   * against the public S3 REST API (PutObject, GetObject, HeadObject,
@@ -134,10 +212,6 @@ class S3ObjectStore(
   // small in-process fake endpoint.
   require(partSize > 0 && multipartThreshold > 0, "part size and multipart threshold must be positive")
 
-  private val amzDateFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
-  private val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
-  private val host = new URL(endpoint).getAuthority
-
   private def pathFor(key: String): String = s"/$bucket/${SigV4.uriEncode(key, encodeSlash = false)}"
 
   /** Sign + send one request; returns (status, body, responseHeaders). */
@@ -147,60 +221,19 @@ class S3ObjectStore(
       query: Seq[(String, String)],
       extraHeaders: Map[String, String],
       payload: Array[Byte]
-  ): (Int, Array[Byte], Map[String, String]) = {
-    val now = clock()
-    val amzDate = amzDateFmt.format(now)
-    val date = dateFmt.format(now)
-    val payloadHash = SigV4.sha256Hex(payload)
-    val uri = key.map(pathFor).getOrElse(s"/$bucket")
-    val baseHeaders = Map(
-      "host" -> host,
-      "x-amz-date" -> amzDate,
-      "x-amz-content-sha256" -> payloadHash
-    ) ++ creds.sessionToken.map("x-amz-security-token" -> _) ++
-      extraHeaders.map { case (k, v) => k.toLowerCase -> v.trim }
-    val canonicalQ = SigV4.canonicalQuery(query)
-    val canonical = SigV4.canonicalRequest(method, uri, canonicalQ, baseHeaders.toSeq, payloadHash)
-    val scope = s"$date/$region/s3/aws4_request"
-    val toSign = SigV4.stringToSign(amzDate, scope, canonical)
-    val sig = SigV4.signature(creds.secretKey, date, region, "s3", toSign)
-    val auth = SigV4.authorizationHeader(creds.accessKey, scope, baseHeaders.keys.toSeq, sig)
-
-    val qs = if (canonicalQ.isEmpty) "" else s"?$canonicalQ"
-    val conn = new URL(s"$endpoint$uri$qs").openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setRequestMethod(method)
-      (baseHeaders - "host").foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      conn.setRequestProperty("Authorization", auth)
-      if (payload.nonEmpty || method == "PUT" || method == "POST") {
-        conn.setDoOutput(true)
-        conn.setFixedLengthStreamingMode(payload.length)
-        val out = conn.getOutputStream
-        try out.write(payload)
-        finally out.close()
-      }
-      val status = conn.getResponseCode
-      val body = readAll(if (status >= 400) conn.getErrorStream else conn.getInputStream)
-      val respHeaders = {
-        import scala.jdk.CollectionConverters._
-        conn.getHeaderFields.asScala.collect {
-          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
-        }.toMap
-      }
-      (status, body, respHeaders)
-    } finally conn.disconnect()
-  }
-
-  private def readAll(in: InputStream): Array[Byte] = {
-    if (in == null) return Array.emptyByteArray
-    val buf = new ByteArrayOutputStream()
-    val chunk = new Array[Byte](64 * 1024)
-    try {
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-    } finally in.close()
-    buf.toByteArray
-  }
+  ): (Int, Array[Byte], Map[String, String]) =
+    SignedHttp.request(
+      endpoint,
+      region,
+      "s3",
+      creds,
+      method,
+      key.map(pathFor).getOrElse(s"/$bucket"),
+      query,
+      extraHeaders,
+      payload,
+      clock
+    )
 
   /** Map an S3 error response into the seam's exception taxonomy. */
   private def fail(op: String, status: Int, body: Array[Byte]): Nothing = {
