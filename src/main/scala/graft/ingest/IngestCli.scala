@@ -8,8 +8,10 @@ import org.slf4j.LoggerFactory
 /** CLI entry point — the reference's argparse `__main__` block
   * (audit_data_ingest.py:235-313) re-expressed. Obsolete knobs are
   * dropped by design: `--tmp` (no local staging), `--processes` (Spark
-  * task parallelism), `--hsm-key-param-name` (the key arrives as config,
-  * not an SSM fetch; pass `--public-key-file` with the b64 key).
+  * task parallelism). The reference's `--hsm-key-param-name` SSM fetch
+  * (:200-204) is `--key-param-name` + `--ssm-endpoint` here
+  * ([[ParameterStoreKeyProvider]], consulted once per day); a static
+  * `--public-key-file` remains the zero-egress alternative.
   *
   * Exit codes: 0 success OR expected-transient failure (warn-and-exit so
   * the scheduler retries, mirroring the reference's ExpiredTokenException
@@ -22,12 +24,24 @@ object IngestCli {
   private val usage =
     """Usage: graft.ingest.IngestCli
       |  --src-dir <dir>            dated day directories root (required)
-      |  --out-root <dir>           object store root (required)
+      |  --out-root <dir>           local object store root (or use --s3-bucket)
+      |  --s3-bucket <name>         S3 store instead of --out-root; needs --s3-endpoint,
+      |                             --s3-region, and credentials in the standard
+      |                             AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY
+      |                             (/ AWS_SESSION_TOKEN) environment variables
+      |  --s3-endpoint <url>        e.g. https://s3.<region>.amazonaws.com
+      |  --s3-region <region>       signing region for the S3 store
       |  --s3-prefix <prefix>       key prefix, concatenated WITHOUT separator (default "")
       |  --key-id <id>              datakeyencryptionkeyid metadata value (required)
-      |  --public-key-file <path>   file holding the b64 X.509 RSA public key (required)
+      |  --public-key-file <path>   file holding the b64 X.509 RSA public key
+      |  --key-param-name <name>    fetch the key from an SSM-shaped parameter store
+      |                             instead (once per day); needs --ssm-endpoint,
+      |                             --s3-region, and the same AWS_* credentials
+      |  --ssm-endpoint <url>       parameter-store endpoint for --key-param-name
       |  --progress-file <path>     watermark file (required)
       |  --v2-sink                  write through the DataSource V2 graft-objects sink
+      |  --backlog                  process ALL pending days in ONE Spark job with
+      |                             day-ordered watermark commit (IngestJob.runBacklog)
       |  --streaming <checkpoint>   run as ONE Structured Streaming AvailableNow drain over the
       |                             graft-audit source (one day per micro-batch, checkpoint =
       |                             watermark, restart-resume) instead of the batch day-loop
@@ -40,27 +54,67 @@ object IngestCli {
       cfg: IngestConfig,
       useV2: Boolean,
       retries: Int,
-      streamingCheckpoint: Option[String]
+      streamingCheckpoint: Option[String],
+      backlog: Boolean = false
   )
 
-  def parseArgs(args: Array[String]): Either[String, ParsedArgs] = {
+  def parseArgs(args: Array[String], env: String => Option[String] = sys.env.get): Either[String, ParsedArgs] = {
     val m = scala.collection.mutable.Map[String, String]()
     var v2 = false
+    var backlog = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--v2-sink" => v2 = true; i += 1
+        case "--backlog" => backlog = true; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m(flag.stripPrefix("--")) = args(i + 1); i += 2
         case other => return Left(s"Unexpected argument: $other")
       }
     }
-    val required = Seq("src-dir", "out-root", "key-id", "public-key-file", "progress-file")
+    val required = Seq("src-dir", "key-id", "progress-file")
     val missing = required.filterNot(m.contains)
     if (missing.nonEmpty) return Left(s"Missing required options: ${missing.map("--" + _).mkString(", ")}")
-    val keyPath = Paths.get(m("public-key-file"))
-    if (!Files.exists(keyPath)) return Left(s"Public key file not found: $keyPath")
-    val pubB64 = new String(Files.readAllBytes(keyPath), StandardCharsets.UTF_8).trim
+
+    def awsCreds(what: String): Either[String, (String, String, Option[String])] =
+      (env("AWS_ACCESS_KEY_ID"), env("AWS_SECRET_ACCESS_KEY")) match {
+        case (Some(ak), Some(sk)) => Right((ak, sk, env("AWS_SESSION_TOKEN")))
+        case _ => Left(s"$what needs AWS_ACCESS_KEY_ID and AWS_SECRET_ACCESS_KEY in the environment")
+      }
+
+    // Sink store: local dir or S3.
+    val storeFactory: ObjectStoreFactory = (m.get("out-root"), m.get("s3-bucket")) match {
+      case (Some(_), Some(_)) => return Left("--out-root and --s3-bucket are mutually exclusive")
+      case (Some(root), None) => LocalDirObjectStoreFactory(root)
+      case (None, Some(bucket)) =>
+        val endpoint = m.getOrElse("s3-endpoint", return Left("--s3-bucket requires --s3-endpoint"))
+        val region = m.getOrElse("s3-region", return Left("--s3-bucket requires --s3-region"))
+        awsCreds("--s3-bucket") match {
+          case Left(err) => return Left(err)
+          case Right((ak, sk, tok)) => S3ObjectStoreFactory(endpoint, region, bucket, ak, sk, tok)
+        }
+      case (None, None) => return Left("One of --out-root or --s3-bucket is required")
+    }
+
+    // Wrapping key: static file or per-day parameter-store fetch.
+    val (pubB64, keyProvider): (String, Option[KeyProvider]) =
+      (m.get("public-key-file"), m.get("key-param-name")) match {
+        case (Some(_), Some(_)) => return Left("--public-key-file and --key-param-name are mutually exclusive")
+        case (Some(path), None) =>
+          val keyPath = Paths.get(path)
+          if (!Files.exists(keyPath)) return Left(s"Public key file not found: $keyPath")
+          (new String(Files.readAllBytes(keyPath), StandardCharsets.UTF_8).trim, None)
+        case (None, Some(param)) =>
+          val endpoint = m.getOrElse("ssm-endpoint", return Left("--key-param-name requires --ssm-endpoint"))
+          val region = m.getOrElse("s3-region", return Left("--key-param-name requires --s3-region"))
+          awsCreds("--key-param-name") match {
+            case Left(err) => return Left(err)
+            case Right((ak, sk, tok)) =>
+              ("", Some(ParameterStoreKeyProvider(endpoint, region, param, ak, sk, tok)))
+          }
+        case (None, None) => return Left("One of --public-key-file or --key-param-name is required")
+      }
+
     val retriesRaw = m.getOrElse("retries", "3")
     val retries = scala.util.Try(retriesRaw.toInt).toOption match {
       case Some(n) if n >= 1 => n
@@ -73,22 +127,25 @@ object IngestCli {
     }
     val streaming = m.get("streaming")
     if (streaming.exists(_.isEmpty)) return Left("--streaming requires a checkpoint directory")
-    if (streaming.isDefined && v2) return Left("--streaming and --v2-sink are mutually exclusive")
+    if (Seq(streaming.isDefined, v2, backlog).count(identity) > 1)
+      return Left("--streaming, --v2-sink, and --backlog are mutually exclusive")
     Right(
       ParsedArgs(
         IngestConfig(
           srcDir = m("src-dir"),
-          storeFactory = LocalDirObjectStoreFactory(m("out-root")),
+          storeFactory = storeFactory,
           s3Prefix = m.getOrElse("s3-prefix", ""),
           masterKeyId = m("key-id"),
           publicKeyB64 = pubB64,
           progressFile = m("progress-file"),
           aesMode = aesMode,
-          putRetries = retries
+          putRetries = retries,
+          keyProvider = keyProvider
         ),
         v2,
         retries,
-        streaming
+        streaming,
+        backlog
       )
     )
   }
@@ -109,7 +166,7 @@ object IngestCli {
         System.err.println(err)
         System.err.println(usage)
         sys.exit(2)
-      case Right(ParsedArgs(cfg, useV2, retries, streamingCkpt)) =>
+      case Right(ParsedArgs(cfg, useV2, retries, streamingCkpt, backlog)) =>
         val spark = SparkSession
           .builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -122,6 +179,9 @@ object IngestCli {
             if (streamingCkpt.isDefined) {
               IngestStream.runAvailableNow(spark, cfg, streamingCkpt.get)
               s"streaming drain complete (checkpoint ${streamingCkpt.get})"
+            } else if (backlog) {
+              val s = IngestJob.runBacklog(spark, cfg)
+              s"${s.days.size} day(s), ${s.filesOk} file(s) in one backlog job"
             } else if (useV2) {
               val root = cfg.storeFactory.asInstanceOf[LocalDirObjectStoreFactory].root
               val watermark = Watermark.read(cfg.progressFile)

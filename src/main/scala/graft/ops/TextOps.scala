@@ -349,6 +349,102 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing by running token budget — the pre-training step
+    // that groups documents into ~fixed-token-count bins (context-length
+    // packing). Contiguous packing: bin = floor(running-token-start /
+    // budget) per SOURCE shard, so the window is PARTITIONED (one shard's
+    // ordering never shuffles another's) — the 100 TB posture; a global
+    // ORDER BY window would single-partition the sort. Deterministic and
+    // SQL-identical in both engines (greedy best-fit packing is
+    // order-dependent and engine-specific; contiguous packing is the
+    // reproducible variant).
+    "d13_sequence_pack" -> ((s, dir) => {
+      val budget = 512
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long"))
+        .groupBy("source", "bin_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc")
+        )
+        .orderBy("source", "bin_id")
+    }),
+
+    // Deterministic stratified sampling: every 5th document per LANGUAGE
+    // stratum (rank by doc_id within lang) — the reproducible
+    // mixture-control sampler a data pipeline needs (hash-based sampling
+    // is engine-specific; rank-based is portable and auditable). Window
+    // partitioned by the stratum: no global sort, shuffles only on lang.
+    "d14_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn"), lit(5)) === 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: flag training documents sharing any
+    // 8-gram with the held-out set (doc_id % 97 == 0 stands in for the
+    // benchmark corpus). The eval n-gram set is TINY relative to the
+    // corpus, so it broadcasts — the scan side streams once with a hash
+    // probe, no corpus shuffle; output is per-train-doc shared-gram
+    // counts. The standard n-gram-overlap decontamination shape.
+    "d15_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          when(
+            size(col("toks")) >= 8,
+            expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))")
+          ).otherwise(array().cast("array<string>")).as("grams")
+        )
+      val eval8 = docs
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("grams")).as("g"))
+        .distinct()
+      docs
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(eval8), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("shared_8grams"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus curation COMPOSITION: the end-to-end filter a training-data
+    // pipeline runs before tokenization — exact-dedup keepers (min doc_id
+    // per content hash) that also clear quality floors — summarized per
+    // language. One agg for keepers, one semi-join back, one summary agg;
+    // every shuffle keyed on high-cardinality columns.
+    "d16_corpus_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(col("text")).as("content_hash")
+        )
+      val keepers = docs.groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+      docs
+        .join(keepers, Seq("content_hash", "doc_id")) // keeper rows only
+        .filter(col("n_tokens") >= 5 && col("n_chars") >= 20)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_curated"),
+          sum(col("n_tokens")).as("curated_tokens"),
+          min(col("doc_id")).as("min_doc")
+        )
+        .orderBy("lang")
+    }),
+
     // Exact-Jaccard verify kernel with a SQL-expressible candidate set:
     // each doc against the next 3 doc_ids, as an EQUI-join (offsets
     // exploded onto the left side — no range/theta join, so at scale it
@@ -522,6 +618,44 @@ object TextOps {
     // IS the pre-ingest corpus (encrypt/decrypt happen engine-side only).
     "x06_envelope_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "d13_sequence_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM tok)
+        |SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+    "d14_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn % 5 = 1 ORDER BY doc_id""".stripMargin,
+    "d15_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |    THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+        |    ELSE [] END) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS shared_8grams
+        |FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d16_corpus_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS content_hash
+        |  FROM documents),
+        |k AS (SELECT content_hash, min(doc_id) AS doc_id FROM d GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_curated, CAST(sum(d.n_tokens) AS BIGINT) AS curated_tokens,
+        |  min(d.doc_id) AS min_doc
+        |FROM d JOIN k USING (content_hash, doc_id)
+        |WHERE d.n_tokens >= 5 AND d.n_chars >= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Connected components as a recursive reachability CTE: cluster id =
     // min doc_id reachable in the undirected pair graph.
     "d12_dup_clusters" ->
