@@ -38,10 +38,12 @@ object SparkEntry {
     *  - x04 (winnowing): same — custom rolling hash.
     *  - x05 (zlib), m01/m02 (envelope/codec stubs): byte-level codec
     *    output; DuckDB has no zlib/codec surface. Round-trip specs cover.
-    *  - s02/s03/s04 (LSH ANN, LSH near-dup, IVF ANN): candidate sets
-    *    depend on fixed-seed hyperplanes / k-means cells evaluated in the
-    *    engine; s01/s05 are their exact oracle-checked twins and
-    *    SimilarityRecallSpec quantifies s03's recall against s05.
+    *  - s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN):
+    *    candidate sets / codes depend on fixed-seed hyperplanes, k-means
+    *    cells, or k-means codebooks evaluated in the engine; s01/s05 are
+    *    their exact oracle-checked twins, SimilarityRecallSpec quantifies
+    *    s03's recall against s05, and PqRecallSpec pins s07's determinism
+    *    and recall against s01.
     *
     * q25 (HLL) IS oracle-checked despite sketch divergence: both engines
     * emit exact distinct counts plus a "my own sketch is within 5%"

@@ -133,6 +133,10 @@ object SimilarityOps {
     "s04_ivf_ann" -> ((s, dir) => IvfIndex.ivfTopK(s, dir, queryId = 0L, k = 10)),
     // LSH-bucketed ANN (deterministic fixed-seed planes; no SQL oracle).
     "s02_ann_lsh" -> ((s, dir) => annLsh(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // Product-quantization ANN: codes-only ADC scan (deterministic
+    // driver-trained codebook; rows-only — k-means codebooks are not
+    // SQL-expressible; PqRecallSpec pins determinism + recall vs s01).
+    "s07_pq_ann" -> ((s, dir) => PqIndex.pqTopK(s, dir, queryId = 0L, k = 10)),
     // Threshold 0.4 matches this corpus's similarity structure (max
     // pairwise cosine ~0.51); for true near-dup corpora raise to 0.9+.
     "s03_embed_neardup" -> ((s, dir) => neardupPairs(t(s, dir, "embeddings"), threshold = 0.4)),

@@ -419,6 +419,30 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Intra-document repetition: share of repeated 3-grams per document —
+    // the cheap generation-loop/boilerplate quality signal (high ratio =
+    // degenerate text). Pure per-row array math, no shuffle before the
+    // final sort; SQL-identical in both engines.
+    "d17_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          when(
+            size(col("toks")) >= 3,
+            expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))")
+          ).otherwise(array().cast("array<string>")).as("g")
+        )
+        .select(
+          col("doc_id"),
+          size(col("g")).as("n_3grams"),
+          size(array_distinct(col("g"))).as("n_distinct"),
+          when(size(col("g")) > 0, round(lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")), 6))
+            .otherwise(lit(0.0)).as("rep_ratio")
+        )
+        .orderBy("doc_id")
+    }),
+
     // Corpus curation COMPOSITION: the end-to-end filter a training-data
     // pipeline runs before tokenization — exact-dedup keepers (min doc_id
     // per content hash) that also clear quality floors — summarized per
@@ -644,6 +668,15 @@ object TextOps {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS shared_8grams
         |FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d17_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [] END AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents))
+        |SELECT doc_id, CAST(len(g) AS INT) AS n_3grams, CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+        |  CASE WHEN len(g) > 0 THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6) ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "d16_corpus_curation" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars,

@@ -59,4 +59,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d13: sequence packing windows are PARTITIONED by shard — no single-partition global sort") {
+    val p = plan("d13_sequence_pack")
+    assert(!p.contains("Exchange SinglePartition"), s"global window detected:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("d15: decontamination probes a BROADCAST eval n-gram set; the corpus never shuffles to a cartesian") {
+    val p = plan("d15_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graft-objects read: key-only projection prunes the scan schema to the key column") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("plan-objects").toString
+    Seq(("k/a", "x".getBytes, Map("iv" -> "1")))
+      .toDF("key", "data", "metadata")
+      .write.format("graft-objects").option("root", root).mode("append").save()
+    val df = spark.read.format("graft-objects").option("root", root).load().select("key")
+    val p = df.queryExecution.executedPlan.toString
+    // DSv2 BatchScan prints its (pruned) output columns in brackets.
+    assert("""BatchScan graft-objects[^\[]*\[key#\d+\]""".r.findFirstIn(p).isDefined, s"scan not pruned to key:\n$p")
+  }
 }
