@@ -68,6 +68,33 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // Interval (range) join: each purchase matched to the same user's
+    // clicks in the preceding hour — the batch twin of the watermarked
+    // stream-stream join ([[graft.streaming.EventStreams.clickAttribution]]).
+    // Equi-key on user_id carries the shuffle; the time bounds ride as a
+    // post-join predicate, so this is a plain hash/sort-merge join at
+    // scale, never a nested-loop.
+    "q47_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"), col("value"))
+      purchases
+        .join(
+          clicks,
+          Seq("user_id")
+        )
+        .filter(
+          col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR")
+        )
+        .select(col("user_id"), col("click_id"), col("purchase_id"), round(col("value"), 2).as("value"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     // As-of join: every event enriched with the latest purchase at-or-
     // before it for the same user ([[AsOfJoin]]; oracle = DuckDB's native
     // ASOF LEFT JOIN).
@@ -110,6 +137,13 @@ object EventOps {
       """WITH j AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS INT) AS min_k
         |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_interval_join" ->
+      """SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id, round(p.value, 2) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q33_asof_purchase" ->
       """SELECT e.event_id, e.user_id, p.event_id AS last_purchase_event_id
         |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p

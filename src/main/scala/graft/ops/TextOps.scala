@@ -446,20 +446,21 @@ object TextOps {
     // Corpus curation COMPOSITION: the end-to-end filter a training-data
     // pipeline runs before tokenization — exact-dedup keepers (min doc_id
     // per content hash) that also clear quality floors — summarized per
-    // language. One agg for keepers, one semi-join back, one summary agg;
-    // every shuffle keyed on high-cardinality columns.
+    // language. Keeper selection is a WINDOW min over content_hash
+    // (ONE shuffle keyed on the hash), not an aggregate-and-rejoin
+    // (which would shuffle the corpus twice); the summary agg then keys
+    // on lang.
     "d16_corpus_curation" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("content_hash")
+      t(s, dir, "documents")
         .select(
           col("doc_id"), col("lang"),
           col("n_chars"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
           md5(col("text")).as("content_hash")
         )
-      val keepers = docs.groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
-      docs
-        .join(keepers, Seq("content_hash", "doc_id")) // keeper rows only
-        .filter(col("n_tokens") >= 5 && col("n_chars") >= 20)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keeper") && col("n_tokens") >= 5 && col("n_chars") >= 20)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_curated"),

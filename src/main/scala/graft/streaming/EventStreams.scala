@@ -93,6 +93,39 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream INTERVAL join with watermarks on BOTH sides — the
+    * attribution shape: each purchase matched to the same user's clicks
+    * in the preceding hour. The event-time bound
+    * (`purchase_ts` ∈ [click_ts, click_ts + 1h]) plus the two watermarks
+    * let Spark EVICT join state once the bound passes — without it a
+    * stream-stream join buffers forever; with it state is
+    * O(users active in the last watermark+interval window), the property
+    * that keeps this runnable on an unbounded 100 TB stream. Batch twin:
+    * `q47_interval_join` (oracle-checked).
+    */
+  def clickAttribution(events: DataFrame, sameUserWindow: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("value")
+      )
+      .withWatermark("purchase_ts", "30 minutes")
+    purchases.join(
+      clicks,
+      col("user_id") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $sameUserWindow")
+    )
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+  }
+
   /** foreachBatch sink: the hook where per-batch (per-day) commit logic —
     * like the reference's watermark write — runs transactionally with the
     * batch id. Caller supplies the body.

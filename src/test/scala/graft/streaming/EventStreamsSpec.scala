@@ -138,4 +138,35 @@ class EventStreamsSpec extends AnyFunSuite {
       .count()
     assert(over == 0)
   }
+
+  test("stream-stream interval join emits exactly the batch q47 attribution pairs") {
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
+    val q = EventStreams
+      .clickAttribution(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attrib_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // An INNER stream-stream join within the interval bound emits each
+    // matched pair exactly once regardless of arrival order; on a bounded
+    // input it must equal the batch interval join.
+    val streamed = spark
+      .table("attrib_out")
+      .select("user_id", "click_id", "purchase_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batch = graft.SparkEntry
+      .queries("q47_interval_join")(spark, sfDir)
+      .select("user_id", "click_id", "purchase_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty, "fixture produced no attribution pairs")
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(5)}")
+  }
 }
