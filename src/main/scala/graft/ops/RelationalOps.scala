@@ -612,6 +612,24 @@ object RelationalOps {
 
     // Moving average over a bounded ROWS frame (7-row trailing window per
     // customer) — the row-frame twin of q38's RANGE frame.
+    // Statistical-moment aggregates — the profiling family next to the
+    // percentile/HLL sketches: correlation, covariance, dispersion, and
+    // shape per group. All are single-pass partial-aggregable (Spark's
+    // Imperative/DeclarativeAggregate), so the plan is one hash-agg
+    // shuffle keyed on the group, same as a plain sum.
+    "q48_stat_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+          round(stddev_samp(col("l_discount")), 6).as("discount_sd"),
+          round(var_samp(col("l_tax")), 6).as("tax_var"),
+          round(skewness(col("l_extendedprice")), 6).as("price_skew")
+        )
+        .orderBy("l_returnflag")
+    }),
+
     "q46_moving_avg" -> ((s, dir) => {
       val w = Window
         .partitionBy("o_custkey")
@@ -834,6 +852,14 @@ object RelationalOps {
         |  round(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
         |  round(least(c_acctbal, 0.0), 2) AS bal_cap0
         |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    "q48_stat_moments" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+        |  round(stddev_samp(l_discount), 6) AS discount_sd,
+        |  round(var_samp(l_tax), 6) AS tax_var,
+        |  round(skewness(l_extendedprice), 6) AS price_skew
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q46_moving_avg" ->
       """SELECT o_orderkey, o_custkey,
         |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
