@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{EventOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
+import graft.ops.{BpeOps, EventOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ EventOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ BpeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every omission is deliberate; the per-query
@@ -36,6 +36,10 @@ object SparkEntry {
     *    the same candidate semantics), SimilarityRecallSpec /
     *    TextOpsSpec pin determinism + recall.
     *  - x04 (winnowing): same — custom rolling hash.
+    *  - d18 (BPE merges): an iterative argmax fixpoint (each round's
+    *    winner changes the next round's counts) — not expressible as a
+    *    SQL query; BpeOpsSpec pins the exact merge sequence on a
+    *    hand-computed fixture and corpus determinism.
     *  - x05 (zlib), m01/m02 (envelope/codec stubs): byte-level codec
     *    output; DuckDB has no zlib/codec surface. Round-trip specs cover.
     *  - s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN):

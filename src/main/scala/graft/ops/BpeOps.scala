@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.{t, Q}
+
+/** Byte-pair-encoding vocabulary induction — the tokenizer-training step
+  * of an LLM data pipeline (learn merges from corpus statistics), as a
+  * distributed loop.
+  *
+  * Shape, sized for 100 TB: the corpus first collapses to a DISTINCT-WORD
+  * frequency table (one agg shuffle — the only pass over raw text; at
+  * scale this is the standard sample/aggregate step and is orders of
+  * magnitude smaller than the corpus). Each merge round then (a) counts
+  * adjacent symbol pairs weighted by word frequency — a flatMap + one
+  * small agg shuffle over the vocab table, (b) collects ONE winning row
+  * to the driver (ties broken deterministically: count desc, then pair
+  * lexicographic), and (c) rewrites the vocab's symbol arrays with the
+  * merge applied (narrow map, no shuffle), truncating lineage with
+  * localCheckpoint like the d12 label-propagation loop. Driver traffic is
+  * O(merges) single rows; vocab never leaves the executors.
+  */
+object BpeOps {
+
+  /** One learned merge: rank order, the merged pair, and its weighted
+    * count at merge time.
+    */
+  final case class Merge(rank: Int, left: String, right: String, pair_count: Long)
+
+  /** End-of-word marker (the classic formulation, so "low" and "lowly"
+    * share a prefix but not the terminal symbol).
+    */
+  val EndOfWord = "</w>"
+
+  private def mergeSymbols(syms: Seq[String], left: String, right: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += left + right
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Learn `k` merges from a `(word, freq)` table. Deterministic for a
+    * given table: the winner each round is (max count, then smallest
+    * (left, right) pair).
+    */
+  def learnMerges(words: DataFrame, k: Int): Seq[Merge] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] = words
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toList: Seq[String], f) }
+      .map { case (syms, f) => (syms :+ EndOfWord, f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val best = vocab
+        .flatMap { case (syms, f) => syms.sliding(2).collect { case Seq(a, b) => ((a, b), f) } }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups(_ + _)
+        .map { case ((a, b), n) => (a, b, n) }
+        .toDF("left", "right", "n")
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .head(1) // ONE row to the driver per round
+      best.headOption match {
+        case None => exhausted = true // no adjacent pairs left (all words fully merged)
+        case Some(row) =>
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(round, l, r, n)
+          vocab = vocab.map { case (syms, f) => (mergeSymbols(syms, l, r), f) }.localCheckpoint()
+          round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distinct-word frequency table of the documents corpus — the single
+    * pass over raw text that every subsequent merge round reuses.
+    */
+  def wordFreqs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  val queries: Map[String, Q] = Map(
+    // Learned merge table (rank-ordered). Rows-only: the merge sequence is
+    // an iterative argmax fixpoint no SQL oracle can express; BpeOpsSpec
+    // pins the exact sequence on a hand-computed fixture plus corpus
+    // determinism across runs.
+    "d18_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      learnMerges(wordFreqs(s, dir), k = 8)
+        .toDF()
+        .select(col("rank"), col("left"), col("right"), col("pair_count"))
+        .orderBy("rank")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

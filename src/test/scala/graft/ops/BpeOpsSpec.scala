@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE induction is not oracle-checkable (iterative argmax fixpoint), so
+  * correctness pins here: the EXACT merge sequence on the classic
+  * hand-computable fixture, plus determinism on the real corpus.
+  */
+class BpeOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("learnMerges reproduces the classic fixture's exact merge sequence") {
+    import spark.implicits._
+    // The canonical BPE illustration vocabulary (hand-computed below):
+    // low:5 lower:2 newest:6 widest:3, symbols = chars + </w>.
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)).toDF("word", "freq")
+    val merges = BpeOps.learnMerges(words, k = 8).map(m => (m.left, m.right, m.pair_count))
+    val expected = Seq(
+      ("e", "s", 9L), // (e,s)=(s,t)=(t,</w>)=9; lexicographic tie-break picks (e,s)
+      ("es", "t", 9L),
+      ("est", "</w>", 9L),
+      ("l", "o", 7L), // (l,o)=(o,w)=7
+      ("lo", "w", 7L),
+      ("e", "w", 6L), // (e,w)=(n,e)=(w,est</w>)=6
+      ("ew", "est</w>", 6L),
+      ("n", "ewest</w>", 6L)
+    )
+    assert(merges == expected, s"got $merges")
+  }
+
+  test("merge ranks are sequential and the loop stops when no pairs remain") {
+    import spark.implicits._
+    val words = Seq(("ab", 3L)).toDF("word", "freq") // a b </w>: only 2 merges possible
+    val merges = BpeOps.learnMerges(words, k = 10)
+    assert(merges.map(_.rank) == Seq(0, 1))
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("d18 over the corpus is deterministic across runs and rank-complete") {
+    val a = graft.SparkEntry.queries("d18_bpe_merges")(spark, "/root/testdata/sf0.001").collect().toSeq
+    val b = graft.SparkEntry.queries("d18_bpe_merges")(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getInt(0)) == (0 until a.size))
+    assert(a.nonEmpty && a.size <= 8)
+  }
+}
