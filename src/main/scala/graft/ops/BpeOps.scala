@@ -85,6 +85,12 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** Encode a word's symbols by replaying the learned merges in rank
+    * order — the apply half of the tokenizer (greedy, same as training).
+    */
+  def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(syms) { case (s, (l, r)) => mergeSymbols(s, l, r) }
+
   /** Distinct-word frequency table of the documents corpus — the single
     * pass over raw text that every subsequent merge round reuses.
     */
@@ -106,6 +112,38 @@ object BpeOps {
         .toDF()
         .select(col("rank"), col("left"), col("right"), col("pair_count"))
         .orderBy("rank")
+    }),
+
+    // The APPLY half: re-encode every document with the learned merges
+    // and report the token count against the raw symbol count — the
+    // compression the vocabulary buys, per document. Merges are a tiny
+    // driver-side list shipped in the task closure (same posture as the
+    // envelope key); encoding is one narrow pass, no shuffle before the
+    // final sort. Rows-only for the same reason as d18.
+    "d19_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val merges = learnMerges(wordFreqs(s, dir), k = 8).map(m => (m.left, m.right))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          var nSym = 0L
+          var nTok = 0L
+          words.foreach { w =>
+            val syms = (w.map(_.toString).toList: Seq[String]) :+ EndOfWord
+            nSym += syms.length
+            nTok += applyMerges(syms, merges).length
+          }
+          (id, nSym, nTok)
+        }
+        .toDF("doc_id", "n_char_symbols", "n_bpe_tokens")
+        .withColumn(
+          "compression",
+          when(col("n_bpe_tokens") > 0, round(col("n_char_symbols").cast("double") / col("n_bpe_tokens"), 4))
+            .otherwise(lit(1.0))
+        )
+        .orderBy("doc_id")
     })
   )
 

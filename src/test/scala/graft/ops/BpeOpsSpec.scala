@@ -37,6 +37,27 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("applyMerges replays the fixture merges exactly (the encode half)") {
+    import spark.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)).toDF("word", "freq")
+    val merges = BpeOps.learnMerges(words, k = 8).map(m => (m.left, m.right))
+    def enc(w: String) =
+      BpeOps.applyMerges((w.map(_.toString).toList: Seq[String]) :+ BpeOps.EndOfWord, merges)
+    assert(enc("newest") == Seq("newest</w>")) // fully merged by rank 8
+    assert(enc("low") == Seq("low", "</w>"))
+    assert(enc("widest") == Seq("w", "i", "d", "est</w>"))
+    assert(enc("unseen") == Seq("u", "n", "s", "e", "e", "n", "</w>")) // OOV stays at char level
+  }
+
+  test("d19 encode: compression >= 1 and token counts never exceed symbol counts") {
+    val rows = graft.SparkEntry
+      .queries("d19_bpe_encode")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 1.0))
+  }
+
   test("d18 over the corpus is deterministic across runs and rank-complete") {
     val a = graft.SparkEntry.queries("d18_bpe_merges")(spark, "/root/testdata/sf0.001").collect().toSeq
     val b = graft.SparkEntry.queries("d18_bpe_merges")(spark, "/root/testdata/sf0.001").collect().toSeq
