@@ -65,12 +65,10 @@ object BpeOps {
     var exhausted = false
     while (round < k && !exhausted) {
       val best = vocab
-        .flatMap { case (syms, f) => syms.sliding(2).collect { case Seq(a, b) => ((a, b), f) } }
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .reduceGroups(_ + _)
-        .map { case ((a, b), n) => (a, b, n) }
-        .toDF("left", "right", "n")
+        .flatMap { case (syms, f) => syms.sliding(2).collect { case Seq(a, b) => (a, b, f) } }
+        .toDF("left", "right", "f")
+        .groupBy("left", "right")
+        .agg(sum("f").as("n")) // codegen hash-agg, partial map-side combine
         .orderBy(col("n").desc, col("left"), col("right"))
         .head(1) // ONE row to the driver per round
       best.headOption match {

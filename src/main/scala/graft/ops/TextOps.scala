@@ -419,6 +419,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Mixture re-weighting: per-language sampling weights that would
+    // equalize each language's token share — the mixture-balancing
+    // arithmetic a pre-training data recipe runs over curation stats.
+    // One agg shuffle keyed on lang; the 1-row corpus total broadcasts.
+    "d20_mixture_weights" -> ((s, dir) => {
+      val perLang = t(s, dir, "documents")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      val totals = perLang.agg(
+        sum(col("lang_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_langs")
+      )
+      perLang
+        .crossJoin(broadcast(totals))
+        .select(
+          col("lang"),
+          col("n_docs"),
+          col("lang_tokens"),
+          round(col("lang_tokens").cast("double") / col("total_tokens"), 6).as("actual_share"),
+          // weight = target_share / actual_share; target = uniform across langs
+          round(
+            (col("total_tokens").cast("double") / col("n_langs")) / col("lang_tokens"),
+            6
+          ).as("weight")
+        )
+        .orderBy("lang")
+    }),
+
     // Intra-document repetition: share of repeated 3-grams per document —
     // the cheap generation-loop/boilerplate quality signal (high ratio =
     // degenerate text). Pure per-row array math, no shuffle before the
@@ -669,6 +698,16 @@ object TextOps {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS shared_8grams
         |FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d20_mixture_weights" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS lang_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens, count(*) AS n_langs FROM pl)
+        |SELECT lang, n_docs, lang_tokens,
+        |  round(CAST(lang_tokens AS DOUBLE) / total_tokens, 6) AS actual_share,
+        |  round((CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens, 6) AS weight
+        |FROM pl, t ORDER BY lang""".stripMargin,
     "d17_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, CASE WHEN len(t) >= 3
