@@ -486,6 +486,68 @@ object RelationalOps {
         .orderBy("l_returnflag")
     }),
 
+    // Count-min sketch: the frequency-estimation sketch next to q25's HLL
+    // cardinality sketch. The sketch builds DISTRIBUTED (df.stat merges
+    // per-partition sketches); the tiny distinct key set (5 event types)
+    // is probed driver-side and ships back as a literal map, so the check
+    // column — estimate within 2% of exact — is oracle-checkable the same
+    // tolerance-band way as q25 (CMS overestimates by at most eps*N =
+    // 0.001*|events| here, well under 2% of any type's count).
+    "q49_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
+      val estimates: Map[String, Long] = ev
+        .select("event_type").distinct().as[String].collect()
+        .map(k => k -> cms.estimateCount(k)).toMap
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          col("event_type"),
+          col("n"),
+          (abs(element_at(typedLit(estimates), col("event_type")) - col("n")) <= col("n") * 0.02)
+            .as("cms_within_2pct")
+        )
+        .orderBy("event_type")
+    }),
+
+    // Bloom filter: the membership sketch. Built distributed over the
+    // orders side (df.stat merges per-partition filters), probed per
+    // customer as a literal predicate. The DETERMINISTIC property — no
+    // false negatives: every customer with orders tests positive — plus a
+    // bounded false-positive rate on the order-less customers make it
+    // oracle-checkable as one summary row.
+    "q50_bloom_filter" -> ((s, dir) => {
+      val customers = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val bloom = orders.stat.bloomFilter(col("o_custkey"), expectedNumItems = 100000L, fpp = 0.01)
+      val bloomBc = customers.sparkSession.sparkContext.broadcast(bloom)
+      val withOrders = orders.select(col("o_custkey").as("c_custkey")).distinct()
+      // membership test via a deterministic map over partitions (the bloom
+      // object is not expressible as a Catalyst literal)
+      import customers.sparkSession.implicits._
+      val tested = customers
+        .join(withOrders.withColumn("has_orders", lit(true)), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("has_orders"), lit(false)).as("has_orders"))
+        .as[(Long, Boolean)]
+        .mapPartitions { it =>
+          val b = bloomBc.value
+          it.map { case (k, has) => (k, has, b.mightContain(k)) }
+        }
+        .toDF("c_custkey", "has_orders", "bloom_positive")
+      tested.agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("has_orders"), 1L).otherwise(0L)).as("n_with_orders"),
+        // no false negatives — exact, deterministic
+        (sum(when(col("has_orders") && !col("bloom_positive"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        // FP rate among order-less customers bounded by ~3x target fpp
+        (sum(when(!col("has_orders") && col("bloom_positive"), 1L).otherwise(0L)).cast("double") <=
+          greatest(sum(when(!col("has_orders"), 1L).otherwise(0L)).cast("double") * 0.03, lit(1.0)))
+          .as("fp_rate_bounded")
+      )
+    }),
+
     // Correlated EXISTS / NOT EXISTS subqueries (SQL form — the DataFrame
     // API has no EXISTS; semi/anti joins are its spelling, covered by
     // q05/q07). Both branches stream the same broadcast-able probe.
@@ -820,6 +882,15 @@ object RelationalOps {
         |SELECT 'no_urgent' AS cls, c_custkey FROM customer
         |  WHERE c_custkey < 50 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY cls, c_custkey""".stripMargin,
+    "q49_count_min" ->
+      """SELECT event_type, count(*) AS n, TRUE AS cms_within_2pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_bloom_filter" ->
+      """SELECT count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_rate_bounded
+        |FROM customer c""".stripMargin,
     "q38_range_window" ->
       """SELECT user_id, event_id,
         |  count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
