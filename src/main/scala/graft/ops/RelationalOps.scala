@@ -486,6 +486,24 @@ object RelationalOps {
         .orderBy("l_returnflag")
     }),
 
+    // UNPIVOT (melt): wide measure columns to long (measure, value) rows
+    // — the inverse of q29's pivot. Narrow generate per row, no shuffle
+    // before the final sort.
+    "q51_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"), col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("quantity"), col("extendedprice"), col("discount")),
+          variableColumnName = "measure",
+          valueColumnName = "value"
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"), round(col("value"), 2).as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // Count-min sketch: the frequency-estimation sketch next to q25's HLL
     // cardinality sketch. The sketch builds DISTRIBUTED (df.stat merges
     // per-partition sketches); the tiny distinct key set (5 event types)
@@ -882,6 +900,13 @@ object RelationalOps {
         |SELECT 'no_urgent' AS cls, c_custkey FROM customer
         |  WHERE c_custkey < 50 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY cls, c_custkey""".stripMargin,
+    "q51_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS quantity,
+        |        CAST(l_extendedprice AS DOUBLE) AS extendedprice, CAST(l_discount AS DOUBLE) AS discount
+        |      FROM lineitem WHERE l_orderkey < 100) src
+        |UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q49_count_min" ->
       """SELECT event_type, count(*) AS n, TRUE AS cms_within_2pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property checks over the pure kernels the distributed
+  * operators lean on — the invariants that must hold for EVERY input,
+  * not just fixtures: codec round-trips, signing-encoder laws, bin-pack
+  * conservation, BPE merge conservation.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("zlib round-trips arbitrary byte arrays (including empty and highly repetitive)") {
+    val bytesGen = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.choose(0, 10000).map(n => Array.fill[Byte](n)(7)) // repetitive payloads
+    )
+    check(Prop.forAll(bytesGen) { b =>
+      graft.ingest.Zlib.decompress(graft.ingest.Zlib.compress(b)).sameElements(b)
+    })
+  }
+
+  test("envelope encrypt/decrypt round-trips arbitrary payloads under both cipher modes") {
+    val (pub, priv) = graft.ingest.Envelope.generateKeyPair()
+    val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    val modeGen = Gen.oneOf(graft.ingest.Envelope.AesMode.Gcm, graft.ingest.Envelope.AesMode.Eax)
+    check(
+      Prop.forAll(bytesGen, modeGen) { (b, mode) =>
+        val obj = graft.ingest.Envelope.encrypt(b, pub, "kid", mode)
+        graft.ingest.Envelope.decrypt(obj, priv, mode).sameElements(b)
+      },
+      n = 30 // RSA keygen-free but each trial wraps+unwraps: keep bounded
+    )
+  }
+
+  test("SigV4 uriEncode is injective-by-decoding and idempotent on its own unreserved output") {
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '/', '+', '=', 'é', 'ß', '~', '.')))
+      .map(_.mkString)
+    check(Prop.forAll(strGen) { s =>
+      val enc = graft.ingest.SigV4.uriEncode(s, encodeSlash = true)
+      val decoded = java.net.URLDecoder.decode(enc, "UTF-8")
+      // URLDecoder treats '+' as space, but uriEncode never emits '+'
+      decoded == s && !enc.contains('+') &&
+      enc.forall(c => c == '%' || c.isLetterOrDigit || "-._~".contains(c))
+    })
+  }
+
+  test("bin-packing conserves files exactly and never overfills a bin with multiple files") {
+    val filesGen = Gen.listOf(
+      Gen.zip(Gen.identifier, Gen.choose(0L, 200L)).map { case (n, sz) => (n, sz, 0) }
+    )
+    val capGen = Gen.choose(1L, 300L)
+    check(Prop.forAll(filesGen, capGen) { (files, cap) =>
+      val bins = graft.sources.AuditStreamSourceTestHook.binPack(files, cap)
+      val flat = bins.flatten.toSeq
+      val conserved = flat.sorted == files.sorted // every file exactly once
+      val noOverfull = bins.forall(b => b.map(_._2).sum <= cap || b.size == 1)
+      conserved && noOverfull
+    })
+  }
+
+  test("BPE mergeSymbols conserves content: joining symbols always reproduces the word") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val pairGen = Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty), Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    check(Prop.forAll(wordGen, Gen.listOfN(3, pairGen)) { (w, pairs) =>
+      val syms: Seq[String] = w.map(_.toString).toList
+      val merged = graft.ops.BpeOps.applyMerges(syms, pairs)
+      merged.mkString == w // merging never loses or duplicates characters
+    })
+  }
+}
