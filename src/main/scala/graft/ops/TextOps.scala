@@ -419,6 +419,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking with overlap: each document's tokens split
+    // into windows of 64 with stride 48 (16-token overlap) — the chunking
+    // step that feeds context-bounded training or retrieval indexing.
+    // One narrow generate per row (posexplode of the window slices), no
+    // shuffle before the final sort.
+    "d21_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(
+          col("doc_id"),
+          posexplode(expr("transform(sequence(1, size(toks), 48), x -> slice(toks, x, 64))"))
+        )
+        .select(
+          col("doc_id"),
+          col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).as("n_tokens"),
+          element_at(col("col"), 1).as("first_token"),
+          element_at(col("col"), -1).as("last_token")
+        )
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Mixture re-weighting: per-language sampling weights that would
     // equalize each language's token share — the mixture-balancing
     // arithmetic a pre-training data recipe runs over curation stats.
@@ -698,6 +721,16 @@ object TextOps {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS shared_8grams
         |FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d21_chunking" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1, 48),
+        |    s -> {'idx': CAST((s - 1) / 48 AS INT), 'chunk': t[s:s+63]})) AS u
+        |  FROM tok WHERE len(t) > 0)
+        |SELECT doc_id, u.idx AS chunk_idx, CAST(len(u.chunk) AS INT) AS n_tokens,
+        |  u.chunk[1] AS first_token, u.chunk[-1] AS last_token
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "d20_mixture_weights" ->
       """WITH pl AS (
         |  SELECT lang, count(*) AS n_docs,
