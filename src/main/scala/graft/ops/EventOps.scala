@@ -68,6 +68,23 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // argmax/argmin aggregates: each user's latest/earliest event fields
+    // via max_by/min_by — the "latest state per key" compaction shape
+    // (SCD1) as ONE hash aggregate instead of a window + filter.
+    // Deterministic here because (user_id, ts) is unique in this table.
+    "q52_argmax" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          expr("max_by(event_id, ts)").as("last_event_id"),
+          expr("max_by(event_type, ts)").as("last_event_type"),
+          round(expr("max_by(value, ts)"), 2).as("last_value"),
+          expr("min_by(event_id, ts)").as("first_event_id"),
+          expr("CAST(floor(unix_timestamp(max(ts))) AS BIGINT)").as("last_epoch")
+        )
+        .orderBy("user_id")
+    }),
+
     // Interval (range) join: each purchase matched to the same user's
     // clicks in the preceding hour — the batch twin of the watermarked
     // stream-stream join ([[graft.streaming.EventStreams.clickAttribution]]).
@@ -137,6 +154,11 @@ object EventOps {
       """WITH j AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS INT) AS min_k
         |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_argmax" ->
+      """SELECT user_id, max_by(event_id, ts) AS last_event_id, max_by(event_type, ts) AS last_event_type,
+        |  round(max_by(value, ts), 2) AS last_value, min_by(event_id, ts) AS first_event_id,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_interval_join" ->
       """SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id, round(p.value, 2) AS value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
