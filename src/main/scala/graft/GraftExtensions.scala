@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CodecSimplification)
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (logical AsOfJoinPlan -> physical AsOfJoinExec merge).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     inject(ext, "graft_dot_product", classOf[DotProduct], 2)(a => DotProduct(a(0), a(1)))
     inject(ext, "graft_cosine_similarity", classOf[CosineSimilarity], 2)(a => CosineSimilarity(a(0), a(1)))
     inject(ext, "graft_zlib_compress", classOf[ZlibCompress], 1)(a => ZlibCompress(a(0)))
