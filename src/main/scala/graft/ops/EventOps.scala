@@ -68,6 +68,30 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // The NATIVE as-of join ([[graft.plans.AsOfJoinExec]] — custom logical
+    // node + planner strategy + physical merge) against the SAME oracle as
+    // q33's composed form: both must equal DuckDB's native ASOF LEFT JOIN.
+    "q53_asof_native" -> ((s, dir) => {
+      val events = t(s, dir, "events").filter(col("user_id") < 30)
+      val purchases = t(s, dir, "events")
+        .filter(col("user_id") < 30 && col("event_type") === "purchase")
+      graft.plans.AsOfJoinNative
+        .leftAsOf(
+          events.select("event_id", "user_id", "ts"),
+          purchases.select("event_id", "user_id", "ts"),
+          key = "user_id",
+          ts = "ts",
+          valueCols = Seq("event_id"),
+          tieBreak = "event_id"
+        )
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("asof_event_id").as("last_purchase_event_id")
+        )
+        .orderBy("user_id", "event_id")
+    }),
+
     // argmax/argmin aggregates: each user's latest/earliest event fields
     // via max_by/min_by — the "latest state per key" compaction shape
     // (SCD1) as ONE hash aggregate instead of a window + filter.
@@ -167,6 +191,11 @@ object EventOps {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q33_asof_purchase" ->
+      """SELECT e.event_id, e.user_id, p.event_id AS last_purchase_event_id
+        |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |WHERE e.user_id < 30 ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q53_asof_native" ->
       """SELECT e.event_id, e.user_id, p.event_id AS last_purchase_event_id
         |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
