@@ -62,6 +62,32 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     )
   }
 
+  test("bucketed sides join with ZERO exchanges — the scale win the composed form cannot have") {
+    import spark.implicits._
+    val l = (1L to 200L).map(i => (i % 10, i, i * 3)).toDF("k", "t", "lid")
+    val r = (1L to 50L).map(i => (i % 10, i * 2, i + 1000)).toDF("k", "t", "lid")
+    l.write.mode("overwrite").bucketBy(4, "k").saveAsTable("asof_l_bkt")
+    r.write.mode("overwrite").bucketBy(4, "k").saveAsTable("asof_r_bkt")
+    try {
+      val out = AsOfJoinNative.leftAsOf(
+        spark.table("asof_l_bkt"),
+        spark.table("asof_r_bkt"),
+        key = "k", ts = "t", valueCols = Seq("lid"), tieBreak = "lid"
+      )
+      val p = out.queryExecution.executedPlan.toString
+      // Both children already satisfy ClusteredDistribution(k) via their
+      // bucketing — EnsureRequirements must insert sorts only, no shuffle.
+      // (The composed union+window form ALWAYS shuffles: a union of two
+      // bucketed scans exposes no partitioning.)
+      assert(!p.contains("Exchange"), s"bucketed as-of join still shuffles:\n$p")
+      assert(p.contains("AsOfJoin"), p)
+      assert(out.count() == 200)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l_bkt")
+      spark.sql("DROP TABLE IF EXISTS asof_r_bkt")
+    }
+  }
+
   test("edge semantics: simultaneous right row matches; empty right side yields all nulls") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L)).toDF("k", "t", "lid")
