@@ -419,6 +419,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Triangle count over the near-dup graph (same SQL-expressible edge
+    // set as d12): the classic distributed-graph statistic, computed as
+    // an ORDERED three-way self-join (a<b<c) so each triangle counts
+    // exactly once and every join is an equi-join on vertex ids — at
+    // scale this is the standard shuffle-keyed triangle enumeration, no
+    // cartesian anywhere. Degeneracy guard: the candidate set is already
+    // band-limited (offsets 1..3), so edge lists stay linear in corpus.
+    "d22_triangles" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val left = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+      val edges = left
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .filter(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))) >= 0.7
+        )
+        .select(col("doc_a"), col("doc_b")) // a < b by construction
+        .localCheckpoint()
+      val tri = edges.as("ab")
+        .join(edges.as("bc"), col("ab.doc_b") === col("bc.doc_a"))
+        .join(
+          edges.as("ac"),
+          col("ac.doc_a") === col("ab.doc_a") && col("ac.doc_b") === col("bc.doc_b")
+        )
+      tri
+        .agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+        .select(col("n_edges"), col("n_triangles"))
+    }),
+
     // Context-window chunking with overlap: each document's tokens split
     // into windows of 64 with stride 48 (16-token overlap) — the chunking
     // step that feeds context-bounded training or retrieval indexing.
@@ -721,6 +754,14 @@ object TextOps {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS shared_8grams
         |FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d22_triangles" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks)) >= 0.7),
+        |t AS (SELECT count(*) AS n_triangles FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
+        |        JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+        |SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM t""".stripMargin,
     "d21_chunking" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
