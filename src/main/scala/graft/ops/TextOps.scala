@@ -419,6 +419,56 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // PageRank over the near-dup graph (same edge set as d12/d22): three
+    // power iterations with damping 0.85 — the canonical iterated
+    // message-passing shape. Each iteration is ONE join (edges × ranks,
+    // keyed on the source vertex) + ONE agg (keyed on the destination) —
+    // the exact shuffle structure a 100 TB graph pays per round; the
+    // tiny node count broadcasts. A fixed iteration count keeps it
+    // SQL-expressible (chained CTEs in the oracle), unlike d12's
+    // converge-until-done loop.
+    "d23_pagerank" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val left = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+      val pairs = left
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .filter(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))) >= 0.7
+        )
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionAll(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("u", "v")
+        .localCheckpoint()
+      val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      val nNodes = deg.agg(count(lit(1)).as("n"))
+      var pr = deg
+        .crossJoin(broadcast(nNodes))
+        .select(col("id"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("id", "u"), "u")
+          .groupBy(col("v").as("id"))
+          .agg(sum(col("pr") / col("deg")).as("s"))
+        pr = deg
+          .crossJoin(broadcast(nNodes))
+          .join(contrib, Seq("id"), "left")
+          .select(
+            col("id"),
+            col("deg"),
+            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr")
+          )
+          .localCheckpoint()
+      }
+      pr.select(col("id").as("doc_id"), col("deg").cast("long").as("degree"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("doc_id")
+    }),
+
     // Triangle count over the near-dup graph (same SQL-expressible edge
     // set as d12): the classic distributed-graph statistic, computed as
     // an ORDERED three-way self-join (a<b<c) so each triangle counts
@@ -754,6 +804,22 @@ object TextOps {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS shared_8grams
         |FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d23_pagerank" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks)) >= 0.7),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        |deg AS (SELECT u AS id, count(*) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT id, deg, 1.0 / n.n AS pr FROM deg, n),
+        |pr1 AS (SELECT d.id, d.deg, 0.15 / n.n + 0.85 * coalesce(c.s, 0) AS pr
+        |        FROM deg d CROSS JOIN n LEFT JOIN (SELECT e.v AS id, sum(p.pr / p.deg) AS s FROM e JOIN pr0 p ON e.u = p.id GROUP BY 1) c ON c.id = d.id),
+        |pr2 AS (SELECT d.id, d.deg, 0.15 / n.n + 0.85 * coalesce(c.s, 0) AS pr
+        |        FROM deg d CROSS JOIN n LEFT JOIN (SELECT e.v AS id, sum(p.pr / p.deg) AS s FROM e JOIN pr1 p ON e.u = p.id GROUP BY 1) c ON c.id = d.id),
+        |pr3 AS (SELECT d.id, d.deg, 0.15 / n.n + 0.85 * coalesce(c.s, 0) AS pr
+        |        FROM deg d CROSS JOIN n LEFT JOIN (SELECT e.v AS id, sum(p.pr / p.deg) AS s FROM e JOIN pr2 p ON e.u = p.id GROUP BY 1) c ON c.id = d.id)
+        |SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree, round(pr, 6) AS pagerank FROM pr3 ORDER BY doc_id""".stripMargin,
     "d22_triangles" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
         |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
