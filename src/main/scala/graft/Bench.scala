@@ -2,38 +2,77 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry: runs every `SparkEntry.queries` entry against
-  * `SPARK_GRAFT_SF_DIR`, emits ONE JSON line with per-query seconds.
+  * `SPARK_GRAFT_SF_DIR`, emits ONE compact JSON line with per-query
+  * seconds, and writes the full per-rep detail to `bench_full.json`.
+  *
+  * Output-size posture: the harness records only the LAST 2000 characters
+  * of the run's stdout, so a naive everything-on-one-line JSON (≈8 KB at
+  * 90+ queries) arrives head-truncated and unparseable — BENCH_r03/r04
+  * both captured `parsed: null`. The stdout line is therefore budgeted to
+  * fit the capture window: the `"queries"` map carries only the slowest
+  * [[TopN]] queries at millisecond precision (the ones that matter for a
+  * perf read), and the complete per-query timing rides in `"ms"` — an
+  * int-milliseconds array aligned with the ALPHABETICAL query order (the
+  * same order `"names_hash"` fingerprints), ~5 bytes per query instead of
+  * ~30. Everything else — full name→seconds map, raw reps, flags — goes
+  * to `bench_full.json` next to the build for readers with file access.
   *
   * Noise posture: single-shot timings on a shared VM recorded 10-80x
   * phantom regressions (BENCH_r02 x02=89.6s vs 8.8s standalone), so each
   * query runs one UNTIMED warmup rep (JIT + page cache + shuffle-file
   * warm) followed by `Reps` timed reps; the reported figure is the MIN —
   * the rep least contaminated by external contention — and the raw reps
-  * are kept in the JSON (`"reps"`) so a reader can tell steady-state from
+  * are kept in `bench_full.json` so a reader can tell steady-state from
   * weather. The passes are INTERLEAVED (warmup pass over every query,
   * then full timed pass 1, then full timed pass 2) so a query's reps are
   * separated by a whole pass: a multi-minute contention window hits one
-  * rep of many queries, not both reps of a few (observed: a sustained
-  * window inflated back-to-back reps of 3 adjacent doc queries 10-40x
-  * while min-of-2 back-to-back couldn't tell). Failures are reported per
+  * rep of many queries, not both reps of a few. Failures are reported per
   * query (`"failed":[...]`) instead of being folded into a normal-looking
   * duration, and the catalog cache is cleared between reps so one rep's
   * storage never skews the next.
   *
-  * Interleaving is still beatable: a contention window spanning a WHOLE
-  * pass poisons both reps of the alphabetical tail at once (observed in
-  * round 3: s01–s04 recorded 8–60x their standalone times, both reps).
-  * So after the interleaved passes, any query whose reps disagree by more
-  * than [[ContentionRatio]] gets extra ISOLATED reps (run at the end,
-  * when the window has usually passed) until two reps agree within the
-  * ratio or [[MaxExtraReps]] is spent; queries whose reps never agreed
-  * are flagged in `"contended":[...]` so a reader knows the min is still
-  * weather-bound rather than steady-state.
+  * Interleaving is still beatable two ways. (1) Reps that DISAGREE by
+  * more than [[ContentionRatio]] — one rep caught weather. (2) Reps that
+  * AGREE but are both inflated — a window spanning both whole passes
+  * (round 3 recorded s01–s04 at 8–60x standalone, both reps, and
+  * intra-run rep agreement could not tell). For (2) the run carries an
+  * ABSOLUTE baseline: `bench_reference.json` (committed; a clean run's
+  * per-query minimums at the same sf) — any query whose min exceeds its
+  * reference by the ratio is re-timed too. Both cases get extra ISOLATED
+  * reps (run at the end, when the window has usually passed) until a rep
+  * lands within bounds or [[MaxExtraReps]] is spent; queries that never
+  * settle are flagged in `"contended":[...]` so a reader knows the min
+  * is weather-bound rather than steady-state.
   */
 object Bench {
   val Reps = 2
   val ContentionRatio = 5.0
   val MaxExtraReps = 3
+  val TopN = 25
+
+  /** Minimal parser for the flat `{"name": seconds, ...}` maps this object
+    * writes — no JSON library on the runtime classpath by design.
+    */
+  private[graft] def parseFlatJsonMap(s: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+      .findAllMatchIn(s)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+
+  /** `bench_reference.json` is flat: `{"sf":"sf0.1","<query>":<min_sec>,...}`
+    * — the one string-valued key doubles as the scale guard (reference
+    * minimums are only comparable at the same sf).
+    */
+  private def loadReference(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File("bench_reference.json")
+    if (!f.isFile) Map.empty
+    else {
+      val text = scala.util.Using(scala.io.Source.fromFile(f))(_.mkString).getOrElse("")
+      val sfName = new java.io.File(sfDir).getName
+      if (!text.contains("\"" + sfName + "\"")) Map.empty
+      else parseFlatJsonMap(text)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,6 +98,7 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    val reference = loadReference(sfDir)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmOk = ordered.map { case (name, fn) => name -> timeOnce(fn)._2 }.toMap
     val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Reps).map { _ =>
@@ -72,6 +112,10 @@ object Bench {
       val sorted = ts.sorted
       sorted.length >= 2 && sorted(1) <= sorted.head * ContentionRatio
     }
+    // Absolute check: a min far above the committed clean-run figure means
+    // BOTH reps caught weather even if they agree with each other.
+    def withinReference(name: String, ts: Seq[Double]): Boolean =
+      reference.get(name).forall(ref => ts.min <= ref * ContentionRatio)
     val results = ordered.map { case (name, fn) =>
       val firstReps = passes.map(_(name))
       val allOk = warmOk(name) && firstReps.forall(_._2)
@@ -79,29 +123,46 @@ object Bench {
       var ok = allOk
       if (ok) {
         // Isolated re-timing for queries the interleaved passes disagree
-        // on: a pass-spanning contention window inflates BOTH reps, so
-        // keep timing until two reps corroborate each other.
+        // on, or that blow past the committed reference: keep timing until
+        // a rep corroborates steady state.
         var extra = 0
-        while (ok && !settled(times) && extra < MaxExtraReps) {
+        while (ok && (!settled(times) || !withinReference(name, times)) && extra < MaxExtraReps) {
           val (t, o) = timeOnce(fn)
           times = times :+ t
           ok = o
           extra += 1
         }
       }
-      val contended = ok && !settled(times)
+      val contended = ok && (!settled(times) || !withinReference(name, times))
       (name, if (ok) times.min else Double.NaN, times, ok, contended)
     }
-    def fmt(d: Double): String = if (d.isNaN) "null" else d.toString
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val reps = results
-      .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    def fmt(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
     val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val contended = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.filterNot(_._2.isNaN).map(_._2).sum
+
+    // Full artifact → file (complete name→min map + raw reps).
+    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val reps = results
+      .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"reps":$reps,"failed":$failed,"contended":$contended,"sf":"$sfDir","cpus":$cpus}"""
+    scala.util.Try {
+      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      try w.println(fullJson) finally w.close()
+    }
+
+    // Compact stdout line (the only stdout JSON): slowest-TopN map + full
+    // alphabetical int-ms array. Budget ≈1.5 KB so the 2 KB capture window
+    // holds the whole line even with the build tool's epilogue after it.
+    val top = results.filterNot(_._2.isNaN).sortBy(-_._2).take(TopN)
+    val qsTop = top.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val msArr = results
+      .map { case (_, v, _, _, _) => if (v.isNaN) "null" else math.round(v * 1000).toString }
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"n_queries":${results.size},"order":"alphabetical","ms":$msArr,"failed":$failed,"contended":$contended,"sf":"$sfDir","detail":"bench_full.json"}"""
     )
     spark.stop()
   }

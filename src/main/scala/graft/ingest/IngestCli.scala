@@ -183,11 +183,13 @@ object IngestCli {
               val s = IngestJob.runBacklog(spark, cfg)
               s"${s.days.size} day(s), ${s.filesOk} file(s) in one backlog job"
             } else if (useV2) {
-              val root = cfg.storeFactory.asInstanceOf[LocalDirObjectStoreFactory].root
+              // Works through the ObjectStoreFactory seam (StoreOptions maps
+              // it to DSv2 options), so --v2-sink composes with --s3-bucket
+              // instead of crashing on a LocalDirObjectStoreFactory cast.
               val watermark = Watermark.read(cfg.progressFile)
               val days = AuditSource.pendingDays(spark, cfg.srcDir, watermark)
               days.foreach { dp =>
-                IngestJob.processDayV2(spark, cfg, dp, root)
+                IngestJob.processDayV2(spark, cfg, dp)
                 Watermark.commit(cfg.progressFile, dp.day)
               }
               s"${days.size} day(s) via v2 sink"

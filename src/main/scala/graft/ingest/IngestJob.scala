@@ -187,7 +187,7 @@ object IngestJob {
     * stores are supported (the provider constructs the store from the
     * `root` option).
     */
-  def processDayV2(spark: SparkSession, cfg: IngestConfig, dp: DayPartition, storeRoot: String): Unit = {
+  def processDayV2(spark: SparkSession, cfg: IngestConfig, dp: DayPartition): Unit = {
     import spark.implicits._
     val dayStr = dp.day.toString
     val prefix = cfg.s3Prefix
@@ -209,7 +209,7 @@ object IngestJob {
       .toDF("key", "data", "metadata")
       .write
       .format("graft-objects")
-      .option("root", storeRoot)
+      .options(graft.sources.StoreOptions.optionsFor(cfg.storeFactory))
       .mode("append")
       .save()
   }

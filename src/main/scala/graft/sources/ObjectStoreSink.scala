@@ -67,6 +67,27 @@ object ObjectStoreSinkProvider {
   * zero-egress CI — see its scaladoc).
   */
 private[graft] object StoreOptions {
+  /** Inverse of [[factoryFrom]]: DSv2 options that reconstruct `factory`
+    * on the executors — lets callers holding the ingest seam (e.g. the
+    * CLI's --v2-sink path) target ANY store kind through the same
+    * `format("graft-objects")` write, instead of casting to a local dir.
+    */
+  def optionsFor(factory: ObjectStoreFactory): Map[String, String] = factory match {
+    case LocalDirObjectStoreFactory(root) => Map("root" -> root)
+    case s3: graft.ingest.S3ObjectStoreFactory =>
+      Map(
+        "s3.bucket" -> s3.bucket,
+        "s3.endpoint" -> s3.endpoint,
+        "s3.region" -> s3.region,
+        "s3.accesskey" -> s3.accessKey,
+        "s3.secretkey" -> s3.secretKey
+      ) ++ s3.sessionToken.map("s3.sessiontoken" -> _)
+    case other =>
+      throw new IllegalArgumentException(
+        s"no graft-objects option mapping for store factory ${other.getClass.getName}"
+      )
+  }
+
   def factoryFrom(get: String => String): ObjectStoreFactory = {
     def opt(k: String): Option[String] = Option(get(k)).filter(_.nonEmpty)
     opt("s3.bucket") match {
@@ -176,7 +197,12 @@ private[sources] class ObjectStoreScanBuilder(
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
-    override def toBatch: Batch = new ObjectStoreBatchScan(factory, prefix, required, numPartitions)
+    // Spark may call toBatch (and the Batch's plan methods) more than once
+    // per query; cache both so the store is listed exactly once per scan —
+    // against S3 a re-list is a paginated RPC and a key-set drift risk
+    // between planning and execution.
+    private lazy val batch = new ObjectStoreBatchScan(factory, prefix, required, numPartitions)
+    override def toBatch: Batch = batch
   }
 }
 
@@ -188,16 +214,22 @@ private[sources] class ObjectStoreBatchScan(
     required: StructType,
     numPartitions: Option[Int]
 ) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] = {
+  // One listing per scan even if Spark re-plans: the partition layout is
+  // decided from a single LIST snapshot (same fix as AuditBatchScan).
+  private lazy val planned: Array[InputPartition] = {
     val keys = factory.create().listKeys(prefix) // names only, never bytes
-    if (keys.isEmpty) return Array.empty
-    val spark = SparkSession.active
-    val slices = numPartitions.getOrElse(
-      math.max(1, math.min(keys.size, spark.sparkContext.defaultParallelism * 2))
-    )
-    val perSlice = math.max(1, math.ceil(keys.size.toDouble / slices).toInt)
-    keys.grouped(perSlice).map(ObjectKeysPartition(_): InputPartition).toArray
+    if (keys.isEmpty) Array.empty
+    else {
+      val spark = SparkSession.active
+      val slices = numPartitions.getOrElse(
+        math.max(1, math.min(keys.size, spark.sparkContext.defaultParallelism * 2))
+      )
+      val perSlice = math.max(1, math.ceil(keys.size.toDouble / slices).toInt)
+      keys.grouped(perSlice).map(ObjectKeysPartition(_): InputPartition).toArray
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
     ObjectStoreReaderFactory(factory, required.fieldNames)

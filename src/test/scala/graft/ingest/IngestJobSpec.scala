@@ -289,6 +289,24 @@ class IngestJobSpec extends AnyFunSuite {
     Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(k3), store.getMetadata(k3)), priv2))
   }
 
+  test("processDayV2 targets an S3 store through the factory seam (--v2-sink + --s3-bucket)") {
+    val (src, contents) = makeSource()
+    val fake = new FakeS3Server("bkt", pageSize = 1000)
+    try {
+      val cfg = cfgFor(src, Files.createTempDirectory("unused"),
+        Files.createTempDirectory("wm").resolve("p.txt"))
+        .copy(storeFactory = S3ObjectStoreFactory(fake.endpoint, "eu-west-2", "bkt", "AKIDEXAMPLE", "sk"))
+      val dp = AuditSource.pendingDays(spark, cfg.srcDir, None).head
+      IngestJob.processDayV2(spark, cfg, dp) // pre-fix: ClassCastException on the local-dir cast
+      val store = cfg.storeFactory.create()
+      val keys = store.listKeys("audit/2020-10-10/")
+      assert(keys.size == 5)
+      val k = "audit/2020-10-10/audit-data-1.json.gz.enc"
+      val plain = Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(k), store.getMetadata(k)), priv))
+      assert(plain.sameElements(contents("2020-10-10/audit-data-1.json")))
+    } finally fake.stop()
+  }
+
   test("missing source dir raises (ref failure-path test)") {
     val out = Files.createTempDirectory("audit-out")
     val progress = Files.createTempDirectory("wm").resolve("progress.txt")

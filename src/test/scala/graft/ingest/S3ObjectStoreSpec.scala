@@ -24,6 +24,7 @@ class FakeS3Server(bucket: String, pageSize: Int = 2) {
   private val uploadSeq = new AtomicInteger()
   val flakyAttempts = new AtomicInteger()
   val requests = new AtomicInteger()
+  val listRequests = new AtomicInteger()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (exchange: HttpExchange) => try handle(exchange) finally exchange.close())
@@ -117,6 +118,7 @@ class FakeS3Server(bucket: String, pageSize: Int = 2) {
         objects.put(k, (body, metaHeaders(ex)))
         send(ex, 200, "")
       case ("GET", "") if query.get("list-type").contains("2") =>
+        listRequests.incrementAndGet()
         val prefix = query.getOrElse("prefix", "")
         val all = objects.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
         val from = query.get("continuation-token").map(_.toInt).getOrElse(0)

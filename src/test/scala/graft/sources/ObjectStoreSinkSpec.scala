@@ -89,7 +89,7 @@ class ObjectStoreSinkSpec extends AnyFunSuite {
       Files.createTempDirectory("v2-wm").resolve("p.txt").toString
     )
     val dp = AuditSource.listDays(spark, src.toString).head
-    IngestJob.processDayV2(spark, cfg, dp, out)
+    IngestJob.processDayV2(spark, cfg, dp)
 
     val store = new LocalDirObjectStore(out)
     val keys = store.listKeys("pfx/")
@@ -98,5 +98,28 @@ class ObjectStoreSinkSpec extends AnyFunSuite {
     assert(md.keySet == Set("iv", "ciphertext", "datakeyencryptionkeyid"))
     val plain = Zlib.decompress(Envelope.decrypt(EncryptedObject(store.get(keys.head), md), priv))
     assert(new String(plain) == """{"a":1}""")
+  }
+
+  test("batch read lists the store exactly once per scan, even when Spark re-plans") {
+    import spark.implicits._
+    val fake = new FakeS3Server("bkt", pageSize = 1000)
+    try {
+      val s3Opts = Map(
+        "s3.bucket" -> "bkt", "s3.endpoint" -> fake.endpoint, "s3.region" -> "eu-west-2",
+        "s3.accesskey" -> "AKIDEXAMPLE", "s3.secretkey" -> "sk"
+      )
+      (1 to 5).map(i => (s"p/o$i.bin", s"v$i".getBytes, Map("m" -> "1")))
+        .toDF("key", "data", "metadata")
+        .write.format("graft-objects").options(s3Opts).mode("append").save()
+
+      fake.listRequests.set(0)
+      val n = spark.read.format("graft-objects").options(s3Opts).load().select("key").count()
+      assert(n == 5)
+      // Pre-fix, toBatch minted a fresh Batch per call and each
+      // planInputPartitions re-ran listKeys — against S3 that is redundant
+      // LIST RPCs plus key-set drift between planning and execution.
+      assert(fake.listRequests.get() == 1,
+        s"scan issued ${fake.listRequests.get()} LIST requests; expected exactly 1")
+    } finally fake.stop()
   }
 }
