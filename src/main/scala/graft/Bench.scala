@@ -165,5 +165,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"n_queries":${results.size},"order":"alphabetical","ms":$msArr,"failed":$failed,"contended":$contended,"sf":"$sfDir","detail":"bench_full.json"}"""
     )
     spark.stop()
+    // Forked JVM: hard-exit after the artifacts are out (see Verify).
+    sys.exit(0)
   }
 }

@@ -39,5 +39,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Forked JVM: hard-exit so a lingering non-daemon thread can never
+    // hang the harness after all artifacts are on disk (observed once:
+    // outputs complete, JVM idle 8 min until the harness's timeout).
+    sys.exit(0)
   }
 }

@@ -742,10 +742,188 @@ object RelationalOps {
           nth_value(col("o_orderkey"), 2).over(w).as("second_ok")
         )
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Higher-order array functions: transform/filter/aggregate/zip_with
+    // evaluate INSIDE the row projection — no explode, no shuffle, no UDF.
+    // At 100 TB a per-row fold beats q41's posexplode+groupBy shape
+    // whenever the result stays row-aligned (one output row per vector).
+    "q54_higher_order_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(
+          col("vec_id"),
+          round(aggregate(transform(col("embedding"), _.cast("double")), lit(0.0), _ + _), 4)
+            .as("sum_all"),
+          size(filter(col("embedding"), _ > lit(0f))).cast("long").as("n_pos"),
+          round(
+            aggregate(
+              zip_with(col("embedding"), reverse(col("embedding")),
+                (a, b) => a.cast("double") * b.cast("double")),
+              lit(0.0), _ + _),
+            4).as("dot_rev")
+        )
+        .orderBy("vec_id")
+    }),
+
+    // Map functions: per-user event-type histogram built as a native map
+    // column (map_from_entries), then queried with map_keys / element_at /
+    // map_filter / map_values — the map stays inside one hash aggregate +
+    // projection, never exploded back out. The oracle recomputes the same
+    // scalars relationally, checking the map semantics, not the storage.
+    "q55_map_funcs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(
+          col("user_id"),
+          array_sort(map_keys(col("m"))).as("types_seen"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          size(map_filter(col("m"), (_, v) => v >= 3)).cast("long").as("n_types_3plus"),
+          aggregate(map_values(col("m")), lit(0L), _ + _).as("n_events")
+        )
+        .orderBy("user_id")
+    }),
+
+    // Table-generating sequence: each order expands to its 3-day active
+    // window (sequence + explode). Generation is per-row and pipelined —
+    // the only wide operation is the final sort.
+    "q56_sequence_explode" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 50)
+        .select(
+          col("o_orderkey"),
+          explode(sequence(to_date(col("o_orderdate")), date_add(to_date(col("o_orderdate")), 2)))
+            .as("active_day"),
+          round(col("o_totalprice") / 3, 2).as("daily_price")
+        )
+        .orderBy("o_orderkey", "active_day")
+    }),
+
+    // Mode + exact interpolated percentiles per group — one hash aggregate.
+    "q57_mode_median" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          mode(col("o_orderpriority")).as("top_priority"),
+          round(median(col("o_totalprice")), 2).as("median_price"),
+          round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("o_orderstatus")
+    }),
+
+    // Linear-regression aggregates: slope/intercept/r2/count in one pass —
+    // the single-shuffle way to fit per-group trend lines at 100 TB.
+    "q58_regr_aggs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("n_pairs"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_qty")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // Bitwise aggregates + scalar bit ops (codegen'd integer ALU work).
+    "q59_bitwise" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bit_and(col("l_linenumber").cast("long")).as("ln_and"),
+          bit_or(col("l_linenumber").cast("long")).as("ln_or"),
+          bit_xor(col("l_orderkey")).as("ok_xor"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          col("l_returnflag"), col("ln_and"), col("ln_or"), col("ok_xor"),
+          shiftleft(col("ln_or"), 2).as("ln_or_shl2"),
+          (col("ok_xor").bitwiseAND(lit(255L))).as("ok_xor_low8"),
+          col("n")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // IGNORE NULLS window variants: lag/lead/last skipping nulls — the
+    // gap-filling idiom (carry the last observed reading forward) that a
+    // naive self-join would turn into a range join.
+    "q60_ignore_nulls_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"),
+          when(col("value") > 50, round(col("value"), 2)).as("big_v"))
+        .select(
+          col("event_id"), col("user_id"), col("big_v"),
+          lag(col("big_v"), 1, null, ignoreNulls = true).over(w).as("prev_big"),
+          lead(col("big_v"), 1, null, ignoreNulls = true).over(w).as("next_big"),
+          last(col("big_v"), ignoreNulls = true).over(wf).as("filled_v")
+        )
+        .orderBy("user_id", "event_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q54_higher_order_funcs" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE))), 4) AS dot_rev
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+    "q55_map_funcs" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events WHERE user_id < 100 GROUP BY 1, 2)
+        |SELECT user_id,
+        |  list_sort(list(event_type)) AS types_seen,
+        |  CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (WHERE n >= 3) AS BIGINT) AS n_types_3plus,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q56_sequence_explode" ->
+      """SELECT o_orderkey,
+        |  CAST(unnest(generate_series(CAST(o_orderdate AS DATE), CAST(o_orderdate AS DATE) + 2, INTERVAL 1 DAY)) AS DATE) AS active_day,
+        |  round(o_totalprice / 3, 2) AS daily_price
+        |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey, active_day""".stripMargin,
+    "q57_mode_median" ->
+      """SELECT o_orderstatus, mode(o_orderpriority) AS top_priority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_regr_aggs" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_bitwise" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_and,
+        |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_or,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS ok_xor,
+        |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) << 2 AS ln_or_shl2,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) & 255 AS ok_xor_low8,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q60_ignore_nulls_window" ->
+      """SELECT event_id, user_id, big_v,
+        |  lag(big_v IGNORE NULLS) OVER w AS prev_big,
+        |  lead(big_v IGNORE NULLS) OVER w AS next_big,
+        |  last_value(big_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+        |FROM (SELECT event_id, user_id, CASE WHEN value > 50 THEN round(value, 2) END AS big_v
+        |      FROM events WHERE user_id < 20)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q00_ingest_manifest" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n_files, round(sum(value), 2) AS total_bytes
         |FROM events WHERE date_trunc('day', ts) > TIMESTAMP '2024-01-05' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

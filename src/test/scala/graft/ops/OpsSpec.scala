@@ -99,4 +99,39 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
     assert(ann.subsetOf(brute + 0L) || ann.intersect(brute).size >= ann.size / 2)
   }
+
+  test("q54 higher-order folds agree with a driver-side recompute") {
+    val row = SparkEntry.queries("q54_higher_order_funcs")(spark, sfDir)
+      .filter(col("vec_id") === 0L).head()
+    val v = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0L).head().getSeq[Float](1).map(_.toDouble).toArray
+    assert(math.abs(row.getDouble(1) - v.sum) < 1e-3)                       // sum_all
+    assert(row.getLong(2) == v.count(_ > 0))                                // n_pos
+    val dotRev = v.zip(v.reverse).map { case (a, b) => a * b }.sum
+    assert(math.abs(row.getDouble(3) - dotRev) < 1e-3)                      // dot_rev
+  }
+
+  test("q55 map histogram conserves the per-user event count") {
+    val got = SparkEntry.queries("q55_map_funcs")(spark, sfDir)
+      .select(sum("n_events")).head().getLong(0)
+    val raw = Tables.t(spark, sfDir, "events").filter(col("user_id") < 100).count()
+    assert(got == raw)
+  }
+
+  test("q56 expands each order to exactly its 3-day window") {
+    val df = SparkEntry.queries("q56_sequence_explode")(spark, sfDir)
+    val perOrder = df.groupBy("o_orderkey").count().select(min("count"), max("count")).head()
+    assert(perOrder.getLong(0) == 3 && perOrder.getLong(1) == 3)
+  }
+
+  test("q60 filled_v carries the last non-null reading forward") {
+    val rows = SparkEntry.queries("q60_ignore_nulls_window")(spark, sfDir)
+      .filter(col("user_id") === 1L).collect()
+    var lastSeen: Option[Double] = None
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) lastSeen = Some(r.getDouble(2))
+      val filled = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+      assert(filled == lastSeen, s"event ${r.getLong(0)}: filled=$filled lastSeen=$lastSeen")
+    }
+  }
 }
