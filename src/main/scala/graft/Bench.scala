@@ -99,7 +99,11 @@ object Bench {
     }
 
     val reference = loadReference(sfDir)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Dev loop: SPARK_GRAFT_ONLY=x06,s03 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .sortBy(_._1)
     val warmOk = ordered.map { case (name, fn) => name -> timeOnce(fn)._2 }.toMap
     val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Reps).map { _ =>
       ordered.map { case (name, fn) =>
