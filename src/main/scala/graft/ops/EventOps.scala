@@ -136,6 +136,48 @@ object EventOps {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // KEYLESS range join via binning ([[RangeJoin]]): events matched to
+    // overlapping, variable-length time intervals with NO shared equi-key
+    // (q47's interval join rides its user_id key; here there is none, which
+    // Spark would otherwise plan as BroadcastNestedLoopJoin — quadratic
+    // once the interval side outgrows a broadcast). The intervals are
+    // derived deterministically from the nation table (25 rows: start =
+    // corpus epoch + 3h·n, length = (n mod 7)+1 hours) so both engines
+    // construct the identical interval set; the bin width (1h) matches the
+    // typical interval length per the [[RangeJoin]] cost model.
+    "q61_range_bin_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, dir, "events")
+      val base = ev.agg(min(unix_micros(col("ts"))).as("base"))
+      val intervals = t(s, dir, "nation")
+        .crossJoin(broadcast(base)) // 1-row scalar side input
+        .select(
+          col("n_nationkey").cast("long").as("interval_id"),
+          (col("base") + col("n_nationkey") * lit(3 * hourUs)).as("start_us"),
+          (col("base") + col("n_nationkey") * lit(3 * hourUs) +
+            (col("n_nationkey") % 7 + 1) * lit(hourUs)).as("end_us")
+        )
+      val points = ev.select(col("event_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      RangeJoin
+        .pointInInterval(points, "ts_us", intervals, "start_us", "end_us", binWidth = hourUs)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("interval_id")
+    }),
+
+    // SCD type-2 history build: each purchase event becomes a versioned
+    // dimension row with [valid_from, valid_to) effectivity derived from
+    // the NEXT change per user (lead window) — the standard
+    // warehouse-merge shape, one keyed window, no self-join.
+    "q63_scd2_history" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"), col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // As-of join: every event enriched with the latest purchase at-or-
     // before it for the same user ([[AsOfJoin]]; oracle = DuckDB's native
     // ASOF LEFT JOIN).
@@ -183,6 +225,23 @@ object EventOps {
         |  round(max_by(value, ts), 2) AS last_value, min_by(event_id, ts) AS first_event_id,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_range_bin_join" ->
+      """WITH base AS (SELECT min(epoch_us(ts)) AS base FROM events),
+        |iv AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS interval_id,
+        |         base + n_nationkey * 10800000000 AS start_us,
+        |         base + n_nationkey * 10800000000 + (n_nationkey % 7 + 1) * 3600000000 AS end_us
+        |  FROM nation, base)
+        |SELECT i.interval_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN iv i ON epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) <= i.end_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_scd2_history" ->
+      """SELECT user_id, event_id, round(value, 2) AS value,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q47_interval_join" ->
       """SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id, round(p.value, 2) AS value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -866,10 +866,39 @@ object RelationalOps {
           last(col("big_v"), ignoreNulls = true).over(wf).as("filled_v")
         )
         .orderBy("user_id", "event_id")
+    }),
+
+    // LATERAL correlated subquery: top-2 orders per customer by price —
+    // the per-row table-valued-subquery shape. Catalyst decorrelates the
+    // correlated LIMIT into a partitioned rank filter, so the plan is one
+    // keyed window over orders + one equi-join: no per-customer re-scan.
+    "q62_lateral_topk" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (c, o) = (s"customer_lat_$tag", s"orders_lat_$tag")
+      t(s, dir, "customer").createOrReplaceTempView(c)
+      t(s, dir, "orders").createOrReplaceTempView(o)
+      val df = s.sql(s"""
+        SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+        FROM $c c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM $o
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+      """)
+      Seq(c, o).foreach(s.catalog.dropTempView)
+      df
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q62_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 50
+        |ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q54_higher_order_funcs" ->
       """SELECT vec_id,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,

@@ -161,6 +161,25 @@ object SimilarityOps {
         .orderBy("vec_id")
     }),
 
+    // Per-label centroid embeddings: the class-prototype/cluster-summary
+    // op (seed centroids for IVF builds, per-class means for diversity
+    // stats). posexplode to (label, pos, v) → one keyed agg → re-assemble
+    // ordered — the dimension-keyed agg shape that scales by partitioning
+    // alone; no vector ever collects to the driver.
+    "s08_label_centroid" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(
+          max(col("n")).as("n_vectors"),
+          array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m")))).as("pm")
+        )
+        .select(col("label"), col("n_vectors"), expr("transform(pm, x -> x.m)").as("centroid"))
+        .orderBy("label")
+    }),
+
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness
@@ -192,6 +211,12 @@ object SimilarityOps {
         |SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS q_sum, list_min(qs) AS q_min, list_max(qs) AS q_max,
         |  CAST(len(list_filter(qs, x -> abs(x) = 127)) AS INT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
+    "s08_label_centroid" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |       list(round(m, 6) ORDER BY pos) AS centroid
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

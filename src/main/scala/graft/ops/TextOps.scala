@@ -35,18 +35,26 @@ object TextOps {
     * Output: (doc_id, sig array<bigint>).
     */
   def minhashSignatures(docs: DataFrame, shingleWidth: Int): DataFrame = {
-    val shingles =
-      if (shingleWidth <= 1) array_distinct(col("tokens"))
-      else
-        array_distinct(
-          expr(
-            s"transform(sequence(0, greatest(size(tokens) - $shingleWidth, 0)), i -> concat_ws(' ', slice(tokens, i + 1, $shingleWidth)))"
-          )
-        )
-    val exploded = docs
-      .select(col("doc_id"), tokens(col("text")).as("tokens"))
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-      .select(col("doc_id"), pmod(hash(col("shingle")).cast("bigint"), lit(P)).as("h"))
+    // Shingles are built on the CODEGEN path (explode the start index,
+    // then slice+concat_ws): a lambda `transform(...)` is CodegenFallback
+    // and benchmarked ~30x slower. Duplicate shingles are NOT deduped —
+    // min() is insensitive to multiplicity, so signatures are unchanged
+    // and the per-doc array_distinct pass is saved. Short docs keep the
+    // reference semantics: sequence(0, greatest(n - w, 0)) always emits
+    // index 0, so a doc shorter than the shingle width yields one
+    // truncated shingle rather than none.
+    val tokenized = docs.select(col("doc_id"), tokens(col("text")).as("tokens"))
+    val exploded =
+      (if (shingleWidth <= 1) tokenized.select(col("doc_id"), explode(col("tokens")).as("shingle"))
+       else
+         tokenized
+           .select(
+             col("doc_id"),
+             col("tokens"),
+             expr(s"explode(sequence(0, greatest(size(tokens) - $shingleWidth, 0))) AS i")
+           )
+           .select(col("doc_id"), concat_ws(" ", slice(col("tokens"), col("i") + 1, lit(shingleWidth))).as("shingle")))
+        .select(col("doc_id"), pmod(hash(col("shingle")).cast("bigint"), lit(P)).as("h"))
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
     }
@@ -325,7 +333,11 @@ object TextOps {
       val pubB64 = java.util.Base64.getEncoder.encodeToString(pub.getEncoded)
       val privB64 = java.util.Base64.getEncoder.encodeToString(priv.getEncoded)
       val root = java.nio.file.Files.createTempDirectory("x06-store").toString
+      // The documents table is one parquet split, so without an explicit
+      // repartition the whole encrypt (an RSA wrap per row) + object write
+      // runs as ONE task; spread it across the cluster first.
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           concat(lit("x06/"), col("doc_id")).as("key"),
           EF.envelope_encrypt(CF.zlib_compress(encode(col("text"), "UTF-8")), pubB64, "x06-key").as("obj")
@@ -397,22 +409,22 @@ object TextOps {
     // probe, no corpus shuffle; output is per-train-doc shared-gram
     // counts. The standard n-gram-overlap decontamination shape.
     "d15_contamination" -> ((s, dir) => {
+      // Gram construction stays on the CODEGEN path: explode the start
+      // index, then slice+concat_ws (all codegen'd) — a lambda-based
+      // `transform(...)` here is CodegenFallback and ran ~30x slower.
+      // One parquet split feeds the expansion, so repartition first.
       val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(
-          col("doc_id"),
-          when(
-            size(col("toks")) >= 8,
-            expr("transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))")
-          ).otherwise(array().cast("array<string>")).as("grams")
-        )
+        .where(size(col("toks")) >= 8) // guard: sequence(1, n-7) must ascend
+        .select(col("doc_id"), col("toks"), expr("explode(sequence(1, size(toks) - 7)) AS i"))
+        .select(col("doc_id"), concat_ws(" ", slice(col("toks"), col("i"), lit(8))).as("g"))
       val eval8 = docs
         .filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(col("grams")).as("g"))
+        .select(col("g"))
         .distinct()
       docs
         .filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), explode(col("grams")).as("g"))
         .join(broadcast(eval8), "g")
         .groupBy("doc_id")
         .agg(countDistinct(col("g")).as("shared_8grams"))
@@ -523,6 +535,103 @@ object TextOps {
           element_at(col("col"), -1).as("last_token")
         )
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Pattern scrub/masking: redact a configurable token pattern (the
+    // PII-redaction shape — here a word stoplist, since the synthetic
+    // corpus carries no emails/SSNs) and report per-doc mask counts.
+    // Pure narrow projection: regexp_count + regexp_replace are
+    // codegen'd, no shuffle before the final sort.
+    "d24_mask_tokens" -> ((s, dir) => {
+      val pat = "\\b(value|key|hash|table)\\b"
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("int").as("n_masked"),
+          length(regexp_replace(col("text"), pat, "<MASK>")).cast("int").as("masked_len"),
+          substring(regexp_replace(col("text"), pat, "<MASK>"), 1, 80).as("masked_prefix")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Bigram PMI (pointwise mutual information): the collocation-mining
+    // statistic over the corpus. Two keyed aggs (unigrams, bigrams), the
+    // tiny vocab side broadcast into the count-threshold survivors, and
+    // the two corpus totals ride as 1-row broadcasts — at 100 TB the only
+    // heavy shuffles are the two hash aggs, both map-side combined.
+    "d25_pmi_bigrams" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
+      val bg = toks
+        .where(size(col("t")) >= 2)
+        .select(col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .selectExpr("t[i - 1] AS a", "t[i] AS b")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("c_ab"))
+      val nBg = bg.agg(sum(col("c_ab")).as("n_bigrams"))
+      val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      bg.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+        .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+        .crossJoin(broadcast(nBg))
+        .crossJoin(broadcast(nUni))
+        .select(
+          col("a"),
+          col("b"),
+          col("c_ab"),
+          round(
+            log(col("c_ab").cast("double") * col("n_uni") * col("n_uni") /
+              (col("n_bigrams") * col("c_a") * col("c_b"))),
+            6
+          ).as("pmi")
+        )
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Zipf-law fit: regress log(frequency) on log(rank) over the top-1000
+    // token types — the corpus-health diagnostic (natural text ≈ -1).
+    // The rank step is a TakeOrderedAndProject top-k, never a global
+    // sort, so vocabulary size doesn't bound the plan.
+    "d26_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(1000)
+      freq
+        .select(col("c"), row_number().over(Window.orderBy(col("c").desc, col("tok"))).as("r"))
+        .select(log(col("c").cast("double")).as("lc"), log(col("r").cast("double")).as("lr"))
+        .agg(
+          round(expr("regr_slope(lc, lr)"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(lc, lr)"), 6).as("zipf_intercept"),
+          round(expr("regr_r2(lc, lr)"), 6).as("r2"),
+          count(lit(1)).as("n_types")
+        )
+    }),
+
+    // Hapax-legomena ratio per language stratum: the vocabulary-richness
+    // signal (share of types occurring exactly once). One (lang, token)
+    // agg then one per-lang agg — both map-side combined.
+    "d27_hapax_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          count(lit(1)).as("n_vocab")
+        )
+        .select(
+          col("lang"),
+          col("n_hapax"),
+          col("n_vocab"),
+          round(col("n_hapax").cast("double") / col("n_vocab"), 6).as("hapax_ratio")
+        )
+        .orderBy("lang")
     }),
 
     // Mixture re-weighting: per-language sampling weights that would
@@ -794,6 +903,38 @@ object TextOps {
         |  SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn % 5 = 1 ORDER BY doc_id""".stripMargin,
+    "d24_mask_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(value|key|hash|table)\b')) AS INT) AS n_masked,
+        |  CAST(length(regexp_replace(text, '\b(value|key|hash|table)\b', '<MASK>', 'g')) AS INT) AS masked_len,
+        |  substring(regexp_replace(text, '\b(value|key|hash|table)\b', '<MASK>', 'g'), 1, 80) AS masked_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d25_pmi_bigrams" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s FROM toks),
+        |bc AS (SELECT s.a AS a, s.b AS b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |n AS (SELECT (SELECT sum(c_ab) FROM bc) AS n_bigrams, (SELECT sum(c) FROM uc) AS n_uni)
+        |SELECT a, b, c_ab, round(ln(CAST(c_ab AS DOUBLE) * n.n_uni * n.n_uni / (n.n_bigrams * ca.c * cb.c)), 6) AS pmi
+        |FROM bc JOIN uc ca ON bc.a = ca.tok JOIN uc cb ON bc.b = cb.tok, n
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+    "d26_zipf_slope" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |ranked AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM freq)
+        |SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+        |       round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS zipf_intercept,
+        |       round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) AS r2,
+        |       count(*) AS n_types
+        |FROM ranked WHERE r <= 1000""".stripMargin,
+    "d27_hapax_ratio" ->
+      """WITH toks AS (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |freq AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax, count(*) AS n_vocab,
+        |       round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6) AS hapax_ratio
+        |FROM freq GROUP BY 1 ORDER BY 1""".stripMargin,
     "d15_contamination" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
