@@ -178,6 +178,39 @@ object EventOps {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // Time-series resample + forward fill: quantize each user's readings
+    // to a 15-min grid (per-slot max), densify the grid with sequence()
+    // (no calendar table needed), and gap-fill with last-observation-
+    // carried-forward via an IGNORE NULLS window — the standard
+    // sensor/metric regularization step. The grid generate is per-user
+    // (keyed), the ffill is one keyed window: no global sort anywhere.
+    "q64_resample_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(
+          col("user_id"),
+          timestamp_seconds(floor(unix_timestamp(col("ts")) / 900) * 900).as("slot"),
+          col("value")
+        )
+      val slotAgg = ev.groupBy("user_id", "slot").agg(round(max(col("value")), 2).as("slot_max"))
+      val grid = ev
+        .groupBy("user_id")
+        .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+        .select(col("user_id"), explode(expr("sequence(lo, hi, interval 15 minutes)")).as("slot"))
+      val w = Window.partitionBy("user_id").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(slotAgg, Seq("user_id", "slot"), "left")
+        .select(
+          col("user_id"),
+          col("slot"),
+          col("slot_max"),
+          last(col("slot_max"), ignoreNulls = true).over(w).as("filled"),
+          col("slot_max").isNull.as("is_gap")
+        )
+        .orderBy("user_id", "slot")
+    }),
+
     // As-of join: every event enriched with the latest purchase at-or-
     // before it for the same user ([[AsOfJoin]]; oracle = DuckDB's native
     // ASOF LEFT JOIN).
@@ -235,6 +268,18 @@ object EventOps {
         |SELECT i.interval_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
         |FROM events e JOIN iv i ON epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) <= i.end_us
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q64_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS slot, value
+        |            FROM events WHERE user_id < 10),
+        |sa AS (SELECT user_id, slot, round(max(value), 2) AS slot_max FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS TIMESTAMP) AS slot FROM bounds)
+        |SELECT g.user_id, g.slot, sa.slot_max,
+        |  last_value(sa.slot_max IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  (sa.slot_max IS NULL) AS is_gap
+        |FROM grid g LEFT JOIN sa ON g.user_id = sa.user_id AND g.slot = sa.slot
+        |ORDER BY g.user_id, g.slot""".stripMargin,
     "q63_scd2_history" ->
       """SELECT user_id, event_id, round(value, 2) AS value,
         |  CAST(ts AS TIMESTAMP) AS valid_from,

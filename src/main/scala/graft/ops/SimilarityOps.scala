@@ -180,6 +180,42 @@ object SimilarityOps {
         .orderBy("label")
     }),
 
+    // Embedding-space class separation: each vector's cosine to its own
+    // label centroid vs its best OTHER centroid, aggregated per label —
+    // the silhouette-style diagnostic for "are these labels separable",
+    // computed against centroids only (O(n·k), never vector×vector).
+    // Centroids are rounded to 6dp BEFORE the cosine on both engines so
+    // the kernel inputs are bit-identical.
+    "s09_centroid_separation" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("own_label"),
+          col("embedding").cast("array<double>").as("x"))
+      val cents = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("c_label"), posexplode(col("embedding")))
+        .groupBy("c_label", "pos")
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy("c_label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_label"), expr("transform(pm, e -> e.m)").as("centroid"))
+      emb
+        .crossJoin(broadcast(cents)) // k centroids: tiny, deliberate fan-out
+        .select(col("vec_id"), col("own_label"), col("c_label"),
+          cosine_similarity(col("x"), col("centroid")).as("cs"))
+        .groupBy("vec_id", "own_label")
+        .agg(
+          max(when(col("c_label") === col("own_label"), col("cs"))).as("own_cs"),
+          max(when(col("c_label") =!= col("own_label"), col("cs"))).as("best_other")
+        )
+        .groupBy(col("own_label").as("label"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          round(avg(col("own_cs")), 6).as("avg_own_cos"),
+          round(avg(col("best_other")), 6).as("avg_best_other_cos"),
+          round(avg(col("own_cs") - col("best_other")), 6).as("avg_margin")
+        )
+        .orderBy("label")
+    }),
+
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness
@@ -211,6 +247,24 @@ object SimilarityOps {
         |SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS q_sum, list_min(qs) AS q_min, list_max(qs) AS q_max,
         |  CAST(len(list_filter(qs, x -> abs(x) = 127)) AS INT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
+    "s09_centroid_separation" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |c AS (SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m FROM e GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label),
+        |sims AS (SELECT x.vec_id, x.label AS own_label, ct.label AS c_label,
+        |  list_dot_product(CAST(x.embedding AS DOUBLE[]), ct.centroid) /
+        |    (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(ct.centroid, ct.centroid))) AS cs
+        |  FROM embeddings x, cent ct),
+        |agg AS (SELECT vec_id, own_label,
+        |  max(CASE WHEN c_label = own_label THEN cs END) AS own_cs,
+        |  max(CASE WHEN c_label <> own_label THEN cs END) AS best_other
+        |  FROM sims GROUP BY 1, 2)
+        |SELECT CAST(own_label AS BIGINT) AS label, count(*) AS n_vectors,
+        |  round(avg(own_cs), 6) AS avg_own_cos,
+        |  round(avg(best_other), 6) AS avg_best_other_cos,
+        |  round(avg(own_cs - best_other), 6) AS avg_margin
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     "s08_label_centroid" ->
       """WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings),
         |c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS n FROM e GROUP BY 1, 2)

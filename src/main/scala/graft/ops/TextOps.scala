@@ -184,6 +184,67 @@ object TextOps {
     withBits.select(col("doc_id"), sig.as("simhash"))
   }
 
+  // ------------------------------------------------- set-similarity join
+  /** EXACT set-similarity self-join with LOSSLESS prefix filtering
+    * (All-Pairs/PPJoin family): emits every doc pair whose shingle-set
+    * Jaccard is >= `threshold` — no recall loss, unlike the MinHash-LSH
+    * path ([[minhashDedupPairs]]) — while never forming the corpus
+    * cross-product.
+    *
+    * Prefix filter: under any TOTAL order on shingles, if
+    * J(x,y) >= t then |x∩y| >= t·|x| (and symmetrically t·|y|), so x and
+    * y must collide on at least one shingle inside their first
+    * `|x| - ceil(t·|x|) + 1` shingles of that order. Ordering by global
+    * document-frequency ASCENDING puts the rarest shingles in the
+    * prefix, so the candidate join is keyed on rare shingles: the
+    * mega-frequent shingles that would skew a shingle-keyed join sort
+    * LAST and almost never enter a prefix. Verification computes the
+    * exact intersection size as a (doc, shingle) equi-join — arrays are
+    * never carried through a shuffle.
+    *
+    * Every stage is an equi-join or keyed agg; wall-clock scales with
+    * candidates (true near-dup density), not corpus².
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def setSimilarityJoin(docs: DataFrame, shingleWidth: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= shingleWidth)
+      .select(col("doc_id"), col("t"), expr(s"explode(sequence(1, size(t) - ${shingleWidth - 1})) AS i"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(shingleWidth))).as("sh"))
+      .distinct()
+      .persist()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh
+      .join(dfreq, "sh")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), "sh")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4).as("jaccard")
+      )
+      .where(col("jaccard") >= threshold)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, keep min doc_id.
     "d01_exact_dedup" -> ((s, dir) => {
@@ -634,6 +695,32 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Bigram language-model score: each doc's mean add-1-smoothed bigram
+    // log-probability under the corpus LM — the model-based quality
+    // signal (low scores flag disfluent/degenerate text). Corpus counts
+    // join back to doc bigrams by key; the vocab size rides as a 1-row
+    // broadcast. No broadcast hint on the count tables: at 100 TB the
+    // unigram/bigram tables outgrow a broadcast and AQE picks the
+    // strategy per actual size.
+    "d29_bigram_logprob" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val docBg = toks
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
+      val bgCounts = docBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      docBg
+        .join(bgCounts, Seq("a", "b"))
+        .join(uni.select(col("tok").as("a"), col("c")), "a")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), log((col("c_ab") + 1).cast("double") / (col("c") + col("v"))).as("logp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Mixture re-weighting: per-language sampling weights that would
     // equalize each language's token share — the mixture-balancing
     // arithmetic a pre-training data recipe runs over curation stats.
@@ -736,6 +823,18 @@ object TextOps {
             4
           ).as("jaccard")
         )
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact set-similarity self-join with lossless prefix filtering
+    // ([[setSimilarityJoin]]): EVERY pair at 5-shingle Jaccard >= 0.5
+    // across the whole corpus — unlike d09 (id-window candidates) or x02
+    // (LSH, recall < 1), this is the full all-pairs answer computed
+    // without the all-pairs join. Oracle = DuckDB's literal O(n²)
+    // all-pairs jaccard, which the prefix-filtered result must equal
+    // exactly (losslessness is the theorem under test).
+    "d28_setsim_join" -> ((s, dir) => {
+      setSimilarityJoin(t(s, dir, "documents"), shingleWidth = 5, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1063,6 +1162,27 @@ object TextOps {
     "d08_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin,
+    "d29_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |dbf AS (SELECT doc_id, s.a AS a, s.b AS b FROM db),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM dbf GROUP BY 1, 2),
+        |lp AS (SELECT d.doc_id, ln(CAST(bc.c_ab + 1 AS DOUBLE) / (uc.c + v.v)) AS logp
+        |       FROM dbf d JOIN bc ON d.a = bc.a AND d.b = bc.b JOIN uc ON d.a = uc.tok, v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logprob
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d28_setsim_join" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' '))) AS s
+        |       FROM tok WHERE len(t) >= 5),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT * FROM p WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d09_jaccard_pairs" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TextOps.setSimilarityJoin]]: the prefix filter must be LOSSLESS —
+  * the filtered join returns exactly the brute-force all-pairs answer.
+  */
+class SetSimJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def brute(threshold: Double, width: Int) = {
+    val tok = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .where(size(col("t")) >= width)
+      .select(
+        col("doc_id"),
+        array_distinct(
+          expr(s"transform(sequence(1, size(t) - ${width - 1}), i -> concat_ws(' ', slice(t, i, $width)))")
+        ).as("s")
+      )
+    tok.as("a")
+      .join(tok.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+            size(array_union(col("a.s"), col("b.s"))),
+          4
+        ).as("jaccard")
+      )
+      .where(col("jaccard") >= threshold)
+  }
+
+  test("prefix-filtered join equals brute-force all-pairs at sf0.001 (t=0.5, w=5)") {
+    val fast = TextOps.setSimilarityJoin(Tables.t(spark, sfDir, "documents"), 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slow = brute(0.5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(slow.nonEmpty, "fixture should contain near-dup pairs")
+    assert(fast === slow)
+  }
+
+  test("a lower threshold still matches brute force (more candidates survive the prefix)") {
+    val fast = TextOps.setSimilarityJoin(Tables.t(spark, sfDir, "documents"), 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slow = brute(0.3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === slow)
+  }
+
+  test("plan has no cartesian product or nested-loop join") {
+    val p = TextOps.setSimilarityJoin(Tables.t(spark, sfDir, "documents"), 5, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
