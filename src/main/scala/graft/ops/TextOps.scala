@@ -826,6 +826,43 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Native RECURSIVE CTE (Spark 4's WITH RECURSIVE): bounded 5-hop
+    // neighborhood expansion over the near-dup DAG — the frontier-
+    // expansion query d12/d22/d23 hand-roll as driver loops, expressed
+    // declaratively and planned by Catalyst's recursion operator. The
+    // edge set is the same SQL-expressible near-dup graph; UNION ALL +
+    // a depth guard keeps the expansion bounded (Spark does not yet
+    // support UNION-distinct recursion), and doc_a < doc_b by
+    // construction makes the graph acyclic.
+    "d30_khop_neighborhood" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (ev, dv) = (s"edges_k_$tag", s"docs_k_$tag")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val left = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+      left
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .filter(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))) >= 0.7
+        )
+        .select(col("doc_a"), col("doc_b"))
+        .createOrReplaceTempView(ev)
+      t(s, dir, "documents").select(col("doc_id")).createOrReplaceTempView(dv)
+      val df = s.sql(s"""
+        WITH RECURSIVE reach(seed, node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM $dv WHERE doc_id < 50
+          UNION ALL
+          SELECT r.seed, e.doc_b, r.depth + 1 FROM reach r JOIN $ev e ON e.doc_a = r.node WHERE r.depth < 5)
+        SELECT seed, count(DISTINCT node) AS n_reachable, CAST(max(depth) AS BIGINT) AS max_depth
+        FROM reach GROUP BY seed ORDER BY seed
+      """)
+      Seq(ev, dv).foreach(s.catalog.dropTempView)
+      df
+    }),
+
     // Exact set-similarity self-join with lossless prefix filtering
     // ([[setSimilarityJoin]]): EVERY pair at 5-shingle Jaccard >= 0.5
     // across the whole corpus — unlike d09 (id-window candidates) or x02
@@ -1162,6 +1199,17 @@ object TextOps {
     "d08_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin,
+    "d30_khop_neighborhood" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_cat(a.toks, b.toks))) >= 0.7),
+        |reach(seed, node, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT r.seed, e.doc_b, r.depth + 1 FROM reach r JOIN e ON e.doc_a = r.node WHERE r.depth < 5)
+        |SELECT seed, CAST(count(DISTINCT node) AS BIGINT) AS n_reachable, CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "d29_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |uni AS (SELECT unnest(t) AS tok FROM toks),

@@ -126,6 +126,17 @@ object EventStreams {
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
   }
 
+  /** Stream-STATIC enrichment join: each streamed event joined to a
+    * bounded dimension table (the lookup/enrichment shape — user →
+    * nation here as a stand-in for any profile dim). The static side is
+    * planned per micro-batch as an ordinary broadcast hash join: no
+    * stream state at all, which is what makes enrichment free at
+    * unbounded stream length; only the dim's size matters, and a dim too
+    * big to broadcast degrades to a shuffled join per batch.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** foreachBatch sink: the hook where per-batch (per-day) commit logic —
     * like the reference's watermark write — runs transactionally with the
     * batch id. Caller supplies the body.

@@ -169,4 +169,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture produced no attribution pairs")
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(5)}")
   }
+
+  test("stream-static enrichment joins every event to its dim row with zero stream state") {
+    val dim = spark.range(0, 1000).select(
+      col("id").as("user_id"),
+      (col("id") % 25).as("nation_key")
+    )
+    val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
+    val q = EventStreams
+      .enrichWithDim(events, dim, "user_id")
+      .select("event_id", "user_id", "nation_key")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_out")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val enriched = spark.table("enrich_out")
+    val nEvents = graft.ops.Tables.t(spark, sfDir, "events").count()
+    assert(enriched.count() == nEvents, "every event must be enriched exactly once")
+    assert(
+      enriched.filter(col("nation_key") =!= col("user_id") % 25).count() == 0,
+      "enrichment must carry the matching dim row"
+    )
+    // Zero stateful operators: enrichment must not accumulate stream state.
+    val progress = q.lastProgress
+    assert(progress == null || progress.stateOperators.isEmpty || progress.stateOperators.forall(_.numRowsTotal == 0))
+  }
 }
