@@ -224,6 +224,31 @@ object MultimodalOps {
       sampleFrames(syntheticAssets(s, dir), strideBytes = 64, maxFrames = 4)
         .toDF()
         .orderBy("asset_id", "frame_idx")
+    }),
+    // Resize pass: payloads shrunk by the codec (stub: stride-decimate),
+    // emitting before/after sizes and the re-extracted leading feature —
+    // the downsample-then-refeaturize step of a media pipeline. Narrow
+    // per-partition map, no shuffle; deterministic rows-only check.
+    "m03_resize_stats" -> ((s, dir) => {
+      val before = syntheticAssets(s, dir)
+      val after = resize(before, scaleDiv = 2)
+      val b = before.toDF().select(col("asset_id"), length(col("payload")).as("orig_bytes"))
+      val a = extractFeatures(after)
+        .toDF()
+        .select(
+          col("asset_id"),
+          col("n_bytes").as("resized_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0_resized")
+        )
+      b.join(a, "asset_id")
+        .select(
+          col("asset_id"),
+          col("orig_bytes"),
+          col("resized_bytes"),
+          (col("resized_bytes") <= col("orig_bytes")).as("shrunk"),
+          col("f0_resized")
+        )
+        .orderBy("asset_id")
     })
   )
 }

@@ -868,6 +868,26 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // VARIANT semi-structured extraction (Spark 4's open JSON type):
+    // parse_json once into a VARIANT column, typed path extraction via
+    // try_variant_get (null on cast failure — mirrors DuckDB TRY_CAST),
+    // then aggregate. The variant parse is a single codegen'd pass;
+    // unlike q35's from_json it needs no schema up front — the
+    // schema-on-read shape for heterogeneous event payloads.
+    "q66_variant_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .selectExpr("event_type", "parse_json(props) AS v")
+        .selectExpr("event_type", "try_variant_get(v, '$.k', 'int') AS k")
+        .where(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k")
+        )
+        .orderBy("event_type")
+    }),
+
     // LATERAL correlated subquery: top-2 orders per customer by price —
     // the per-row table-valued-subquery shape. Catalyst decorrelates the
     // correlated LIMIT into a partitioned rank filter, so the plan is one
@@ -892,6 +912,10 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q66_variant_extract" ->
+      """WITH j AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, CAST(max(k) AS INT) AS max_k, CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q62_lateral_topk" ->
       """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
         |FROM customer c, LATERAL (

@@ -826,6 +826,35 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // N-gram novelty: the fraction of each doc's distinct 8-grams whose
+    // FIRST appearance (min doc_id) is the doc itself — the incremental-
+    // contribution signal an ordered-ingest dedup pass uses to decide
+    // whether a new document adds anything. One gram→min(doc) agg + one
+    // join back; grams built on the codegen path.
+    "d31_ngram_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 5)
+        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 4)) AS i"))
+        .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(5))).as("gram"))
+        .distinct()
+      val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams
+        .join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel")
+        )
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty")
+        )
+        .orderBy("doc_id")
+    }),
+
     // Native RECURSIVE CTE (Spark 4's WITH RECURSIVE): bounded 5-hop
     // neighborhood expansion over the near-dup DAG — the frontier-
     // expansion query d12/d22/d23 hand-roll as driver loops, expressed
@@ -1199,6 +1228,15 @@ object TextOps {
     "d08_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin,
+    "d31_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' '))) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+        |  round(CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM g JOIN f USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
     "d30_khop_neighborhood" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
         |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

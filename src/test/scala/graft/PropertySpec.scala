@@ -73,4 +73,29 @@ class PropertySpec extends AnyFunSuite {
       merged.mkString == w // merging never loses or duplicates characters
     })
   }
+
+  test("binned range join equals the naive range join for random points/intervals/widths") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val ptsGen = Gen.nonEmptyListOf(Gen.choose(-100L, 100L))
+    val ivGen = Gen.nonEmptyListOf(for {
+      s <- Gen.choose(-100L, 100L)
+      len <- Gen.choose(0L, 60L)
+    } yield (s, s + len))
+    val widthGen = Gen.choose(1L, 40L)
+    check(
+      Prop.forAll(ptsGen, ivGen, widthGen) { (ps, ivs, w) =>
+        val points = ps.toDF("p")
+        val intervals = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }.toDF("id", "s", "e")
+        val binned = graft.ops.RangeJoin
+          .pointInInterval(points, "p", intervals, "s", "e", w)
+          .select("id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val naive = points.crossJoin(intervals)
+          .where($"p" >= $"s" && $"p" <= $"e")
+          .select("id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        binned == naive
+      },
+      n = 20 // each trial runs two Spark jobs: keep bounded
+    )
+  }
 }
