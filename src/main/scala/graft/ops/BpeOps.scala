@@ -123,6 +123,8 @@ object BpeOps {
       val merges = learnMerges(wordFreqs(s, dir), k = 8).map(m => (m.left, m.right))
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        // one parquet split: spread the per-word merge replay across tasks
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .map { case (id, text) =>
           val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)

@@ -868,6 +868,25 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Collation-aware grouping (Spark 4 collations): mixed-case keys
+    // (case variance synthesized deterministically from c_custkey parity)
+    // grouped under UTF8_LCASE — the engine-level case-insensitive
+    // equality that otherwise needs lower() wrappers on every reference.
+    // The emitted key is lower()ed because a case-insensitive group's
+    // representative variant is engine-chosen; n_case_variants proves
+    // the group really folded distinct binary strings.
+    "q67_collation_group" -> ((s, dir) => {
+      val seg = when(col("c_custkey") % 2 === 1, initcap(lower(col("c_mktsegment"))))
+        .otherwise(col("c_mktsegment"))
+      t(s, dir, "customer")
+        .select(seg.as("seg"))
+        .select(expr("seg COLLATE UTF8_LCASE").as("k"), col("seg"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), countDistinct(col("seg")).as("n_case_variants"))
+        .select(lower(col("k")).as("segment"), col("n"), col("n_case_variants"))
+        .orderBy("segment")
+    }),
+
     // VARIANT semi-structured extraction (Spark 4's open JSON type):
     // parse_json once into a VARIANT column, typed path extraction via
     // try_variant_get (null on cast failure — mirrors DuckDB TRY_CAST),
@@ -912,6 +931,12 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q67_collation_group" ->
+      """WITH s AS (SELECT CASE WHEN c_custkey % 2 = 1
+        |  THEN concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2))
+        |  ELSE c_mktsegment END AS seg FROM customer)
+        |SELECT lower(seg) AS segment, count(*) AS n, CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q66_variant_extract" ->
       """WITH j AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(max(k) AS INT) AS max_k, CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k

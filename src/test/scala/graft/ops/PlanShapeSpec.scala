@@ -72,6 +72,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q62: the correlated LATERAL LIMIT decorrelates to a keyed window, not a per-row re-scan") {
+    val p = plan("q62_lateral_topk")
+    assert(p.contains("Window"), s"expected a window-based decorrelation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d26: top-1000 type ranking is TakeOrderedAndProject — vocabulary size never forces a global sort") {
+    val p = plan("d26_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q61: the keyless range join plans as an equi-join on the bin, not a nested loop over intervals") {
+    val p = plan("q61_range_bin_join")
+    // the only nested-loop allowed is the deliberate 1-row scalar (base
+    // epoch) broadcast; the events-x-intervals join itself must be keyed
+    assert(
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"range join degenerated to a nested loop:\n$p"
+    )
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graft-objects read: key-only projection prunes the scan schema to the key column") {
     import java.nio.file.Files
     import spark.implicits._
