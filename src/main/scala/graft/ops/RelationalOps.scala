@@ -868,6 +868,25 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other — the semantics a naive `=` join silently drops. Nulls
+    // synthesized deterministically (every key ≡ 3 mod 7); the null
+    // group's presence in the output is the property under test. <=> is
+    // still an equi-join for the planner: hash-partitionable, no
+    // nested loop.
+    "q68_null_safe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 20)
+        .select(col("c_custkey"), expr("nullif(c_nationkey % 7, 3)").cast("long").as("k"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 20)
+        .select(expr("nullif(o_custkey % 7, 3)").cast("long").as("k2"))
+      c.join(o, col("k") <=> col("k2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy("k")
+    }),
+
     // Collation-aware grouping (Spark 4 collations): mixed-case keys
     // (case variance synthesized deterministically from c_custkey parity)
     // grouped under UTF8_LCASE — the engine-level case-insensitive
@@ -931,6 +950,12 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q68_null_safe_join" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer WHERE c_custkey <= 20),
+        |o AS (SELECT o_custkey, nullif(o_custkey % 7, 3) AS k2 FROM orders WHERE o_custkey <= 20)
+        |SELECT CAST(c.k AS BIGINT) AS k, count(*) AS n_pairs, CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+        |FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k2
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "q67_collation_group" ->
       """WITH s AS (SELECT CASE WHEN c_custkey % 2 = 1
         |  THEN concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2))

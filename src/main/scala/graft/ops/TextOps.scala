@@ -878,6 +878,9 @@ object TextOps {
             size(array_union(col("toks_a"), col("toks_b"))) >= 0.7
         )
         .select(col("doc_a"), col("doc_b"))
+        // each recursion step re-reads this relation: materialize the
+        // (expensive) similarity join once instead of 5 replays
+        .localCheckpoint()
         .createOrReplaceTempView(ev)
       t(s, dir, "documents").select(col("doc_id")).createOrReplaceTempView(dv)
       val df = s.sql(s"""
