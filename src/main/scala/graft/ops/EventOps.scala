@@ -136,6 +136,25 @@ object EventOps {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // NATIVE session windows (session_window in batch): the engine-level
+    // merge-on-overlap sessionization, paired with q31's hand-rolled
+    // gaps-and-islands twin the way q53 pairs with q33 for as-of joins.
+    // Spark's session end = last event + gap; the oracle reconstructs
+    // identical sessions from the same strict->30min gap rule.
+    "q69_session_window_native" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events")
+        )
+        .orderBy("user_id", "session_start")
+    }),
+
     // KEYLESS range join via binning ([[RangeJoin]]): events matched to
     // overlapping, variable-length time intervals with NO shared equi-key
     // (q47's interval join rides its user_id key; here there is none, which
@@ -258,6 +277,17 @@ object EventOps {
         |  round(max_by(value, ts), 2) AS last_value, min_by(event_id, ts) AS first_event_id,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_session_window_native" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+        |    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM gaps)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q61_range_bin_join" ->
       """WITH base AS (SELECT min(epoch_us(ts)) AS base FROM events),
         |iv AS (
