@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
   * fit the capture window: the `"queries"` map carries only the slowest
   * [[TopN]] queries at millisecond precision (the ones that matter for a
   * perf read), and the complete per-query timing rides in `"ms"` — an
-  * int-milliseconds array aligned with the ALPHABETICAL query order (the
-  * same order `"names_hash"` fingerprints), ~5 bytes per query instead of
-  * ~30. Everything else — full name→seconds map, raw reps, flags — goes
-  * to `bench_full.json` next to the build for readers with file access.
+  * int-milliseconds array aligned with the ALPHABETICAL order of the
+  * queries that RAN (the full registry, or the `SPARK_GRAFT_ONLY` subset;
+  * `n_queries` says which), ~5 bytes per query instead of ~30. The
+  * failed/contended arrays are capped at 8 names (exact counts ride in
+  * `n_failed`/`n_contended`) so a broken build cannot blow the budget.
+  * Everything else — full name→seconds map, raw reps, complete flag
+  * lists — goes to `bench_full.json` next to the build.
   *
   * Noise posture: single-shot timings on a shared VM recorded 10-80x
   * phantom regressions (BENCH_r02 x02=89.6s vs 8.8s standalone), so each
@@ -128,21 +131,37 @@ object Bench {
       if (ok) {
         // Isolated re-timing for queries the interleaved passes disagree
         // on, or that blow past the committed reference: keep timing until
-        // a rep corroborates steady state.
+        // a rep corroborates steady state. A FAILED extra rep (transient
+        // OOM under the same contention that triggered the retry) must
+        // not discard the already-valid measurements — it just stops the
+        // retry loop; the query keeps its passes and is flagged contended
+        // if those never settled.
         var extra = 0
-        while (ok && (!settled(times) || !withinReference(name, times)) && extra < MaxExtraReps) {
+        var retrying = true
+        while (retrying && (!settled(times) || !withinReference(name, times)) && extra < MaxExtraReps) {
           val (t, o) = timeOnce(fn)
-          times = times :+ t
-          ok = o
+          if (o) times = times :+ t else retrying = false
           extra += 1
         }
       }
       val contended = ok && (!settled(times) || !withinReference(name, times))
       (name, if (ok) times.min else Double.NaN, times, ok, contended)
     }
-    def fmt(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
-    val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val contended = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // Locale-pinned: a comma-decimal default locale would otherwise break
+    // both JSON artifacts.
+    def fmt(d: Double): String =
+      if (d.isNaN) "null" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val failedNames = results.collect { case (k, _, _, false, _) => k }
+    val contendedNames = results.collect { case (k, _, _, _, true) => k }
+    def jsonArr(names: Seq[String]): String = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = jsonArr(failedNames)
+    val contended = jsonArr(contendedNames)
+    // Stdout flag arrays are CAPPED so a broken build (dozens of failures)
+    // cannot push the one-line artifact past the harness's 2000-char
+    // capture window — the head-truncation failure mode this file exists
+    // to avoid. Counts are always exact; full name lists are in the file.
+    def jsonArrCapped(names: Seq[String], cap: Int = 8): String =
+      jsonArr(if (names.size <= cap) names else names.take(cap) :+ s"...${names.size - cap} more")
     val total = results.filterNot(_._2.isNaN).map(_._2).sum
 
     // Full artifact → file (complete name→min map + raw reps).
@@ -166,7 +185,7 @@ object Bench {
       .map { case (_, v, _, _, _) => if (v.isNaN) "null" else math.round(v * 1000).toString }
       .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"n_queries":${results.size},"order":"alphabetical","ms":$msArr,"failed":$failed,"contended":$contended,"sf":"$sfDir","detail":"bench_full.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"n_queries":${results.size},"order":"alphabetical","ms":$msArr,"n_failed":${failedNames.size},"failed":${jsonArrCapped(failedNames)},"n_contended":${contendedNames.size},"contended":${jsonArrCapped(contendedNames)},"sf":"$sfDir","detail":"bench_full.json"}"""
     )
     spark.stop()
     // Forked JVM: hard-exit after the artifacts are out (see Verify).

@@ -277,9 +277,13 @@ object EventOps {
         |  round(max_by(value, ts), 2) AS last_value, min_by(event_id, ts) AS first_event_id,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gap test at MICROsecond precision with >= : Spark's session_window
+    // is end-exclusive ([start, last+gap)), so a gap of exactly the
+    // window splits, and a second-granularity date_diff would merge
+    // gaps in (1800s, 1801s) that Spark splits.
     "q69_session_window_native" ->
       """WITH gaps AS (
-        |  SELECT user_id, ts, CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+        |  SELECT user_id, ts, CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
         |    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         |  FROM events WHERE user_id < 20
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

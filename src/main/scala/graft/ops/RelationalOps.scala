@@ -807,7 +807,10 @@ object RelationalOps {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          mode(col("o_orderpriority")).as("top_priority"),
+          // deterministic=true: frequency ties return the LOWEST value —
+          // bare mode() picks an arbitrary tie member per engine, so the
+          // oracle could only pass by fixture luck.
+          expr("mode(o_orderpriority, true)").as("top_priority"),
           round(median(col("o_totalprice")), 2).as("median_price"),
           round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25_price"),
           count(lit(1)).as("n")
@@ -995,11 +998,16 @@ object RelationalOps {
         |  round(o_totalprice / 3, 2) AS daily_price
         |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey, active_day""".stripMargin,
     "q57_mode_median" ->
-      """SELECT o_orderstatus, mode(o_orderpriority) AS top_priority,
+      """WITH freq AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders GROUP BY 1, 2),
+        |top AS (SELECT o_orderstatus, o_orderpriority AS top_priority FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY c DESC, o_orderpriority) AS rn FROM freq) WHERE rn = 1),
+        |s AS (SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25_price,
         |  count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM orders GROUP BY 1)
+        |SELECT s.o_orderstatus, top.top_priority, s.median_price, s.p25_price, s.n
+        |FROM s JOIN top USING (o_orderstatus) ORDER BY 1""".stripMargin,
     "q58_regr_aggs" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

@@ -19,6 +19,22 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Word n-grams as rows: `(doc_id, gram)` with one row per n-gram of
+    * `width` consecutive tokens. Docs shorter than `width` yield nothing.
+    * Built on the CODEGEN path — explode the start index, then
+    * slice+concat_ws — because a lambda `transform(...)` here is
+    * CodegenFallback and benchmarked ~30x slower. Shared by the
+    * contamination, set-similarity, and novelty operators (the MinHash
+    * shingler keeps its own variant: it must also emit one truncated
+    * shingle for short docs, the reference semantics its signatures pin).
+    */
+  private def ngramRows(docs: DataFrame, width: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= width)
+      .select(col("doc_id"), col("t"), expr(s"explode(sequence(1, size(t) - ${width - 1})) AS i"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(width))).as("gram"))
+
   // ---------------------------------------------------------------- MinHash
   // Deterministic universal-hash family h_i(x) = (a_i * x + b_i) mod P over
   // a Murmur3 base hash. Constants are fixed-seed so every run (and every
@@ -206,43 +222,58 @@ object TextOps {
     * candidates (true near-dup density), not corpus².
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
-  def setSimilarityJoin(docs: DataFrame, shingleWidth: Int, threshold: Double): DataFrame = {
+  /** @param materialize eagerly compute the (small) pair set and release
+    *        the intermediate caches before returning — the default, and
+    *        the same cache hygiene as [[minhashDedupPairs]]. Pass false
+    *        only to inspect the un-truncated lazy plan (tests).
+    */
+  def setSimilarityJoin(
+      docs: DataFrame,
+      shingleWidth: Int,
+      threshold: Double,
+      materialize: Boolean = true
+  ): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val sh = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= shingleWidth)
-      .select(col("doc_id"), col("t"), expr(s"explode(sequence(1, size(t) - ${shingleWidth - 1})) AS i"))
-      .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(shingleWidth))).as("sh"))
-      .distinct()
-      .persist()
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
-    val ranked = sh
-      .join(dfreq, "sh")
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
-    val prefix = ranked
-      .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("doc_id"), col("sh"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), "sh")
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4).as("jaccard")
-      )
-      .where(col("jaccard") >= threshold)
+    // Consumed by four joins below; persisted for the call and (when
+    // materializing) released after the pair result is checkpointed — a
+    // leaked persist would pin the full shingle expansion in the block
+    // manager for the session lifetime. The lazy (test) path skips the
+    // persist entirely rather than leak it.
+    val shBase = ngramRows(docs, shingleWidth).withColumnRenamed("gram", "sh").distinct()
+    val sh = if (materialize) shBase.persist() else shBase
+    try {
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id")
+      val ranked = sh
+        .join(dfreq, "sh")
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      val prefix = ranked
+        .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+        .select(col("doc_id"), col("sh"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"), "sh")
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4).as("jaccard")
+        )
+        .where(col("jaccard") >= threshold)
+      if (materialize) pairs.localCheckpoint() else pairs
+    } finally {
+      if (materialize) sh.unpersist(blocking = false)
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -470,16 +501,12 @@ object TextOps {
     // probe, no corpus shuffle; output is per-train-doc shared-gram
     // counts. The standard n-gram-overlap decontamination shape.
     "d15_contamination" -> ((s, dir) => {
-      // Gram construction stays on the CODEGEN path: explode the start
-      // index, then slice+concat_ws (all codegen'd) — a lambda-based
-      // `transform(...)` here is CodegenFallback and ran ~30x slower.
-      // One parquet split feeds the expansion, so repartition first.
-      val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 8) // guard: sequence(1, n-7) must ascend
-        .select(col("doc_id"), col("toks"), expr("explode(sequence(1, size(toks) - 7)) AS i"))
-        .select(col("doc_id"), concat_ws(" ", slice(col("toks"), col("i"), lit(8))).as("g"))
+      // One parquet split feeds the [[ngramRows]] expansion, so
+      // repartition first.
+      val docs = ngramRows(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        width = 8
+      ).withColumnRenamed("gram", "g")
       val eval8 = docs
         .filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(col("g"))
@@ -832,12 +859,7 @@ object TextOps {
     // whether a new document adds anything. One gram→min(doc) agg + one
     // join back; grams built on the codegen path.
     "d31_ngram_novelty" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .where(size(col("t")) >= 5)
-        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 4)) AS i"))
-        .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(5))).as("gram"))
-        .distinct()
+      val grams = ngramRows(t(s, dir, "documents"), width = 5).distinct()
       val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
       grams
         .join(first, "gram")

@@ -132,10 +132,13 @@ object EventStreams {
     * planned per micro-batch as an ordinary broadcast hash join: no
     * stream state at all, which is what makes enrichment free at
     * unbounded stream length; only the dim's size matters, and a dim too
-    * big to broadcast degrades to a shuffled join per batch.
+    * big to broadcast degrades to a shuffled join per batch. No broadcast
+    * HINT: the planner broadcasts under autoBroadcastJoinThreshold and
+    * falls back to a shuffle above it — a mandatory hint would instead
+    * OOM the driver on an oversized dim.
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+    events.join(dim, key)
 
   /** foreachBatch sink: the hook where per-batch (per-day) commit logic —
     * like the reference's watermark write — runs transactionally with the

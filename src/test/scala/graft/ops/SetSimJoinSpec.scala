@@ -53,7 +53,9 @@ class SetSimJoinSpec extends AnyFunSuite {
   }
 
   test("plan has no cartesian product or nested-loop join") {
-    val p = TextOps.setSimilarityJoin(Tables.t(spark, sfDir, "documents"), 5, 0.5)
+    // materialize=false: the default localCheckpoint would truncate the
+    // lineage and hide the join plan under inspection here.
+    val p = TextOps.setSimilarityJoin(Tables.t(spark, sfDir, "documents"), 5, 0.5, materialize = false)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
