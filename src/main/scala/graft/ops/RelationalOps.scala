@@ -871,6 +871,102 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // TPC-H Q18 shape (large-volume orders): a grouped-HAVING IN-subquery
+    // gating a 3-table join, then re-aggregation and a deterministic
+    // top-100. The IN side plans as a semi-join on the order key; both
+    // aggs are map-side combined; the top-100 is TakeOrderedAndProject.
+    "q70_tpch_q18_shape" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey").agg(sum("l_quantity").as("sq")).filter(col("sq") > 150)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, "o_orderkey")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice")
+        )
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape (the lone-late-supplier query): the classic
+    // EXISTS + NOT-EXISTS double-correlation — suppliers whose line
+    // shipped >60 days after the order date in a multi-supplier order
+    // where EVERY OTHER supplier shipped on time. Catalyst decorrelates
+    // both subqueries into semi/anti joins on the order key.
+    "q71_late_supplier" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (sv, lv, ov) = (s"supp_q71_$tag", s"li_q71_$tag", s"ord_q71_$tag")
+      t(s, dir, "supplier").createOrReplaceTempView(sv)
+      t(s, dir, "lineitem").createOrReplaceTempView(lv)
+      t(s, dir, "orders").createOrReplaceTempView(ov)
+      val df = s.sql(s"""
+        SELECT s.s_name, count(*) AS numwait
+        FROM $sv s JOIN $lv l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN $ov o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM $lv l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM $lv l3 JOIN $ov o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20
+      """)
+      Seq(sv, lv, ov).foreach(s.catalog.dropTempView)
+      df
+    }),
+
+    // TPC-H Q7 shape (nation-pair trade volume): a 6-table join where
+    // the two nation dims broadcast and the fact-side joins shuffle on
+    // their keys — the canonical star-join-with-two-role-playing-dims.
+    "q72_nation_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("sn_key") === col("s_nationkey"))
+        .join(broadcast(n2), col("cn_key") === col("c_nationkey"))
+        .filter(col("sn_key") < 3 && col("cn_key") < 3 && col("sn_key") =!= col("cn_key"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Chi-square independence statistic over a contingency table
+    // (event_type x user-bucket): observed-vs-expected computed from
+    // three keyed aggs + two tiny broadcast joins — the hypothesis-test
+    // building block, fully distributed (no cell matrix ever collects).
+    // Sums are cast to double before the r*c product so the expected-
+    // count arithmetic cannot overflow at scale.
+    "q73_chi_square" -> ((s, dir) => {
+      val cell = t(s, dir, "events")
+        .groupBy(col("event_type"), (col("user_id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cell.groupBy("event_type").agg(sum("o").as("r"))
+      val ct = cell.groupBy("bucket").agg(sum("o").as("c"))
+      val n = cell.agg(sum("o").as("n"))
+      cell
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "bucket")
+        .crossJoin(broadcast(n))
+        .select(
+          col("event_type"), col("bucket"), col("o"),
+          (col("r").cast("double") * col("c") / col("n")).as("e"),
+          col("n")
+        )
+        .agg(
+          round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) * (countDistinct(col("bucket")) - 1)).cast("long").as("dof"),
+          max(col("n")).as("n_obs")
+        )
+    }),
+
     // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
     // each other — the semantics a naive `=` join silently drops. Nulls
     // synthesized deterministically (every key ≡ 3 mod 7); the null
@@ -953,6 +1049,44 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q73_chi_square" ->
+      """WITH cell AS (SELECT event_type, user_id % 5 AS bucket, count(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM cell GROUP BY 1),
+        |ct AS (SELECT bucket, sum(o) AS c FROM cell GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM cell)
+        |SELECT round(sum(power(cell.o - (rt.r * ct.c / n.n), 2) / (rt.r * ct.c / n.n)), 4) AS chi2,
+        |  CAST((count(DISTINCT cell.event_type) - 1) * (count(DISTINCT cell.bucket) - 1) AS BIGINT) AS dof,
+        |  CAST(max(n.n) AS BIGINT) AS n_obs
+        |FROM cell JOIN rt USING (event_type) JOIN ct USING (bucket), n""".stripMargin,
+    "q70_tpch_q18_shape" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |  round(o.o_totalprice, 2) AS o_totalprice, round(sum(l.l_quantity), 2) AS total_qty
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q71_late_supplier" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q72_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3 AND n1.n_nationkey <> n2.n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q68_null_safe_join" ->
       """WITH c AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer WHERE c_custkey <= 20),
         |o AS (SELECT o_custkey, nullif(o_custkey % 7, 3) AS k2 FROM orders WHERE o_custkey <= 20)
