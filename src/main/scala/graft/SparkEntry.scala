@@ -40,8 +40,9 @@ object SparkEntry {
     *    winner changes the next round's counts) — not expressible as a
     *    SQL query; BpeOpsSpec pins the exact merge sequence on a
     *    hand-computed fixture and corpus determinism.
-    *  - x05 (zlib), m01/m02 (envelope/codec stubs): byte-level codec
-    *    output; DuckDB has no zlib/codec surface. Round-trip specs cover.
+    *  - x05 (zlib), m01/m02/m03 (codec stub features, frame sampling,
+    *    resize): byte-level codec output; DuckDB has no zlib/codec
+    *    surface. Round-trip + MultimodalCodec contract specs cover.
     *  - s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN):
     *    candidate sets / codes depend on fixed-seed hyperplanes, k-means
     *    cells, or k-means codebooks evaluated in the engine; s01/s05 are

@@ -938,6 +938,39 @@ object RelationalOps {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // CDC MERGE apply (upsert + delete): a changelog (latest recent order
+    // per customer; every 13th key a delete) applied to a snapshot —
+    // deletes as a LEFT ANTI join, upserts as a left join + coalesce.
+    // The parquet-native spelling of MERGE INTO: one window for
+    // latest-per-key, two keyed joins, no driver involvement.
+    "q74_cdc_merge_apply" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cutoff = orders.agg((max(col("o_orderdate")) - expr("INTERVAL 90 DAY")).as("cut"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val changes = orders
+        .crossJoin(broadcast(cutoff)) // 1-row scalar cutoff
+        .filter(col("o_orderdate") >= col("cut"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey").as("key"),
+          when(col("o_custkey") % 13 === 0, "D").otherwise("U").as("op"),
+          round(col("o_totalprice"), 2).as("new_bal")
+        )
+      val upserts = changes.filter(col("op") === "U").select("key", "new_bal")
+      val deletes = changes.filter(col("op") === "D").select("key")
+      t(s, dir, "customer")
+        .join(deletes, col("c_custkey") === deletes("key"), "left_anti")
+        .join(upserts, col("c_custkey") === upserts("key"), "left")
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          round(coalesce(col("new_bal"), col("c_acctbal")), 2).as("acctbal"),
+          col("key").isNotNull.as("updated")
+        )
+        .orderBy("c_custkey")
+    }),
+
     // Chi-square independence statistic over a contingency table
     // (event_type x user-bucket): observed-vs-expected computed from
     // three keyed aggs + two tiny broadcast joins — the hypothesis-test
@@ -1049,6 +1082,23 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q74_cdc_merge_apply" ->
+      """WITH cutoff AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS cut FROM orders),
+        |recent AS (SELECT o.* FROM orders o, cutoff WHERE o.o_orderdate >= cutoff.cut),
+        |latest AS (
+        |  SELECT o_custkey AS key, round(o_totalprice, 2) AS new_bal,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM recent),
+        |changes AS (
+        |  SELECT key, CASE WHEN key % 13 = 0 THEN 'D' ELSE 'U' END AS op, new_bal
+        |  FROM latest WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_name,
+        |  round(coalesce(u.new_bal, c.c_acctbal), 2) AS acctbal,
+        |  (u.key IS NOT NULL) AS updated
+        |FROM customer c
+        |LEFT JOIN (SELECT * FROM changes WHERE op = 'U') u ON u.key = c.c_custkey
+        |WHERE NOT EXISTS (SELECT 1 FROM changes d WHERE d.op = 'D' AND d.key = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q73_chi_square" ->
       """WITH cell AS (SELECT event_type, user_id % 5 AS bucket, count(*) AS o FROM events GROUP BY 1, 2),
         |rt AS (SELECT event_type, sum(o) AS r FROM cell GROUP BY 1),
