@@ -853,6 +853,40 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental (cross-corpus) dedup: flag each INCOMING doc against an
+    // existing BASE corpus — exact duplicate via content-hash left join
+    // (dup_of = keeper in the base), near-duplicate via the fraction of
+    // its 5-grams already present in the base's gram set. The batch-vs-
+    // corpus shape every rolling ingest pipeline runs; all equi-joins
+    // keyed on hash/gram/doc, the base gram set never leaves executors.
+    "d32_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bh = docs.filter(col("doc_id") < 400)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("dup_of"))
+      val g = ngramRows(docs, 5).distinct()
+      val bg = g.filter(col("doc_id") < 400).select("gram").distinct()
+      val ig = g.filter(col("doc_id") >= 400).groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val shared = g.filter(col("doc_id") >= 400)
+        .join(bg, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("shared_grams"))
+      docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(ig, "doc_id")
+        .join(bh, Seq("h"), "left")
+        .join(shared, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("dup_of"),
+          col("dup_of").isNotNull.as("exact_dup"),
+          col("n_grams"),
+          coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+          round(coalesce(col("shared_grams"), lit(0L)).cast("double") / col("n_grams"), 4).as("overlap_frac")
+        )
+        .orderBy("doc_id")
+    }),
+
     // N-gram novelty: the fraction of each doc's distinct 8-grams whose
     // FIRST appearance (min doc_id) is the doc itself — the incremental-
     // contribution signal an ordered-ingest dedup pass uses to decide
@@ -1253,6 +1287,22 @@ object TextOps {
     "d08_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin,
+    "d32_incremental_dedup" ->
+      """WITH bh AS (SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents WHERE doc_id < 400 GROUP BY 1),
+        |tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' '))) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 400),
+        |ig AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE doc_id >= 400 GROUP BY 1),
+        |shared AS (SELECT g.doc_id, count(*) AS shared_grams FROM g JOIN bg USING (gram) WHERE g.doc_id >= 400 GROUP BY 1)
+        |SELECT i.doc_id, bh.dup_of, (bh.dup_of IS NOT NULL) AS exact_dup,
+        |  ig.n_grams, coalesce(shared.shared_grams, 0) AS shared_grams,
+        |  round(CAST(coalesce(shared.shared_grams, 0) AS DOUBLE) / ig.n_grams, 4) AS overlap_frac
+        |FROM (SELECT * FROM documents WHERE doc_id >= 400) i
+        |JOIN ig ON ig.doc_id = i.doc_id
+        |LEFT JOIN bh ON bh.h = md5(i.text)
+        |LEFT JOIN shared ON shared.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
     "d31_ngram_novelty" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' '))) AS gram
