@@ -938,6 +938,29 @@ object RelationalOps {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // GROUPING()/grouping-id flags over ROLLUP: the aggregation-level
+    // indicator that lets a consumer tell a real NULL key from a
+    // subtotal row. The id is composed from the GROUPING bits explicitly
+    // (g_flag*2 + g_status) so it is engine-portable rather than relying
+    // on each engine's native grouping_id bit order.
+    "q75_grouping_id" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          (grouping(col("l_returnflag")).cast("long") * 2 + grouping(col("l_linestatus"))).as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty")
+        )
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_flag"), col("g_status"), col("gid"), col("n"), col("sum_qty")
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    }),
+
     // CDC MERGE apply (upsert + delete): a changelog (latest recent order
     // per customer; every 13th key a delete) applied to a snapshot —
     // deletes as a LEFT ANTI join, upserts as a left join + coalesce.
@@ -1082,6 +1105,13 @@ object RelationalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q75_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
     "q74_cdc_merge_apply" ->
       """WITH cutoff AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS cut FROM orders),
         |recent AS (SELECT o.* FROM orders o, cutoff WHERE o.o_orderdate >= cutoff.cut),
