@@ -30,7 +30,14 @@ for name in sorted(oracle):
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f'SCHEMA  {name}: spark={gcols} oracle={ecols}'); mismatch += 1; continue
-    g = got[gcols].values.tolist(); e = exp[ecols].values.tolist()
+    # Sort the DRIVER's way: pandas sort_values on raw cell values. This
+    # intentionally dies on array/map cells (unhashable numpy.ndarray) so a
+    # non-scalar output fails here exactly as it fails in the official gate.
+    try:
+        g = got[gcols].sort_values(by=gcols).values.tolist()
+        e = exp[ecols].sort_values(by=ecols).values.tolist()
+    except Exception as ex:
+        print(f'ERR     {name}: driver-style sort failed: {ex}'); mismatch += 1; continue
     g = sorted([tuple(str(norm(v)) for v in row) for row in g])
     e = sorted([tuple(str(norm(v)) for v in row) for row in e])
     if len(g) != len(e):

@@ -160,8 +160,10 @@ object Bench {
     // cannot push the one-line artifact past the harness's 2000-char
     // capture window — the head-truncation failure mode this file exists
     // to avoid. Counts are always exact; full name lists are in the file.
-    def jsonArrCapped(names: Seq[String], cap: Int = 8): String =
-      jsonArr(if (names.size <= cap) names else names.take(cap) :+ s"...${names.size - cap} more")
+    // Only real query names in the array — exact counts already ride in
+    // n_failed/n_contended, so truncation needs no in-array sentinel (a
+    // consumer iterating names must never see a fake entry).
+    def jsonArrCapped(names: Seq[String], cap: Int = 8): String = jsonArr(names.take(cap))
     val total = results.filterNot(_._2.isNaN).map(_._2).sum
 
     // Full artifact → file (complete name→min map + raw reps).

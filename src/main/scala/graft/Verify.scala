@@ -4,6 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** True iff the type survives the driver's pandas-based row sort (no
+    * array/map/struct cells — those arrive as unhashable numpy objects). */
+  def isScalar(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType  => false
+    case _: org.apache.spark.sql.types.MapType    => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _ => true
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,9 +26,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Oracle-checked outputs must be scalar-only: the driver's checker
+        // sorts rows through pandas, which cannot hash array/map/struct
+        // cells (numpy.ndarray) — an array column turns a right answer
+        // into an `err` row. Fail loudly here instead.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val complex = df.schema.fields.filter(f => !isScalar(f.dataType))
+          require(complex.isEmpty,
+            s"oracle-checked query $name emits non-scalar columns " +
+              complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+              " — emit array_join/per-dimension rows instead")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

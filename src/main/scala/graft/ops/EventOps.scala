@@ -283,11 +283,11 @@ object EventOps {
     // gaps in (1800s, 1801s) that Spark splits.
     "q69_session_window_native" ->
       """WITH gaps AS (
-        |  SELECT user_id, ts, CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+        |  SELECT user_id, ts, event_id, CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
         |    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         |  FROM events WHERE user_id < 20
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM gaps)
+        |sess AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM gaps)
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
         |  count(*) AS n_events

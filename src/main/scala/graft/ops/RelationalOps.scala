@@ -515,9 +515,12 @@ object RelationalOps {
       import s.implicits._
       val ev = t(s, dir, "events")
       val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
-      val estimates: Map[String, Long] = ev
-        .select("event_type").distinct().as[String].collect()
-        .map(k => k -> cms.estimateCount(k)).toMap
+      // Guarded driver-side probe: the key set must be known-small before
+      // collect() — a high-cardinality column here would OOM the driver,
+      // so fail loudly at the cap instead (see CollectGuard).
+      val estimates: Map[String, Long] = CollectGuard
+        .smallDistinct(ev.select("event_type"), cap = 10000)
+        .map(r => r.getString(0) -> cms.estimateCount(r.getString(0))).toMap
       ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"))
         .select(
@@ -779,7 +782,7 @@ object RelationalOps {
         .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
         .select(
           col("user_id"),
-          array_sort(map_keys(col("m"))).as("types_seen"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("types_seen"),
           coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
           size(map_filter(col("m"), (_, v) => v >= 3)).cast("long").as("n_types_3plus"),
           aggregate(map_values(col("m")), lit(0L), _ + _).as("n_events")
@@ -1201,7 +1204,7 @@ object RelationalOps {
       """WITH pt AS (
         |  SELECT user_id, event_type, count(*) AS n FROM events WHERE user_id < 100 GROUP BY 1, 2)
         |SELECT user_id,
-        |  list_sort(list(event_type)) AS types_seen,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types_seen,
         |  CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS n_click,
         |  CAST(count(*) FILTER (WHERE n >= 3) AS BIGINT) AS n_types_3plus,
         |  CAST(sum(n) AS BIGINT) AS n_events

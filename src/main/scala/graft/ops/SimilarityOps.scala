@@ -163,21 +163,19 @@ object SimilarityOps {
 
     // Per-label centroid embeddings: the class-prototype/cluster-summary
     // op (seed centroids for IVF builds, per-class means for diversity
-    // stats). posexplode to (label, pos, v) → one keyed agg → re-assemble
-    // ordered — the dimension-keyed agg shape that scales by partitioning
-    // alone; no vector ever collects to the driver.
+    // stats). posexplode to (label, pos, v) → one keyed agg — the
+    // dimension-keyed shape that scales by partitioning alone; no vector
+    // ever collects to the driver. Emitted as per-dimension rows
+    // (label, pos, mean) rather than an assembled array column so the
+    // output stays scalar-only for exact hash comparison.
     "s08_label_centroid" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
         .groupBy("label", "pos")
-        .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("n"))
-        .groupBy("label")
         .agg(
-          max(col("n")).as("n_vectors"),
-          array_sort(collect_list(struct(col("pos"), round(col("m"), 6).as("m")))).as("pm")
-        )
-        .select(col("label"), col("n_vectors"), expr("transform(pm, x -> x.m)").as("centroid"))
-        .orderBy("label")
+          count(lit(1)).cast("long").as("n_vectors"),
+          round(avg(col("col").cast("double")), 6).as("m"))
+        .orderBy("label", "pos")
     }),
 
     // Embedding-space class separation: each vector's cosine to its own
@@ -266,11 +264,10 @@ object SimilarityOps {
         |  round(avg(own_cs - best_other), 6) AS avg_margin
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     "s08_label_centroid" ->
-      """WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings),
-        |c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS n FROM e GROUP BY 1, 2)
-        |SELECT CAST(label AS BIGINT) AS label, CAST(max(n) AS BIGINT) AS n_vectors,
-        |       list(round(m, 6) ORDER BY pos) AS centroid
-        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+      """WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS INT) AS pos,
+        |       CAST(count(*) AS BIGINT) AS n_vectors, round(avg(CAST(v AS DOUBLE)), 6) AS m
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

@@ -264,12 +264,16 @@ object TextOps {
         .agg(count(lit(1)).as("i"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        // Threshold on the UNROUNDED ratio: the prefix filter is lossless
+        // only for true J >= t, so a pair whose true J is in [t-5e-5, t)
+        // must NOT round its way into the result — it may already have
+        // been pruned. Round only the emitted column.
+        .where(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")) >= threshold)
         .select(
           col("doc_a"),
           col("doc_b"),
           round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4).as("jaccard")
         )
-        .where(col("jaccard") >= threshold)
       if (materialize) pairs.localCheckpoint() else pairs
     } finally {
       if (materialize) sh.unpersist(blocking = false)
@@ -1341,9 +1345,9 @@ object TextOps {
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' '))) AS s
         |       FROM tok WHERE len(t) >= 5),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))), 4) AS jaccard
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT * FROM p WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d09_jaccard_pairs" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -106,4 +106,47 @@ class PlanShapeSpec extends AnyFunSuite {
     // DSv2 BatchScan prints its (pruned) output columns in brackets.
     assert("""BatchScan graft-objects[^\[]*\[key#\d+\]""".r.findFirstIn(p).isDefined, s"scan not pruned to key:\n$p")
   }
+
+  // AQE's skew-join split handles the same hot-key shape q36 salts
+  // manually — this pins that the runtime re-plan actually fires
+  // (skew=true on the final SortMergeJoin), documenting the division of
+  // labor: AQE covers post-shuffle sort-merge joins at runtime; the
+  // manual salt (SkewJoin.saltedInnerJoin) is still needed when the plan
+  // must stay broadcast/shuffled-hash, when the skew is in an
+  // aggregation rather than a join, or when the split must be
+  // deterministic across runs.
+  test("AQE skew-join splits the hot-key partition that q36 otherwise salts (skew=true)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~97% of the rows, the q36 shape in miniature
+      val large = spark.range(30000)
+        .select(when(col("id") % 30 === 0, col("id")).otherwise(lit(7L)).as("k"),
+          col("id").as("payload"))
+      val small = spark.range(30000).filter(col("id") % 30 === 0)
+        .select(col("id").as("k"), (col("id") * 2).as("dim"))
+        .union(Seq(7L).toDF("k").select(col("k"), lit(0L).as("dim")))
+      val joined = large.join(small, "k")
+      // execute THIS QueryExecution (count() would build its own) so the
+      // adaptive plan is final when inspected
+      assert(joined.collect().length === 30000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
