@@ -43,17 +43,18 @@ object SparkEntry {
     *  - x05 (zlib), m01/m02/m03 (codec stub features, frame sampling,
     *    resize): byte-level codec output; DuckDB has no zlib/codec
     *    surface. Round-trip + MultimodalCodec contract specs cover.
-    *  - s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN):
-    *    candidate sets / codes depend on fixed-seed hyperplanes, k-means
-    *    cells, or k-means codebooks evaluated in the engine; s01/s05 are
-    *    their exact oracle-checked twins, SimilarityRecallSpec quantifies
-    *    s03's recall against s05, and PqRecallSpec pins s07's determinism
-    *    and recall against s01.
+    * s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN) ARE
+    * oracle-checked despite index-dependent candidate sets: each emits a
+    * one-row soundness summary (SimilarityOps.annSoundness) whose
+    * assertion counters the engine computes and whose exact scalars
+    * DuckDB recomputes by brute force; SimilarityRecallSpec and
+    * PqRecallSpec still pin determinism + measured recall.
     *
     * q25 (HLL) IS oracle-checked despite sketch divergence: both engines
     * emit exact distinct counts plus a "my own sketch is within 5%"
     * boolean, so the strict hash compare validates each sketch against
-    * ground truth without requiring the sketches to agree.
+    * ground truth without requiring the sketches to agree — s02-s07 use
+    * the same tolerance-band shape.
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++ SimilarityOps.oracleSql

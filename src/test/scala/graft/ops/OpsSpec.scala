@@ -93,11 +93,28 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("s02 ANN results are a subset of brute-force top candidates by value") {
-    val ann = SparkEntry.queries("s02_ann_lsh")(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val ann = SimilarityOps.annLsh(Tables.t(spark, sfDir, "embeddings"), 0L, 10)
+      .collect().map(_.getLong(0)).toSet
     val brute = SimilarityOps.cosineTopK(Tables.t(spark, sfDir, "embeddings"), 0L, 100).collect().map(_.getLong(0)).toSet
     // LSH candidates reranked exactly: everything returned must be genuinely similar
     assert(ann.nonEmpty)
     assert(ann.subsetOf(brute + 0L) || ann.intersect(brute).size >= ann.size / 2)
+  }
+
+  test("s02 query entry emits an all-green soundness row") {
+    val row = SparkEntry.queries("s02_ann_lsh")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_returned")) == 10L)
+    assert(row.getLong(row.fieldIndex("n_score_mismatch")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_outside_topn")) == 0L)
+    assert(row.getBoolean(row.fieldIndex("recall_ok")))
+  }
+
+  test("s03 query entry emits an all-green near-dup soundness row") {
+    val row = SparkEntry.queries("s03_embed_neardup")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_false_pos")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_score_mismatch")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_exact_pairs_cap")) > 0L)
+    assert(row.getBoolean(row.fieldIndex("recall_cap_ok")))
   }
 
   test("q54 higher-order folds agree with a driver-side recompute") {

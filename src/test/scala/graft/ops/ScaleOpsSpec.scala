@@ -79,7 +79,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not small enough for salting"))
   }
 
-  test("s04_ivf_ann query entry runs and is non-empty") {
-    assert(graft.SparkEntry.queries("s04_ivf_ann")(spark, sfDir).count() == 10)
+  test("s04_ivf_ann returns k neighbors and its soundness row is green") {
+    assert(IvfIndex.ivfTopK(spark, sfDir, queryId = 0L, k = 10).count() == 10)
+    val row = graft.SparkEntry.queries("s04_ivf_ann")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_returned")) == 10L)
+    assert(row.getLong(row.fieldIndex("n_outside_topn")) == 0L)
+    assert(row.getBoolean(row.fieldIndex("recall_ok")))
   }
 }
