@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The "Structured Streaming with Kafka source" north star, drained
+  * against Kafka-wire-format log segments (no broker in this
+  * environment): framing round-trip with CRC verification, AvailableNow
+  * drain, exactly-once-resume via the checkpointed offset log, admission
+  * control, and the Kafka-source-compatible schema.
+  */
+class KafkaLogSourceSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkSpec.spark
+  import KafkaLogFormat.Record
+
+  private def fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeTp(root: java.nio.file.Path, tp: String, records: Seq[Record]): Unit = {
+    val dir = new Path(root.resolve(tp).toString)
+    fs.mkdirs(dir)
+    KafkaLogFormat.writeSegment(fs, dir, records)
+  }
+
+  private def rec(offset: Long, v: String, k: String = null): Record =
+    Record(offset, 1600000000000L + offset, if (k == null) null else k.getBytes, v.getBytes)
+
+  test("wire format round-trips and the CRC catches a flipped payload byte") {
+    val dir = Files.createTempDirectory("kwire")
+    val seg = KafkaLogFormat.writeSegment(
+      fs, new Path(dir.toString),
+      Seq(rec(0, "alpha", "k0"), rec(1, "beta"), Record(2, 5L, "k".getBytes, null)))
+    val in = fs.open(seg)
+    val len = fs.getFileStatus(seg).getLen
+    val got = KafkaLogFormat.readSegment(in, len, seg.toString, skipPayloadsOnly = false).toList
+    in.close()
+    assert(got.map(_.offset) == List(0L, 1L, 2L))
+    assert(new String(got.head.value) == "alpha" && new String(got.head.key) == "k0")
+    assert(got(1).key == null && got(2).value == null)
+
+    // flip one payload byte -> loud CRC failure with context
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(seg.toUri.getPath))
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x01).toByte
+    val corrupt = dir.resolve("corrupt-0")
+    java.nio.file.Files.createDirectories(corrupt)
+    java.nio.file.Files.write(corrupt.resolve(KafkaLogFormat.segmentName(0)), bytes)
+    val cp = new Path(corrupt.resolve(KafkaLogFormat.segmentName(0)).toString)
+    val cin = fs.open(cp)
+    val e = intercept[IllegalArgumentException] {
+      KafkaLogFormat.readSegment(cin, bytes.length, cp.toString, skipPayloadsOnly = false).toList
+    }
+    cin.close()
+    assert(e.getMessage.contains("CRC mismatch"))
+  }
+
+  test("AvailableNow drains two topic-partitions; restart from checkpoint reads only appended records") {
+    val root = Files.createTempDirectory("klog")
+    writeTp(root, "audit-0", (0L until 5L).map(o => rec(o, s"a0-$o")))
+    writeTp(root, "audit-1", (0L until 3L).map(o => rec(o, s"a1-$o")))
+    val checkpoint = Files.createTempDirectory("klog-ckpt").toString
+    val sink = Files.createTempDirectory("klog-sink").toString
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kafkalog").option("root", root.toString).load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    drain()
+    val first = spark.read.parquet(sink)
+    assert(first.count() == 8)
+    assert(first.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    val vals = first.collect().map(r =>
+      (r.getString(2), r.getInt(3), r.getLong(4), new String(r.getAs[Array[Byte]](1)))).toSet
+    assert(vals.contains(("audit", 0, 4L, "a0-4")) && vals.contains(("audit", 1, 2L, "a1-2")))
+
+    // a new segment lands (base offset = next offset, Kafka's roll shape)
+    val dir0 = new Path(root.resolve("audit-0").toString)
+    KafkaLogFormat.writeSegment(fs, dir0, (5L until 7L).map(o => rec(o, s"a0-$o")))
+    drain()
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 10, "restart must read ONLY the two appended records")
+    assert(after.groupBy().max("offset").head().getLong(0) == 6L)
+  }
+
+  test("maxRecordsPerTrigger round-robins the admission budget across partitions") {
+    val root = Files.createTempDirectory("klog-adm")
+    writeTp(root, "t-0", (0L until 10L).map(o => rec(o, s"x$o")))
+    writeTp(root, "t-1", (0L until 10L).map(o => rec(o, s"y$o")))
+    val stream = new KafkaLogMicroBatchStream(
+      root.toString,
+      new CaseInsensitiveStringMap(Map("root" -> root.toString, "maxRecordsPerTrigger" -> "6").asJava))
+    val first = stream.latestOffset(KafkaLogOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[KafkaLogOffset]
+    // name order: t-0 takes all 6, t-1 waits (starvation-free across batches)
+    assert(first.offsets == Map("t-0" -> 6L, "t-1" -> 0L))
+    val second = stream.latestOffset(first, ReadLimit.allAvailable()).asInstanceOf[KafkaLogOffset]
+    assert(second.offsets == Map("t-0" -> 10L, "t-1" -> 2L))
+  }
+
+  test("batch read form scans offset 0 to log end") {
+    val root = Files.createTempDirectory("klog-batch")
+    writeTp(root, "b-0", (0L until 4L).map(o => rec(o, s"v$o")))
+    val df = spark.read.format("graft-kafkalog").option("root", root.toString).load()
+    assert(df.count() == 4)
+    assert(df.filter(org.apache.spark.sql.functions.col("offset") === 3L).count() == 1)
+  }
+
+  test("north star end-to-end: kafka-format stream -> object-store sink, keyed by topic/partition/offset") {
+    val root = Files.createTempDirectory("klog-ns")
+    writeTp(root, "audit-0", (0L until 3L).map(o => rec(o, s"payload-$o")))
+    val out = Files.createTempDirectory("klog-ns-out").toString
+    val checkpoint = Files.createTempDirectory("klog-ns-ckpt").toString
+
+    val q = spark.readStream.format("graft-kafkalog").option("root", root.toString).load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("topic", "partition", "offset", "value").foreachPartition {
+          rows: Iterator[org.apache.spark.sql.Row] =>
+            val store = new graft.ingest.LocalDirObjectStore(out)
+            rows.foreach { r =>
+              store.put(
+                s"${r.getString(0)}/${r.getInt(1)}/${r.getLong(2)}",
+                r.getAs[Array[Byte]](3),
+                Map("source" -> "kafkalog"))
+            }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+
+    val store = new graft.ingest.LocalDirObjectStore(out)
+    val keys = store.listKeys("audit/")
+    assert(keys.size == 3, s"got $keys")
+    assert(new String(store.get("audit/0/2")) == "payload-2")
+    assert(store.getMetadata("audit/0/2") == Map("source" -> "kafkalog"))
+  }
+}
