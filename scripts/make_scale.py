@@ -1,0 +1,57 @@
+"""Blow up the sf0.1 fixture ~FACTORx for scale benching (bench_scale.json).
+
+Copies get genuinely different content so the blow-up changes data VOLUME
+without changing data STRUCTURE (the honest way to measure scaling):
+
+- documents: copy i > 0 deterministically shuffles each doc's word order
+  (ORDER BY hash(word, position, copy)), so copies share token SETS but
+  almost no 5-gram shingles -- near-dup density stays that of the
+  original corpus instead of exploding quadratically with copy pairs.
+- orders/lineitem: copy i offsets the order keys by i*10M, creating
+  independent order "shards" over the SAME supplier/customer dims --
+  join fan-outs scale linearly, as a bigger day of the same workload would.
+- supplier: copied as-is (dimension).
+
+Usage: python3 scripts/make_scale.py [src=/root/testdata/sf0.1] [out=/tmp/scale10] [factor=10]
+"""
+import duckdb, os, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/scale10'
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+os.makedirs(out, exist_ok=True)
+
+con = duckdb.connect()
+
+con.execute(f"""
+COPY (
+  SELECT doc_id, text, lang, source, n_chars FROM '{src}/documents.parquet'
+  UNION ALL
+  SELECT doc_id + i * 10000000 AS doc_id,
+         string_agg(w, ' ' ORDER BY hash(concat(w, '-', rn, '-', i)), rn) AS text,
+         any_value(lang) AS lang, any_value(source) AS source, any_value(n_chars) AS n_chars
+  FROM (
+    SELECT doc_id, lang, source, n_chars,
+           unnest(regexp_split_to_array(text, '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS rn
+    FROM '{src}/documents.parquet')
+  CROSS JOIN range(1, {factor}) r(i)
+  GROUP BY doc_id, i
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+for t, key in [('orders', 'o_orderkey'), ('lineitem', 'l_orderkey')]:
+    con.execute(f"""
+    COPY (
+      SELECT * REPLACE ({key} + i * 10000000 AS {key})
+      FROM '{src}/{t}.parquet' CROSS JOIN range({factor}) r(i)
+    ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+    """)
+
+for t in ['supplier', 'customer', 'part', 'nation', 'region', 'embeddings']:
+    con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+for t in ['documents', 'orders', 'lineitem']:
+    n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows")
+print(f"scale fixture at {out} (factor {factor})")
