@@ -57,5 +57,6 @@ object SparkEntry {
     * the same tolerance-band shape.
     */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++ SimilarityOps.oracleSql
+    RelationalOps.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
+      SimilarityOps.oracleSql ++ MultimodalOps.oracleSql
 }

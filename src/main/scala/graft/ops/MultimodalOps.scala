@@ -225,6 +225,35 @@ object MultimodalOps {
         .toDF()
         .orderBy("asset_id", "frame_idx")
     }),
+    // REAL-codec round trip with an EXACT oracle: every document becomes
+    // a genuine PPM P6 image (solid color derived from asset_id), encoded
+    // to real image bytes on the executors, decoded back through
+    // PpmCodec's pixel parser, and the channel-proportion features are
+    // closed-form computable — so DuckDB hash-checks an actual
+    // encode→decode→featurize media pipeline. Color components are
+    // multiples of 85, making every proportion a ratio of small integers
+    // whose 4dp rounding is unambiguous across float/double.
+    "m04_ppm_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (3 + id % 5).toInt
+        val h = (2 + id % 3).toInt
+        val r = (85 * (1 + id % 3)).toInt // 1+.. keeps ΣRGB > 0 (black forbidden)
+        val g = (85 * (id % 4)).toInt
+        val b = (85 * ((id / 3) % 4)).toInt
+        MediaAsset(id, "image", PpmCodec.encodeSolid(w, h, r, g, b), w, h, 0L)
+      }
+      extractFeatures(assets, PpmCodec)
+        .toDF()
+        .select(
+          col("asset_id"),
+          col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f_r"),
+          round(element_at(col("feature"), 2).cast("double"), 4).as("f_g"),
+          round(element_at(col("feature"), 3).cast("double"), 4).as("f_b")
+        )
+        .orderBy("asset_id")
+    }),
     // Resize pass: payloads shrunk by the codec (stub: stride-decimate),
     // emitting before/after sizes and the re-extracted leading feature —
     // the downsample-then-refeaturize step of a media pipeline. Narrow
@@ -250,5 +279,21 @@ object MultimodalOps {
         )
         .orderBy("asset_id")
     })
+  )
+
+  /** m04's closed form: a solid-color image's channel proportions are
+    * r/(r+g+b) etc., and its byte size is the exact header + 3wh.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "m04_ppm_features" ->
+      """WITH c AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+        |  85 * (1 + doc_id % 3) AS r, 85 * (doc_id % 4) AS g, 85 * ((doc_id // 3) % 4) AS b
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CAST(length(concat('P6', chr(10), w, ' ', h, chr(10), '255', chr(10))) + 3 * w * h AS BIGINT) AS n_bytes,
+        |  round(CAST(r AS DOUBLE) / (r + g + b), 4) AS f_r,
+        |  round(CAST(g AS DOUBLE) / (r + g + b), 4) AS f_g,
+        |  round(CAST(b AS DOUBLE) / (r + g + b), 4) AS f_b
+        |FROM c ORDER BY asset_id""".stripMargin
   )
 }
