@@ -160,6 +160,20 @@ object IngestCli {
       .take(10)
       .exists(_.isInstanceOf[TransientCredentialsException])
 
+  /** Python-logging level names (the reference's LOGLEVEL vocabulary) to
+    * Spark/log4j levels. CRITICAL→FATAL and WARNING→WARN are the two
+    * renames; NOTSET has no analog and maps to the most verbose.
+    */
+  private[ingest] def logLevelFor(pyLevel: String): Option[String] = pyLevel match {
+    case "CRITICAL" | "FATAL" => Some("FATAL")
+    case "ERROR"              => Some("ERROR")
+    case "WARNING" | "WARN"   => Some("WARN")
+    case "INFO"               => Some("INFO")
+    case "DEBUG"              => Some("DEBUG")
+    case "NOTSET" | "TRACE"   => Some("TRACE")
+    case _                    => None
+  }
+
   def main(args: Array[String]): Unit = {
     parseArgs(args) match {
       case Left(err) =>
@@ -174,6 +188,15 @@ object IngestCli {
           .config("spark.task.maxFailures", retries.toString)
           .config("spark.sql.session.timeZone", "UTC")
           .getOrCreate()
+        // The reference configures verbosity from the LOGLEVEL env var
+        // (audit_data_ingest.py:22); same contract here, mapped onto the
+        // Spark context's log level. Unset -> leave the deploy's default.
+        sys.env.get("LOGLEVEL").map(_.trim.toUpperCase).filter(_.nonEmpty).foreach { lvl =>
+          logLevelFor(lvl) match {
+            case Some(spkLvl) => spark.sparkContext.setLogLevel(spkLvl)
+            case None => log.warn(s"Ignoring unknown LOGLEVEL '$lvl'")
+          }
+        }
         try {
           val summary =
             if (streamingCkpt.isDefined) {

@@ -125,4 +125,13 @@ class IngestCliSpec extends AnyFunSuite {
     ): @unchecked
     assert(err.contains("mutually exclusive"))
   }
+
+  test("LOGLEVEL mapping follows the reference's python-logging vocabulary") {
+    assert(IngestCli.logLevelFor("CRITICAL").contains("FATAL"))
+    assert(IngestCli.logLevelFor("WARNING").contains("WARN"))
+    assert(IngestCli.logLevelFor("INFO").contains("INFO"))
+    assert(IngestCli.logLevelFor("DEBUG").contains("DEBUG"))
+    assert(IngestCli.logLevelFor("NOTSET").contains("TRACE"))
+    assert(IngestCli.logLevelFor("VERBOSE").isEmpty) // unknown -> warn + ignore
+  }
 }
