@@ -28,22 +28,26 @@ object SparkEntry {
     * reasons (all are "the value is a function DuckDB cannot evaluate",
     * and each has an oracle-checked twin or a deterministic spec):
     *
-    *  - x01/x02/x03 (MinHash sigs, LSH pairs, SimHash): signatures are
-    *    universal-hash compositions over Spark's Murmur3 `hash()`; DuckDB
-    *    has no Murmur3-compatible hash, so neither the signatures NOR any
+    *  - x01/x03 (MinHash sigs, SimHash): signatures are universal-hash
+    *    compositions over Spark's Murmur3 `hash()`; DuckDB has no
+    *    Murmur3-compatible hash, so neither the signatures NOR any
     *    distribution derived from them (n_distinct, min/max) can be
     *    recomputed there. Oracle-checked twins: d09 (exact Jaccard over
-    *    the same candidate semantics), SimilarityRecallSpec /
-    *    TextOpsSpec pin determinism + recall.
+    *    the same candidate semantics), x02 (soundness summary over the
+    *    LSH pair path), SimilarityRecallSpec / TextOpsSpec pin
+    *    determinism + recall.
     *  - x04 (winnowing): same — custom rolling hash.
     *  - d18 (BPE merges): an iterative argmax fixpoint (each round's
     *    winner changes the next round's counts) — not expressible as a
     *    SQL query; BpeOpsSpec pins the exact merge sequence on a
     *    hand-computed fixture and corpus determinism.
-    *  - x05 (zlib), m01/m02/m03 (codec stub features, frame sampling,
-    *    resize): byte-level codec output; DuckDB has no zlib/codec
-    *    surface. Round-trip + MultimodalCodec contract specs cover.
-    * s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN) ARE
+    *  - m01/m02/m03 (codec stub features, frame sampling, resize):
+    *    byte-level codec output; DuckDB has no codec surface. Golden
+    *    fixtures (PpmGoldenSpec) pin literal values, m04 oracle-checks
+    *    the real-codec round trip, MultimodalCodecSpec pins the contract.
+    *
+    * s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN), x02
+    * (MinHash-LSH pairs) and x05 (zlib round-trip) ARE
     * oracle-checked despite index-dependent candidate sets: each emits a
     * one-row soundness summary (SimilarityOps.annSoundness) whose
     * assertion counters the engine computes and whose exact scalars

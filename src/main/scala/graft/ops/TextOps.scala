@@ -363,9 +363,49 @@ object TextOps {
     // shingles with a high threshold: the synthetic docs draw from a tiny
     // vocabulary, so token-Jaccard saturates — 0.95 isolates genuine
     // near-dups. LSH recall at j=0.95 is ~1-(1-0.95^4)^8 ~ 1.0.
+    // MinHash-LSH near-dup soundness summary (the s03 shape): the banded
+    // LSH candidate path is engine-hash-dependent, but every emitted pair
+    // carries the EXACT token Jaccard, re-verified here independently —
+    // one-sided soundness over ALL emitted pairs (zero false positives,
+    // zero score drift), with DuckDB recomputing the capped exact-pair
+    // count by brute force. Recall within the cap is intentionally LOW on
+    // this corpus (measured 7-10%): the 31-word vocabulary makes token
+    // sets near-universal, so almost every bucket is a mega-bucket the
+    // maxBucket guard drops — the documented candidate-explosion
+    // mitigation doing its job. The floor (5%) is a collapse detector,
+    // not a quality bar; d28 is the exact-recall path for this corpus.
     "x02_minhash_pairs" -> ((s, dir) => {
-      minhashDedupPairs(t(s, dir, "documents"), shingleWidth = 1, threshold = 0.95)
-        .orderBy("doc_a", "doc_b")
+      val docs = t(s, dir, "documents")
+      val ann = minhashDedupPairs(docs, shingleWidth = 1, threshold = 0.95)
+      val cap = 500L
+      val toksOf = docs.filter(col("doc_id") < cap)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val exact = toksOf.select(col("doc_id").as("va"), col("toks").as("ta"))
+        .crossJoin(toksOf.select(col("doc_id").as("vb"), col("toks").as("tb")))
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))), 4).as("j"))
+        .filter(col("j") >= 0.95)
+      val rechecked = ann
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("txt_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("txt_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          round(size(array_intersect(array_distinct(tokens(col("txt_a"))),
+            array_distinct(tokens(col("txt_b"))))).cast("double") /
+            size(array_union(array_distinct(tokens(col("txt_a"))),
+              array_distinct(tokens(col("txt_b"))))), 4).as("rj"))
+      val pairStats = rechecked.agg(
+        sum(when(col("rj") < 0.95, 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when(col("jaccard") =!= col("rj"), 1L).otherwise(0L)).as("n_score_mismatch"))
+      val hits = ann.filter(col("doc_a") < cap && col("doc_b") < cap)
+        .join(exact, col("doc_a") === col("va") && col("doc_b") === col("vb"))
+        .agg(count(lit(1)).as("n_hit"))
+      val exactN = exact.agg(count(lit(1)).as("n_exact_pairs_cap"))
+      pairStats.crossJoin(exactN).crossJoin(hits)
+        .select(
+          col("n_false_pos"), col("n_score_mismatch"), col("n_exact_pairs_cap"),
+          (col("n_hit") >= col("n_exact_pairs_cap") * 0.05).as("recall_cap_ok"))
     }),
 
     // SimHash signatures (deterministic).
@@ -399,9 +439,13 @@ object TextOps {
         .orderBy("doc_a")
     }),
 
-    // Codegen zlib expressions over binary payloads: per-doc compressed
-    // size + round-trip identity — the ingest pipeline's map step
-    // (compress) surfaced as columns (rows-only: no zlib in the oracle).
+    // Codegen zlib expressions over binary payloads: per-doc round-trip
+    // identity + original size, ORACLE-CHECKED (DuckDB recomputes the
+    // byte length; the round-trip boolean is the engine's computed
+    // claim). The exact compressed size stays covered by property specs
+    // — no zlib exists in the oracle — but it is bounded here by zlib's
+    // public stored-block worst case (raw + 11 + 5 per 16383-byte block),
+    // so a pathological deflate regression still trips the gate.
     "x05_zlib_roundtrip" -> ((s, dir) => {
       import graft.functions.CompressionFunctions._
       t(s, dir, "documents")
@@ -410,8 +454,10 @@ object TextOps {
         .select(
           col("doc_id"),
           length(col("payload")).as("orig_bytes"),
-          length(col("z")).as("compressed_bytes"),
-          (zlib_decompress(col("z")) === col("payload")).as("roundtrip_ok")
+          (zlib_decompress(col("z")) === col("payload")).as("roundtrip_ok"),
+          (length(col("z")) <= length(col("payload")) + lit(11) +
+            lit(5) * (length(col("payload")).cast("long") / 16383 + 1).cast("long"))
+            .as("size_bounded_ok")
         )
         .orderBy("doc_id")
     }),
@@ -1111,6 +1157,26 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x02's soundness row: assertion counters are engine-computed claims
+    // (pinned literals here); the capped exact-pair count is genuinely
+    // recomputed by brute force — same tolerance-band shape as s03.
+    "x02_minhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (SELECT a.doc_id AS va, b.doc_id AS vb,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_cat(a.toks, b.toks))), 4) AS j
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+        |SELECT CAST(0 AS BIGINT) AS n_false_pos, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(count(*) AS BIGINT) AS n_exact_pairs_cap, TRUE AS recall_cap_ok
+        |FROM p WHERE j >= 0.95""".stripMargin,
+    // x05: byte length cross-checked (documents are ASCII, so DuckDB's
+    // char length = Spark's binary length — d02 already proves this
+    // parity); round-trip identity and the stored-block size bound are
+    // engine-computed claims.
+    "x05_zlib_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS orig_bytes,
+        |  TRUE AS roundtrip_ok, TRUE AS size_bounded_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The round-trip must reproduce the source table exactly — the oracle
     // IS the pre-ingest corpus (encrypt/decrypt happen engine-side only).
     "x06_envelope_roundtrip" ->

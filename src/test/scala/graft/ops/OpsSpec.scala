@@ -72,10 +72,20 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
-  test("x02 near-dup pairs respect the jaccard threshold and ordering") {
-    val pairs = SparkEntry.queries("x02_minhash_pairs")(spark, sfDir).collect()
+  test("x02 raw pairs respect the jaccard threshold and ordering") {
+    val pairs = TextOps.minhashDedupPairs(
+      Tables.t(spark, sfDir, "documents"), shingleWidth = 1, threshold = 0.95).collect()
+    assert(pairs.nonEmpty)
     assert(pairs.forall(r => r.getDouble(2) >= 0.95))
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("x02 query entry emits an all-green soundness row") {
+    val row = SparkEntry.queries("x02_minhash_pairs")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_false_pos")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_score_mismatch")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_exact_pairs_cap")) > 0L)
+    assert(row.getBoolean(row.fieldIndex("recall_cap_ok")))
   }
 
   test("s01 brute-force cosine top-k: best match agrees with driver-side recompute") {

@@ -55,7 +55,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("x02: near-dup candidates come from an equi-join on bucket keys, not a cartesian") {
-    val p = plan("x02_minhash_pairs")
+    // the RAW pair path (the x02 query entry wraps it in a soundness
+    // summary whose exact side is a DELIBERATE constant-size cross join)
+    val p = TextOps.minhashDedupPairs(
+      Tables.t(spark, sfDir, "documents"), shingleWidth = 1, threshold = 0.95)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
