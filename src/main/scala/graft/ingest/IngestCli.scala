@@ -45,6 +45,10 @@ object IngestCli {
       |  --streaming <checkpoint>   run as ONE Structured Streaming AvailableNow drain over the
       |                             graft-audit source (one day per micro-batch, checkpoint =
       |                             watermark, restart-resume) instead of the batch day-loop
+      |  --kafka-root <dir>         with --streaming: drain Kafka-wire-format log segments
+      |                             (graft-kafkalog source) instead of the dated-dir drop;
+      |                             the checkpointed offset map is the watermark and keys are
+      |                             {prefix}{day}/{topic}-{partition}-{offset}.gz.enc
       |  --aes-mode <gcm|eax>       payload cipher: gcm (hardened default) or eax (reference parity)
       |  --retries <n>              store-put attempts AND Spark task retries (default 3)
       |""".stripMargin
@@ -55,7 +59,8 @@ object IngestCli {
       useV2: Boolean,
       retries: Int,
       streamingCheckpoint: Option[String],
-      backlog: Boolean = false
+      backlog: Boolean = false,
+      kafkaRoot: Option[String] = None
   )
 
   def parseArgs(args: Array[String], env: String => Option[String] = sys.env.get): Either[String, ParsedArgs] = {
@@ -129,6 +134,9 @@ object IngestCli {
     if (streaming.exists(_.isEmpty)) return Left("--streaming requires a checkpoint directory")
     if (Seq(streaming.isDefined, v2, backlog).count(identity) > 1)
       return Left("--streaming, --v2-sink, and --backlog are mutually exclusive")
+    val kafkaRoot = m.get("kafka-root")
+    if (kafkaRoot.isDefined && streaming.isEmpty)
+      return Left("--kafka-root requires --streaming <checkpoint>")
     Right(
       ParsedArgs(
         IngestConfig(
@@ -145,7 +153,8 @@ object IngestCli {
         v2,
         retries,
         streaming,
-        backlog
+        backlog,
+        kafkaRoot
       )
     )
   }
@@ -180,7 +189,7 @@ object IngestCli {
         System.err.println(err)
         System.err.println(usage)
         sys.exit(2)
-      case Right(ParsedArgs(cfg, useV2, retries, streamingCkpt, backlog)) =>
+      case Right(ParsedArgs(cfg, useV2, retries, streamingCkpt, backlog, kafkaRoot)) =>
         val spark = SparkSession
           .builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -199,7 +208,10 @@ object IngestCli {
         }
         try {
           val summary =
-            if (streamingCkpt.isDefined) {
+            if (streamingCkpt.isDefined && kafkaRoot.isDefined) {
+              IngestStream.runKafkaAvailableNow(spark, cfg, kafkaRoot.get, streamingCkpt.get)
+              s"kafka-log streaming drain complete (checkpoint ${streamingCkpt.get})"
+            } else if (streamingCkpt.isDefined) {
               IngestStream.runAvailableNow(spark, cfg, streamingCkpt.get)
               s"streaming drain complete (checkpoint ${streamingCkpt.get})"
             } else if (backlog) {

@@ -80,6 +80,61 @@ object IngestStream {
     } finally if (query.isActive) query.stop()
   }
 
+  /** The north-star pipeline as ONE call: Kafka-wire-format source →
+    * compress → envelope-encrypt → object store
+    * ([[graft.sources.KafkaLogSourceProvider]] in,
+    * the same executor-side loop as the day drain out). Differences from
+    * the day-based drain, by design:
+    *  - the CHECKPOINTED OFFSET MAP is the only watermark (Kafka
+    *    semantics); the reference-format day progress file is not
+    *    mirrored — records of many days interleave within one batch, so
+    *    "last completed day" is not a meaningful commit point here;
+    *  - object keys are `{prefix}{day}/{topic}-{partition}-{offset}.gz.enc`
+    *    — day from the record's CreateTime, name from the record's
+    *    coordinates, so replays after a crash re-put the SAME key
+    *    (at-least-once into an idempotent sink, fresh ciphertext per
+    *    attempt like the reference's re-run semantics).
+    */
+  def runKafkaAvailableNow(
+      spark: SparkSession,
+      cfg: IngestConfig,
+      kafkaRoot: String,
+      checkpointDir: String,
+      maxRecordsPerTrigger: Option[Long] = None
+  ): Unit = {
+    val reader = spark.readStream.format("graft-kafkalog").option("root", kafkaRoot)
+    val src = maxRecordsPerTrigger
+      .fold(reader)(n => reader.option("maxRecordsPerTrigger", n.toString))
+      .load()
+    val query = src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => processKafkaBatch(cfg, df, id))
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+  }
+
+  private[ingest] def processKafkaBatch(cfg: IngestConfig, batch: DataFrame, batchId: Long): Unit = {
+    import batch.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, date_format}
+    val records = batch
+      .select(
+        // no '/' in the synthesized name: uploadFiles keys on the last
+        // path segment, and the record coordinates must survive whole
+        concat_ws("-", col("topic"), col("partition"), col("offset")).as("path"),
+        col("value").as("content"),
+        date_format(col("timestamp"), "yyyy-MM-dd").as("day")
+      )
+      .as[(String, Array[Byte], String)]
+    val (ok, failed, samples, _) = IngestJob.uploadFiles(records, cfg, _ => "")
+    if (failed > 0) {
+      val detail = samples.map(f => s"${f.path}: ${f.error}").mkString("; ")
+      throw new RuntimeException(s"Kafka batch $batchId: $failed record(s) failed: $detail")
+    }
+    log.info(s"Kafka batch $batchId committed: $ok record(s)")
+  }
+
   /** Align the reference-format progress file with the checkpoint's LAST
     * COMMITTED end offset. The per-batch mirror in [[processBatch]] derives
     * the day from observed rows, so a trailing day directory with ZERO

@@ -14,7 +14,7 @@ class IngestCliSpec extends AnyFunSuite {
 
   test("parseArgs: full happy path") {
     val kf = keyFile()
-    val Right(IngestCli.ParsedArgs(cfg, v2, retries, streaming, _)) = IngestCli.parseArgs(
+    val Right(IngestCli.ParsedArgs(cfg, v2, retries, streaming, _, _)) = IngestCli.parseArgs(
       Array(
         "--src-dir", "/s", "--out-root", "/o", "--s3-prefix", "p/", "--key-id", "k",
         "--public-key-file", kf, "--progress-file", "/p.txt", "--v2-sink", "--retries", "5"
@@ -59,23 +59,23 @@ class IngestCliSpec extends AnyFunSuite {
   }
 
   test("parseArgs: --aes-mode eax selects reference-parity cipher; bad mode is a usage error") {
-    val Right(IngestCli.ParsedArgs(cfg, _, _, _, _)) =
+    val Right(IngestCli.ParsedArgs(cfg, _, _, _, _, _)) =
       IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--aes-mode", "eax")): @unchecked
     assert(cfg.aesMode == Envelope.AesMode.Eax)
-    val Right(IngestCli.ParsedArgs(cfg2, _, _, _, _)) = IngestCli.parseArgs(baseArgs(keyFile())): @unchecked
+    val Right(IngestCli.ParsedArgs(cfg2, _, _, _, _, _)) = IngestCli.parseArgs(baseArgs(keyFile())): @unchecked
     assert(cfg2.aesMode == Envelope.AesMode.Gcm)
     val Left(err) = IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--aes-mode", "cbc")): @unchecked
     assert(err.contains("--aes-mode"))
   }
 
   test("parseArgs: --retries feeds both task retries and store put attempts") {
-    val Right(IngestCli.ParsedArgs(cfg, _, retries, _, _)) =
+    val Right(IngestCli.ParsedArgs(cfg, _, retries, _, _, _)) =
       IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--retries", "7")): @unchecked
     assert(retries == 7 && cfg.putRetries == 7)
   }
 
   test("parseArgs: --streaming selects the streaming drain; exclusive with --v2-sink") {
-    val Right(IngestCli.ParsedArgs(_, _, _, streaming, _)) =
+    val Right(IngestCli.ParsedArgs(_, _, _, streaming, _, _)) =
       IngestCli.parseArgs(baseArgs(keyFile()) ++ Array("--streaming", "/ckpt")): @unchecked
     assert(streaming.contains("/ckpt"))
     val Left(err) = IngestCli.parseArgs(
@@ -85,7 +85,7 @@ class IngestCliSpec extends AnyFunSuite {
   }
 
   test("parseArgs: --backlog selects the one-job mode; exclusive with the other engines") {
-    val Right(IngestCli.ParsedArgs(_, _, _, _, backlog)) =
+    val Right(IngestCli.ParsedArgs(_, _, _, _, backlog, _)) =
       IngestCli.parseArgs(baseArgs(keyFile()) :+ "--backlog"): @unchecked
     assert(backlog)
     val Left(err) =
@@ -101,7 +101,7 @@ class IngestCliSpec extends AnyFunSuite {
       "--src-dir", "/s", "--key-id", "k", "--progress-file", "/p.txt", "--public-key-file", keyFile(),
       "--s3-bucket", "b", "--s3-endpoint", "https://s3.local", "--s3-region", "r"
     )
-    val Right(IngestCli.ParsedArgs(cfg, _, _, _, _)) = IngestCli.parseArgs(args, env.get): @unchecked
+    val Right(IngestCli.ParsedArgs(cfg, _, _, _, _, _)) = IngestCli.parseArgs(args, env.get): @unchecked
     assert(cfg.storeFactory == S3ObjectStoreFactory("https://s3.local", "r", "b", "AK", "SK", Some("TOK")))
 
     val Left(err) = IngestCli.parseArgs(args, _ => None): @unchecked
@@ -116,7 +116,7 @@ class IngestCliSpec extends AnyFunSuite {
       "--src-dir", "/s", "--key-id", "k", "--progress-file", "/p.txt", "--out-root", "/o",
       "--key-param-name", "/data/key", "--ssm-endpoint", "https://ssm.local", "--s3-region", "r"
     )
-    val Right(IngestCli.ParsedArgs(cfg, _, _, _, _)) = IngestCli.parseArgs(args, env.get): @unchecked
+    val Right(IngestCli.ParsedArgs(cfg, _, _, _, _, _)) = IngestCli.parseArgs(args, env.get): @unchecked
     assert(cfg.keyProvider ==
       Some(ParameterStoreKeyProvider("https://ssm.local", "r", "/data/key", "AK", "SK", None)))
 
