@@ -421,13 +421,18 @@ object RelationalOps {
 
     // Exact percentiles (sort-based interpolation, matching DuckDB's
     // quantile_cont definition).
+    // Percentiles round at 4dp, not 2dp: prices have 2dp granularity, so
+    // interpolated quantiles land exactly on x.xx5 — a 2dp round sits on
+    // the half-way boundary where the engines' (ulp-different) interpolation
+    // arithmetic flips the digit. No possible percentile value sits within
+    // ulp of a 4dp midpoint, so 4dp is deterministic across engines.
     "q28_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"),
-          round(median(col("l_extendedprice")), 2).as("med")
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+          round(median(col("l_extendedprice")), 4).as("med")
         )
         .orderBy("l_returnflag")
     }),
@@ -663,12 +668,12 @@ object RelationalOps {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5d)"), 2).as("exact_p50"),
+          round(expr("percentile(l_extendedprice, 0.5d)"), 4).as("exact_p50"), // 4dp: see q28
           (abs(
             expr("percentile_approx(l_extendedprice, 0.5d, 10000)") /
               expr("percentile(l_extendedprice, 0.5d)") - 1
           ) <= 0.01).as("p50_within_1pct"),
-          round(expr("percentile(l_extendedprice, 0.95d)"), 2).as("exact_p95"),
+          round(expr("percentile(l_extendedprice, 0.95d)"), 4).as("exact_p95"),
           (abs(
             expr("percentile_approx(l_extendedprice, 0.95d, 10000)") /
               expr("percentile(l_extendedprice, 0.95d)") - 1
@@ -708,7 +713,15 @@ object RelationalOps {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
           round(stddev_samp(col("l_discount")), 6).as("discount_sd"),
           round(var_samp(col("l_tax")), 6).as("tax_var"),
-          round(skewness(col("l_extendedprice")), 6).as("price_skew")
+          // Spark's skewness is the population g1; DuckDB's is the
+          // bias-corrected sample G1 = g1 * sqrt(n(n-1))/(n-2). Apply the
+          // exact correction so the engines agree at ANY group size (at
+          // sf0.01+ the factor hides below 6dp; at sf0.001 it does not).
+          round(
+            skewness(col("l_extendedprice")) *
+              sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2),
+            6
+          ).as("price_skew")
         )
         .orderBy("l_returnflag")
     }),
@@ -1365,8 +1378,8 @@ object RelationalOps {
     "q24_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q28_percentiles" ->
-      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95, round(median(l_extendedprice), 2) AS med
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95, round(median(l_extendedprice), 4) AS med
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_pivot" ->
       """SELECT o_orderpriority,
@@ -1469,9 +1482,9 @@ object RelationalOps {
         |FROM orders WHERE o_custkey < 20 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q44_approx_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         |  abs(approx_quantile(l_extendedprice, 0.5) / quantile_cont(l_extendedprice, 0.5) - 1) <= 0.01 AS p50_within_1pct,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
         |  abs(approx_quantile(l_extendedprice, 0.95) / quantile_cont(l_extendedprice, 0.95) - 1) <= 0.01 AS p95_within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_first_last_window" ->
