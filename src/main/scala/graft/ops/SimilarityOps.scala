@@ -188,6 +188,29 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
+    // kNN retrieval JOIN — many queries at once, the RAG-curation /
+    // retrieval shape (s01 is the single-query special case). The bounded
+    // query set broadcasts; the corpus streams through ONE pass computing
+    // Q fused-codegen cosines per row; ranking shuffles only (query_id,
+    // vec_id, cos) triples — corpus bytes never shuffle. Top-k per query
+    // via a window on the ROUNDED score with vec_id tie-break, so rank
+    // order is deterministic and engine-portable. Exact oracle: DuckDB
+    // recomputes the full join + window by brute force.
+    "s10_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy("query_id", "rank")
+    }),
     // IVF coarse-quantizer ANN, emitted as the soundness summary (exact
     // rerank inside nprobe=4 of 16 cells; measured recall@10 = 9/10,
     // worst exact rank 12 → floors 7 / top-50 hold with wide margin).
@@ -361,6 +384,16 @@ object SimilarityOps {
     // or recall regression flips a value and fails the hash), while
     // exact_best_cos / exact_cos_at_k are genuinely recomputed here by
     // brute force, cross-checking the exact kernel.
+    "s10_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |cs AS (SELECT q.query_id, e.vec_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 6) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM cs)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "s02_ann_lsh" -> s"$exactCosCte\n$annSoundnessSelect",
     "s04_ivf_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s07_pq_ann" -> s"$exactCosCte\n$annSoundnessSelect",

@@ -937,6 +937,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking: split each document into fixed-size token
+    // windows with overlap (64-token chunks, stride 48) — the training-
+    // prep step that turns documents into model-context-sized examples
+    // while keeping stride-overlap continuity. Pure per-row fan-out on
+    // the codegen path (explode the chunk start index + slice), no
+    // shuffle before the final sort; at 100 TB the output partitioning
+    // follows the input, one pass. The last chunk is the remainder
+    // (shorter than the window), never dropped — padding policy belongs
+    // to the tokenizer downstream.
+    "d33_doc_chunking" -> ((s, dir) => {
+      val window = 64
+      val stride = 48
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"), col("toks"),
+          expr(s"explode(sequence(0, greatest(ceil((size(toks) - $window) / $stride.0d), 0)))").as("chunk_idx"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          least(size(col("toks")) - col("chunk_idx") * stride, lit(window)).cast("int").as("n_tokens"),
+          expr(s"element_at(toks, CAST(chunk_idx * $stride + 1 AS INT))").as("first_token"),
+          expr(s"element_at(toks, CAST(least(chunk_idx * $stride + $window, size(toks)) AS INT))")
+            .as("last_token"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // N-gram novelty: the fraction of each doc's distinct 8-grams whose
     // FIRST appearance (min doc_id) is the doc itself — the incremental-
     // contribution signal an ordered-ingest dedup pass uses to decide
@@ -1157,6 +1184,14 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d33_doc_chunking" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, CAST(greatest(ceil((len(t) - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_idx FROM tok)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(least(len(t) - chunk_idx * 48, 64) AS INT) AS n_tokens,
+        |  t[CAST(chunk_idx * 48 + 1 AS BIGINT)] AS first_token,
+        |  t[CAST(least(chunk_idx * 48 + 64, len(t)) AS BIGINT)] AS last_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // x02's soundness row: assertion counters are engine-computed claims
     // (pinned literals here); the capped exact-pair count is genuinely
     // recomputed by brute force — same tolerance-band shape as s03.
