@@ -111,6 +111,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("""BatchScan graft-objects[^\[]*\[key#\d+\]""".r.findFirstIn(p).isDefined, s"scan not pruned to key:\n$p")
   }
 
+  test("s10: kNN join broadcasts the query side; corpus bytes never shuffle (only id/score triples)") {
+    val p = plan("s10_knn_join")
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+    assert(p.contains("Window"), p)
+    // the only Exchange is the per-query ranking shuffle of (query_id,
+    // vec_id, cos) triples — the embedding column must not appear in it
+    val exchanges = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty && exchanges.forall(e => !e.contains("embedding")),
+      s"corpus vectors cross a shuffle:\n$p")
+  }
+
   // AQE's skew-join split handles the same hot-key shape q36 salts
   // manually — this pins that the runtime re-plan actually fires
   // (skew=true on the final SortMergeJoin), documenting the division of
