@@ -227,13 +227,14 @@ object SimilarityOps {
         queryId = 0L, k = 10, topN = 50, recallFloor = 3, scoreIsExact = true)
     }),
     // Product-quantization ANN soundness: ADC scores are approximate, so
-    // the claim set is containment + recall only (measured recall@10 =
-    // 2-3/10 on this low-separation corpus, worst exact rank 240 →
-    // floor 1 / top-300; PqRecallSpec still pins determinism + recall).
+    // the claim set is containment + recall only (m=16/k=64 codebooks:
+    // measured recall@10 = 4-9/10 on this low-separation corpus, worst
+    // exact rank 43 → floor 3 / top-100; PqRecallSpec still pins
+    // determinism + recall).
     "s07_pq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       annSoundness(emb, PqIndex.pqTopK(s, dir, queryId = 0L, k = 10), "approx_cos",
-        queryId = 0L, k = 10, topN = 300, recallFloor = 1, scoreIsExact = false)
+        queryId = 0L, k = 10, topN = 100, recallFloor = 3, scoreIsExact = false)
     }),
     // LSH near-dup soundness: every emitted pair re-verified against an
     // independent exact cosine (zero false positives, zero score drift),
