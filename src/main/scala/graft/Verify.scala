@@ -25,7 +25,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Same opt-in subset knob as Bench: SPARK_GRAFT_ONLY=x01,x03 dumps just
+    // those queries (the driver never sets it, so the gate always runs all).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Oracle-checked outputs must be scalar-only: the driver's checker

@@ -200,6 +200,77 @@ object TextOps {
     withBits.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** 32-bit SimHash over an ENGINE-PORTABLE hash: bit j comes from the
+    * first 8 hex chars of md5(token), which Spark and DuckDB compute
+    * identically — so unlike [[simhash]]'s xxhash64 family, this variant's
+    * signatures are exact-oracle-checkable cross-engine. 32 bits (not 64)
+    * keeps the hex→int conversion inside safe BIGINT range in both
+    * engines. [[simhash]] stays the production default: wider fingerprint,
+    * one cheap 8-byte hash per token instead of a digest + base-16 parse.
+    */
+  def simhash32Portable(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), expr("CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("hv"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(expr(s"(hv >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val withBits = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32)
+      .map(j => when(col(s"b_$j") > 0, expr(s"CAST(1 AS BIGINT) << $j")).otherwise(0L))
+      .reduce(_ + _) // disjoint bits: sum == bitwise-or, and matches the oracle's SUM
+    withBits.select(col("doc_id"), sig.as("simhash32"))
+  }
+
+  /** MinHash signatures over an ENGINE-PORTABLE permutation family:
+    * permutation i hashes a shingle to md5("i:shingle") and the signature
+    * element is the lexicographic MIN digest (md5 yields identical
+    * lowercase hex in Spark and DuckDB, and both order strings bytewise).
+    * Same shingle semantics as [[minhashSignatures]] (short docs emit one
+    * truncated shingle). The xxhash64 family there stays the production
+    * default for LSH banding: one 8-byte hash per shingle beats `perms`
+    * 16-byte digests when cross-engine parity isn't required.
+    * Output: (doc_id, sig0..sig{perms-1} string).
+    */
+  def minhashSignaturesPortable(docs: DataFrame, shingleWidth: Int, perms: Int): DataFrame = {
+    val w = shingleWidth
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), expr(s"explode(sequence(0, greatest(size(t) - $w, 0))) AS i"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i") + 1, lit(w))).as("shingle"))
+    val sigs = (0 until perms).map(i =>
+      min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"sig$i"))
+    sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al.'s local document
+    * fingerprinting): md5 each character `k`-gram of the
+    * whitespace-normalized text, take the minimum digest per sliding
+    * window of `w` consecutive grams, and dedup. Engine-portable by the
+    * same md5 argument as above, and row-based (explode + window min) so
+    * the whole pipeline stays on the codegen path — the previous
+    * array-lambda form was CodegenFallback. A doc shorter than one full
+    * window contributes its global minimum (the window at the last gram,
+    * frame-truncated), matching the slice-truncation semantics of the
+    * array form. Output: (doc_id, n_fingerprints, min_fp, max_fp).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("norm"))
+      .select(col("doc_id"), col("norm"), greatest(length(col("norm")) - (k - 1), lit(1)).as("n"))
+      .select(col("doc_id"), col("n"), expr("explode(sequence(1, n)) AS i"), col("norm"))
+      .select(col("doc_id"), col("n"), col("i"), expr(s"md5(CAST(substring(norm, i, $k) AS BINARY))").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .where(col("i") >= least(lit(w), col("n")))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("fp")).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+  }
+
   // ------------------------------------------------- set-similarity join
   /** EXACT set-similarity self-join with LOSSLESS prefix filtering
     * (All-Pairs/PPJoin family): emits every doc pair whose shingle-set
@@ -346,16 +417,11 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // MinHash signatures (deterministic; no SQL oracle — custom hash family).
+    // MinHash signatures over the engine-portable md5 permutation family —
+    // DuckDB recomputes the identical signatures, so this is EXACT-oracle
+    // (the xxhash64 production family stays on the x02 LSH path).
     "x01_minhash_signatures" -> ((s, dir) => {
-      minhashSignatures(t(s, dir, "documents"), shingleWidth = 3)
-        .select(
-          col("doc_id"),
-          col("sig").getItem(0).as("sig0"),
-          col("sig").getItem(1).as("sig1"),
-          col("sig").getItem(2).as("sig2"),
-          col("sig").getItem(3).as("sig3")
-        )
+      minhashSignaturesPortable(t(s, dir, "documents"), shingleWidth = 3, perms = 4)
         .orderBy("doc_id")
     }),
 
@@ -408,8 +474,10 @@ object TextOps {
           (col("n_hit") >= col("n_exact_pairs_cap") * 0.05).as("recall_cap_ok"))
     }),
 
-    // SimHash signatures (deterministic).
-    "x03_simhash" -> ((s, dir) => simhash(t(s, dir, "documents")).orderBy("doc_id")),
+    // SimHash signatures over the engine-portable 32-bit md5 family —
+    // exact-oracle (the 64-bit xxhash64 [[simhash]] stays the production
+    // fingerprint; SimhashSpec pins its semantics).
+    "x03_simhash" -> ((s, dir) => simhash32Portable(t(s, dir, "documents")).orderBy("doc_id")),
 
     // BPE-ish tokenization: subword-flavored regex segmentation (letters /
     // digits / punctuation runs with optional leading space), the second
@@ -1040,34 +1108,12 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Winnowing document fingerprints (rolling hash): character 5-gram
-    // hashes, minimum per sliding window of 4 — the standard local
-    // fingerprinting scheme; deterministic, rows-only check (the hash
-    // family is engine-specific).
-    "x04_winnow_fingerprints" -> ((s, dir) => {
-      val k = 5 // k-gram length
-      val w = 4 // winnow window
-      t(s, dir, "documents")
-        .select(col("doc_id"), lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("norm"))
-        .select(
-          col("doc_id"),
-          expr(s"transform(sequence(1, greatest(length(norm) - ${k - 1}, 1)), i -> hash(substring(norm, i, $k)))")
-            .as("grams")
-        )
-        .select(
-          col("doc_id"),
-          array_distinct(
-            expr(s"transform(sequence(0, greatest(size(grams) - $w, 0)), j -> array_min(slice(grams, j + 1, $w)))")
-          ).as("fps")
-        )
-        .select(
-          col("doc_id"),
-          size(col("fps")).as("n_fingerprints"),
-          array_min(col("fps")).as("min_fp"),
-          array_max(col("fps")).as("max_fp")
-        )
-        .orderBy("doc_id")
-    }),
+    // Winnowing document fingerprints: character 5-gram md5 digests,
+    // minimum per sliding window of 4 — the standard local fingerprinting
+    // scheme, on the engine-portable hash so DuckDB replays the exact
+    // window minima (and on the codegen row path, not array lambdas).
+    "x04_winnow_fingerprints" -> ((s, dir) =>
+      winnowFingerprints(t(s, dir, "documents"), k = 5, w = 4).orderBy("doc_id")),
 
     // Duplicate CLUSTERING — the step after near-dup pair generation:
     // connected components over the pair graph, one cluster id (= min
@@ -1454,6 +1500,38 @@ object TextOps {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_cat(a.toks, b.toks))), 4) AS jaccard
         |FROM tok a JOIN tok b ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact signature replay: same md5 permutation family, same truncated-
+    // shingle semantics for short docs (range(1, greatest(n-2,1)+1) mirrors
+    // Spark's sequence(0, greatest(n-3,0)) start set; t[i:i+2] is DuckDB's
+    // inclusive 1-based slice, truncating like Spark's slice()).
+    "x01_minhash_signatures" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |       FROM tok, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) u(i))
+        |SELECT doc_id, min(md5('0:'||shingle)) AS sig0, min(md5('1:'||shingle)) AS sig1,
+        |       min(md5('2:'||shingle)) AS sig2, min(md5('3:'||shingle)) AS sig3
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 32-bit simhash replay: bit j of ('0x'||first-8-hex-of-md5)::BIGINT
+    // equals Spark's conv(substr(md5,1,8),16,10) bit j; the per-bit sign
+    // sums and the final disjoint-bit SUM are integer-exact.
+    "x03_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tk FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(tk),1,8))::BIGINT AS hv FROM tok),
+        |b AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
+        |      FROM h, range(32) r(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32 FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Winnow replay: same normalization (regexp_replace needs the 'g' flag
+    // here — DuckDB replaces first-match-only by default, Spark replaces
+    // all), same truncated-window rule (a doc with n < w grams keeps only
+    // the window at its last gram = the global min).
+    "x04_winnow_fingerprints" ->
+      """WITH nm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |g AS (SELECT doc_id, i, md5(substr(norm, CAST(i AS INT), 5)) AS h, greatest(len(norm) - 4, 1) AS n
+        |      FROM nm, UNNEST(range(1, greatest(len(norm) - 4, 1) + 1)) u(i)),
+        |f AS (SELECT doc_id, i, n, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)
+        |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM f WHERE i >= least(4, n) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
