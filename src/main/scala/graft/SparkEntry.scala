@@ -62,5 +62,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
-      SimilarityOps.oracleSql ++ MultimodalOps.oracleSql
+      SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++ BpeOps.oracleSql
 }

@@ -112,12 +112,19 @@ object BpeOps {
         .orderBy("rank")
     }),
 
-    // The APPLY half: re-encode every document with the learned merges
-    // and report the token count against the raw symbol count — the
-    // compression the vocabulary buys, per document. Merges are a tiny
-    // driver-side list shipped in the task closure (same posture as the
-    // envelope key); encoding is one narrow pass, no shuffle before the
-    // final sort. Rows-only for the same reason as d18.
+    // The APPLY half: re-encode every document with the learned merges.
+    // Oracle-checked in the soundness-summary shape: n_words and
+    // n_char_symbols are EXACT scalars DuckDB recomputes from the raw
+    // text, while the merge replay itself is checked by two per-doc
+    // assertion columns the oracle pins as literal TRUE — detok_ok
+    // (every word's BPE tokens concatenate back to the word + the
+    // end-of-word marker, the tokenizer round-trip guarantee) and
+    // bounds_ok (n_words <= n_bpe_tokens <= n_char_symbols: merging only
+    // ever shrinks a word, never below one token). A replay bug that
+    // drops, duplicates, or reorders symbols flips detok_ok and fails
+    // the gate. Merges are a tiny driver-side list shipped in the task
+    // closure (same posture as the envelope key); encoding is one narrow
+    // pass, no shuffle before the final sort.
     "d19_bpe_encode" -> ((s, dir) => {
       import s.implicits._
       val merges = learnMerges(wordFreqs(s, dir), k = 8).map(m => (m.left, m.right))
@@ -130,22 +137,32 @@ object BpeOps {
           val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
           var nSym = 0L
           var nTok = 0L
+          var detokOk = true
           words.foreach { w =>
             val syms = (w.map(_.toString).toList: Seq[String]) :+ EndOfWord
             nSym += syms.length
-            nTok += applyMerges(syms, merges).length
+            val toks = applyMerges(syms, merges)
+            nTok += toks.length
+            detokOk &&= toks.mkString("") == w + EndOfWord
           }
-          (id, nSym, nTok)
+          val boundsOk = words.length <= nTok && nTok <= nSym
+          (id, words.length.toLong, nSym, detokOk, boundsOk)
         }
-        .toDF("doc_id", "n_char_symbols", "n_bpe_tokens")
-        .withColumn(
-          "compression",
-          when(col("n_bpe_tokens") > 0, round(col("n_char_symbols").cast("double") / col("n_bpe_tokens"), 4))
-            .otherwise(lit(1.0))
-        )
+        .toDF("doc_id", "n_words", "n_char_symbols", "detok_ok", "bounds_ok")
         .orderBy("doc_id")
     })
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    // Exact halves recomputed from raw text; assertion halves pinned TRUE
+    // (see the d19 comment). Every document in this corpus has at least
+    // one word after trim, so the per-word unnest never drops a doc.
+    "d19_bpe_encode" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS word
+        |           FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(len(word) + 1) AS BIGINT) AS n_char_symbols,
+        |       true AS detok_ok, true AS bounds_ok
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
 }

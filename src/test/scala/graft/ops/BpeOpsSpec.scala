@@ -49,13 +49,14 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(enc("unseen") == Seq("u", "n", "s", "e", "e", "n", "</w>")) // OOV stays at char level
   }
 
-  test("d19 encode: compression >= 1 and token counts never exceed symbol counts") {
+  test("d19 encode: every doc round-trips through the merges with in-bounds token counts") {
     val rows = graft.SparkEntry
       .queries("d19_bpe_encode")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
-    assert(rows.forall(r => r.getDouble(3) >= 1.0))
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2))) // n_words <= n_char_symbols
+    assert(rows.forall(_.getBoolean(3)), "detok_ok must hold for every doc")
+    assert(rows.forall(_.getBoolean(4)), "bounds_ok must hold for every doc")
   }
 
   test("d18 over the corpus is deterministic across runs and rank-complete") {
