@@ -271,6 +271,70 @@ object TextOps {
         max(col("fp")).as("max_fp"))
   }
 
+  // ------------------------------------------------- span-level dedup
+  /** Duplicated-SPAN removal — the token-level analogue of ExactSubstr
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): any `spanWidth`-token span occurring more than once
+    * ANYWHERE in the corpus keeps only its globally-first occurrence
+    * (smallest (doc_id, position)); every token covered by a later
+    * occurrence is dropped, and each document is rebuilt from its
+    * surviving tokens. Catches cross-document boilerplate that
+    * whole-document dedup (d01) and near-dup pruning (x02/d28) both miss.
+    *
+    * Spark shape, sized for 100 TB: spans shuffle ONCE, keyed by the md5
+    * of the span text (16 bytes crossing the wire instead of the span
+    * string; 128 bits makes collisions negligible at any corpus size —
+    * a 64-bit key would birthday-collide at ~10^13 spans). The
+    * first-occurrence winner is a plain MIN aggregate over the packed
+    * (doc_id, pos) key — no row_number window, so map-side partial
+    * aggregation applies and a hot span (common boilerplate) costs one
+    * combiner cell per map task, not a skewed window partition. Removal
+    * positions fan back out through an equi-join on the same key, and
+    * the rebuild is one groupBy(doc_id). The packed key requires
+    * `pos < posCap` (docs under ~1M tokens at the default); the final
+    * array_sort+transform rebuild runs once per output doc, off the
+    * per-span hot path.
+    *
+    * Output: (doc_id, n_tokens, n_removed, rebuilt).
+    */
+  def spanDedup(docs: DataFrame, spanWidth: Int = 8, posCap: Long = 1L << 20): DataFrame = {
+    val w = spanWidth
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("t")).withColumn("n", size(col("t")))
+    val tokRows = tok
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val spans = tok
+      .where(col("n") >= w)
+      .select(col("doc_id"), col("t"), expr(s"explode(sequence(1, n - ${w - 1})) AS p"))
+      .select(
+        col("doc_id"),
+        col("p"),
+        md5(concat_ws(" ", slice(col("t"), col("p"), lit(w))).cast("binary")).as("gh"))
+    val byGram = spans
+      .groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id") * posCap + col("p")).as("first_key"))
+    val covered = spans
+      .join(byGram, "gh")
+      .where(col("cnt") > 1 && col("doc_id") * posCap + col("p") =!= col("first_key"))
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("pos"))
+      .distinct()
+    val kept = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val totals = tokRows.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val keptAgg = kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("rebuilt"))
+    totals
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+  }
+
   // ------------------------------------------------- set-similarity join
   /** EXACT set-similarity self-join with LOSSLESS prefix filtering
     * (All-Pairs/PPJoin family): emits every doc pair whose shingle-set
@@ -1005,6 +1069,14 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Duplicated-span removal (ExactSubstr-style, see [[spanDedup]]):
+    // 8-token spans seen more than once corpus-wide keep only their
+    // globally-first occurrence; later occurrences' tokens are dropped
+    // and docs rebuilt. Exact oracle: DuckDB replays the identical
+    // first-occurrence-wins semantics over the same md5 span keys.
+    "d34_span_dedup" -> ((s, dir) =>
+      spanDedup(t(s, dir, "documents"), spanWidth = 8).orderBy("doc_id")),
+
     // Context-window chunking: split each document into fixed-size token
     // windows with overlap (64-token chunks, stride 48) — the training-
     // prep step that turns documents into model-context-sized examples
@@ -1522,6 +1594,22 @@ object TextOps {
         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
         |      FROM h, range(32) r(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32 FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Span-dedup replay: same md5 span keys, same packed (doc_id, pos)
+    // first-occurrence rule, same rebuild. range(1, len(t) - 6) is
+    // p in 1..n-7 = the n-w+1 span starts for w=8.
+    "d34_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |tr AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tok),
+        |sp AS (SELECT doc_id, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+        |       FROM tok, UNNEST(range(1, len(t) - 6)) u(p) WHERE len(t) >= 8),
+        |g AS (SELECT gh, count(*) AS cnt, min(doc_id * 1048576 + p) AS first_key FROM sp GROUP BY gh),
+        |rm AS (SELECT sp.doc_id, sp.p FROM sp JOIN g USING (gh) WHERE g.cnt > 1 AND sp.doc_id * 1048576 + sp.p <> g.first_key),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM rm, UNNEST(range(p, p + 8)) v(pos)),
+        |kept AS (SELECT tr.doc_id, tr.pos, tr.tok FROM tr LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.pos = cov.pos WHERE cov.pos IS NULL),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tr GROUP BY doc_id),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS rebuilt FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_tokens, tot.n_tokens - coalesce(ka.n_kept, 0) AS n_removed, coalesce(ka.rebuilt, '') AS rebuilt
+        |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Winnow replay: same normalization (regexp_replace needs the 'g' flag
     // here — DuckDB replaces first-match-only by default, Spark replaces
     // all), same truncated-window rule (a doc with n < w grams keeps only

@@ -72,6 +72,35 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("d34 span dedup: later duplicate spans are removed, untouched docs rebuild verbatim") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d34_span_dedup")(spark, sfDir).collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+    assert(rows.length == docs.count(), "every doc must appear in the output")
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+    assert(rows.exists(_.getLong(2) > 0), "the corpus's near-dup pairs must trigger span removal")
+    // A doc with nothing removed must rebuild exactly to its normalized text.
+    val norm = docs
+      .select(col("doc_id"), regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("nt"))
+      .as[(Long, String)].collect().toMap
+    val untouched = rows.filter(_.getLong(2) == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach(r => assert(r.getString(3) == norm(r.getLong(0))))
+    // First-occurrence-wins on a controlled fixture: an exact copy pair and
+    // a unique doc. The first copy keeps every token, the second copy's
+    // tokens are all covered by removed spans, the unique doc is untouched.
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "one unique document with completely different ten tokens here now")
+    ).toDF("doc_id", "text")
+    val fx = TextOps.spanDedup(fixture, spanWidth = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(fx(1L) == ((10L, 0L, "a b c d e f g h i j")), s"first copy must survive intact: ${fx(1L)}")
+    assert(fx(2L)._2 == 10L && fx(2L)._3 == "", s"second copy must lose all spans: ${fx(2L)}")
+    assert(fx(3L)._2 == 0L, s"unique doc must be untouched: ${fx(3L)}")
+  }
+
   test("production 64-bit simhash: identical docs collide, near-dups land close, distinct docs apart") {
     import spark.implicits._
     val docs = Seq(

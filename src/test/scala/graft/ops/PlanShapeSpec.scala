@@ -64,6 +64,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d34: span dedup is all equi-joins on span-hash/position keys — no cartesian, no window over spans") {
+    val p = TextOps.spanDedup(Tables.t(spark, sfDir, "documents"), spanWidth = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // first-occurrence selection must be an aggregate (map-side combinable),
+    // not a row_number window partitioned by the (skewable) span key
+    assert(!p.contains("Window"), p)
+  }
+
   test("d13: sequence packing windows are PARTITIONED by shard — no single-partition global sort") {
     val p = plan("d13_sequence_pack")
     assert(!p.contains("Exchange SinglePartition"), s"global window detected:\n$p")
