@@ -271,6 +271,35 @@ object TextOps {
         max(col("fp")).as("max_fp"))
   }
 
+  // ------------------------------------------------- bigram LM scoring
+  /** Per-doc mean add-1-smoothed bigram log-probability under the corpus
+    * LM — the model-based quality signal (low scores flag disfluent or
+    * degenerate text). Corpus counts join back to doc bigrams by key; the
+    * vocab size rides as a 1-row broadcast. No broadcast hint on the
+    * count tables: at 100 TB the unigram/bigram tables outgrow a
+    * broadcast and AQE picks the strategy per actual size. Docs with
+    * fewer than two tokens have no bigrams and are dropped.
+    * Output: (doc_id, n_bigrams, avg_logprob). Shared by d29 (the raw
+    * scores) and d35 (CCNet-style bucketing).
+    */
+  def bigramLogprobScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docBg = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+      .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
+    val bgCounts = docBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    docBg
+      .join(bgCounts, Seq("a", "b"))
+      .join(uni.select(col("tok").as("a"), col("c")), "a")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), log((col("c_ab") + 1).cast("double") / (col("c") + col("v"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logprob"))
+  }
+
   // ------------------------------------------------- span-level dedup
   /** Duplicated-SPAN removal — the token-level analogue of ExactSubstr
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -911,23 +940,54 @@ object TextOps {
     // broadcast. No broadcast hint on the count tables: at 100 TB the
     // unigram/bigram tables outgrow a broadcast and AQE picks the
     // strategy per actual size.
-    "d29_bigram_logprob" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("t"))
-      val uni = toks.select(explode(col("t")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c"))
-      val vocab = uni.agg(count(lit(1)).as("v"))
-      val docBg = toks
-        .where(size(col("t")) >= 2)
-        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
-        .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
-      val bgCounts = docBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      docBg
-        .join(bgCounts, Seq("a", "b"))
-        .join(uni.select(col("tok").as("a"), col("c")), "a")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), log((col("c_ab") + 1).cast("double") / (col("c") + col("v"))).as("logp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logprob"))
-        .orderBy("doc_id")
+    "d29_bigram_logprob" -> ((s, dir) =>
+      bigramLogprobScores(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing: score every doc under the corpus
+    // bigram LM (d29's signal), cut the score distribution at its
+    // terciles, and report each head/middle/tail bucket's size, mean
+    // score, and token share — the quality-tiering step a CCNet-shaped
+    // pipeline uses to keep/downsample/drop. Buckets come from PERCENTILE
+    // CUTOFFS broadcast back over the docs, not a global ntile window —
+    // a rank window would funnel every doc through one sorted partition,
+    // while the cutoff pass is one small aggregate (exact here for oracle
+    // parity; approx_percentile is the drop-in at 100 TB) plus a
+    // broadcast compare. Cutoff floats are safe cross-engine: scores are
+    // rounded to 6dp first, and a tercile index that doesn't land exactly
+    // on a data point puts the interpolated cutoff strictly between two
+    // rounded scores, so a last-ulp difference can't flip a bucket.
+    "d35_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = bigramLogprobScores(docs)
+      val ntok = docs
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .where(col("n_tokens") >= 2)
+      val cuts = scored.agg(
+        percentile(col("avg_logprob"), lit(2.0 / 3.0)).as("b1"),
+        percentile(col("avg_logprob"), lit(1.0 / 3.0)).as("b2"))
+      val labeled = scored
+        .join(ntok, "doc_id")
+        .crossJoin(broadcast(cuts))
+        .select(
+          when(col("avg_logprob") >= col("b1"), "head")
+            .when(col("avg_logprob") >= col("b2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("avg_logprob"),
+          col("n_tokens"))
+      val total = labeled.agg(sum(col("n_tokens")).as("tt"))
+      labeled
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("avg_logprob")), 6).as("avg_score"),
+          sum(col("n_tokens")).as("bucket_tokens"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("bucket"),
+          col("n_docs"),
+          col("avg_score"),
+          round(col("bucket_tokens").cast("double") / col("tt"), 6).as("token_share"))
+        .orderBy("bucket")
     }),
 
     // Mixture re-weighting: per-language sampling weights that would
@@ -1594,6 +1654,31 @@ object TextOps {
         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
         |      FROM h, range(32) r(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32 FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Perplexity-bucket replay: d29's LM scoring CTEs + quantile_cont
+    // tercile cutoffs (Spark percentile() has the same interpolating
+    // definition — the q28 precedent); bucket compare is on 6dp-rounded
+    // scores so a last-ulp cutoff difference can't flip an assignment.
+    "d35_perplexity_buckets" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+        |       FROM toks WHERE len(t) >= 2),
+        |dbf AS (SELECT doc_id, s.a AS a, s.b AS b FROM db),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM dbf GROUP BY 1, 2),
+        |lp AS (SELECT d.doc_id, ln(CAST(bc.c_ab + 1 AS DOUBLE) / (uc.c + v.v)) AS logp
+        |       FROM dbf d JOIN bc ON d.a = bc.a AND d.b = bc.b JOIN uc ON d.a = uc.tok, v),
+        |scored AS (SELECT doc_id, round(avg(logp), 6) AS score FROM lp GROUP BY 1),
+        |ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks WHERE len(t) >= 2),
+        |cuts AS (SELECT quantile_cont(score, 2.0/3.0) AS b1, quantile_cont(score, 1.0/3.0) AS b2 FROM scored),
+        |lab AS (SELECT s.doc_id, CASE WHEN s.score >= c.b1 THEN 'head' WHEN s.score >= c.b2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |               s.score, n.n_tokens
+        |        FROM scored s JOIN ntok n USING (doc_id), cuts c),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM lab)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, round(avg(score), 6) AS avg_score,
+        |       round(sum(n_tokens) / tt, 6) AS token_share
+        |FROM lab, tot GROUP BY bucket, tt ORDER BY bucket""".stripMargin,
     // Span-dedup replay: same md5 span keys, same packed (doc_id, pos)
     // first-occurrence rule, same rebuild. range(1, len(t) - 6) is
     // p in 1..n-7 = the n-w+1 span starts for w=8.

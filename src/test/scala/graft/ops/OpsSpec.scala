@@ -72,6 +72,17 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("d35 perplexity buckets: tercile sizes balance, shares sum to 1, head outscores tail") {
+    val rows = SparkEntry.queries("d35_perplexity_buckets")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("head", "middle", "tail"))
+    val sizes = rows.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1, s"terciles must balance within 1: $rows")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-4, "token shares must sum to 1")
+    assert(rows("head")._2 > rows("middle")._2 && rows("middle")._2 > rows("tail")._2,
+      s"bucket mean scores must be ordered: $rows")
+  }
+
   test("d34 span dedup: later duplicate spans are removed, untouched docs rebuild verbatim") {
     import spark.implicits._
     val rows = SparkEntry.queries("d34_span_dedup")(spark, sfDir).collect()
