@@ -127,6 +127,45 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): embeddings
+    * are grouped into clusters, pairwise cosine runs ONLY within a
+    * cluster, and every vector similar (above `threshold`) to a lower-id
+    * clustermate is marked a drop — keeping one deterministic
+    * representative (the lowest id) per semantic-duplicate group. The
+    * whole point of the design is that the quadratic step is scoped to
+    * cluster size, which the clustering stage caps (the paper picks k so
+    * clusters stay small); corpus-wide pairwise never happens.
+    *
+    * `clusterCol` is the pluggable clustering seam: the oracle-checked
+    * s11 entry uses the deterministic `label` column so DuckDB can replay
+    * the exact decisions; the production path at scale assigns cells with
+    * [[IvfIndex]]'s k-means (engine-seeded, so soundness-summary
+    * territory like s04). The join is keyed on the cluster id — skew
+    * equals cluster-size imbalance, which is the clustering stage's
+    * contract to bound.
+    *
+    * Output: (vec_id, cluster, max_cos_to_lower, keep) — one row per
+    * vector; `max_cos_to_lower` is -1 for each cluster's lowest id.
+    */
+  def semDedup(emb: DataFrame, clusterCol: String = "label", threshold: Double = 0.4): DataFrame = {
+    val a = emb.select(col(clusterCol).cast("long").as("cl"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col(clusterCol).cast("long").as("cl"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val maxLower = a
+      .join(b, "cl")
+      .where(col("va") > col("vb"))
+      .select(col("va"), round(cosine_similarity(col("ea"), col("eb")), 6).as("cos"))
+      .groupBy("va")
+      .agg(max(col("cos")).as("max_cos_to_lower"))
+    emb
+      .select(col("vec_id"), col(clusterCol).cast("long").as("cluster"))
+      .join(maxLower.withColumnRenamed("va", "vec_id"), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        coalesce(col("max_cos_to_lower"), lit(-1.0)).as("max_cos_to_lower"),
+        (coalesce(col("max_cos_to_lower"), lit(-1.0)) <= threshold).as("keep"))
+  }
+
   /** One-sided soundness summary for an approximate-NN result — the shape
     * that lets an index-dependent answer pass the EXACT oracle gate. The
     * candidate set depends on engine-side state (hyperplanes / k-means
@@ -344,6 +383,12 @@ object SimilarityOps {
         .orderBy("label")
     }),
 
+    // SemDeDup over label clusters (see [[semDedup]]): exact per-vector
+    // keep/drop decisions DuckDB replays pairwise within each cluster.
+    "s11_semdedup" -> ((s, dir) =>
+      semDedup(t(s, dir, "embeddings"), clusterCol = "label", threshold = 0.4)
+        .orderBy("vec_id")),
+
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness
@@ -442,6 +487,18 @@ object SimilarityOps {
         |SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS INT) AS pos,
         |       CAST(count(*) AS BIGINT) AS n_vectors, round(avg(CAST(v AS DOUBLE)), 6) AS m
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // SemDeDup replay: same within-cluster pairwise cosine on the same
+    // 6dp-rounded values, same lowest-id-wins rule.
+    "s11_semdedup" ->
+      """WITH p AS (SELECT a.vec_id AS va,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id > b.vec_id),
+        |m AS (SELECT va, max(cos) AS mx FROM p GROUP BY va)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS cluster, coalesce(m.mx, -1.0) AS max_cos_to_lower,
+        |       coalesce(m.mx, -1.0) <= 0.4 AS keep
+        |FROM embeddings e LEFT JOIN m ON e.vec_id = m.va ORDER BY e.vec_id""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

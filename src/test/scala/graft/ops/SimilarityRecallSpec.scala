@@ -42,4 +42,17 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"tuned recall $recall < 0.8")
   }
+
+  test("s11 semdedup: one row per vector, drops only above threshold, lowest id per cluster always kept") {
+    val rows = graft.SparkEntry.queries("s11_semdedup")(spark, sfDir).collect()
+    assert(rows.length == emb.count())
+    val dropped = rows.filterNot(_.getBoolean(3))
+    assert(dropped.nonEmpty, "the corpus's near-dup vectors must trigger drops")
+    dropped.foreach(r => assert(r.getDouble(2) > 0.4, s"dropped ${r.getLong(0)} with max_cos ${r.getDouble(2)}"))
+    // each cluster's lowest vec_id has no lower clustermate: max_cos = -1, always kept
+    rows.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val first = members.minBy(_.getLong(0))
+      assert(first.getDouble(2) == -1.0 && first.getBoolean(3))
+    }
+  }
 }
