@@ -1129,6 +1129,68 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style rule-based quality filtering (Rae et al. 2021 §A1.1,
+    // the RedPajama/Dolma recipe): hard per-doc rules — word count floor,
+    // mean-word-length band, minimum distinct stopwords, top-token
+    // dominance cap — each emitted as its own boolean next to the stat it
+    // tests, plus the conjunctive keep. Thresholds are corpus-tuned (the
+    // synthetic vocabulary has only 'the'/'a' as stopwords and no
+    // symbols/bullets, so those Gopher rules are inapplicable). One
+    // explode + two keyed aggs; rule compares run on the 4dp-ROUNDED
+    // stats in BOTH engines so a last-ulp division difference can never
+    // flip a boolean.
+    "d36_gopher_rules" -> ((s, dir) => {
+      val tokCounts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      tokCounts
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("wc"),
+          round(sum(length(col("tok")) * col("c")).cast("double") / sum(col("c")), 4).as("mwl"),
+          sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"),
+          round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"))
+        .select(
+          col("doc_id"), col("wc"), col("mwl"), col("n_stop"), col("top_share"),
+          (col("wc") >= 20).as("wc_ok"),
+          (col("mwl") >= 3.0 && col("mwl") <= 4.5).as("mwl_ok"),
+          (col("n_stop") >= 2).as("stop_ok"),
+          (col("top_share") <= 0.12).as("rep_ok"))
+        .withColumn("keep", col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("rep_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled mixture weights (the multilingual alpha-sampling
+    // recipe, mT5/XLM-R style): sampling share proportional to
+    // actual_share^alpha at alpha=0.3, flattening the distribution so
+    // low-resource slices are upsampled — next to d20's uniform-target
+    // arithmetic. Shares are rounded to 6dp BEFORE the pow in both
+    // engines and pow-derived outputs round at 4dp, keeping the one
+    // libm-sensitive step inside a safe margin. Same one-agg + broadcast
+    // shape as d20.
+    "d37_temperature_mix" -> ((s, dir) => {
+      val perLang = t(s, dir, "documents")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      val total = perLang.agg(sum(col("lang_tokens")).as("tt"))
+      val shared = perLang
+        .crossJoin(broadcast(total))
+        .select(
+          col("lang"), col("n_docs"), col("lang_tokens"),
+          round(col("lang_tokens").cast("double") / col("tt"), 6).as("actual_share"))
+        .withColumn("pa", pow(col("actual_share"), lit(0.3)))
+      val z = shared.agg(sum(col("pa")).as("z"))
+      shared
+        .crossJoin(broadcast(z))
+        .select(
+          col("lang"), col("n_docs"), col("lang_tokens"), col("actual_share"),
+          round(col("pa") / col("z"), 4).as("temp_share"),
+          round(col("pa") / col("z") / col("actual_share"), 4).as("upsample_factor"))
+        .orderBy("lang")
+    }),
+
     // Duplicated-span removal (ExactSubstr-style, see [[spanDedup]]):
     // 8-token spans seen more than once corpus-wide keep only their
     // globally-first occurrence; later occurrences' tokens are dropped
@@ -1654,6 +1716,35 @@ object TextOps {
         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
         |      FROM h, range(32) r(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32 FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher-rule replay: identical stats from the same (doc, token)
+    // count table; every boolean compares the 4dp-ROUNDED stat, so both
+    // engines decide from bit-identical values.
+    "d36_gopher_rules" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents)
+        |            GROUP BY doc_id, tok),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS wc,
+        |        round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c), 4) AS mwl,
+        |        CAST(count(*) FILTER (WHERE tok IN ('the', 'a')) AS BIGINT) AS n_stop,
+        |        round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
+        |      FROM tc GROUP BY doc_id)
+        |SELECT doc_id, wc, mwl, n_stop, top_share,
+        |  wc >= 20 AS wc_ok, mwl >= 3.0 AND mwl <= 4.5 AS mwl_ok, n_stop >= 2 AS stop_ok, top_share <= 0.12 AS rep_ok,
+        |  (wc >= 20 AND mwl >= 3.0 AND mwl <= 4.5 AND n_stop >= 2 AND top_share <= 0.12) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // Temperature-mix replay: same 6dp share rounding before the pow,
+    // same 4dp rounding after it.
+    "d37_temperature_mix" ->
+      """WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS lang_tokens
+        |            FROM documents GROUP BY lang),
+        |tt AS (SELECT CAST(sum(lang_tokens) AS DOUBLE) AS tt FROM pl),
+        |sh AS (SELECT lang, n_docs, lang_tokens, round(lang_tokens / tt, 6) AS actual_share,
+        |              pow(round(lang_tokens / tt, 6), 0.3) AS pa FROM pl, tt),
+        |z AS (SELECT sum(pa) AS z FROM sh)
+        |SELECT lang, n_docs, lang_tokens, actual_share, round(pa / z, 4) AS temp_share,
+        |       round(pa / z / actual_share, 4) AS upsample_factor
+        |FROM sh, z ORDER BY lang""".stripMargin,
     // Perplexity-bucket replay: d29's LM scoring CTEs + quantile_cont
     // tercile cutoffs (Spark percentile() has the same interpolating
     // definition — the q28 precedent); bucket compare is on 6dp-rounded

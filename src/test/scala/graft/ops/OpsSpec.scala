@@ -72,6 +72,39 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("d36 gopher rules: keep is the conjunction and every rule discriminates") {
+    val rows = SparkEntry.queries("d36_gopher_rules")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8)
+      assert(r.getBoolean(9) == expect, s"keep must be the conjunction: $r")
+    }
+    (5 to 8).foreach { i =>
+      val passes = rows.count(_.getBoolean(i))
+      assert(passes > 0 && passes < rows.length, s"rule at col $i must pass some docs and fail some: $passes/${rows.length}")
+    }
+  }
+
+  test("d37 temperature mix: shares sum to 1 and alpha=0.3 flattens toward uniform") {
+    val rows = SparkEntry.queries("d37_temperature_mix")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "temp shares must sum to 1")
+    // upsample factor share^(alpha-1)/Z is strictly decreasing in share,
+    // and with unequal shares the extremes must cross 1 (else the temp
+    // shares could not also sum to 1)
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach {
+      case Array((_, s1, _, u1), (_, s2, _, u2)) if s1 < s2 =>
+        assert(u1 > u2, s"upsample must decrease with share: $byShare")
+      case _ => ()
+    }
+    if (byShare.head._2 < byShare.last._2) {
+      assert(byShare.head._4 > 1.0, s"smallest slice must upsample: ${byShare.head}")
+      assert(byShare.last._4 < 1.0, s"largest slice must downsample: ${byShare.last}")
+    }
+  }
+
   test("d35 perplexity buckets: tercile sizes balance, shares sum to 1, head outscores tail") {
     val rows = SparkEntry.queries("d35_perplexity_buckets")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
