@@ -73,6 +73,21 @@ object MultimodalOps {
     def resizePayload(payload: Array[Byte], scaleDiv: Int): Array[Byte]
   }
 
+  /** ENGINE-PORTABLE frame hash: the first 15 hex chars (60 bits, safely
+    * positive) of the md5 of the byte range, parsed as a long — the same
+    * portability argument as the x01/x03/x04 signature families, which is
+    * what lets m02's frame rows carry an exact DuckDB oracle
+    * (`('0x'||substr(md5(frame),1,15))::BIGINT` on identical bytes). Both
+    * codecs hash frames through this, so frame identity semantics stay
+    * codec-uniform.
+    */
+  def frameHash(payload: Array[Byte], from: Int, until: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload, from, math.max(0, until - from))
+    val hex = md.digest().take(8).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Shannon byte entropy (bits/byte) — codec-independent signal used for
     * corrupt/blank-media triage regardless of the injected decoder.
     */
@@ -109,18 +124,15 @@ object MultimodalOps {
       hist.map(h => (h.toDouble / total).toFloat)
     }
 
-    /** Every strideBytes-th window hashed — the shape of video frame
-      * extraction (asset -> many indexed frames).
+    /** Every strideBytes-th window hashed (portable md5-prefix hash) —
+      * the shape of video frame extraction (asset -> many indexed frames).
       */
     override def sampleFrames(payload: Array[Byte], strideBytes: Int, maxFrames: Int): Seq[(Int, Long)] = {
       val n = math.min(maxFrames, math.max(0, payload.length / math.max(1, strideBytes)))
       (0 until n).map { i =>
         val start = i * strideBytes
         val end = math.min(payload.length, start + strideBytes)
-        var h = 1125899906842597L
-        var j = start
-        while (j < end) { h = 31 * h + payload(j); j += 1 }
-        (i, h)
+        (i, frameHash(payload, start, end))
       }
     }
 
@@ -205,8 +217,14 @@ object MultimodalOps {
   }
 
   val queries: Map[String, Tables.Q] = Map(
-    // Media feature extraction over binary payloads (deterministic stub
-    // codec; rows-only check — byte-level fold is not SQL-expressible).
+    // Media feature extraction over binary payloads — EXACT-oracle: the
+    // synthetic payloads are the documents' ASCII bytes, so DuckDB can
+    // replay the byte histogram char-by-char. The float32 leading feature
+    // is emitted as its exact integer numerator (count of bytes in stub
+    // bucket 0, recovered via round(f0*n) — exact for n < 2^24) plus the
+    // fraction recomputed in double from that integer, so no float32
+    // value ever crosses the hash compare. Entropy is a double all the
+    // way through (byteEntropy), rounded 4dp.
     "m01_media_features" -> ((s, dir) => {
       extractFeatures(syntheticAssets(s, dir))
         .toDF()
@@ -215,11 +233,13 @@ object MultimodalOps {
           col("media_type"),
           col("n_bytes"),
           round(col("byte_entropy"), 4).as("byte_entropy"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0")
-        )
+          round(element_at(col("feature"), 1).cast("double") * col("n_bytes")).cast("long").as("f0_count"))
+        .withColumn("f0", round(col("f0_count").cast("double") / greatest(col("n_bytes"), lit(1L)), 4))
         .orderBy("asset_id")
     }),
-    // Frame sampling fan-out.
+    // Frame sampling fan-out — EXACT-oracle: frames are fixed-stride byte
+    // slices and the frame hash is the portable md5-prefix ([[frameHash]]),
+    // so DuckDB rebuilds each frame with substr and hashes it identically.
     "m02_frame_samples" -> ((s, dir) => {
       sampleFrames(syntheticAssets(s, dir), strideBytes = 64, maxFrames = 4)
         .toDF()
@@ -257,7 +277,9 @@ object MultimodalOps {
     // Resize pass: payloads shrunk by the codec (stub: stride-decimate),
     // emitting before/after sizes and the re-extracted leading feature —
     // the downsample-then-refeaturize step of a media pipeline. Narrow
-    // per-partition map, no shuffle; deterministic rows-only check.
+    // per-partition map, no shuffle. EXACT-oracle: the decimated payload
+    // is the odd-subscript chars, so DuckDB re-derives the same bytes;
+    // the feature rides as its integer numerator like m01.
     "m03_resize_stats" -> ((s, dir) => {
       val before = syntheticAssets(s, dir)
       val after = resize(before, scaleDiv = 2)
@@ -267,24 +289,59 @@ object MultimodalOps {
         .select(
           col("asset_id"),
           col("n_bytes").as("resized_bytes"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0_resized")
-        )
+          round(element_at(col("feature"), 1).cast("double") * col("n_bytes")).cast("long")
+            .as("f0_count_resized"))
       b.join(a, "asset_id")
         .select(
           col("asset_id"),
           col("orig_bytes"),
           col("resized_bytes"),
           (col("resized_bytes") <= col("orig_bytes")).as("shrunk"),
-          col("f0_resized")
-        )
+          col("f0_count_resized"),
+          round(col("f0_count_resized").cast("double") / greatest(col("resized_bytes"), lit(1L)), 4)
+            .as("f0_resized"))
         .orderBy("asset_id")
     })
   )
 
-  /** m04's closed form: a solid-color image's channel proportions are
-    * r/(r+g+b) etc., and its byte size is the exact header + 3wh.
+  /** m01-m03: the synthetic payloads are the documents' ASCII bytes, so
+    * DuckDB replays the stub codec char-by-char (histogram buckets via
+    * ascii()%8, frames via substr + the portable md5-prefix hash,
+    * decimation via odd subscripts). m04's closed form: a solid-color
+    * image's channel proportions are r/(r+g+b) etc., and its byte size is
+    * the exact header + 3wh.
     */
   val oracleSql: Map[String, String] = Map(
+    "m01_media_features" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |e AS (SELECT h.doc_id,
+        |        round(-sum((CAST(h.c AS DOUBLE) / n.n) * log2(CAST(h.c AS DOUBLE) / n.n)), 4) AS ent,
+        |        CAST(coalesce(sum(h.c) FILTER (WHERE ascii(h.ch) % 8 = 0), 0) AS BIGINT) AS f0c
+        |      FROM hist h JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT e.doc_id AS asset_id,
+        |  CASE WHEN e.doc_id % 3 = 0 THEN 'image' WHEN e.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  n.n AS n_bytes, e.ent AS byte_entropy, e.f0c AS f0_count,
+        |  round(CAST(e.f0c AS DOUBLE) / greatest(n.n, 1), 4) AS f0
+        |FROM e JOIN n USING (doc_id) ORDER BY asset_id""".stripMargin,
+    "m02_frame_samples" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS fr
+        |      FROM d, UNNEST(range(0, least(4, n // 64))) u(i))
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        |  ('0x' || substr(md5(fr), 1, 15))::BIGINT AS frame_hash
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+    "m03_resize_stats" ->
+      """WITH rc AS (SELECT doc_id, unnest(string_split(text, '')) AS ch,
+        |                   generate_subscripts(string_split(text, ''), 1) AS i, strlen(text) AS n
+        |            FROM documents),
+        |r AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS orig_bytes, CAST(count(*) AS BIGINT) AS rn,
+        |             CAST(coalesce(sum(CASE WHEN ascii(ch) % 8 = 0 THEN 1 END), 0) AS BIGINT) AS f0c
+        |      FROM rc WHERE i % 2 = 1 GROUP BY 1)
+        |SELECT doc_id AS asset_id, orig_bytes, rn AS resized_bytes, rn <= orig_bytes AS shrunk,
+        |  f0c AS f0_count_resized, round(CAST(f0c AS DOUBLE) / greatest(rn, 1), 4) AS f0_resized
+        |FROM r ORDER BY asset_id""".stripMargin,
     "m04_ppm_features" ->
       """WITH c AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
         |  85 * (1 + doc_id % 3) AS r, 85 * (doc_id % 4) AS g, 85 * ((doc_id // 3) % 4) AS b

@@ -83,8 +83,9 @@ object PpmCodec extends MediaCodec {
   }
 
   /** A "frame" of a still image = one pixel row; `strideBytes` is reused
-    * as the row stride. Same polynomial row hash as the stub so frame
-    * identity semantics are codec-uniform.
+    * as the row stride. Same portable md5-prefix row hash as the stub
+    * ([[MultimodalOps.frameHash]]) so frame identity semantics are
+    * codec-uniform and oracle-replayable.
     */
   override def sampleFrames(payload: Array[Byte], strideBytes: Int, maxFrames: Int): Seq[(Int, Long)] = {
     if (payload.isEmpty) return Nil
@@ -93,10 +94,7 @@ object PpmCodec extends MediaCodec {
     (0 until math.min(maxFrames, (img.height + stride - 1) / stride)).map { i =>
       val y = i * stride
       val from = img.dataOffset + 3 * y * img.width
-      var h = 1125899906842597L
-      var j = from
-      while (j < from + 3 * img.width) { h = 31 * h + payload(j); j += 1 }
-      (i, h)
+      (i, MultimodalOps.frameHash(payload, from, from + 3 * img.width))
     }
   }
 

@@ -38,8 +38,11 @@ class PpmGoldenSpec extends AnyFunSuite {
   test("m02 shape: per-row frame hashes match precomputed literals") {
     val frames = sampleFrames(assetDs, strideBytes = 1, maxFrames = 16, codec = PpmCodec)
       .collect().sortBy(_.frame_idx).toSeq
+    // portable md5-prefix hash, computed independently in python:
+    // int(md5(row_bytes).hexdigest()[:15], 16) for rows
+    // [255,0,0,255,0,0] (y=0) and [0,255,0,0,0,255] (y=1)
     assert(frames.map(f => (f.frame_idx, f.frame_hash)) ==
-      Seq((0, -1367968410805017659L), (1, -1367968410777311069L)))
+      Seq((0, 1123125320987413059L), (1, 888909879341409529L)))
   }
 
   test("m03 shape: resize produces the exact 1x1 red PPM and re-decodes to (1,0,0)") {
