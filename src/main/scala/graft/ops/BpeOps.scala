@@ -100,10 +100,14 @@ object BpeOps {
       .agg(count(lit(1)).as("freq"))
 
   val queries: Map[String, Q] = Map(
-    // Learned merge table (rank-ordered). Rows-only: the merge sequence is
-    // an iterative argmax fixpoint no SQL oracle can express; BpeOpsSpec
-    // pins the exact sequence on a hand-computed fixture plus corpus
-    // determinism across runs.
+    // Learned merge table (rank-ordered). EXACT-oracle: the iterative
+    // argmax fixpoint can't be a single SQL query, but with a FIXED round
+    // count it unrolls — the oracle below is 8 generated CTE stages, each
+    // counting weighted adjacent pairs over the (tiny, distinct-word)
+    // vocab, picking the same (count desc, pair asc) winner, and
+    // rewriting symbols with a boundary-safe string replace whose
+    // left-to-right non-overlapping semantics match mergeSymbols.
+    // BpeOpsSpec still pins the hand-computed fixture sequence.
     "d18_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       learnMerges(wordFreqs(s, dir), k = 8)
@@ -153,7 +157,41 @@ object BpeOps {
     })
   )
 
+  /** The d18 oracle, generated by unrolling `k` merge rounds into CTE
+    * stages (see the d18 comment). `v0` seeds each distinct word's
+    * space-joined symbol string with sentinel spaces so the per-round
+    * replace of ` l r ` -> ` lr ` can only match whole symbols; an
+    * exhausted round leaves its `b` CTE empty and the LEFT JOIN +
+    * coalesce carries the vocab through unchanged while the final UNION
+    * simply omits that rank — the same early-stop shape as learnMerges.
+    */
+  private def d18OracleSql(k: Int): String = {
+    val head = Seq(
+      """w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin,
+      """v0 AS (SELECT word, freq,
+        |  ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s FROM w)""".stripMargin
+    )
+    val stages = (0 until k).flatMap { i =>
+      Seq(
+        s"""p$i AS (SELECT t[i] AS l, t[i+1] AS r, sum(freq) AS n
+           |  FROM (SELECT freq, string_split(trim(s), ' ') AS t FROM v$i), UNNEST(range(1, len(t))) u(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)",
+        s"""v${i + 1} AS (SELECT word, freq,
+           |  coalesce(replace(s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '), s) AS s
+           |  FROM v$i LEFT JOIN b$i b ON true)""".stripMargin
+      )
+    }
+    val union = (0 until k)
+      .map(i => s"SELECT CAST($i AS INT) AS rank, l AS left, r AS right, CAST(n AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (head ++ stages).mkString(",\n") + "\nSELECT * FROM (\n" + union + "\n) ORDER BY rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d18_bpe_merges" -> d18OracleSql(8),
     // Exact halves recomputed from raw text; assertion halves pinned TRUE
     // (see the d19 comment). Every document in this corpus has at least
     // one word after trim, so the per-word unnest never drops a doc.
