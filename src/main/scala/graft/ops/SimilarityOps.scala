@@ -166,6 +166,76 @@ object SimilarityOps {
         (coalesce(col("max_cos_to_lower"), lit(-1.0)) <= threshold).as("keep"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity-aware retrieval step: from the top-`poolSize`
+    * candidates by query relevance, greedily pick `k`, each round's
+    * winner maximizing `relWeight·rel − divWeight·max_sim_to_selected`
+    * (ties by vec_id). Weights are separate parameters, not `1−λ`:
+    * `1−0.7` is `0.30000000000000004` in IEEE doubles and would diverge
+    * from an oracle's literal `0.3`.
+    *
+    * Spark shape: the pool is one TakeOrderedAndProject over the corpus
+    * scan (the s01 kernel); pool pairwise similarity is a deliberate
+    * bounded poolSize² broadcast join computed ONCE; each greedy round is
+    * an aggregate over ≤poolSize rows collecting exactly one winner row —
+    * the bounded-driver-loop posture of learnMerges/IvfIndex (k rounds,
+    * O(k) driver traffic, corpus never collected). Scores compare on
+    * 6dp-ROUNDED values so the argmax is engine-portable; the DuckDB
+    * oracle replays the greedy loop with the same unrolled-stage trick as
+    * the d18 merge oracle.
+    *
+    * Output: (rank, vec_id, rel_cos, max_sim_prior, mmr_score).
+    */
+  def mmrSelect(
+      emb: DataFrame,
+      queryId: Long,
+      poolSize: Int = 20,
+      k: Int = 5,
+      relWeight: Double = 0.7,
+      divWeight: Double = 0.3
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val pool = emb
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      .localCheckpoint()
+    val pc = pool
+      .select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(broadcast(pool.select(col("vec_id").as("vb"), col("embedding").as("eb"))), col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), round(cosine_similarity(col("ea"), col("eb")), 6).as("c"))
+      .localCheckpoint()
+    var picked = Vector.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double, Double)]()
+    for (r <- 0 until k) {
+      val scored =
+        if (picked.isEmpty) pool.select(col("vec_id"), col("rel"), lit(0.0).as("ms"))
+        else {
+          val ms = pc
+            .filter(col("vb").isin(picked: _*))
+            .groupBy(col("va").as("vec_id"))
+            .agg(max(col("c")).as("ms"))
+          pool
+            .filter(!col("vec_id").isin(picked: _*))
+            .select(col("vec_id"), col("rel"))
+            .join(ms, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("rel"), coalesce(col("ms"), lit(0.0)).as("ms"))
+        }
+      val win = scored
+        .withColumn("score", round(col("rel") * relWeight - col("ms") * divWeight, 6))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .collect()(0) // ONE row per round, k rounds total
+      out += ((r, win.getLong(0), win.getDouble(1), win.getDouble(2), win.getDouble(3)))
+      picked :+= win.getLong(0)
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel_cos", "max_sim_prior", "mmr_score")
+  }
+
   /** One-sided soundness summary for an approximate-NN result — the shape
     * that lets an index-dependent answer pass the EXACT oracle gate. The
     * candidate set depends on engine-side state (hyperplanes / k-means
@@ -389,6 +459,11 @@ object SimilarityOps {
       semDedup(t(s, dir, "embeddings"), clusterCol = "label", threshold = 0.4)
         .orderBy("vec_id")),
 
+    // MMR diversity selection (see [[mmrSelect]]): greedy k=5 from the
+    // top-20 pool; DuckDB replays the loop via unrolled stages.
+    "s12_mmr_diversity" -> ((s, dir) =>
+      mmrSelect(t(s, dir, "embeddings"), queryId = 0L).orderBy("rank")),
+
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness
@@ -423,6 +498,39 @@ object SimilarityOps {
       |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
       |  max(exact_cos) AS exact_best_cos, min(exact_cos) AS exact_cos_at_k
       |FROM tk""".stripMargin
+
+  /** The s12 oracle: [[mmrSelect]]'s greedy loop unrolled into `k`
+    * generated stages. Weights are the literals 0.7/0.3 (matching the
+    * default parameters — never `1-λ`, see mmrSelect's doc).
+    */
+  private def s12OracleSql(poolSize: Int, k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"round(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) / " +
+        s"(sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[]))) * " +
+        s"sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])))), 6)"
+    val head = Seq(
+      "qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)",
+      s"""pool AS (SELECT e.vec_id, e.embedding, ${cos("e", "q")} AS rel
+         |  FROM embeddings e, qv q WHERE e.vec_id <> 0 ORDER BY rel DESC, e.vec_id LIMIT $poolSize)""".stripMargin,
+      s"""pc AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${cos("a", "b")} AS c
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)""".stripMargin,
+      """s0 AS (SELECT 0 AS rank, vec_id, rel, 0.0 AS ms, round(rel * 0.7 - 0.0 * 0.3, 6) AS score
+        |  FROM pool ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    )
+    val stages = (1 until k).map { r =>
+      val picked = (0 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      s"""s$r AS (SELECT $r AS rank, vec_id, rel, ms, round(rel * 0.7 - ms * 0.3, 6) AS score FROM (
+         |    SELECT p.vec_id, p.rel, coalesce(max(c.c), 0.0) AS ms
+         |    FROM pool p LEFT JOIN pc c ON c.va = p.vec_id AND c.vb IN ($picked)
+         |    WHERE p.vec_id NOT IN ($picked)
+         |    GROUP BY p.vec_id, p.rel)
+         |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (0 until k).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")
+    "WITH " + (head ++ stages).mkString(",\n") +
+      "\nSELECT CAST(rank AS INT) AS rank, vec_id, rel AS rel_cos, ms AS max_sim_prior, score AS mmr_score FROM (\n" +
+      union + "\n) ORDER BY rank"
+  }
 
   val oracleSql: Map[String, String] = Map(
     // ANN soundness rows (s02/s04/s07): the assertion columns are pinned
@@ -487,6 +595,10 @@ object SimilarityOps {
         |SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS INT) AS pos,
         |       CAST(count(*) AS BIGINT) AS n_vectors, round(avg(CAST(v AS DOUBLE)), 6) AS m
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // MMR replay: the greedy loop unrolled into k stages (the d18 trick) —
+    // each stage excludes prior winners, takes max pairwise-cos to them,
+    // and picks the same (rounded-score desc, vec_id) argmax.
+    "s12_mmr_diversity" -> s12OracleSql(poolSize = 20, k = 5),
     // SemDeDup replay: same within-cluster pairwise cosine on the same
     // 6dp-rounded values, same lowest-id-wins rule.
     "s11_semdedup" ->

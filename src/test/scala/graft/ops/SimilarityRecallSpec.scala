@@ -43,6 +43,23 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"tuned recall $recall < 0.8")
   }
 
+  test("s12 MMR: rank 0 is pure relevance, the diversity term reorders the tail, selection is pinned") {
+    val rows = graft.SparkEntry.queries("s12_mmr_diversity")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 5))
+    assert(rows.head.getDouble(3) == 0.0, "rank 0 has no prior to be similar to")
+    // deterministic pinned selection on this corpus (sf0.001 embeddings)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(17L, 299L, 402L, 12L, 225L),
+      s"selection drifted: ${rows.map(_.getLong(1)).toSeq}")
+    // the diversity term must actually reorder: pure top-5 by relevance
+    // differs from the MMR pick (rank 0 agrees — it IS pure relevance)
+    val top5 = SimilarityOps.cosineTopK(emb, queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.head.getLong(1) == top5.head)
+    assert(rows.map(_.getLong(1)).toSeq != top5, s"MMR degenerated to pure top-k: $top5")
+    val again = graft.SparkEntry.queries("s12_mmr_diversity")(spark, sfDir).collect()
+    assert(again.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq)
+  }
+
   test("s11 semdedup: one row per vector, drops only above threshold, lowest id per cluster always kept") {
     val rows = graft.SparkEntry.queries("s11_semdedup")(spark, sfDir).collect()
     assert(rows.length == emb.count())
