@@ -1191,6 +1191,30 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Train/test split-leakage audit: assign every doc a deterministic
+    // hash split (md5-prefix % 10 — engine-portable), then surface every
+    // NEAR-DUP pair (exact set-similarity join, the d28 kernel) that
+    // crosses splits — the pairs through which a random split leaks
+    // training data into eval (the contamination mechanism the dedup
+    // papers warn about: near-dups must be split-assigned as a group, or
+    // deduped first). Cost = d28's prefix-filtered join + one keyed join
+    // to the split table; no new shuffle shape.
+    "d38_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.select(
+        col("doc_id"),
+        pmod(expr("CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"), lit(10L))
+          .as("split"))
+      setSimilarityJoin(docs, shingleWidth = 5, threshold = 0.5)
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"), col("jaccard"),
+          col("split_a"), col("split_b"),
+          (col("split_a") =!= col("split_b")).as("leaks"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Duplicated-span removal (ExactSubstr-style, see [[spanDedup]]):
     // 8-token spans seen more than once corpus-wide keep only their
     // globally-first occurrence; later occurrences' tokens are dropped
@@ -1716,6 +1740,21 @@ object TextOps {
         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
         |      FROM h, range(32) r(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32 FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Split-leakage replay: d28's exact all-pairs jaccard + the portable
+    // md5-prefix split assignment.
+    "d38_split_leakage" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' '))) AS s
+        |       FROM tok WHERE len(t) >= 5),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_cat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |sp AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 AS split FROM documents),
+        |l AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5)
+        |SELECT l.doc_a, l.doc_b, l.jaccard, sa.split AS split_a, sb.split AS split_b,
+        |       sa.split <> sb.split AS leaks
+        |FROM l JOIN sp sa ON l.doc_a = sa.doc_id JOIN sp sb ON l.doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Gopher-rule replay: identical stats from the same (doc, token)
     // count table; every boolean compares the 4dp-ROUNDED stat, so both
     // engines decide from bit-identical values.

@@ -72,6 +72,19 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("d38 split leakage: leaks flags exactly the cross-split near-dup pairs") {
+    val rows = SparkEntry.queries("d38_split_leakage")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the corpus's near-dup pairs must appear")
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(3) != r.getLong(4)), s"leaks must mirror split inequality: $r")
+      assert(r.getDouble(2) >= 0.5)
+      assert((0L to 9L).contains(r.getLong(3)) && (0L to 9L).contains(r.getLong(4)))
+    }
+    // with 10 hash splits, a random near-dup pair crosses splits w.p. 0.9 —
+    // this corpus's 28 pairs include both leaking and safe ones
+    assert(rows.exists(_.getBoolean(5)), "expected at least one leaking pair")
+  }
+
   test("d36 gopher rules: keep is the conjunction and every rule discriminates") {
     val rows = SparkEntry.queries("d36_gopher_rules")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -74,6 +74,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d35: perplexity buckets come from broadcast cutoffs — no global rank window over the corpus") {
+    val p = graft.SparkEntry.queries("d35_perplexity_buckets")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s11: semdedup pairs come from an equi-join on the cluster key, not a cartesian") {
+    val p = SimilarityOps.semDedup(Tables.t(spark, sfDir, "embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("d13: sequence packing windows are PARTITIONED by shard — no single-partition global sort") {
     val p = plan("d13_sequence_pack")
     assert(!p.contains("Exchange SinglePartition"), s"global window detected:\n$p")
