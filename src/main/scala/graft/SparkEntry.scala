@@ -24,41 +24,38 @@ object SparkEntry {
       MultimodalOps.queries ++ BpeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Every omission is deliberate; the per-query
-    * reasons (all are "the value is a function DuckDB cannot evaluate",
-    * and each has an oracle-checked twin or a deterministic spec):
+    * the same parquet tables. EVERY query has an exact oracle — there are
+    * no rows-only entries (OracleSchemaSpec pins the allowlist at empty).
+    * Queries whose natural form DuckDB cannot evaluate are made
+    * oracle-checkable by one of four portability techniques:
     *
-    *  - x01/x03 (MinHash sigs, SimHash): signatures are universal-hash
-    *    compositions over Spark's Murmur3 `hash()`; DuckDB has no
-    *    Murmur3-compatible hash, so neither the signatures NOR any
-    *    distribution derived from them (n_distinct, min/max) can be
-    *    recomputed there. Oracle-checked twins: d09 (exact Jaccard over
-    *    the same candidate semantics), x02 (soundness summary over the
-    *    LSH pair path), SimilarityRecallSpec / TextOpsSpec pin
-    *    determinism + recall.
-    *  - x04 (winnowing): same — custom rolling hash.
-    *  - d18 (BPE merges): an iterative argmax fixpoint (each round's
-    *    winner changes the next round's counts) — not expressible as a
-    *    SQL query; BpeOpsSpec pins the exact merge sequence on a
-    *    hand-computed fixture and corpus determinism.
-    *  - m01/m02/m03 (codec stub features, frame sampling, resize):
-    *    byte-level codec output; DuckDB has no codec surface. Golden
-    *    fixtures (PpmGoldenSpec) pin literal values, m04 oracle-checks
-    *    the real-codec round trip, MultimodalCodecSpec pins the contract.
-    *
-    * s02/s03/s04/s07 (LSH ANN, LSH near-dup, IVF ANN, PQ ANN), x02
-    * (MinHash-LSH pairs) and x05 (zlib round-trip) ARE
-    * oracle-checked despite index-dependent candidate sets: each emits a
-    * one-row soundness summary (SimilarityOps.annSoundness) whose
-    * assertion counters the engine computes and whose exact scalars
-    * DuckDB recomputes by brute force; SimilarityRecallSpec and
-    * PqRecallSpec still pin determinism + measured recall.
-    *
-    * q25 (HLL) IS oracle-checked despite sketch divergence: both engines
-    * emit exact distinct counts plus a "my own sketch is within 5%"
-    * boolean, so the strict hash compare validates each sketch against
-    * ground truth without requiring the sketches to agree — s02-s07 use
-    * the same tolerance-band shape.
+    *  - **Portable hash families** (x01/x03/x04, m01-m03): hashes that
+    *    both engines compute bit-identically — md5 hex is the common
+    *    primitive, so MinHash uses min-of-md5-digest per band, SimHash /
+    *    winnowing / codec frame ids take a digest prefix cast to a long
+    *    (Spark `conv(substr(md5(x),1,15),16,10)` ⟷ DuckDB
+    *    `('0x'||substr(md5(x),1,15))::BIGINT`). No Murmur3 dependency
+    *    remains on any oracle-checked path.
+    *  - **Unrolled-fixpoint replay** (d18, s12): iterative argmax loops
+    *    (BPE merge induction, MMR greedy selection) replay as k
+    *    GENERATED CTE stages — each stage recomputes pair counts /
+    *    marginal gains, takes the ORDER BY ... LIMIT 1 winner, and
+    *    rewrites state (d18: boundary-safe ` l  r ` -> ` lr ` replace on
+    *    DOUBLE-sentinel-space symbol strings so adjacent matches never
+    *    share a delimiter; LEFT JOIN ON true + coalesce survives an
+    *    exhausted round).
+    *  - **Soundness summaries** (s02/s03/s04/s07, x02, x05, q25 — the
+    *    q25 HLL shape came first): index-dependent candidate sets emit
+    *    ONE row of engine-computed assertion counters (false-positive
+    *    count, recall-floor booleans — the oracle pins them as literals)
+    *    plus exact scalars DuckDB genuinely recomputes by brute force
+    *    (top-k cosines, capped all-pairs counts). SimilarityRecallSpec /
+    *    PqRecallSpec additionally pin measured recall in-JVM.
+    *  - **Byte-level SQL codec replay** (m01-m03, x05, m04): ASCII
+    *    payloads replay the stub codec / PPM parse in SQL via
+    *    string_split + ascii() + generate_subscripts (stride decimation
+    *    = odd subscripts), so DuckDB derives the same frame features
+    *    from the same bytes.
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++

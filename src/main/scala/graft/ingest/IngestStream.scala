@@ -118,7 +118,14 @@ object IngestStream {
   private[ingest] def processKafkaBatch(cfg: IngestConfig, batch: DataFrame, batchId: Long): Unit = {
     import batch.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws, date_format}
-    val records = batch
+    // Tombstones (null value — Kafka's delete marker for compacted
+    // topics) carry no payload to ingest; dropping them here keeps
+    // Zlib.compress from NPEing and the batch from wedging on retry.
+    val live = batch.where(col("value").isNotNull)
+    val tombstones = batch.where(col("value").isNull).count()
+    if (tombstones > 0)
+      log.info(s"Kafka batch $batchId: skipped $tombstones tombstone record(s) (null value)")
+    val records = live
       .select(
         // no '/' in the synthesized name: uploadFiles keys on the last
         // path segment, and the record coordinates must survive whole

@@ -159,11 +159,17 @@ object BpeOps {
 
   /** The d18 oracle, generated by unrolling `k` merge rounds into CTE
     * stages (see the d18 comment). `v0` seeds each distinct word's
-    * space-joined symbol string with sentinel spaces so the per-round
-    * replace of ` l r ` -> ` lr ` can only match whole symbols; an
-    * exhausted round leaves its `b` CTE empty and the LEFT JOIN +
-    * coalesce carries the vocab through unchanged while the final UNION
-    * simply omits that rank — the same early-stop shape as learnMerges.
+    * symbol string joined with DOUBLE sentinel spaces; the per-round
+    * replace matches ` l  r ` (one boundary space each side) and emits
+    * ` lr `, so each match consumes only one of the two spaces at each
+    * boundary and the replacement restores it — adjacent occurrences
+    * (`abab`, `aaaa`) therefore never share a delimiter and all merge in
+    * one left-to-right pass, exactly like the single-pass
+    * [[mergeSymbols]]. (A single-space sentinel breaks here: the first
+    * match eats the space the second needs.) An exhausted round leaves
+    * its `b` CTE empty and the LEFT JOIN + coalesce carries the vocab
+    * through unchanged while the final UNION simply omits that rank —
+    * the same early-stop shape as learnMerges.
     */
   private def d18OracleSql(k: Int): String = {
     val head = Seq(
@@ -171,16 +177,16 @@ object BpeOps {
         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
         |  WHERE len(word) > 0 GROUP BY word)""".stripMargin,
       """v0 AS (SELECT word, freq,
-        |  ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s FROM w)""".stripMargin
+        |  '  ' || array_to_string(list_append(string_split(word, ''), '</w>'), '  ') || '  ' AS s FROM w)""".stripMargin
     )
     val stages = (0 until k).flatMap { i =>
       Seq(
         s"""p$i AS (SELECT t[i] AS l, t[i+1] AS r, sum(freq) AS n
-           |  FROM (SELECT freq, string_split(trim(s), ' ') AS t FROM v$i), UNNEST(range(1, len(t))) u(i)
+           |  FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM v$i), UNNEST(range(1, len(t))) u(i)
            |  GROUP BY 1, 2)""".stripMargin,
         s"b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)",
         s"""v${i + 1} AS (SELECT word, freq,
-           |  coalesce(replace(s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '), s) AS s
+           |  coalesce(replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' '), s) AS s
            |  FROM v$i LEFT JOIN b$i b ON true)""".stripMargin
       )
     }

@@ -328,10 +328,25 @@ object TextOps {
     */
   def spanDedup(docs: DataFrame, spanWidth: Int = 8, posCap: Long = 1L << 20): DataFrame = {
     val w = spanWidth
+    val docIdCap = Long.MaxValue / posCap // packed key doc_id*posCap+p must not overflow
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("t")).withColumn("n", size(col("t")))
     val tokRows = tok
       .select(col("doc_id"), posexplode(col("t")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    // Packed first-occurrence key: valid ONLY while pos < posCap and
+    // doc_id below the overflow bound. A doc outside either bound would
+    // silently corrupt first-occurrence ordering, so fail LOUDLY instead
+    // (raise a per-row error naming the offender; raise_error stays on
+    // the codegen path and costs one branch per span).
+    def packedKey(p: Column): Column =
+      when(
+        p >= posCap || col("doc_id") < 0 || col("doc_id") >= docIdCap,
+        raise_error(format_string(
+          s"spanDedup: packed key out of range (doc_id=%s pos=%s, posCap=$posCap): " +
+            "raise posCap (and keep doc_id*posCap within Long) or pre-split long docs",
+          col("doc_id"),
+          p)).cast("long"))
+        .otherwise(col("doc_id") * posCap + p)
     val spans = tok
       .where(col("n") >= w)
       .select(col("doc_id"), col("t"), expr(s"explode(sequence(1, n - ${w - 1})) AS p"))
@@ -341,10 +356,10 @@ object TextOps {
         md5(concat_ws(" ", slice(col("t"), col("p"), lit(w))).cast("binary")).as("gh"))
     val byGram = spans
       .groupBy("gh")
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id") * posCap + col("p")).as("first_key"))
+      .agg(count(lit(1)).as("cnt"), min(packedKey(col("p"))).as("first_key"))
     val covered = spans
       .join(byGram, "gh")
-      .where(col("cnt") > 1 && col("doc_id") * posCap + col("p") =!= col("first_key"))
+      .where(col("cnt") > 1 && packedKey(col("p")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("pos"))
       .distinct()
     val kept = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")

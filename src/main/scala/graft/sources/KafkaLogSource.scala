@@ -53,7 +53,8 @@ import org.slf4j.LoggerFactory
   *    start offset (segments are named by base offset, so the seek is a
   *    filename binary search, not a scan).
   *  - `maxRecordsPerTrigger` caps each batch's admitted records,
-  *    distributed round-robin across partitions in name order.
+  *    distributed as a max-min fair share across partitions (equal
+  *    splits, surplus from quiet partitions rolling to deep backlogs).
   *  - [[SupportsTriggerAvailableNow]] pins the end offsets at query start:
   *    one invocation drains the backlog and terminates.
   *
@@ -301,14 +302,26 @@ private[sources] class KafkaLogMicroBatchStream(root: String, options: CaseInsen
     val admitted = maxRecordsPerTrigger match {
       case None => end
       case Some(budget) =>
-        // round-robin the budget across partitions in name order so one
-        // hot partition cannot starve the rest of the batch
-        var remaining = budget
-        end.toSeq.sortBy(_._1).map { case (tp, e) =>
-          val s = from.getOrElse(tp, 0L)
-          val take = math.min(e - s, remaining)
-          remaining -= math.max(take, 0L)
-          tp -> math.max(s + math.max(take, 0L), s)
+        // max-min fair share: walk partitions by ASCENDING backlog
+        // (name-tiebroken), giving each an equal split of the budget
+        // still unspent — a partition with less backlog than its share
+        // takes only its backlog and the surplus rolls forward, so a hot
+        // partition can never starve a quiet one within the batch, and
+        // integer-division remainders land on the deepest backlogs.
+        var remaining = math.max(budget, 0L)
+        val byBacklog = end.toSeq
+          .map { case (tp, e) =>
+            val s = from.getOrElse(tp, 0L)
+            (tp, s, math.max(e - s, 0L))
+          }
+          .sortBy { case (tp, _, backlog) => (backlog, tp) }
+        var partsLeft = byBacklog.size
+        byBacklog.map { case (tp, s, backlog) =>
+          val fair = if (partsLeft > 0) remaining / partsLeft else 0L
+          val take = math.min(backlog, fair)
+          remaining -= take
+          partsLeft -= 1
+          tp -> (s + take)
         }.toMap
     }
     val merged = (from.keySet ++ admitted.keySet)

@@ -29,10 +29,15 @@ class OracleSchemaSpec extends AnyFunSuite {
     assert(df.schema.fields.exists(f => !Verify.isScalar(f.dataType)))
   }
 
-  test("every queries entry has an oracle or is a documented rows-only op") {
-    // Keep the rows-only set explicit: a new query must either gain an
-    // oracle or be added here deliberately.
+  test("every queries entry has an oracle or is on the explicit rows-only allowlist") {
+    // As of round 6 every query is exact-oracle, so the allowlist is
+    // EMPTY. Adding a query without an oracleSql entry fails this test
+    // until its name is deliberately added here — rows-only is a
+    // conscious, reviewed downgrade, never a silent default.
+    val rowsOnlyAllowlist = Set.empty[String]
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.forall(n => n.matches("[a-z]\\d+.*")), s"odd names: $rowsOnly")
+    assert(
+      rowsOnly == rowsOnlyAllowlist,
+      s"queries without an oracle and not allowlisted: ${(rowsOnly -- rowsOnlyAllowlist).toSeq.sorted.mkString(", ")}")
   }
 }

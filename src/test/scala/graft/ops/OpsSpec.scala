@@ -158,6 +158,22 @@ class OpsSpec extends AnyFunSuite {
     assert(fx(3L)._2 == 0L, s"unique doc must be untouched: ${fx(3L)}")
   }
 
+  test("d34 span dedup: a doc exceeding posCap fails loudly, not silently") {
+    import spark.implicits._
+    // 12 tokens with posCap=8: span positions reach 12-8+1=5 < 8 is fine,
+    // so use posCap=4 to force a span position past the cap.
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val e = intercept[Exception](TextOps.spanDedup(fixture, spanWidth = 8, posCap = 4L).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(
+      messages(e).exists(_.contains("packed key out of range")),
+      s"expected the loud posCap guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("production 64-bit simhash: identical docs collide, near-dups land close, distinct docs apart") {
     import spark.implicits._
     val docs = Seq(

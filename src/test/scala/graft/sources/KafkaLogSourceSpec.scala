@@ -94,7 +94,7 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     assert(after.groupBy().max("offset").head().getLong(0) == 6L)
   }
 
-  test("maxRecordsPerTrigger round-robins the admission budget across partitions") {
+  test("maxRecordsPerTrigger splits the admission budget max-min fairly across partitions") {
     val root = Files.createTempDirectory("klog-adm")
     writeTp(root, "t-0", (0L until 10L).map(o => rec(o, s"x$o")))
     writeTp(root, "t-1", (0L until 10L).map(o => rec(o, s"y$o")))
@@ -103,10 +103,23 @@ class KafkaLogSourceSpec extends AnyFunSuite {
       new CaseInsensitiveStringMap(Map("root" -> root.toString, "maxRecordsPerTrigger" -> "6").asJava))
     val first = stream.latestOffset(KafkaLogOffset(Map.empty), ReadLimit.allAvailable())
       .asInstanceOf[KafkaLogOffset]
-    // name order: t-0 takes all 6, t-1 waits (starvation-free across batches)
-    assert(first.offsets == Map("t-0" -> 6L, "t-1" -> 0L))
+    // equal backlogs, even budget: 3 each — no partition starves
+    assert(first.offsets == Map("t-0" -> 3L, "t-1" -> 3L))
     val second = stream.latestOffset(first, ReadLimit.allAvailable()).asInstanceOf[KafkaLogOffset]
-    assert(second.offsets == Map("t-0" -> 10L, "t-1" -> 2L))
+    assert(second.offsets == Map("t-0" -> 6L, "t-1" -> 6L))
+  }
+
+  test("fair-share budget: a quiet partition's surplus rolls to the hot one") {
+    val root = Files.createTempDirectory("klog-adm2")
+    writeTp(root, "t-0", (0L until 1L).map(o => rec(o, s"x$o")))
+    writeTp(root, "t-1", (0L until 10L).map(o => rec(o, s"y$o")))
+    val stream = new KafkaLogMicroBatchStream(
+      root.toString,
+      new CaseInsensitiveStringMap(Map("root" -> root.toString, "maxRecordsPerTrigger" -> "6").asJava))
+    val first = stream.latestOffset(KafkaLogOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[KafkaLogOffset]
+    // t-0 needs only 1 of its 3-share; the surplus 2 rolls to t-1 (1 + 5 = 6)
+    assert(first.offsets == Map("t-0" -> 1L, "t-1" -> 5L))
   }
 
   test("batch read form scans offset 0 to log end") {
