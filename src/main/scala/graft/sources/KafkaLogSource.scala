@@ -29,16 +29,40 @@ import org.slf4j.LoggerFactory
   *   root/<topic>-<partition>/<20-digit base offset>.log
   * }}}
   *
-  * Record framing: the public legacy v1 message format (Kafka protocol
-  * guide, "Messagesets") — big-endian throughout:
-  * {{{
-  *   offset:8  message_size:4  crc:4  magic:1  attributes:1
-  *   timestamp:8  key_len:4  key  value_len:4  value
-  * }}}
-  * `crc` is CRC-32 of everything after the crc field; verified per record,
-  * corrupt frames fail loudly with file/offset context. Compressed
-  * wrapper messages (attributes bits 0-2 != 0) are rejected — this
-  * minimal reader covers the uncompressed audit-record shape.
+  * Record framing: BOTH public on-disk formats, dispatched per frame on
+  * the magic byte (which Kafka deliberately keeps at the same frame
+  * position — byte 16 — across formats, exactly so readers can do this):
+  *
+  *  - **Legacy v1 messages** (protocol guide, "Messagesets"), big-endian:
+  *    {{{
+  *    offset:8  message_size:4  crc:4  magic:1  attributes:1
+  *    timestamp:8  key_len:4  key  value_len:4  value
+  *    }}}
+  *    `crc` is CRC-32 of everything after the crc field. Gzip wrapper
+  *    messages (attributes bits 0-2 == 1) are decompressed: the wrapper's
+  *    value is an inner message set with RELATIVE offsets, the wrapper
+  *    offset is the absolute offset of the LAST inner record, so
+  *    `absolute = wrapper - lastRel + rel` (the consumer-side rule from
+  *    the protocol guide). Snappy/LZ4/Zstd wrappers are rejected loudly
+  *    (no codec libs in this environment).
+  *  - **Record batches v2** (magic 2) — what every Kafka >= 0.11 broker
+  *    writes:
+  *    {{{
+  *    baseOffset:8  batchLength:4  partitionLeaderEpoch:4  magic:1
+  *    crc:4(CRC-32C of attributes..end)  attributes:2  lastOffsetDelta:4
+  *    baseTimestamp:8  maxTimestamp:8  producerId:8  producerEpoch:2
+  *    baseSequence:4  recordCount:4  records
+  *    }}}
+  *    Each record is varint-framed (zigzag, protobuf-style):
+  *    length, attributes:1, timestampDelta(varlong), offsetDelta(varint),
+  *    keyLen(varint, -1=null), key, valueLen(varint, -1=null), value,
+  *    headerCount(varint) then per-header varint-framed key/value pairs
+  *    (parsed and skipped — the output schema mirrors Spark's Kafka
+  *    source's default, headerless shape). Gzip-compressed record areas
+  *    (attributes bits 0-2 == 1) are inflated; control batches (bit 5)
+  *    yield no rows, like a consumer. CRC-32C (Castagnoli,
+  *    `java.util.zip.CRC32C`) is verified per batch; corrupt frames fail
+  *    loudly with file/offset context.
   *
   * Output schema mirrors Spark's own Kafka source (key, value, topic,
   * partition, offset, timestamp, timestampType), so downstream transforms
@@ -88,8 +112,12 @@ object KafkaLogFormat {
     StructField("timestampType", IntegerType, nullable = false)
   ))
 
-  val Magic: Byte = 1 // v1: has a timestamp field
+  val Magic: Byte = 1 // legacy v1: has a timestamp field
+  val MagicV2: Byte = 2 // record-batch format
   val CreateTime = 1 // Kafka TimestampType.CREATE_TIME
+
+  private val GzipCodec = 1
+  private val V2HeaderLen = 49 // partitionLeaderEpoch..recordCount, before records
 
   def segmentName(baseOffset: Long): String = f"$baseOffset%020d.log"
 
@@ -102,8 +130,58 @@ object KafkaLogFormat {
     c.getValue
   }
 
-  /** Encode one record to the v1 wire bytes. */
-  def encode(r: Record): Array[Byte] = {
+  private def crc32cOf(buf: Array[Byte], from: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C
+    c.update(buf, from, len)
+    c.getValue
+  }
+
+  private[sources] def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  private[sources] def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+
+  // ---- varints (zigzag + base-128, the protobuf encoding v2 uses) ----
+
+  private[sources] def writeVarLong(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7fL) != 0) { out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+    out.write(z.toInt)
+  }
+
+  private[sources] def readVarLong(bb: java.nio.ByteBuffer): Long = {
+    var z = 0L
+    var shift = 0
+    var b = bb.get()
+    while ((b & 0x80) != 0) {
+      z |= (b & 0x7fL) << shift
+      shift += 7
+      require(shift <= 63, "malformed varint (over 10 bytes)")
+      b = bb.get()
+    }
+    z |= (b & 0x7fL) << shift
+    (z >>> 1) ^ -(z & 1L)
+  }
+
+  private def readVarInt(bb: java.nio.ByteBuffer): Int = {
+    val v = readVarLong(bb)
+    require(v >= Int.MinValue && v <= Int.MaxValue, s"varint out of int range: $v")
+    v.toInt
+  }
+
+  // ---- v1 (legacy message) encoding ----
+
+  /** Encode one record to the v1 wire bytes. `attributes` bits 0-2 carry
+    * the compression codec (0 = none, 1 = gzip wrapper).
+    */
+  def encode(r: Record, attributes: Byte = 0): Array[Byte] = {
     val keyLen = if (r.key == null) -1 else r.key.length
     val valLen = if (r.value == null) -1 else r.value.length
     val msgSize = 4 + 1 + 1 + 8 + 4 + math.max(keyLen, 0) + 4 + math.max(valLen, 0)
@@ -111,7 +189,7 @@ object KafkaLogFormat {
     bb.putLong(r.offset).putInt(msgSize)
     val crcPos = bb.position()
     bb.putInt(0) // crc back-patched below
-    bb.put(Magic).put(0: Byte).putLong(r.timestampMs)
+    bb.put(Magic).put(attributes).putLong(r.timestampMs)
     bb.putInt(keyLen); if (keyLen > 0) bb.put(r.key)
     bb.putInt(valLen); if (valLen > 0) bb.put(r.value)
     val arr = bb.array()
@@ -120,22 +198,248 @@ object KafkaLogFormat {
     arr
   }
 
-  /** Write records as one segment file named by the first record's offset.
-    * Returns the segment path.
+  /** Encode records as one gzip wrapper message (v1 compressed message
+    * set): inner set carries RELATIVE offsets 0..n-1; the wrapper's
+    * offset is the ABSOLUTE offset of the last record — the shape a
+    * gzip-configured pre-0.11 producer (or an old log segment) has on
+    * disk per the protocol guide.
     */
-  def writeSegment(fs: org.apache.hadoop.fs.FileSystem, dir: Path, records: Seq[Record]): Path = {
-    require(records.nonEmpty, "empty segment")
-    val seg = new Path(dir, segmentName(records.head.offset))
+  def encodeGzipWrapperV1(records: Seq[Record]): Array[Byte] = {
+    require(records.nonEmpty, "empty wrapper")
+    val inner = new java.io.ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case (r, i) => inner.write(encode(r.copy(offset = i.toLong))) }
+    encode(
+      Record(records.last.offset, records.last.timestampMs, null, gzip(inner.toByteArray)),
+      attributes = GzipCodec.toByte)
+  }
+
+  // ---- v2 (record batch) encoding ----
+
+  /** Encode records as one v2 record batch (magic 2) framed the way a
+    * modern broker lays it on disk: varint record fields, batch-level
+    * CRC-32C over attributes..end, optional gzip of the records area.
+    * `control` marks a control batch (attributes bit 5) whose records a
+    * reader must not surface.
+    */
+  def encodeBatchV2(
+      records: Seq[Record],
+      gzipped: Boolean = false,
+      control: Boolean = false,
+      partitionLeaderEpoch: Int = 0
+  ): Array[Byte] = {
+    require(records.nonEmpty, "empty batch")
+    val base = records.head.offset
+    val baseTs = records.head.timestampMs
+    val recOut = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0) // record attributes (unused by the format today)
+      writeVarLong(body, r.timestampMs - baseTs)
+      writeVarLong(body, r.offset - base)
+      if (r.key == null) writeVarLong(body, -1L)
+      else { writeVarLong(body, r.key.length.toLong); body.write(r.key) }
+      if (r.value == null) writeVarLong(body, -1L)
+      else { writeVarLong(body, r.value.length.toLong); body.write(r.value) }
+      writeVarLong(body, 0L) // header count
+      val b = body.toByteArray
+      writeVarLong(recOut, b.length.toLong)
+      recOut.write(b)
+    }
+    val recArea = if (gzipped) gzip(recOut.toByteArray) else recOut.toByteArray
+    val attributes = ((if (gzipped) GzipCodec else 0) | (if (control) 0x20 else 0)).toShort
+    val batchLen = V2HeaderLen + recArea.length
+    val bb = java.nio.ByteBuffer.allocate(12 + batchLen)
+    bb.putLong(base).putInt(batchLen)
+    bb.putInt(partitionLeaderEpoch).put(MagicV2)
+    val crcPos = bb.position()
+    bb.putInt(0) // CRC-32C back-patched below
+    bb.putShort(attributes)
+    bb.putInt((records.last.offset - base).toInt) // lastOffsetDelta
+    bb.putLong(baseTs).putLong(records.map(_.timestampMs).max)
+    bb.putLong(-1L).putShort(-1) // producerId, producerEpoch (non-transactional)
+    bb.putInt(-1) // baseSequence
+    bb.putInt(records.size)
+    bb.put(recArea)
+    val arr = bb.array()
+    bb.putInt(crcPos, crc32cOf(arr, crcPos + 4, arr.length - crcPos - 4).toInt)
+    arr
+  }
+
+  /** Write pre-encoded frames (v1 messages, wrappers, or v2 batches — a
+    * real post-upgrade segment mixes them) as one segment file named by
+    * `baseOffset`. Returns the segment path.
+    */
+  def writeSegmentFrames(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      baseOffset: Long,
+      frames: Seq[Array[Byte]]
+  ): Path = {
+    require(frames.nonEmpty, "empty segment")
+    val seg = new Path(dir, segmentName(baseOffset))
     val out = fs.create(seg, /* overwrite = */ false)
-    try records.foreach(r => out.write(encode(r)))
+    try frames.foreach(out.write)
     finally out.close()
     seg
   }
 
+  /** Write records as one v1 segment file named by the first record's
+    * offset. Returns the segment path.
+    */
+  def writeSegment(fs: org.apache.hadoop.fs.FileSystem, dir: Path, records: Seq[Record]): Path =
+    writeSegmentFrames(fs, dir, records.head.offset, records.map(r => encode(r)))
+
+  /** Write records as one v2 single-batch segment file. */
+  def writeSegmentV2(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      records: Seq[Record],
+      gzipped: Boolean = false
+  ): Path =
+    writeSegmentFrames(fs, dir, records.head.offset, Seq(encodeBatchV2(records, gzipped)))
+
+  // ---- decoding ----
+
+  /** Decode one v1 message body (bytes after the 12-byte frame header).
+    * Returns 1 record, or the inflated inner records of a gzip wrapper
+    * (with absolute offsets reconstructed). `allowWrapper=false` rejects
+    * nested compression, which the format forbids.
+    */
+  private def decodeV1(
+      offset: Long,
+      body: Array[Byte],
+      segPath: String,
+      allowWrapper: Boolean
+  ): Seq[Record] = {
+    val mb = java.nio.ByteBuffer.wrap(body)
+    val crc = mb.getInt & 0xffffffffL
+    val actual = crcOf(body, 4, body.length - 4)
+    require(crc == actual,
+      s"$segPath: CRC mismatch at offset $offset (stored $crc, computed $actual)")
+    val magic = mb.get()
+    require(magic == Magic,
+      s"$segPath: unsupported magic $magic at offset $offset (v1 and v2 record batches only)")
+    val attributes = mb.get()
+    val codec = attributes & 0x07
+    val ts = mb.getLong
+    val keyLen = mb.getInt
+    val key = if (keyLen < 0) null else { val a = new Array[Byte](keyLen); mb.get(a); a }
+    val valLen = mb.getInt
+    val value = if (valLen < 0) null else { val a = new Array[Byte](valLen); mb.get(a); a }
+    codec match {
+      case 0 => Seq(Record(offset, ts, key, value))
+      case GzipCodec =>
+        require(allowWrapper, s"$segPath: nested compressed wrapper at offset $offset")
+        require(value != null, s"$segPath: gzip wrapper with null value at offset $offset")
+        val inner = decodeInnerSet(gunzip(value), segPath)
+        require(inner.nonEmpty, s"$segPath: empty gzip wrapper at offset $offset")
+        // magic-1 rule: wrapper offset = absolute offset of the LAST inner
+        // record; inner offsets are relative
+        val lastRel = inner.last.offset
+        inner.map(r => r.copy(offset = offset - lastRel + r.offset))
+      case c =>
+        throw new IllegalArgumentException(
+          s"$segPath: unsupported compression codec $c at offset $offset (none/gzip only)")
+    }
+  }
+
+  /** Parse a concatenated v1 message set held in memory (a wrapper's
+    * inflated value).
+    */
+  private def decodeInnerSet(bytes: Array[Byte], segPath: String): Seq[Record] = {
+    val out = Seq.newBuilder[Record]
+    var pos = 0
+    while (pos + 12 <= bytes.length) {
+      val hb = java.nio.ByteBuffer.wrap(bytes, pos, 12)
+      val off = hb.getLong
+      val size = hb.getInt
+      require(size >= 22 && pos + 12 + size <= bytes.length,
+        s"$segPath: corrupt inner frame at byte $pos of wrapper (message_size=$size)")
+      val body = java.util.Arrays.copyOfRange(bytes, pos + 12, pos + 12 + size)
+      out ++= decodeV1(off, body, s"$segPath (wrapper)", allowWrapper = false)
+      pos += 12 + size
+    }
+    out.result()
+  }
+
+  /** Decode one v2 record batch body (bytes after the 12-byte frame
+    * header): CRC-32C verify, then varint-framed records; control
+    * batches yield nothing.
+    */
+  private def decodeV2(baseOffset: Long, body: Array[Byte], segPath: String): Seq[Record] = {
+    require(body.length >= V2HeaderLen,
+      s"$segPath: truncated v2 batch header at base offset $baseOffset (${body.length} bytes)")
+    val storedCrc = java.nio.ByteBuffer.wrap(body, 5, 4).getInt & 0xffffffffL
+    val actualCrc = crc32cOf(body, 9, body.length - 9)
+    require(storedCrc == actualCrc,
+      s"$segPath: CRC-32C mismatch in batch at base offset $baseOffset " +
+        s"(stored $storedCrc, computed $actualCrc)")
+    val bb = java.nio.ByteBuffer.wrap(body)
+    bb.position(9)
+    val attributes = bb.getShort
+    val codec = attributes & 0x07
+    val isControl = (attributes & 0x20) != 0
+    val lastOffsetDelta = bb.getInt
+    val baseTs = bb.getLong
+    bb.getLong // maxTimestamp
+    bb.getLong // producerId
+    bb.getShort // producerEpoch
+    bb.getInt // baseSequence
+    val count = bb.getInt
+    val recArea = codec match {
+      case 0 => java.util.Arrays.copyOfRange(body, V2HeaderLen, body.length)
+      case GzipCodec => gunzip(java.util.Arrays.copyOfRange(body, V2HeaderLen, body.length))
+      case c =>
+        throw new IllegalArgumentException(
+          s"$segPath: unsupported batch compression codec $c at base offset $baseOffset " +
+            "(none/gzip only)")
+    }
+    if (isControl) return Seq.empty // commit/abort markers: a consumer never surfaces these
+    val rb = java.nio.ByteBuffer.wrap(recArea)
+    val out = Seq.newBuilder[Record]
+    var i = 0
+    var lastDelta = 0
+    while (i < count) {
+      val len = readVarInt(rb)
+      val end = rb.position() + len
+      require(len > 0 && end <= recArea.length,
+        s"$segPath: corrupt record $i in batch at base offset $baseOffset (length=$len)")
+      rb.get() // record attributes (always 0 today)
+      val tsDelta = readVarLong(rb)
+      val offDelta = readVarInt(rb)
+      val keyLen = readVarInt(rb)
+      val key = if (keyLen < 0) null else { val a = new Array[Byte](keyLen); rb.get(a); a }
+      val valLen = readVarInt(rb)
+      val value = if (valLen < 0) null else { val a = new Array[Byte](valLen); rb.get(a); a }
+      var headers = readVarInt(rb)
+      while (headers > 0) {
+        val hkLen = readVarInt(rb)
+        require(hkLen >= 0, s"$segPath: null header key in batch at base offset $baseOffset")
+        rb.position(rb.position() + hkLen)
+        val hvLen = readVarInt(rb)
+        if (hvLen > 0) rb.position(rb.position() + hvLen)
+        headers -= 1
+      }
+      require(rb.position() == end,
+        s"$segPath: record $i length mismatch in batch at base offset $baseOffset " +
+          s"(declared $len, consumed ${rb.position() - (end - len)})")
+      out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value)
+      lastDelta = offDelta
+      i += 1
+    }
+    require(lastDelta == lastOffsetDelta || count == 0,
+      s"$segPath: lastOffsetDelta $lastOffsetDelta != last record delta $lastDelta " +
+        s"in batch at base offset $baseOffset")
+    out.result()
+  }
+
   /** Iterate records of a segment starting at its first frame, verifying
-    * CRCs. `skipPayloadsOnly` = header scan for log-end discovery: seeks
-    * past key/value bytes without materializing them (records carry null
-    * key/value then).
+    * CRCs and dispatching v1 messages / gzip wrappers / v2 batches on the
+    * magic byte. `skipPayloadsOnly` = header scan for log-end discovery:
+    * reads at most 15 bytes per frame body (magic + v2's lastOffsetDelta)
+    * and yields ONE record per frame carrying the frame's LAST offset
+    * (v1 wrapper offset and v2 base+lastOffsetDelta already are that),
+    * with null key/value.
     */
   def readSegment(
       in: org.apache.hadoop.fs.FSDataInputStream,
@@ -145,40 +449,42 @@ object KafkaLogFormat {
   ): Iterator[Record] = new Iterator[Record] {
     private var pos = 0L
     private val header = new Array[Byte](12)
+    private var pending: Iterator[Record] = Iterator.empty
 
-    override def hasNext: Boolean = pos + 12 <= segLen
+    override def hasNext: Boolean = {
+      while (!pending.hasNext && pos + 12 <= segLen) loadFrame()
+      pending.hasNext
+    }
 
     override def next(): Record = {
+      if (!hasNext) throw new NoSuchElementException(segPath)
+      pending.next()
+    }
+
+    private def loadFrame(): Unit = {
       in.readFully(pos, header)
       val hb = java.nio.ByteBuffer.wrap(header)
-      val offset = hb.getLong
-      val msgSize = hb.getInt
-      require(msgSize >= 22 && pos + 12 + msgSize <= segLen,
-        s"$segPath: corrupt frame at byte $pos (message_size=$msgSize, segment=$segLen bytes)")
-      val rec =
-        if (skipPayloadsOnly) Record(offset, 0L, null, null)
-        else {
-          val msg = new Array[Byte](msgSize)
-          in.readFully(pos + 12, msg)
-          val mb = java.nio.ByteBuffer.wrap(msg)
-          val crc = mb.getInt & 0xffffffffL
-          val actual = crcOf(msg, 4, msgSize - 4)
-          require(crc == actual,
-            s"$segPath: CRC mismatch at offset $offset (stored $crc, computed $actual)")
-          val magic = mb.get()
-          require(magic == Magic, s"$segPath: unsupported magic $magic at offset $offset (only v1)")
-          val attributes = mb.get()
-          require((attributes & 0x07) == 0,
-            s"$segPath: compressed message sets are not supported (attributes=$attributes)")
-          val ts = mb.getLong
-          val keyLen = mb.getInt
-          val key = if (keyLen < 0) null else { val a = new Array[Byte](keyLen); mb.get(a); a }
-          val valLen = mb.getInt
-          val value = if (valLen < 0) null else { val a = new Array[Byte](valLen); mb.get(a); a }
-          Record(offset, ts, key, value)
+      val firstOffset = hb.getLong // v1: record/wrapper offset; v2: baseOffset
+      val size = hb.getInt
+      require(size >= 22 && pos + 12 + size <= segLen,
+        s"$segPath: corrupt frame at byte $pos (frame_size=$size, segment=$segLen bytes)")
+      if (skipPayloadsOnly) {
+        val prefix = new Array[Byte](math.min(size, 15))
+        in.readFully(pos + 12, prefix)
+        val last = prefix(4) match {
+          case MagicV2 => firstOffset + java.nio.ByteBuffer.wrap(prefix, 11, 4).getInt
+          case _ => firstOffset
         }
-      pos += 12 + msgSize
-      rec
+        pending = Iterator.single(Record(last, 0L, null, null))
+      } else {
+        val body = new Array[Byte](size)
+        in.readFully(pos + 12, body)
+        pending = (body(4) match {
+          case MagicV2 => decodeV2(firstOffset, body, segPath)
+          case _ => decodeV1(firstOffset, body, segPath, allowWrapper = true)
+        }).iterator
+      }
+      pos += 12 + size
     }
   }
 }

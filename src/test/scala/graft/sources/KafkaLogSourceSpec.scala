@@ -57,6 +57,182 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC mismatch"))
   }
 
+  test("v2 record batch round-trips; CRC-32C catches a flipped byte in the records area") {
+    val dir = Files.createTempDirectory("kwire2")
+    val records = Seq(rec(10, "alpha", "k0"), rec(11, "beta"), Record(12, 1600000000099L, "k".getBytes, null))
+    val seg = KafkaLogFormat.writeSegmentV2(fs, new Path(dir.toString), records)
+    val in = fs.open(seg)
+    val len = fs.getFileStatus(seg).getLen
+    val got = KafkaLogFormat.readSegment(in, len, seg.toString, skipPayloadsOnly = false).toList
+    in.close()
+    assert(got.map(_.offset) == List(10L, 11L, 12L))
+    assert(got.map(_.timestampMs) == records.map(_.timestampMs))
+    assert(new String(got.head.value) == "alpha" && new String(got.head.key) == "k0")
+    assert(got(1).key == null && got(2).value == null)
+
+    // log-end discovery must read lastOffsetDelta from the batch header
+    val hin = fs.open(seg)
+    val skim = KafkaLogFormat.readSegment(hin, len, seg.toString, skipPayloadsOnly = true).toList
+    hin.close()
+    assert(skim.map(_.offset) == List(12L), "header skim yields one record at the batch's LAST offset")
+
+    // flip one byte inside the varint records area -> loud CRC-32C failure
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(seg.toUri.getPath))
+    bytes(bytes.length - 2) = (bytes(bytes.length - 2) ^ 0x01).toByte
+    val corrupt = dir.resolve("corrupt-0")
+    java.nio.file.Files.createDirectories(corrupt)
+    java.nio.file.Files.write(corrupt.resolve(KafkaLogFormat.segmentName(10)), bytes)
+    val cp = new Path(corrupt.resolve(KafkaLogFormat.segmentName(10)).toString)
+    val cin = fs.open(cp)
+    val e = intercept[IllegalArgumentException] {
+      KafkaLogFormat.readSegment(cin, bytes.length, cp.toString, skipPayloadsOnly = false).toList
+    }
+    cin.close()
+    assert(e.getMessage.contains("CRC-32C mismatch"))
+  }
+
+  test("gzip v1 wrapper drains into the same rows as its uncompressed twin") {
+    val records = (0L until 5L).map(o => rec(o, s"payload-$o", s"k$o"))
+    val root = Files.createTempDirectory("kgzip")
+    val plainDir = new Path(root.resolve("plain-0").toString)
+    val gzDir = new Path(root.resolve("gz-0").toString)
+    fs.mkdirs(plainDir); fs.mkdirs(gzDir)
+    KafkaLogFormat.writeSegment(fs, plainDir, records)
+    KafkaLogFormat.writeSegmentFrames(fs, gzDir, 0L, Seq(KafkaLogFormat.encodeGzipWrapperV1(records)))
+
+    def readAll(dir: Path): List[(Long, Long, String, String)] = {
+      val seg = new Path(dir, KafkaLogFormat.segmentName(0))
+      val in = fs.open(seg)
+      val got = KafkaLogFormat.readSegment(
+        in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = false).toList
+      in.close()
+      got.map(r => (r.offset, r.timestampMs, new String(r.key), new String(r.value)))
+    }
+    assert(readAll(gzDir) == readAll(plainDir))
+
+    // the wrapper's header-skim end offset equals the plain segment's
+    val seg = new Path(gzDir, KafkaLogFormat.segmentName(0))
+    val in = fs.open(seg)
+    val skim = KafkaLogFormat.readSegment(
+      in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = true).toList
+    in.close()
+    assert(skim.map(_.offset) == List(4L))
+  }
+
+  test("gzip-compressed v2 batch and a control batch: inflate one, surface nothing from the other") {
+    val dir = Files.createTempDirectory("kgzip2")
+    val records = (100L until 104L).map(o => rec(o, s"z$o"))
+    val frames = Seq(
+      KafkaLogFormat.encodeBatchV2(records, gzipped = true),
+      KafkaLogFormat.encodeBatchV2( // txn commit marker shape: reader must yield no rows
+        Seq(Record(104L, 1600000000104L, Array[Byte](0, 0, 0, 1), Array[Byte](0, 0))),
+        control = true)
+    )
+    val seg = KafkaLogFormat.writeSegmentFrames(fs, new Path(dir.toString), 100L, frames)
+    val in = fs.open(seg)
+    val got = KafkaLogFormat.readSegment(
+      in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = false).toList
+    in.close()
+    assert(got.map(_.offset) == (100L until 104L).toList)
+    assert(got.map(r => new String(r.value)) == records.map(r => new String(r.value)).toList)
+    // but the control batch still advances the log-end offset, like a broker
+    val hin = fs.open(seg)
+    val skim = KafkaLogFormat.readSegment(
+      hin, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = true).toList
+    hin.close()
+    assert(skim.map(_.offset) == List(103L, 104L))
+  }
+
+  test("snappy/lz4/zstd codecs are rejected loudly, not silently skipped") {
+    val dir = Files.createTempDirectory("kcodec")
+    val fsDir = new Path(dir.toString)
+    val v1Snappy = KafkaLogFormat.encode(rec(0, "x"), attributes = 2)
+    val seg = KafkaLogFormat.writeSegmentFrames(fs, fsDir, 0L, Seq(v1Snappy))
+    val in = fs.open(seg)
+    val e = intercept[IllegalArgumentException] {
+      KafkaLogFormat.readSegment(
+        in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = false).toList
+    }
+    in.close()
+    assert(e.getMessage.contains("unsupported compression codec 2"))
+  }
+
+  test("mixed v1/v2 directory drains both formats through the streaming source") {
+    val root = Files.createTempDirectory("kmixed")
+    // audit-0: one segment holding a v1 message THEN a v2 batch (post-upgrade roll shape)
+    val dir0 = new Path(root.resolve("audit-0").toString)
+    fs.mkdirs(dir0)
+    KafkaLogFormat.writeSegmentFrames(fs, dir0, 0L, Seq(
+      KafkaLogFormat.encode(rec(0, "old-0")),
+      KafkaLogFormat.encode(rec(1, "old-1")),
+      KafkaLogFormat.encodeBatchV2(Seq(rec(2, "new-2"), rec(3, "new-3")))
+    ))
+    // audit-1: pure v2 segment
+    val dir1 = new Path(root.resolve("audit-1").toString)
+    fs.mkdirs(dir1)
+    KafkaLogFormat.writeSegmentV2(fs, dir1, (0L until 3L).map(o => rec(o, s"b$o")))
+
+    val checkpoint = Files.createTempDirectory("kmixed-ckpt").toString
+    val sink = Files.createTempDirectory("kmixed-sink").toString
+    val q = spark.readStream.format("graft-kafkalog").option("root", root.toString).load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", sink)
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+
+    val rows = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(2), r.getInt(3), r.getLong(4), new String(r.getAs[Array[Byte]](1))))
+      .toSet
+    assert(rows == Set(
+      ("audit", 0, 0L, "old-0"), ("audit", 0, 1L, "old-1"),
+      ("audit", 0, 2L, "new-2"), ("audit", 0, 3L, "new-3"),
+      ("audit", 1, 0L, "b0"), ("audit", 1, 1L, "b1"), ("audit", 1, 2L, "b2")))
+
+    // restart after a new v2 segment lands: reads ONLY the appended batch
+    KafkaLogFormat.writeSegmentV2(fs, dir1, Seq(rec(3, "b3")))
+    val q2 = spark.readStream.format("graft-kafkalog").option("root", root.toString).load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", sink)
+      .start()
+    q2.awaitTermination(60000)
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 8, "restart must read ONLY the appended v2 record")
+  }
+
+  test("maxRecordsPerTrigger admission that cuts mid-batch resumes inside the v2 batch") {
+    val root = Files.createTempDirectory("kmidbatch")
+    val dir0 = new Path(root.resolve("t-0").toString)
+    fs.mkdirs(dir0)
+    KafkaLogFormat.writeSegmentV2(fs, dir0, (0L until 10L).map(o => rec(o, s"v$o")))
+    val stream = new KafkaLogMicroBatchStream(
+      root.toString,
+      new CaseInsensitiveStringMap(Map("root" -> root.toString, "maxRecordsPerTrigger" -> "4").asJava))
+    val first = stream.latestOffset(KafkaLogOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[KafkaLogOffset]
+    assert(first.offsets == Map("t-0" -> 4L), "admission lands mid-batch")
+    def drain(fromTo: (Map[String, Long], Map[String, Long])): Seq[Long] = {
+      val parts = stream.plan(fromTo._1, fromTo._2)
+      val factory = stream.createReaderFactory()
+      parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = Seq.newBuilder[Long]
+        while (r.next()) out += r.get().getLong(4)
+        r.close()
+        out.result()
+      }.toSeq
+    }
+    assert(drain((Map.empty, first.offsets)) == (0L until 4L))
+    val second = stream.latestOffset(first, ReadLimit.allAvailable()).asInstanceOf[KafkaLogOffset]
+    assert(second.offsets == Map("t-0" -> 8L))
+    assert(drain((first.offsets, second.offsets)) == (4L until 8L),
+      "second trigger resumes inside the same batch, no duplicates")
+  }
+
   test("AvailableNow drains two topic-partitions; restart from checkpoint reads only appended records") {
     val root = Files.createTempDirectory("klog")
     writeTp(root, "audit-0", (0L until 5L).map(o => rec(o, s"a0-$o")))
