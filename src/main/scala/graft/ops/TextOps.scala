@@ -548,10 +548,21 @@ object TextOps {
     // maxBucket guard drops — the documented candidate-explosion
     // mitigation doing its job. The floor (5%) is a collapse detector,
     // not a quality bar; d28 is the exact-recall path for this corpus.
+    // Beside it, a TUNED run (mega-bucket guard lifted WITHIN the capped
+    // subset — bounded O(cap²), constant at any SF) must clear a 0.8
+    // recall floor: 8x4 banding at j>=0.95 collides with p ~ 1-1.3e-6,
+    // so anything below the floor means the signature/banding kernel
+    // itself collapsed, and the ORACLE GATE (not just
+    // SimilarityRecallSpec) goes red. Both hit counters are emitted raw;
+    // the oracle pins them as literals (deterministic: fixed corpus,
+    // fixed xxhash64 family), valid at the driver's sf0.01 gate.
     "x02_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ann = minhashDedupPairs(docs, shingleWidth = 1, threshold = 0.95)
       val cap = 500L
+      val tuned = minhashDedupPairs(
+        docs.filter(col("doc_id") < cap), shingleWidth = 1, threshold = 0.95,
+        maxBucket = cap.toInt + 1)
       val toksOf = docs.filter(col("doc_id") < cap)
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
       val exact = toksOf.select(col("doc_id").as("va"), col("toks").as("ta"))
@@ -575,11 +586,17 @@ object TextOps {
       val hits = ann.filter(col("doc_a") < cap && col("doc_b") < cap)
         .join(exact, col("doc_a") === col("va") && col("doc_b") === col("vb"))
         .agg(count(lit(1)).as("n_hit"))
+      val hitsTuned = tuned
+        .join(exact, col("doc_a") === col("va") && col("doc_b") === col("vb"))
+        .agg(count(lit(1)).as("n_hit_tuned"))
       val exactN = exact.agg(count(lit(1)).as("n_exact_pairs_cap"))
-      pairStats.crossJoin(exactN).crossJoin(hits)
+      pairStats.crossJoin(exactN).crossJoin(hits).crossJoin(hitsTuned)
         .select(
           col("n_false_pos"), col("n_score_mismatch"), col("n_exact_pairs_cap"),
-          (col("n_hit") >= col("n_exact_pairs_cap") * 0.05).as("recall_cap_ok"))
+          col("n_hit"),
+          (col("n_hit") >= col("n_exact_pairs_cap") * 0.05).as("recall_cap_ok"),
+          col("n_hit_tuned"),
+          (col("n_hit_tuned") >= col("n_exact_pairs_cap") * 0.8).as("recall_tuned_ok"))
     }),
 
     // SimHash signatures over the engine-portable 32-bit md5 family —
@@ -1474,6 +1491,11 @@ object TextOps {
     // x02's soundness row: assertion counters are engine-computed claims
     // (pinned literals here); the capped exact-pair count is genuinely
     // recomputed by brute force — same tolerance-band shape as s03.
+    // The two hit counters are pinned literals (fixed corpus + fixed
+    // xxhash64 family => deterministic): 128 = the default config's
+    // mega-bucket-limited recall (6.8%, documented), 1887 = the tuned
+    // uncapped-bucket run recovering EVERY exact pair — any signature/
+    // banding kernel drift flips these, turning the gate red.
     "x02_minhash_pairs" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
         |  FROM documents WHERE doc_id < 500),
@@ -1481,7 +1503,9 @@ object TextOps {
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_cat(a.toks, b.toks))), 4) AS j
         |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
         |SELECT CAST(0 AS BIGINT) AS n_false_pos, CAST(0 AS BIGINT) AS n_score_mismatch,
-        |  CAST(count(*) AS BIGINT) AS n_exact_pairs_cap, TRUE AS recall_cap_ok
+        |  CAST(count(*) AS BIGINT) AS n_exact_pairs_cap,
+        |  CAST(128 AS BIGINT) AS n_hit, TRUE AS recall_cap_ok,
+        |  CAST(1887 AS BIGINT) AS n_hit_tuned, TRUE AS recall_tuned_ok
         |FROM p WHERE j >= 0.95""".stripMargin,
     // x05: byte length cross-checked (documents are ASCII, so DuckDB's
     // char length = Spark's binary length — d02 already proves this

@@ -205,6 +205,10 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("n_score_mismatch")) == 0L)
     assert(row.getLong(row.fieldIndex("n_exact_pairs_cap")) > 0L)
     assert(row.getBoolean(row.fieldIndex("recall_cap_ok")))
+    assert(row.getBoolean(row.fieldIndex("recall_tuned_ok")))
+    // the uncapped-bucket tuned run must recover every exact pair here
+    assert(row.getLong(row.fieldIndex("n_hit_tuned")) ==
+      row.getLong(row.fieldIndex("n_exact_pairs_cap")))
   }
 
   test("s01 brute-force cosine top-k: best match agrees with driver-side recompute") {
