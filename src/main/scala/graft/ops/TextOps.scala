@@ -548,21 +548,25 @@ object TextOps {
     // maxBucket guard drops — the documented candidate-explosion
     // mitigation doing its job. The floor (5%) is a collapse detector,
     // not a quality bar; d28 is the exact-recall path for this corpus.
-    // Beside it, a TUNED run (mega-bucket guard lifted WITHIN the capped
-    // subset — bounded O(cap²), constant at any SF) must clear a 0.8
-    // recall floor: 8x4 banding at j>=0.95 collides with p ~ 1-1.3e-6,
-    // so anything below the floor means the signature/banding kernel
-    // itself collapsed, and the ORACLE GATE (not just
-    // SimilarityRecallSpec) goes red. Both hit counters are emitted raw;
-    // the oracle pins them as literals (deterministic: fixed corpus,
-    // fixed xxhash64 family), valid at the driver's sf0.01 gate.
+    // Beside it, a TUNED run (mega-bucket guard lifted WITHIN a smaller
+    // capped subset — bounded O(tcap²), constant at any SF) must clear a
+    // 0.8 recall floor: 8x4 banding at j>=0.95 collides with
+    // p ~ 1-1.3e-6, so anything below the floor means the signature/
+    // banding kernel itself collapsed, and the ORACLE GATE (not just
+    // SimilarityRecallSpec) goes red. tcap=200 (not the verify cap of
+    // 500) keeps the uncapped-bucket candidate volume — and its exact
+    // array verify — ~6x cheaper at identical detection power. Both hit
+    // counters are emitted raw; the oracle pins them as literals
+    // (deterministic: fixed corpus, fixed xxhash64 family), valid at the
+    // driver's sf0.01 gate.
     "x02_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ann = minhashDedupPairs(docs, shingleWidth = 1, threshold = 0.95)
       val cap = 500L
+      val tcap = 200L
       val tuned = minhashDedupPairs(
-        docs.filter(col("doc_id") < cap), shingleWidth = 1, threshold = 0.95,
-        maxBucket = cap.toInt + 1)
+        docs.filter(col("doc_id") < tcap), shingleWidth = 1, threshold = 0.95,
+        maxBucket = tcap.toInt + 1)
       val toksOf = docs.filter(col("doc_id") < cap)
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
       val exact = toksOf.select(col("doc_id").as("va"), col("toks").as("ta"))
@@ -589,14 +593,16 @@ object TextOps {
       val hitsTuned = tuned
         .join(exact, col("doc_a") === col("va") && col("doc_b") === col("vb"))
         .agg(count(lit(1)).as("n_hit_tuned"))
-      val exactN = exact.agg(count(lit(1)).as("n_exact_pairs_cap"))
+      val exactN = exact.agg(
+        count(lit(1)).as("n_exact_pairs_cap"),
+        count(when(col("va") < tcap && col("vb") < tcap, 1)).as("n_exact_pairs_tcap"))
       pairStats.crossJoin(exactN).crossJoin(hits).crossJoin(hitsTuned)
         .select(
           col("n_false_pos"), col("n_score_mismatch"), col("n_exact_pairs_cap"),
           col("n_hit"),
           (col("n_hit") >= col("n_exact_pairs_cap") * 0.05).as("recall_cap_ok"),
-          col("n_hit_tuned"),
-          (col("n_hit_tuned") >= col("n_exact_pairs_cap") * 0.8).as("recall_tuned_ok"))
+          col("n_exact_pairs_tcap"), col("n_hit_tuned"),
+          (col("n_hit_tuned") >= col("n_exact_pairs_tcap") * 0.8).as("recall_tuned_ok"))
     }),
 
     // SimHash signatures over the engine-portable 32-bit md5 family —
@@ -1493,9 +1499,10 @@ object TextOps {
     // recomputed by brute force — same tolerance-band shape as s03.
     // The two hit counters are pinned literals (fixed corpus + fixed
     // xxhash64 family => deterministic): 128 = the default config's
-    // mega-bucket-limited recall (6.8%, documented), 1887 = the tuned
-    // uncapped-bucket run recovering EVERY exact pair — any signature/
-    // banding kernel drift flips these, turning the gate red.
+    // mega-bucket-limited recall (6.8%, documented), 183 = the tuned
+    // uncapped-bucket run recovering EVERY exact pair inside tcap=200 —
+    // any signature/banding kernel drift flips these, turning the gate
+    // red. Both exact-pair counts are genuinely recomputed by brute force.
     "x02_minhash_pairs" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
         |  FROM documents WHERE doc_id < 500),
@@ -1505,7 +1512,8 @@ object TextOps {
         |SELECT CAST(0 AS BIGINT) AS n_false_pos, CAST(0 AS BIGINT) AS n_score_mismatch,
         |  CAST(count(*) AS BIGINT) AS n_exact_pairs_cap,
         |  CAST(128 AS BIGINT) AS n_hit, TRUE AS recall_cap_ok,
-        |  CAST(1887 AS BIGINT) AS n_hit_tuned, TRUE AS recall_tuned_ok
+        |  CAST(count(*) FILTER (WHERE va < 200 AND vb < 200) AS BIGINT) AS n_exact_pairs_tcap,
+        |  CAST(183 AS BIGINT) AS n_hit_tuned, TRUE AS recall_tuned_ok
         |FROM p WHERE j >= 0.95""".stripMargin,
     // x05: byte length cross-checked (documents are ASCII, so DuckDB's
     // char length = Spark's binary length — d02 already proves this

@@ -208,7 +208,7 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getBoolean(row.fieldIndex("recall_tuned_ok")))
     // the uncapped-bucket tuned run must recover every exact pair here
     assert(row.getLong(row.fieldIndex("n_hit_tuned")) ==
-      row.getLong(row.fieldIndex("n_exact_pairs_cap")))
+      row.getLong(row.fieldIndex("n_exact_pairs_tcap")))
   }
 
   test("s01 brute-force cosine top-k: best match agrees with driver-side recompute") {
