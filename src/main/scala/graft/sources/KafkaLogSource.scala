@@ -38,13 +38,15 @@ import org.slf4j.LoggerFactory
   *    offset:8  message_size:4  crc:4  magic:1  attributes:1
   *    timestamp:8  key_len:4  key  value_len:4  value
   *    }}}
-  *    `crc` is CRC-32 of everything after the crc field. Gzip wrapper
-  *    messages (attributes bits 0-2 == 1) are decompressed: the wrapper's
-  *    value is an inner message set with RELATIVE offsets, the wrapper
-  *    offset is the absolute offset of the LAST inner record, so
+  *    `crc` is CRC-32 of everything after the crc field. Compressed
+  *    wrapper messages (attributes bits 0-2: gzip or xerial-framed
+  *    snappy, the codecs v1-era producers shipped) are decompressed: the
+  *    wrapper's value is an inner message set with RELATIVE offsets, the
+  *    wrapper offset is the absolute offset of the LAST inner record, so
   *    `absolute = wrapper - lastRel + rel` (the consumer-side rule from
-  *    the protocol guide). Snappy/LZ4/Zstd wrappers are rejected loudly
-  *    (no codec libs in this environment).
+  *    the protocol guide). v1 lz4 wrappers are rejected loudly — that
+  *    era's frame checksum is nonstandard and a standard-frame decode
+  *    would mis-verify.
   *  - **Record batches v2** (magic 2) — what every Kafka >= 0.11 broker
   *    writes:
   *    {{{
@@ -58,8 +60,10 @@ import org.slf4j.LoggerFactory
   *    keyLen(varint, -1=null), key, valueLen(varint, -1=null), value,
   *    headerCount(varint) then per-header varint-framed key/value pairs
   *    (parsed and skipped — the output schema mirrors Spark's Kafka
-  *    source's default, headerless shape). Gzip-compressed record areas
-  *    (attributes bits 0-2 == 1) are inflated; control batches (bit 5)
+  *    source's default, headerless shape). Compressed record areas are
+  *    inflated with the full broker codec table — gzip, xerial-framed
+  *    snappy, LZ4 frame, zstd (the codec jars ship inside Spark itself,
+  *    so executors always have them); control batches (bit 5)
   *    yield no rows, like a consumer. CRC-32C (Castagnoli,
   *    `java.util.zip.CRC32C`) is verified per batch; corrupt frames fail
   *    loudly with file/offset context.
@@ -116,7 +120,17 @@ object KafkaLogFormat {
   val MagicV2: Byte = 2 // record-batch format
   val CreateTime = 1 // Kafka TimestampType.CREATE_TIME
 
-  private val GzipCodec = 1
+  // Codec ids from the batch/message attributes bits 0-2 (Kafka's public
+  // compression-type table). v2 batches support all four; legacy v1
+  // wrappers support gzip and snappy (the codecs pre-0.11 producers
+  // actually shipped with xerial/JDK framing — v1-era LZ4 used a
+  // nonstandard frame checksum that the fixed magic-1 format replaced,
+  // so a v1 lz4 wrapper is rejected loudly rather than mis-decoded).
+  val NoCodec = 0
+  val GzipCodec = 1
+  val SnappyCodec = 2
+  val Lz4Codec = 3
+  val ZstdCodec = 4
   private val V2HeaderLen = 49 // partitionLeaderEpoch..recordCount, before records
 
   def segmentName(baseOffset: Long): String = f"$baseOffset%020d.log"
@@ -147,6 +161,46 @@ object KafkaLogFormat {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
     try in.readAllBytes() finally in.close()
   }
+
+  /** Compress `data` with a Kafka codec id, using the SAME stream framings
+    * brokers use on disk: gzip = JDK deflate-gzip, snappy = xerial
+    * SnappyOutputStream block framing, lz4 = standard LZ4 frame, zstd =
+    * standard zstd frame. snappy-java / lz4-java / zstd-jni ship with
+    * Spark itself, so executors always have them.
+    */
+  private[sources] def compress(codec: Int, data: Array[Byte]): Array[Byte] = codec match {
+    case NoCodec => data
+    case GzipCodec => gzip(data)
+    case SnappyCodec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.xerial.snappy.SnappyOutputStream(bos)
+      out.write(data); out.close()
+      bos.toByteArray
+    case Lz4Codec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      out.write(data); out.close()
+      bos.toByteArray
+    case ZstdCodec =>
+      com.github.luben.zstd.Zstd.compress(data)
+    case c => throw new IllegalArgumentException(s"unknown compression codec $c")
+  }
+
+  private def decompress(codec: Int, data: Array[Byte], ctx: => String): Array[Byte] =
+    codec match {
+      case NoCodec => data
+      case GzipCodec => gunzip(data)
+      case SnappyCodec =>
+        val in = new org.xerial.snappy.SnappyInputStream(new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      case Lz4Codec =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      case ZstdCodec =>
+        val in = new com.github.luben.zstd.ZstdInputStream(new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      case c => throw new IllegalArgumentException(s"$ctx: unsupported compression codec $c")
+    }
 
   // ---- varints (zigzag + base-128, the protobuf encoding v2 uses) ----
 
@@ -204,26 +258,31 @@ object KafkaLogFormat {
     * gzip-configured pre-0.11 producer (or an old log segment) has on
     * disk per the protocol guide.
     */
-  def encodeGzipWrapperV1(records: Seq[Record]): Array[Byte] = {
+  def encodeGzipWrapperV1(records: Seq[Record]): Array[Byte] =
+    encodeWrapperV1(records, GzipCodec)
+
+  /** Encode a compressed v1 wrapper with any v1-supported codec. */
+  def encodeWrapperV1(records: Seq[Record], codec: Int): Array[Byte] = {
     require(records.nonEmpty, "empty wrapper")
     val inner = new java.io.ByteArrayOutputStream()
     records.zipWithIndex.foreach { case (r, i) => inner.write(encode(r.copy(offset = i.toLong))) }
     encode(
-      Record(records.last.offset, records.last.timestampMs, null, gzip(inner.toByteArray)),
-      attributes = GzipCodec.toByte)
+      Record(records.last.offset, records.last.timestampMs, null,
+        compress(codec, inner.toByteArray)),
+      attributes = codec.toByte)
   }
 
   // ---- v2 (record batch) encoding ----
 
   /** Encode records as one v2 record batch (magic 2) framed the way a
     * modern broker lays it on disk: varint record fields, batch-level
-    * CRC-32C over attributes..end, optional gzip of the records area.
-    * `control` marks a control batch (attributes bit 5) whose records a
-    * reader must not surface.
+    * CRC-32C over attributes..end, records area optionally compressed
+    * with any of Kafka's four codecs. `control` marks a control batch
+    * (attributes bit 5) whose records a reader must not surface.
     */
   def encodeBatchV2(
       records: Seq[Record],
-      gzipped: Boolean = false,
+      codec: Int = NoCodec,
       control: Boolean = false,
       partitionLeaderEpoch: Int = 0
   ): Array[Byte] = {
@@ -245,8 +304,8 @@ object KafkaLogFormat {
       writeVarLong(recOut, b.length.toLong)
       recOut.write(b)
     }
-    val recArea = if (gzipped) gzip(recOut.toByteArray) else recOut.toByteArray
-    val attributes = ((if (gzipped) GzipCodec else 0) | (if (control) 0x20 else 0)).toShort
+    val recArea = compress(codec, recOut.toByteArray)
+    val attributes = (codec | (if (control) 0x20 else 0)).toShort
     val batchLen = V2HeaderLen + recArea.length
     val bb = java.nio.ByteBuffer.allocate(12 + batchLen)
     bb.putLong(base).putInt(batchLen)
@@ -294,9 +353,9 @@ object KafkaLogFormat {
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path,
       records: Seq[Record],
-      gzipped: Boolean = false
+      codec: Int = NoCodec
   ): Path =
-    writeSegmentFrames(fs, dir, records.head.offset, Seq(encodeBatchV2(records, gzipped)))
+    writeSegmentFrames(fs, dir, records.head.offset, Seq(encodeBatchV2(records, codec)))
 
   // ---- decoding ----
 
@@ -327,19 +386,23 @@ object KafkaLogFormat {
     val valLen = mb.getInt
     val value = if (valLen < 0) null else { val a = new Array[Byte](valLen); mb.get(a); a }
     codec match {
-      case 0 => Seq(Record(offset, ts, key, value))
-      case GzipCodec =>
+      case NoCodec => Seq(Record(offset, ts, key, value))
+      case GzipCodec | SnappyCodec =>
         require(allowWrapper, s"$segPath: nested compressed wrapper at offset $offset")
-        require(value != null, s"$segPath: gzip wrapper with null value at offset $offset")
-        val inner = decodeInnerSet(gunzip(value), segPath)
-        require(inner.nonEmpty, s"$segPath: empty gzip wrapper at offset $offset")
+        require(value != null, s"$segPath: compressed wrapper with null value at offset $offset")
+        val inner = decodeInnerSet(
+          decompress(codec, value, s"$segPath: wrapper at offset $offset"), segPath)
+        require(inner.nonEmpty, s"$segPath: empty compressed wrapper at offset $offset")
         // magic-1 rule: wrapper offset = absolute offset of the LAST inner
         // record; inner offsets are relative
         val lastRel = inner.last.offset
         inner.map(r => r.copy(offset = offset - lastRel + r.offset))
       case c =>
+        // v1-era lz4 framing predates the fixed magic-1 frame checksum;
+        // decoding it with a standard LZ4 frame reader would mis-verify.
+        // Reject loudly rather than guess (zstd never existed for v1).
         throw new IllegalArgumentException(
-          s"$segPath: unsupported compression codec $c at offset $offset (none/gzip only)")
+          s"$segPath: unsupported v1 compression codec $c at offset $offset (none/gzip/snappy)")
     }
   }
 
@@ -386,14 +449,10 @@ object KafkaLogFormat {
     bb.getShort // producerEpoch
     bb.getInt // baseSequence
     val count = bb.getInt
-    val recArea = codec match {
-      case 0 => java.util.Arrays.copyOfRange(body, V2HeaderLen, body.length)
-      case GzipCodec => gunzip(java.util.Arrays.copyOfRange(body, V2HeaderLen, body.length))
-      case c =>
-        throw new IllegalArgumentException(
-          s"$segPath: unsupported batch compression codec $c at base offset $baseOffset " +
-            "(none/gzip only)")
-    }
+    val recArea = decompress(
+      codec,
+      java.util.Arrays.copyOfRange(body, V2HeaderLen, body.length),
+      s"$segPath: batch at base offset $baseOffset")
     if (isControl) return Seq.empty // commit/abort markers: a consumer never surfaces these
     val rb = java.nio.ByteBuffer.wrap(recArea)
     val out = Seq.newBuilder[Record]

@@ -8,9 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Randomized round-trip laws for the Kafka wire formats: ANY sequence of
   * records — null/empty/binary keys and values, arbitrary offsets and
   * timestamps — must survive frame → segment → read back bit-identically,
-  * under every framing the reader supports (v1 messages, gzip v1
-  * wrappers, v2 record batches plain and gzipped). Plus the varint
-  * (zigzag) codec law the v2 format rests on.
+  * under every framing x codec the reader supports (v1 messages,
+  * gzip/snappy v1 wrappers, v2 record batches across the full broker
+  * codec table — none/gzip/snappy/lz4/zstd). Plus the varint (zigzag)
+  * codec law the v2 format rests on.
   */
 class KafkaFramingPropertySpec extends AnyFunSuite {
   import KafkaLogFormat.Record
@@ -81,17 +82,22 @@ class KafkaFramingPropertySpec extends AnyFunSuite {
     }, n = 500)
   }
 
-  test("all four framings round-trip arbitrary record sequences bit-identically") {
-    val framingGen = Gen.oneOf("v1", "v1gzip", "v2", "v2gzip")
-    check(Prop.forAll(recordsGen, framingGen) { (recs, framing) =>
+  test("every supported framing x codec round-trips arbitrary record sequences bit-identically") {
+    import KafkaLogFormat.{NoCodec, GzipCodec, SnappyCodec, Lz4Codec, ZstdCodec}
+    // v1 wrappers: the codecs v1-era producers shipped; v2 batches: the
+    // full broker table.
+    val framingGen = Gen.oneOf(
+      Seq("v1" -> NoCodec) ++
+        Seq(GzipCodec, SnappyCodec).map("v1wrap" -> _) ++
+        Seq(NoCodec, GzipCodec, SnappyCodec, Lz4Codec, ZstdCodec).map("v2" -> _))
+    check(Prop.forAll(recordsGen, framingGen) { case (recs, (framing, codec)) =>
       val frames = framing match {
         case "v1" => recs.map(r => KafkaLogFormat.encode(r))
-        case "v1gzip" => Seq(KafkaLogFormat.encodeGzipWrapperV1(recs))
-        case "v2" => Seq(KafkaLogFormat.encodeBatchV2(recs))
-        case "v2gzip" => Seq(KafkaLogFormat.encodeBatchV2(recs, gzipped = true))
+        case "v1wrap" => Seq(KafkaLogFormat.encodeWrapperV1(recs, codec))
+        case "v2" => Seq(KafkaLogFormat.encodeBatchV2(recs, codec))
       }
       matches(roundTrip(frames, recs.head.offset), recs)
-    }, n = 120)
+    }, n = 160)
   }
 
   test("a segment mixing all four framings reads back as the concatenation") {
@@ -105,7 +111,7 @@ class KafkaFramingPropertySpec extends AnyFunSuite {
           Seq(
             KafkaLogFormat.encodeGzipWrapperV1(parts(1)),
             KafkaLogFormat.encodeBatchV2(parts(2)),
-            KafkaLogFormat.encodeBatchV2(parts(3), gzipped = true))
+            KafkaLogFormat.encodeBatchV2(parts(3), KafkaLogFormat.GzipCodec))
       matches(roundTrip(frames, recs0.head.offset), parts.flatten)
     }, n = 40)
   }

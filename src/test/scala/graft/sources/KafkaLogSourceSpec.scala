@@ -123,7 +123,7 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("kgzip2")
     val records = (100L until 104L).map(o => rec(o, s"z$o"))
     val frames = Seq(
-      KafkaLogFormat.encodeBatchV2(records, gzipped = true),
+      KafkaLogFormat.encodeBatchV2(records, KafkaLogFormat.GzipCodec),
       KafkaLogFormat.encodeBatchV2( // txn commit marker shape: reader must yield no rows
         Seq(Record(104L, 1600000000104L, Array[Byte](0, 0, 0, 1), Array[Byte](0, 0))),
         control = true)
@@ -143,18 +143,60 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     assert(skim.map(_.offset) == List(103L, 104L))
   }
 
-  test("snappy/lz4/zstd codecs are rejected loudly, not silently skipped") {
+  test("snappy/lz4/zstd v2 batches drain into the same rows as their uncompressed twin") {
+    import KafkaLogFormat.{SnappyCodec, Lz4Codec, ZstdCodec}
+    val records = (0L until 6L).map(o => rec(o, s"codec-payload-$o" * 10, s"k$o"))
+    val root = Files.createTempDirectory("kcodecs")
+    def readAll(codec: Int, name: String): List[(Long, Long, String, String)] = {
+      val dir = new Path(root.resolve(name).toString)
+      fs.mkdirs(dir)
+      val seg = KafkaLogFormat.writeSegmentV2(fs, dir, records, codec)
+      val in = fs.open(seg)
+      val got = KafkaLogFormat.readSegment(
+        in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = false).toList
+      in.close()
+      got.map(r => (r.offset, r.timestampMs, new String(r.key), new String(r.value)))
+    }
+    val plain = readAll(KafkaLogFormat.NoCodec, "plain-0")
+    assert(readAll(SnappyCodec, "snappy-0") == plain)
+    assert(readAll(Lz4Codec, "lz4-0") == plain)
+    assert(readAll(ZstdCodec, "zstd-0") == plain)
+  }
+
+  test("snappy v1 wrapper drains like gzip; v1 lz4 is rejected loudly") {
+    val records = (0L until 4L).map(o => rec(o, s"snap-$o", s"k$o"))
+    val root = Files.createTempDirectory("kv1snap")
+    def drain(frame: Array[Byte], name: String): List[(Long, String)] = {
+      val dir = new Path(root.resolve(name).toString)
+      fs.mkdirs(dir)
+      val seg = KafkaLogFormat.writeSegmentFrames(fs, dir, 0L, Seq(frame))
+      val in = fs.open(seg)
+      val got = KafkaLogFormat.readSegment(
+        in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = false).toList
+      in.close()
+      got.map(r => (r.offset, new String(r.value)))
+    }
+    val expected = records.map(r => (r.offset, new String(r.value))).toList
+    assert(drain(KafkaLogFormat.encodeWrapperV1(records, KafkaLogFormat.SnappyCodec), "s-0") == expected)
+    val e = intercept[IllegalArgumentException] {
+      drain(KafkaLogFormat.encodeWrapperV1(records, KafkaLogFormat.Lz4Codec), "l-0")
+    }
+    assert(e.getMessage.contains("unsupported v1 compression codec 3"))
+  }
+
+  test("out-of-table codec ids are rejected loudly, not silently skipped") {
     val dir = Files.createTempDirectory("kcodec")
     val fsDir = new Path(dir.toString)
-    val v1Snappy = KafkaLogFormat.encode(rec(0, "x"), attributes = 2)
-    val seg = KafkaLogFormat.writeSegmentFrames(fs, fsDir, 0L, Seq(v1Snappy))
+    // codec 5 is outside Kafka's public compression table on both formats
+    val v1Bad = KafkaLogFormat.encode(rec(0, "x"), attributes = 5)
+    val seg = KafkaLogFormat.writeSegmentFrames(fs, fsDir, 0L, Seq(v1Bad))
     val in = fs.open(seg)
     val e = intercept[IllegalArgumentException] {
       KafkaLogFormat.readSegment(
         in, fs.getFileStatus(seg).getLen, seg.toString, skipPayloadsOnly = false).toList
     }
     in.close()
-    assert(e.getMessage.contains("unsupported compression codec 2"))
+    assert(e.getMessage.contains("unsupported v1 compression codec 5"))
   }
 
   test("mixed v1/v2 directory drains both formats through the streaming source") {
