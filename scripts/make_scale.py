@@ -10,6 +10,11 @@ without changing data STRUCTURE (the honest way to measure scaling):
 - orders/lineitem: copy i offsets the order keys by i*10M, creating
   independent order "shards" over the SAME supplier/customer dims --
   join fan-outs scale linearly, as a bigger day of the same workload would.
+- embeddings: copy i jitters every component multiplicatively by a
+  deterministic +-2.5% (hash of id/copy/dim), so copies are genuinely
+  distinct vectors that stay INSIDE their source cluster -- the label
+  structure the IVF/PQ/SemDeDup index builds depend on is preserved
+  while train + search volume scales by FACTOR.
 - supplier: copied as-is (dimension).
 
 Usage: python3 scripts/make_scale.py [src=/root/testdata/sf0.1] [out=/tmp/scale10] [factor=10]
@@ -48,10 +53,22 @@ for t, key in [('orders', 'o_orderkey'), ('lineitem', 'l_orderkey')]:
     ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
     """)
 
-for t in ['supplier', 'customer', 'part', 'nation', 'region', 'embeddings']:
+con.execute(f"""
+COPY (
+  SELECT vec_id, embedding, label FROM '{src}/embeddings.parquet'
+  UNION ALL
+  SELECT vec_id + i * 10000000 AS vec_id,
+         list_transform(embedding, (x, j) -> CAST(x * (1.0 + 0.05 *
+           (((hash(concat(vec_id, '-', i, '-', j)) % 1000) / 1000.0) - 0.5)) AS FLOAT)) AS embedding,
+         label
+  FROM '{src}/embeddings.parquet' CROSS JOIN range(1, {factor}) r(i)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ['supplier', 'customer', 'part', 'nation', 'region']:
     con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
-for t in ['documents', 'orders', 'lineitem']:
+for t in ['documents', 'orders', 'lineitem', 'embeddings']:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
 print(f"scale fixture at {out} (factor {factor})")
