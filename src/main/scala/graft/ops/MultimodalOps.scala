@@ -274,6 +274,34 @@ object MultimodalOps {
         )
         .orderBy("asset_id")
     }),
+    // REAL audio-container round trip with an EXACT oracle: every document
+    // becomes a genuine RIFF/WAVE file (PCM16 samples derived from its
+    // ASCII bytes), encoded on the executors and decoded back through
+    // WavCodec's chunk walker (which must skip the odd-sized LIST metadata
+    // chunk and honor the pad byte on every row). Features are
+    // integer-exact: sample count, byte length (closed-form
+    // HeaderBytes + 2n), and sum of squared samples ((ascii-64)*256 ⇒
+    // 65536·Σ(ascii-64)², exact in BIGINT) — so DuckDB hash-checks a real
+    // encode→parse→featurize audio pipeline from the same text bytes.
+    "m05_wav_features" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            .map(b => ((b - 64) * 256).toShort)
+          val wav = WavCodec.encodePcm16(samples, rate)
+          val info = WavCodec.parse(wav)
+          var sumSq = 0L
+          info.samples.foreach(v => sumSq += v.toLong * v)
+          (id, wav.length.toLong, info.sampleRate, info.channels, info.bitsPerSample,
+            info.samples.length.toLong, sumSq,
+            info.sampleRate == rate && java.util.Arrays.equals(info.samples, samples))
+        }
+        .toDF("doc_id", "n_bytes", "sample_rate", "channels", "bits", "n_samples", "sum_sq", "roundtrip_ok")
+      feats.orderBy("doc_id")
+    }),
     // Resize pass: payloads shrunk by the codec (stub: stride-decimate),
     // emitting before/after sizes and the re-extracted leading feature —
     // the downsample-then-refeaturize step of a media pipeline. Narrow
@@ -351,6 +379,22 @@ object MultimodalOps {
         |  round(CAST(r AS DOUBLE) / (r + g + b), 4) AS f_r,
         |  round(CAST(g AS DOUBLE) / (r + g + b), 4) AS f_g,
         |  round(CAST(b AS DOUBLE) / (r + g + b), 4) AS f_b
-        |FROM c ORDER BY asset_id""".stripMargin
+        |FROM c ORDER BY asset_id""".stripMargin,
+    // m05 closed form: PCM16 samples are (ascii-64)*256, so the squared
+    // sum is 65536·Σ(ascii-64)² (BIGINT-exact), the byte length is the
+    // fixed 62-byte header layout (WavCodec.HeaderBytes, LIST pad
+    // included) + 2 bytes/sample, and the format
+    // fields replay the synthesis formulas. roundtrip_ok pinned TRUE =
+    // the real RIFF walker recovered every sample bit-identically.
+    "m05_wav_features" ->
+      """WITH ch AS (SELECT doc_id, ascii(c) - 64 AS v
+        |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |             CAST(sum(v * v) AS BIGINT) * 65536 AS sum_sq
+        |      FROM ch GROUP BY doc_id)
+        |SELECT doc_id, CAST(62 + 2 * n_samples AS BIGINT) AS n_bytes,
+        |       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |       1 AS channels, 16 AS bits, n_samples, sum_sq, TRUE AS roundtrip_ok
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -222,6 +222,98 @@ object TextOps {
     withBits.select(col("doc_id"), sig.as("simhash32"))
   }
 
+  /** SimHash near-duplicate PAIRS via Hamming-band LSH (the pigeonhole
+    * scheme Google's simhash dedup uses): split the 32-bit portable
+    * signature into `maxHamming + 1` contiguous bands; a pair within
+    * Hamming distance `maxHamming` differs in at most `maxHamming` bands,
+    * so at least one band matches EXACTLY and an equi-join on
+    * (band index, band value) generates every qualifying candidate —
+    * recall is 1 by construction, which makes the banded plan's output
+    * EQUAL the brute-force all-pairs answer. The oracle recomputes that
+    * answer by brute force, so the gate is an exactness check of the
+    * banding algorithm itself, not a soundness summary.
+    *
+    * 100 TB posture: candidates come only from the keyed self-join on
+    * (band, value) — no cartesian; the exact Hamming re-check
+    * (`bit_count(a XOR b)`) is one codegen'd integer op per candidate;
+    * duplicates from multi-band agreement collapse in a keyed distinct.
+    * Band width shrinks as corpus grows (more bands → fewer collisions
+    * per bucket) without changing the recall guarantee.
+    */
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 32 / bands // 8-bit bands at the default
+    val sigs = simhash32Portable(docs)
+    val bandCols = (0 until bands).map(b => expr(s"(simhash32 >> ${b * width}) & ${(1 << width) - 1}"))
+    val banded = sigs.select(
+      col("doc_id"), col("simhash32"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val cand = banded.as("l")
+      .join(
+        banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash32").as("sa"), col("r.simhash32").as("sb"))
+      .distinct()
+    cand
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------- fastText-style quality score
+  /** Linear text-quality classifier in the fastText/DCLM shape: hash each
+    * token into `buckets` feature buckets, sum per-bucket weights over the
+    * document's tokens, squash with a logistic. The weight table is a
+    * BROADCAST dimension — in production it is the trained model's weight
+    * vector loaded as a (bucket, weight) table; here the weights are a
+    * deterministic md5-derived stand-in so the score is exact-oracle
+    * (swap [[fasttextWeights]] for a real model without touching the
+    * pipeline). Arithmetic is integer-exact up to the final logistic:
+    * integer milli-weights sum exactly in both engines, and the one
+    * `exp` call sees a bit-identical double (score rounded 6dp).
+    *
+    * 100 TB posture: one narrow map over tokens, one keyed (doc, bucket)
+    * aggregation with map-side combine, one broadcast-hash join against
+    * the O(buckets) weight dim, one keyed doc aggregation. No shuffle
+    * carries text — only (doc_id, bucket, count) triples.
+    */
+  def fasttextQuality(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = broadcast(fasttextWeights(spark, buckets))
+    val tokCounts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substr(md5(CAST(concat('w:', tok) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    tokCounts
+      .join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("wt") * col("c")).cast("long").as("wsum"),
+        sum(col("c")).cast("long").as("n_tok"))
+      .select(
+        col("doc_id"), col("wsum"), col("n_tok"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("wsum") / (lit(1000.0) * col("n_tok"))))), 6)
+          .as("quality_score"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("wsum") / (lit(1000.0) * col("n_tok"))))) >= 0.5)
+          .as("keep"))
+  }
+
+  /** Deterministic stand-in weight table: bucket b gets an integer
+    * milli-weight in [-1000, 1000] derived from md5("b:" + b) — the same
+    * derivation the oracle replays. A trained model replaces this with
+    * its own (bucket, weight) rows; everything downstream is unchanged.
+    */
+  def fasttextWeights(spark: SparkSession, buckets: Int): DataFrame =
+    spark.range(buckets).select(
+      col("id").as("bucket"),
+      expr("CAST(conv(substr(md5(CAST(concat('b:', CAST(id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000")
+        .as("wt"))
+
   /** MinHash signatures over an ENGINE-PORTABLE permutation family:
     * permutation i hashes a shingle to md5("i:shingle") and the signature
     * element is the lexicographic MIN digest (md5 yields identical
@@ -609,6 +701,17 @@ object TextOps {
     // exact-oracle (the 64-bit xxhash64 [[simhash]] stays the production
     // fingerprint; SimhashSpec pins its semantics).
     "x03_simhash" -> ((s, dir) => simhash32Portable(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // SimHash near-dup pairs via Hamming-band LSH — the banded equi-join
+    // has recall 1 by pigeonhole, so its output must EQUAL the oracle's
+    // brute-force all-pairs answer (exactness gate on the algorithm).
+    "x07_simhash_pairs" -> ((s, dir) =>
+      simhashHammingPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // fastText-style hashed-feature quality classifier (DCLM-style model
+    // filtering): broadcast weight dim, integer-exact sums, one logistic.
+    "d39_fasttext_quality" -> ((s, dir) =>
+      fasttextQuality(t(s, dir, "documents")).orderBy("doc_id")),
 
     // BPE-ish tokenization: subword-flavored regex segmentation (letters /
     // digits / punctuation runs with optional leading space), the second
@@ -1787,6 +1890,36 @@ object TextOps {
         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
         |      FROM h, range(32) r(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32 FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Brute-force all-pairs Hamming over the same portable signatures:
+    // Spark's banded-LSH plan has recall 1 by pigeonhole, so the two
+    // answers must be identical row-for-row.
+    "x07_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tk FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(tk),1,8))::BIGINT AS hv FROM tok),
+        |b AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
+        |      FROM h, range(32) r(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS s FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // fastText-score replay: same md5-derived bucket/weight derivation,
+    // integer-exact weighted sums, one logistic on a bit-identical double
+    // (rounded 6dp in both engines).
+    "d39_fasttext_quality" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents)
+        |            GROUP BY doc_id, tok),
+        |f AS (SELECT doc_id, c, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 1024 AS bucket FROM tc),
+        |w AS (SELECT doc_id, c, (('0x'||substr(md5('b:'||bucket),1,8))::BIGINT % 2001) - 1000 AS wt FROM f),
+        |s AS (SELECT doc_id, CAST(sum(wt * c) AS BIGINT) AS wsum, CAST(sum(c) AS BIGINT) AS n_tok
+        |      FROM w GROUP BY doc_id)
+        |SELECT doc_id, wsum, n_tok,
+        |       round(1.0 / (1.0 + exp(-(wsum / (1000.0 * n_tok)))), 6) AS quality_score,
+        |       (1.0 / (1.0 + exp(-(wsum / (1000.0 * n_tok))))) >= 0.5 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     // Split-leakage replay: d28's exact all-pairs jaccard + the portable
     // md5-prefix split assignment.
     "d38_split_leakage" ->

@@ -64,6 +64,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x07: simhash Hamming pairs come from an equi-join on (band, value) keys, not a cartesian") {
+    val p = TextOps.simhashHammingPairs(Tables.t(spark, sfDir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("d34: span dedup is all equi-joins on span-hash/position keys — no cartesian, no window over spans") {
     val p = TextOps.spanDedup(Tables.t(spark, sfDir, "documents"), spanWidth = 8)
       .queryExecution.executedPlan.toString
