@@ -132,53 +132,72 @@ object TextOps {
     val bands = minhashBands(sigs).persist()
     val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")).persist()
     try {
-      val bounded = bands
-        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-      val candidates = bounded
-        .as("a")
-        .join(
-          bounded.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id")
-        )
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val estJaccard =
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v
-        ).cast("double") / NumHashes
-      val plausible = candidates
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .filter(estJaccard >= threshold - 0.15)
-        .select("doc_a", "doc_b")
-      plausible
-        .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          round(
-            size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-              size(array_union(col("toks_a"), col("toks_b"))),
-            4
-          ).as("jaccard")
-        )
-        .filter(col("jaccard") >= threshold)
-        // Eager: compute the pairs while the caches above are alive, and
-        // truncate lineage so the returned frame no longer references them.
-        // localCheckpoint blocks are cleaned by the ContextCleaner when the
-        // result is dropped (CacheManager entries are not — hence unpersist).
-        .localCheckpoint()
+      // Eager: compute the pairs while the caches above are alive, and
+      // truncate lineage so the returned frame no longer references them.
+      // localCheckpoint blocks are cleaned by the ContextCleaner when the
+      // result is dropped (CacheManager entries are not — hence unpersist).
+      minhashPairsFromShared(sigs, bands, tok, threshold, maxBucket).localCheckpoint()
     } finally {
       sigs.unpersist(blocking = false)
       bands.unpersist(blocking = false)
       tok.unpersist(blocking = false)
     }
+  }
+
+  /** Candidate→verify pipeline over PREBUILT signature/band/token tables.
+    * Split out of [[minhashDedupPairs]] so one signature pass can serve
+    * several LSH configurations: minhash signatures are strictly per-doc,
+    * so a doc_id-subset run is just a `filter` of the full tables rather
+    * than a second scan→shingle→hash→32-way-min pipeline (x02 exploits
+    * this for its tuned-config recall probe). Callers own persisting the
+    * inputs and materializing (localCheckpoint) the result before the
+    * caches are released.
+    */
+  def minhashPairsFromShared(
+      sigs: DataFrame,
+      bands: DataFrame,
+      tok: DataFrame,
+      threshold: Double,
+      maxBucket: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounded = bands
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val candidates = bounded
+      .as("a")
+      .join(
+        bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val estJaccard =
+      aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0),
+        (acc, v) => acc + v
+      ).cast("double") / NumHashes
+    val plausible = candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(estJaccard >= threshold - 0.15)
+      .select("doc_a", "doc_b")
+    plausible
+      .join(tok.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+      .join(tok.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))),
+          4
+        ).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -243,25 +262,31 @@ object TextOps {
   def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val width = 32 / bands // 8-bit bands at the default
-    val sigs = simhash32Portable(docs)
+    // Eagerly truncate the signature pipeline: the self-join below
+    // consumes it on BOTH sides, and Spark does not reuse the exchange
+    // across them — without this the explode→md5→32-way-bit-sum agg runs
+    // twice. The table is two longs per doc, negligible at any corpus
+    // size, and its checkpoint blocks are freed by the ContextCleaner.
+    val sigs = simhash32Portable(docs).localCheckpoint()
     val bandCols = (0 until bands).map(b => expr(s"(simhash32 >> ${b * width}) & ${(1 << width) - 1}"))
     val banded = sigs.select(
       col("doc_id"), col("simhash32"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val cand = banded.as("l")
+    // Hamming-filter BEFORE the dedup: bit_count is one codegen'd integer
+    // op per candidate, so evaluating it on the join output and keeping
+    // only qualifying pairs shrinks the distinct's shuffle (and drops the
+    // two 8-byte signatures from its key) — multi-band agreements then
+    // collapse on the narrow (doc_a, doc_b, hamming) triple.
+    banded.as("l")
       .join(
         banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.simhash32").as("sa"), col("r.simhash32").as("sb"))
-      .distinct()
-    cand
-      .select(
-        col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+        expr("CAST(bit_count(l.simhash32 ^ r.simhash32) AS INT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------- fastText-style quality score
@@ -653,21 +678,61 @@ object TextOps {
     // driver's sf0.01 gate.
     "x02_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val ann = minhashDedupPairs(docs, shingleWidth = 1, threshold = 0.95)
       val cap = 500L
       val tcap = 200L
-      val tuned = minhashDedupPairs(
-        docs.filter(col("doc_id") < tcap), shingleWidth = 1, threshold = 0.95,
-        maxBucket = tcap.toInt + 1)
-      val toksOf = docs.filter(col("doc_id") < cap)
-        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      val exact = toksOf.select(col("doc_id").as("va"), col("toks").as("ta"))
-        .crossJoin(toksOf.select(col("doc_id").as("vb"), col("toks").as("tb")))
-        .filter(col("va") < col("vb"))
-        .select(col("va"), col("vb"),
-          round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))), 4).as("j"))
-        .filter(col("j") >= 0.95)
+      // ONE signature/band/token pass serves both LSH configs: signatures
+      // are per-doc, so the tuned probe's tables are doc_id filters of the
+      // full ones, not a second scan→shingle→sig pipeline (this halved
+      // x02's bench time). Both pair frames are materialized inside the
+      // try so the caches can be released before the summary aggregates.
+      val sigs = minhashSignatures(docs, shingleWidth = 1).persist()
+      val bands = minhashBands(sigs).persist()
+      val tokAll = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")).persist()
+      val (ann, tuned, exact) = try {
+        val annPairs = minhashPairsFromShared(sigs, bands, tokAll, 0.95, maxBucket = 200)
+        val tunedPairs = minhashPairsFromShared(
+          sigs.filter(col("doc_id") < tcap),
+          bands.filter(col("doc_id") < tcap),
+          tokAll.filter(col("doc_id") < tcap),
+          0.95,
+          maxBucket = tcap.toInt + 1
+        )
+        // The capped brute force: repartition first — the documents table
+        // is one parquet split, so without it the nested-loop join would
+        // evaluate all cap² array intersections in a single task.
+        val toksOf = tokAll.filter(col("doc_id") < cap)
+          .repartition(s.sparkContext.defaultParallelism)
+        val exactPairs = toksOf.select(col("doc_id").as("va"), col("toks").as("ta"))
+          .crossJoin(toksOf.select(col("doc_id").as("vb"), col("toks").as("tb")))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb"),
+            round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+              size(array_union(col("ta"), col("tb"))), 4).as("j"))
+          .filter(col("j") >= 0.95)
+        // All three pair frames share one (bigint, bigint, double) shape,
+        // so a tagged union materializes them in ONE eager job — the
+        // branches run concurrently in a single DAG instead of three
+        // sequential localCheckpoint jobs each underusing the cluster.
+        // The exact side additionally feeds THREE summary aggregates
+        // below, so checkpointing stops the crossJoin subplan
+        // triplicating in the final plan.
+        val combined = annPairs.withColumn("src", lit("a"))
+          .unionAll(tunedPairs.withColumn("src", lit("t")))
+          .unionAll(exactPairs
+            .select(col("va").as("doc_a"), col("vb").as("doc_b"), col("j").as("jaccard"))
+            .withColumn("src", lit("e")))
+          .localCheckpoint()
+        (
+          combined.filter(col("src") === "a").drop("src"),
+          combined.filter(col("src") === "t").drop("src"),
+          combined.filter(col("src") === "e")
+            .select(col("doc_a").as("va"), col("doc_b").as("vb"), col("jaccard").as("j"))
+        )
+      } finally {
+        sigs.unpersist(blocking = false)
+        bands.unpersist(blocking = false)
+        tokAll.unpersist(blocking = false)
+      }
       val rechecked = ann
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("txt_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("txt_b")), "doc_b")
