@@ -535,7 +535,26 @@ object TextOps {
     // leaked persist would pin the full shingle expansion in the block
     // manager for the session lifetime. The lazy (test) path skips the
     // persist entirely rather than leak it.
-    val shBase = ngramRows(docs, shingleWidth).withColumnRenamed("gram", "sh").distinct()
+    //
+    // Set semantics come from an IN-ROW array_distinct over each doc's
+    // gram array rather than a corpus-wide `.distinct()`: per-doc dedup
+    // needs no cross-doc information, so paying a 250k-row string shuffle
+    // for it was pure waste. The gram array is built with a `transform`
+    // lambda (CodegenFallback) — fine HERE because it evaluates once per
+    // DOCUMENT, unlike the per-shingle hash pipelines (x01/x02) where the
+    // interpreted path measured ~30x slower. The upfront repartition
+    // spreads the explode: the documents table is one parquet split, and
+    // without it the whole shingle expansion runs as a single task.
+    val w = shingleWidth
+    val shBase = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= w)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))")
+        )).as("sh"))
     val sh = if (materialize) shBase.persist() else shBase
     try {
       val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -544,8 +563,17 @@ object TextOps {
         .join(dfreq, "sh")
         .withColumn("n", count(lit(1)).over(byDoc))
         .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      // Hapax pruning: a gram with corpus-wide df = 1 occurs in exactly
+      // one document, so it can never witness a CROSS-doc candidate in
+      // the self-join below — dropping it from both sides is lossless
+      // (any shared gram has df >= 2 by definition). On natural corpora
+      // the overwhelming majority of shingles are hapaxes (95% here at
+      // w=5), so this shrinks the self-join input by an order of
+      // magnitude; the verification joins still use the FULL shingle
+      // table, keeping intersection counts exact.
       val prefix = ranked
         .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+        .where(col("df") > 1)
         .select(col("doc_id"), col("sh"))
       val cand = prefix.as("a")
         .join(prefix.as("b"), "sh")
