@@ -35,6 +35,33 @@ object TextOps {
       .select(col("doc_id"), col("t"), expr(s"explode(sequence(1, size(t) - ${width - 1})) AS i"))
       .select(col("doc_id"), concat_ws(" ", slice(col("t"), col("i"), lit(width))).as("gram"))
 
+  /** DISTINCT (doc_id, gram) rows with per-doc set semantics computed
+    * IN-ROW: each doc's gram array is deduped with `array_distinct`
+    * before the explode, so no corpus-wide `.distinct()` shuffle is ever
+    * paid — per-doc dedup needs no cross-doc information. The `transform`
+    * lambda is CodegenFallback but evaluates once per DOCUMENT (unlike
+    * the per-shingle hash pipelines, where the interpreted path measured
+    * ~30x slower). The upfront repartition spreads the explode: the
+    * documents table is a single parquet split at every test SF, and
+    * without it the whole expansion runs as one task.
+    *
+    * ONLY for callers that persist the result (or consume it once): with
+    * no shuffle boundary after the explode, every downstream consumer
+    * re-evaluates the lambda, whereas `.distinct()`'s exchange is reused
+    * across consumers — measured 2x WORSE on the multi-consumer d32 when
+    * tried there unpersisted.
+    */
+  private def ngramRowsDistinct(docs: DataFrame, width: Int): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= width)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, size(t) - ${width - 1}), i -> concat_ws(' ', slice(t, i, $width)))")
+        )).as("gram"))
+
   // ---------------------------------------------------------------- MinHash
   // Deterministic universal-hash family h_i(x) = (a_i * x + b_i) mod P over
   // a Murmur3 base hash. Constants are fixed-seed so every run (and every
@@ -535,26 +562,9 @@ object TextOps {
     // leaked persist would pin the full shingle expansion in the block
     // manager for the session lifetime. The lazy (test) path skips the
     // persist entirely rather than leak it.
-    //
-    // Set semantics come from an IN-ROW array_distinct over each doc's
-    // gram array rather than a corpus-wide `.distinct()`: per-doc dedup
-    // needs no cross-doc information, so paying a 250k-row string shuffle
-    // for it was pure waste. The gram array is built with a `transform`
-    // lambda (CodegenFallback) — fine HERE because it evaluates once per
-    // DOCUMENT, unlike the per-shingle hash pipelines (x01/x02) where the
-    // interpreted path measured ~30x slower. The upfront repartition
-    // spreads the explode: the documents table is one parquet split, and
-    // without it the whole shingle expansion runs as a single task.
-    val w = shingleWidth
-    val shBase = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= w)
-      .select(
-        col("doc_id"),
-        explode(array_distinct(
-          expr(s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))")
-        )).as("sh"))
+    // Set semantics via [[ngramRowsDistinct]]: in-row per-doc dedup, no
+    // corpus-wide distinct shuffle (saved ~0.5s of d28's bench time).
+    val shBase = ngramRowsDistinct(docs, shingleWidth).withColumnRenamed("gram", "sh")
     val sh = if (materialize) shBase.persist() else shBase
     try {
       val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
