@@ -236,6 +236,41 @@ object SimilarityOps {
     out.toSeq.toDF("rank", "vec_id", "rel_cos", "max_sim_prior", "mmr_score")
   }
 
+  /** Prototype-distance dataset pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): each cluster's coordinate-wise mean embedding
+    * is its PROTOTYPE; a vector's cosine to its own prototype is its
+    * prototypicality, and with abundant data the HARD examples — the
+    * least prototypical `keepFrac` of every cluster — are the ones worth
+    * keeping. Emits every vector's prototypicality and keep decision.
+    *
+    * 100 TB posture: the prototype table is one keyed (label, pos) agg
+    * with map-side combine, O(labels × dim) — it BROADCASTS; scoring is
+    * one corpus pass of fused-codegen cosines; the per-cluster keep
+    * cutoff is a percentile agg whose O(labels) output broadcasts back
+    * (the d35 cutoff pattern) — no per-cluster sort window over the
+    * corpus, so a handful of huge clusters cannot serialize the plan.
+    */
+  def prototypePrune(emb: DataFrame, keepFrac: Double = 0.7): DataFrame = {
+    val cent = emb
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), e -> e.m)").as("cvec"))
+    val scored = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+      .join(broadcast(cent), "label")
+      .select(
+        col("vec_id"), col("label"),
+        round(cosine_similarity(col("embedding"), col("cvec")), 6).as("proto_cos"))
+    val cuts = scored.groupBy("label").agg(percentile(col("proto_cos"), lit(keepFrac)).as("c"))
+    scored
+      .join(broadcast(cuts), "label")
+      .select(
+        col("vec_id"), col("label"), col("proto_cos"),
+        (col("proto_cos") <= col("c")).as("kept"))
+  }
+
   /** One-sided soundness summary for an approximate-NN result — the shape
     * that lets an index-dependent answer pass the EXACT oracle gate. The
     * candidate set depends on engine-side state (hyperplanes / k-means
@@ -297,6 +332,10 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
+    // Prototype-distance pruning: keep each cluster's least prototypical
+    // 70% (the hard examples), per-cluster cutoff broadcast.
+    "s13_prototype_prune" -> ((s, dir) =>
+      prototypePrune(t(s, dir, "embeddings")).orderBy("vec_id")),
     // kNN retrieval JOIN — many queries at once, the RAG-curation /
     // retrieval shape (s01 is the single-query special case). The bounded
     // query set broadcasts; the corpus streams through ONE pass computing
@@ -533,6 +572,22 @@ object SimilarityOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Prototype replay: same coordinate-mean centroid, same cosine on
+    // DOUBLE-cast floats, same per-cluster quantile_cont cutoff over the
+    // 6dp-rounded scores (interpolation arithmetic is identical in both
+    // engines given identical inputs).
+    "s13_prototype_prune" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT label, pos, avg(x) AS m
+        |      FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) GROUP BY 1, 2),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label,
+        |         round(list_dot_product(e.v, cv.cvec) /
+        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cvec, cv.cvec))), 6) AS proto_cos
+        |       FROM e JOIN cv USING (label)),
+        |cut AS (SELECT label, quantile_cont(proto_cos, 0.7) AS c FROM sc GROUP BY 1)
+        |SELECT sc.vec_id, sc.label, sc.proto_cos, sc.proto_cos <= cut.c AS kept
+        |FROM sc JOIN cut USING (label) ORDER BY sc.vec_id""".stripMargin,
     // ANN soundness rows (s02/s04/s07): the assertion columns are pinned
     // literals (the engine emits them as computed checks — any soundness
     // or recall regression flips a value and fails the hash), while

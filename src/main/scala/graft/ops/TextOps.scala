@@ -366,6 +366,61 @@ object TextOps {
       expr("CAST(conv(substr(md5(CAST(concat('b:', CAST(id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000")
         .as("wt"))
 
+  // ------------------------------------------------ DSIR importance weights
+  /** DSIR-style importance weights for target-domain resampling (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): estimate the target-domain and raw-pool unigram
+    * distributions over HASHED features (the same 1024-bucket md5 family
+    * as [[fasttextQuality]], so the feature space matches the quality
+    * classifier's), score every raw-pool document by its mean per-token
+    * log importance ratio ln(p_target / p_raw) (Laplace-smoothed), and
+    * keep the docs at or above the `keepQuantile` score — the resampling
+    * step that tilts a web-scale corpus toward a high-quality target.
+    * The target domain here is one `source` value; swap the predicate
+    * for any target definition without touching the pipeline.
+    *
+    * 100 TB posture: two corpus passes, both narrow-plus-keyed-agg — the
+    * standard estimate-then-score shape. Pass 1 builds BOTH distributions
+    * in one explode→groupBy(bucket) shuffle (conditional sums, map-side
+    * combinable) whose output is O(buckets). Pass 2 re-streams tokens
+    * against the BROADCAST O(buckets) log-ratio table and aggregates per
+    * doc. Totals and the selection cutoff ride 1-row broadcast frames
+    * (the d35 pattern) — no global sort, no window over the corpus.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      buckets: Int = 1024,
+      targetSource: String = "src0",
+      keepQuantile: Double = 0.8
+  ): DataFrame = {
+    val toks = docs
+      .select(
+        col("doc_id"),
+        (col("source") === targetSource).as("tgt"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn(
+        "bucket",
+        expr(s"CAST(conv(substr(md5(CAST(concat('w:', tok) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    val bstats = toks.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val totals = bstats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val ratio = bstats.crossJoin(broadcast(totals)).select(
+      col("bucket"),
+      (log((col("ct") + 1.0) / (col("nt") + buckets)) -
+        log((col("cr") + 1.0) / (col("nr") + buckets))).as("l"))
+    val scored = toks
+      .where(!col("tgt"))
+      .join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("l")), 6).as("dsir_logratio"))
+    scored
+      .crossJoin(broadcast(scored.agg(percentile(col("dsir_logratio"), lit(keepQuantile)).as("c"))))
+      .select(
+        col("doc_id"), col("n_tokens"), col("dsir_logratio"),
+        (col("dsir_logratio") >= col("c")).as("kept"))
+  }
+
   /** MinHash signatures over an ENGINE-PORTABLE permutation family:
     * permutation i hashes a shingle to md5("i:shingle") and the signature
     * element is the lexicographic MIN digest (md5 yields identical
@@ -815,6 +870,11 @@ object TextOps {
     // filtering): broadcast weight dim, integer-exact sums, one logistic.
     "d39_fasttext_quality" -> ((s, dir) =>
       fasttextQuality(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // DSIR importance resampling: hashed-unigram log importance ratios
+    // against the src0 target domain, top-20% of the raw pool kept.
+    "d40_dsir_weights" -> ((s, dir) =>
+      dsirWeights(t(s, dir, "documents")).orderBy("doc_id")),
 
     // BPE-ish tokenization: subword-flavored regex segmentation (letters /
     // digits / punctuation runs with optional leading space), the second
@@ -1494,6 +1554,47 @@ object TextOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Content-defined chunking (the LBFS/Rabin scheme at token
+    // granularity): a chunk boundary falls after token position e
+    // whenever the hash of the 4-token window ENDING at e is ≡ 0 mod 16
+    // (plus a terminal boundary at the doc end), so expected chunk length
+    // is ~16 tokens and boundaries are stable under insertions — the
+    // property fixed-stride chunking (d33) lacks and dedup storage
+    // depends on. The rolling hash is the engine-portable md5 family, so
+    // DuckDB replays boundaries exactly. Per-doc fan-out on the codegen
+    // path; the only shuffle is the keyed per-doc lag window (doc_id is
+    // high-cardinality, so the window partitioning scales).
+    "d41_cdc_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wTok = 4
+      val div = 16
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      val wins = toks
+        .where(col("n") >= wTok)
+        .select(col("doc_id"), col("t"), col("n"),
+          expr(s"explode(sequence(1, size(t) - ${wTok - 1})) AS i"))
+        .select(col("doc_id"), col("n"), (col("i") + (wTok - 1)).as("e"),
+          concat_ws(" ", slice(col("t"), col("i"), lit(wTok))).as("win"))
+        .where(
+          expr(s"CAST(conv(substr(md5(CAST(win AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $div") === 0 &&
+            col("e") < col("n"))
+        .select(col("doc_id"), col("e"))
+      val bounds = wins.unionAll(toks.select(col("doc_id"), col("n").as("e")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("e")
+      bounds
+        .select(
+          col("doc_id"),
+          row_number().over(byDoc).as("chunk_idx"),
+          (coalesce(lag(col("e"), 1).over(byDoc), lit(0)) + 1).cast("long").as("start_pos"),
+          col("e").cast("long").as("end_pos"))
+        .select(
+          col("doc_id"), col("chunk_idx"), col("start_pos"), col("end_pos"),
+          (col("end_pos") - col("start_pos") + 1).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // N-gram novelty: the fraction of each doc's distinct 8-grams whose
     // FIRST appearance (min doc_id) is the doc itself — the incremental-
     // contribution signal an ordered-ingest dedup pass uses to decide
@@ -2023,6 +2124,41 @@ object TextOps {
         |       round(1.0 / (1.0 + exp(-(wsum / (1000.0 * n_tok)))), 6) AS quality_score,
         |       (1.0 / (1.0 + exp(-(wsum / (1000.0 * n_tok))))) >= 0.5 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // CDC replay: same md5-mod-16 boundary rule on 4-token windows (e < n
+    // keeps the terminal boundary unique), same lag-window chunk rebuild.
+    "d41_cdc_chunks" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok),
+        |w AS (SELECT tok.doc_id, CAST(i + 3 AS BIGINT) AS e
+        |      FROM tok, UNNEST(range(1, len(t) - 2)) u(i)
+        |      WHERE len(t) >= 4
+        |        AND ('0x'||substr(md5(array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')),1,8))::BIGINT % 16 = 0),
+        |b AS (SELECT w.doc_id, w.e FROM w JOIN nn ON w.doc_id = nn.doc_id WHERE w.e < nn.n
+        |      UNION ALL SELECT doc_id, n AS e FROM nn),
+        |c AS (SELECT doc_id, e,
+        |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) AS INT) AS chunk_idx,
+        |             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS start_pos
+        |      FROM b)
+        |SELECT doc_id, chunk_idx, CAST(start_pos AS BIGINT) AS start_pos, e AS end_pos,
+        |       e - start_pos + 1 AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // DSIR replay: same 'w:'-salted md5 buckets, same Laplace-smoothed
+    // log ratio, same quantile_cont cutoff over the 6dp-rounded scores
+    // (Spark `percentile` and DuckDB `quantile_cont` both interpolate —
+    // the d35 pairing).
+    "d40_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source = 'src0' AS tgt,
+        |                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, tgt, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 1024 AS bucket FROM tk),
+        |bs AS (SELECT bucket, count(*) FILTER (WHERE tgt) AS ct, count(*) FILTER (WHERE NOT tgt) AS cr
+        |       FROM b GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bs),
+        |r AS (SELECT bucket, ln((ct + 1.0) / (nt + 1024)) - ln((cr + 1.0) / (nr + 1024)) AS l FROM bs, tot),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(l), 6) AS dsir_logratio
+        |       FROM b JOIN r USING (bucket) WHERE NOT tgt GROUP BY doc_id),
+        |cut AS (SELECT quantile_cont(dsir_logratio, 0.8) AS c FROM sc)
+        |SELECT doc_id, n_tokens, dsir_logratio, dsir_logratio >= cut.c AS kept
+        |FROM sc, cut ORDER BY doc_id""".stripMargin,
     // Split-leakage replay: d28's exact all-pairs jaccard + the portable
     // md5-prefix split assignment.
     "d38_split_leakage" ->

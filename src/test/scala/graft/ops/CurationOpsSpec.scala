@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-7 curation additions — DSIR importance
+  * resampling (d40), content-defined chunking (d41), prototype-distance
+  * pruning (s13) — beyond the driver's DuckDB hash gate: the invariants
+  * each paper's method promises (pool exclusion, boundary shift
+  * stability, per-cluster keep fractions) rather than value equality.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.t(spark, sfDir, "documents")
+
+  // ------------------------------------------------------------------ d40
+  test("dsir: target-domain docs are excluded from the scored pool") {
+    val scored = TextOps.dsirWeights(docs)
+    val targetIds = docs.filter(col("source") === "src0").select("doc_id")
+    assert(scored.join(targetIds, "doc_id").count() == 0)
+    assert(scored.count() == docs.filter(col("source") =!= "src0").count())
+  }
+
+  test("dsir: keep rate tracks the 0.8 quantile cutoff") {
+    val scored = TextOps.dsirWeights(docs).cache()
+    try {
+      val n = scored.count().toDouble
+      val kept = scored.filter(col("kept")).count().toDouble
+      // >= on an interpolated 0.8 quantile keeps ~20%; ties can widen it.
+      assert(kept / n >= 0.15 && kept / n <= 0.30, s"kept ${kept / n}")
+      // Every kept score must be >= every dropped score's max boundary.
+      val minKept = scored.filter(col("kept")).agg(min("dsir_logratio")).head().getDouble(0)
+      val maxDrop = scored.filter(!col("kept")).agg(max("dsir_logratio")).head().getDouble(0)
+      assert(minKept >= maxDrop)
+    } finally scored.unpersist(blocking = false)
+  }
+
+  test("dsir: scores are corpus-order-invariant (deterministic)") {
+    // Deterministic: scores depend only on bucket stats, so reordering
+    // the corpus cannot change them.
+    val a = TextOps.dsirWeights(docs).orderBy("doc_id").collect()
+    val b = TextOps.dsirWeights(docs.orderBy(col("doc_id").desc)).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  // ------------------------------------------------------------------ d41
+  test("cdc: chunks tile every document exactly") {
+    val chunks = graft.SparkEntry.queries("d41_cdc_chunks")(spark, sfDir).cache()
+    try {
+      val n = docs.select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      // Last chunk ends at n; first starts at 1; lengths sum to n.
+      val agg = chunks.groupBy("doc_id").agg(
+        min("start_pos").as("first_start"),
+        max("end_pos").as("last_end"),
+        sum("n_tokens").as("tok_sum"))
+      val bad = agg.join(n, "doc_id")
+        .filter(col("first_start") =!= 1 || col("last_end") =!= col("n") || col("tok_sum") =!= col("n"))
+      assert(bad.count() == 0)
+      // Contiguity: chunk k+1 starts where chunk k ended + 1.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+      val gaps = chunks
+        .withColumn("prev_end", lag(col("end_pos"), 1).over(w))
+        .filter(col("prev_end").isNotNull && col("start_pos") =!= col("prev_end") + 1)
+      assert(gaps.count() == 0)
+    } finally chunks.unpersist(blocking = false)
+  }
+
+  test("cdc: boundaries are shift-stable under a prefix insertion") {
+    import spark.implicits._
+    val base = "key agg row scan slow fast table value part hash value table part a row fast " * 4
+    val shifted = "alpha beta gamma " + base
+    val two = Seq((0L, base.trim), (1L, shifted.trim)).toDF("doc_id", "text")
+    val wTok = 4
+    // Reuse the query's boundary rule directly on both docs.
+    val chunks = {
+      val toks = two.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      toks.where(col("n") >= wTok)
+        .select(col("doc_id"), col("n"), expr(s"explode(sequence(1, size(t) - ${wTok - 1})) AS i"), col("t"))
+        .select(col("doc_id"), col("n"), (col("i") + (wTok - 1)).as("e"),
+          concat_ws(" ", slice(col("t"), col("i"), lit(wTok))).as("win"))
+        .where(expr("CAST(conv(substr(md5(CAST(win AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 16") === 0 &&
+          col("e") < col("n"))
+        .select(col("doc_id"), col("e"))
+    }.collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    val b0 = chunks.getOrElse(0L, Set.empty)
+    val b1 = chunks.getOrElse(1L, Set.empty)
+    // Every boundary of the base doc past the first window reappears in
+    // the shifted doc displaced by exactly the 3 inserted tokens — the
+    // content-defined property (fixed-stride chunking has no analogue).
+    val reachable = b0.filter(_ >= wTok)
+    assert(reachable.nonEmpty)
+    assert(reachable.forall(e => b1.contains(e + 3)), s"base $b0 shifted $b1")
+  }
+
+  // ------------------------------------------------------------------ s13
+  test("prototype prune: per-cluster keep fraction ~ keepFrac and kept are the hard examples") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val pruned = SimilarityOps.prototypePrune(emb).cache()
+    try {
+      val frac = pruned.groupBy("label").agg(
+        (sum(when(col("kept"), 1).otherwise(0)).cast("double") / count(lit(1))).as("f"))
+      val off = frac.filter(col("f") < 0.55 || col("f") > 0.85).count()
+      assert(off == 0, "per-cluster keep fraction drifted from 0.7")
+      // Every kept vector is no more prototypical than any dropped one
+      // within the same cluster (<= cutoff).
+      val worstKept = pruned.filter(col("kept")).groupBy("label").agg(max("proto_cos").as("mk"))
+      val bestDrop = pruned.filter(!col("kept")).groupBy("label").agg(min("proto_cos").as("md"))
+      val bad = worstKept.join(bestDrop, "label").filter(col("mk") > col("md")).count()
+      assert(bad == 0)
+      assert(pruned.filter(col("proto_cos") < -1.0 || col("proto_cos") > 1.0).count() == 0)
+    } finally pruned.unpersist(blocking = false)
+  }
+}
