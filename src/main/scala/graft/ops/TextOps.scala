@@ -254,22 +254,39 @@ object TextOps {
     * engines. [[simhash]] stays the production default: wider fingerprint,
     * one cheap 8-byte hash per token instead of a digest + base-16 parse.
     */
-  def simhash32Portable(docs: DataFrame): DataFrame = {
+  def simhash32Portable(docs: DataFrame): DataFrame =
+    portableSimhash(docs, bits = 32, hexChars = 8, outCol = "simhash32")
+
+  /** 60-bit portable SimHash — 15 md5 hex chars parse to a 60-bit value
+    * that stays inside BIGINT range in both engines (the same trick the
+    * portable frame-id family uses). The extra width exists for
+    * [[simhashHammingPairs]]: Hamming-band LSH needs bands wide enough
+    * that band-value collisions between UNRELATED docs stay rare as the
+    * corpus grows, and 32 bits / 4 bands = 8-bit bands top out at 256
+    * buckets — candidate pairs then grow as n²/256 (measured 35× at the
+    * 10× blow-up). 60 bits / 4 bands = 15-bit bands give 32768 buckets
+    * per band, restoring ~linear candidate growth at the same recall-1
+    * pigeonhole guarantee.
+    */
+  def simhash60Portable(docs: DataFrame): DataFrame =
+    portableSimhash(docs, bits = 60, hexChars = 15, outCol = "simhash60")
+
+  private def portableSimhash(docs: DataFrame, bits: Int, hexChars: Int, outCol: String): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), expr("CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("hv"))
-    val bitSums = (0 until 32).map { j =>
+      .select(col("doc_id"), expr(s"CAST(conv(substr(md5(CAST(tok AS BINARY)), 1, $hexChars), 16, 10) AS BIGINT)").as("hv"))
+    val bitSums = (0 until bits).map { j =>
       sum(when(expr(s"(hv >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b_$j")
     }
     val withBits = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32)
+    val sig = (0 until bits)
       .map(j => when(col(s"b_$j") > 0, expr(s"CAST(1 AS BIGINT) << $j")).otherwise(0L))
       .reduce(_ + _) // disjoint bits: sum == bitwise-or, and matches the oracle's SUM
-    withBits.select(col("doc_id"), sig.as("simhash32"))
+    withBits.select(col("doc_id"), sig.as(outCol))
   }
 
   /** SimHash near-duplicate PAIRS via Hamming-band LSH (the pigeonhole
-    * scheme Google's simhash dedup uses): split the 32-bit portable
+    * scheme Google's simhash dedup uses): split the 60-bit portable
     * signature into `maxHamming + 1` contiguous bands; a pair within
     * Hamming distance `maxHamming` differs in at most `maxHamming` bands,
     * so at least one band matches EXACTLY and an equi-join on
@@ -279,41 +296,63 @@ object TextOps {
     * answer by brute force, so the gate is an exactness check of the
     * banding algorithm itself, not a soundness summary.
     *
-    * 100 TB posture: candidates come only from the keyed self-join on
-    * (band, value) — no cartesian; the exact Hamming re-check
-    * (`bit_count(a XOR b)`) is one codegen'd integer op per candidate;
-    * duplicates from multi-band agreement collapse in a keyed distinct.
-    * Band width shrinks as corpus grows (more bands → fewer collisions
-    * per bucket) without changing the recall guarantee.
+    * 100 TB posture: the LSH self-join runs over DISTINCT signatures,
+    * not docs — signature cardinality tracks content diversity, not
+    * corpus size (this corpus: 3,812 distinct sigs at both 5k and 50k
+    * docs), so candidate generation is effectively constant-cost as the
+    * corpus grows and the doc-level expansion below it is pure
+    * output-bound keyed-join work. The doc-level OUTPUT is inherently
+    * quadratic in duplicate-group size (a 2,510-doc identical-sig group
+    * owes C(2510,2) pairs — that's the operator's contract, matching the
+    * brute-force oracle); downstream dedup consumers that only need
+    * cluster structure should consume the signature-level edges + the
+    * sig→doc membership instead of the expanded pairs. 15-bit bands give
+    * 2^15 buckets per band, keeping unrelated-sig collisions rare; the
+    * exact Hamming re-check (`bit_count(a XOR b)`) is one codegen'd
+    * integer op per candidate; multi-band agreements collapse in a keyed
+    * distinct over the (tiny) signature-pair set.
     */
   def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    val width = 32 / bands // 8-bit bands at the default
-    // Eagerly truncate the signature pipeline: the self-join below
-    // consumes it on BOTH sides, and Spark does not reuse the exchange
-    // across them — without this the explode→md5→32-way-bit-sum agg runs
-    // twice. The table is two longs per doc, negligible at any corpus
-    // size, and its checkpoint blocks are freed by the ContextCleaner.
-    val sigs = simhash32Portable(docs).localCheckpoint()
-    val bandCols = (0 until bands).map(b => expr(s"(simhash32 >> ${b * width}) & ${(1 << width) - 1}"))
-    val banded = sigs.select(
-      col("doc_id"), col("simhash32"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    // Hamming-filter BEFORE the dedup: bit_count is one codegen'd integer
-    // op per candidate, so evaluating it on the join output and keeping
-    // only qualifying pairs shrinks the distinct's shuffle (and drops the
-    // two 8-byte signatures from its key) — multi-band agreements then
-    // collapse on the narrow (doc_a, doc_b, hamming) triple.
-    banded.as("l")
+    val width = 60 / bands // 15-bit bands at the default
+    // Eagerly truncate the signature pipeline: membership is consumed on
+    // both expansion sides and the distinct-sig table twice more, and
+    // Spark does not reuse the exchange across them — without this the
+    // explode→md5→60-way-bit-sum agg runs repeatedly. Two longs per doc,
+    // negligible at any corpus size; blocks freed by the ContextCleaner.
+    val membership = simhash60Portable(docs).localCheckpoint()
+    val sigs = membership.select(col("simhash60").as("sig")).distinct().localCheckpoint()
+    val bandCols = (0 until bands).map(b => expr(s"(sig >> ${b * width}) & ${(1 << width) - 1}"))
+    val banded = sigs.select(col("sig"), posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    // Signature-level qualifying edges: strictly-ordered so each
+    // unordered sig pair appears exactly once after the distinct.
+    val sigPairs = banded.as("l")
       .join(
         banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.sig") < col("r.sig"))
       .select(
-        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        expr("CAST(bit_count(l.simhash32 ^ r.simhash32) AS INT)").as("hamming"))
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"),
+        expr("CAST(bit_count(l.sig ^ r.sig) AS INT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    // Expand cross-signature edges to doc pairs (each doc pair appears
+    // exactly once — docs have one signature and sig pairs are unique;
+    // least/greatest restores the doc_a < doc_b contract)...
+    val cross = sigPairs
+      .join(membership.select(col("simhash60").as("sig_a"), col("doc_id").as("da")), "sig_a")
+      .join(membership.select(col("simhash60").as("sig_b"), col("doc_id").as("db")), "sig_b")
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("hamming"))
+    // ...and add the hamming-0 pairs implied by identical-signature
+    // groups (a keyed self-join on the signature, no banding needed).
+    val within = membership.as("l")
+      .join(membership.as("r"),
+        col("l.simhash60") === col("r.simhash60") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"), lit(0).as("hamming"))
+    cross.unionAll(within)
   }
 
   // ------------------------------------------- fastText-style quality score
@@ -2099,10 +2138,10 @@ object TextOps {
     // answers must be identical row-for-row.
     "x07_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tk FROM documents),
-        |h AS (SELECT doc_id, ('0x'||substr(md5(tk),1,8))::BIGINT AS hv FROM tok),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(tk),1,15))::BIGINT AS hv FROM tok),
         |b AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
         |                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS bit
-        |      FROM h, range(32) r(j) GROUP BY doc_id, j),
+        |      FROM h, range(60) r(j) GROUP BY doc_id, j),
         |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS s FROM b GROUP BY doc_id)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
