@@ -7,25 +7,34 @@ import org.apache.spark.sql.functions._
 object Tables {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Session conf required to read the nanos-timestamp events table.
-    * Must be set ONCE at session construction (Verify/Bench/SparkSpec do);
-    * `t()` never mutates session state — a conf write inside the query
-    * path would race with concurrent foreign queries on the same session.
+  /** Session conf that lets Spark read a TIMESTAMP(NANOS) events table
+    * (it reads as a nanos long). Must be set ONCE at session construction
+    * (Verify/Bench/SparkSpec do); `t()` never mutates session state — a
+    * conf write inside the query path would race with concurrent foreign
+    * queries on the same session. Harmless when the table is micros.
     */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
-      // natively; read it as a nanos long and convert. The data carries
-      // micro precision, so `div 1000` is lossless here.
-      require(
-        spark.conf.getOption(NanosConf).contains("true"),
-        s"$NanosConf must be set to true at SparkSession construction to read the events table"
-      )
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      // The driver has shipped events.ts as parquet TIMESTAMP(NANOS) in
+      // some rounds and timestamp[us] (TIMESTAMP_NTZ) in others; normalize
+      // both to a session-TZ (UTC) TimestampType so every downstream query
+      // sees one type. Nanos arrive as a long (NanosConf) and carry micro
+      // precision, so `div 1000` is lossless.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          require(
+            spark.conf.getOption(NanosConf).contains("true"),
+            s"$NanosConf must be set to true at SparkSession construction to read the events table")
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Data is UTC-naive and the session TZ is pinned to UTC, so the
+          // NTZ→LTZ cast reinterprets the same wall-clock instant.
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    } else df
   }
 }
