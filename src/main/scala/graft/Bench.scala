@@ -84,6 +84,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Pin the session TZ like Verify/IngestCli/SparkSpec: the NTZ→LTZ cast
+      // in Tables.t is only an identity reinterpretation under UTC.
+      .config("spark.sql.session.timeZone", "UTC")
       .config(graft.ops.Tables.NanosConf, "true") // events table is TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

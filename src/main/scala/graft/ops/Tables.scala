@@ -16,7 +16,16 @@ object Tables {
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      try spark.read.parquet(s"$dir/$name.parquet")
+      catch {
+        // Schema inference rejects TIMESTAMP(NANOS) columns before the
+        // friendly require below can run; re-throw with the conf hint.
+        case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            s"$NanosConf must be set to true at SparkSession construction " +
+              s"to read $name.parquet (TIMESTAMP(NANOS) column)", e)
+      }
     if (name == "events") {
       // The driver has shipped events.ts as parquet TIMESTAMP(NANOS) in
       // some rounds and timestamp[us] (TIMESTAMP_NTZ) in others; normalize
