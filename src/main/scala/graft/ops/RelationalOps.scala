@@ -909,31 +909,41 @@ object RelationalOps {
         .limit(100)
     }),
 
-    // TPC-H Q21 shape (the lone-late-supplier query): the classic
-    // EXISTS + NOT-EXISTS double-correlation — suppliers whose line
-    // shipped >60 days after the order date in a multi-supplier order
-    // where EVERY OTHER supplier shipped on time. Catalyst decorrelates
-    // both subqueries into semi/anti joins on the order key.
+    // TPC-H Q21 shape (the lone-late-supplier query): suppliers whose
+    // line shipped >60 days after the order date in a multi-supplier
+    // order where EVERY OTHER supplier shipped on time. The textbook
+    // form is an EXISTS + NOT-EXISTS double-correlation; Catalyst
+    // decorrelates that into two extra shuffled joins over lineitem
+    // (three scans of the fact). Decorrelated by hand instead into ONE
+    // orderkey shuffle: a window over the order's lines carries the
+    // distinct-supplier set and the distinct-LATE-supplier set, and a
+    // line wins iff it is late, the order has >=2 suppliers, and the
+    // late set is exactly {its own supplier}. Identical result (the
+    // oracle keeps the EXISTS form); lineitem is scanned once and the
+    // collect_set state per order is bounded by suppliers-per-order
+    // (~4 in TPC-H), so the window never holds a skewable payload.
     "q71_late_supplier" -> ((s, dir) => {
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-      val (sv, lv, ov) = (s"supp_q71_$tag", s"li_q71_$tag", s"ord_q71_$tag")
-      t(s, dir, "supplier").createOrReplaceTempView(sv)
-      t(s, dir, "lineitem").createOrReplaceTempView(lv)
-      t(s, dir, "orders").createOrReplaceTempView(ov)
-      val df = s.sql(s"""
-        SELECT s.s_name, count(*) AS numwait
-        FROM $sv s JOIN $lv l1 ON s.s_suppkey = l1.l_suppkey
-        JOIN $ov o ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (SELECT 1 FROM $lv l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM $lv l3 JOIN $ov o3 ON o3.o_orderkey = l3.l_orderkey
-                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
-        GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20
-      """)
-      Seq(sv, lv, ov).foreach(s.catalog.dropTempView)
-      df
+      val ordF = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_suppkey"),
+          expr("l_shipdate > o_orderdate + INTERVAL 60 DAY").as("is_late"))
+      val w = Window.partitionBy("l_orderkey")
+      val winners = lines
+        .withColumn("all_supps", collect_set(col("l_suppkey")).over(w))
+        .withColumn("late_supps", collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
+        .filter(col("is_late") && size(col("all_supps")) >= 2 && size(col("late_supps")) === 1)
+      winners
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }),
 
     // TPC-H Q7 shape (nation-pair trade volume): a 6-table join where
