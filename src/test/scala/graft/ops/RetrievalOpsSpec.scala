@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the retrieval family on sf0.001 — the value-level
+  * gate is the DuckDB oracle; these pin the semantics and plan shapes
+  * the oracle alone can't show (the df cap really bounds postings, the
+  * rare term really outranks, the budget really truncates, the
+  * dictionary join really broadcasts).
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = RetrievalOps.queries(name)(spark, dir)
+
+  test("r01: postings exist exactly for rare terms and enumerate exactly df docs") {
+    val rows = q("r01_inverted_index").cache()
+    val withPostings = rows.where(col("postings_csv") =!= "")
+    // df cap gate: postings present iff df <= cap
+    assert(rows.where(col("df") <= RetrievalOps.RareDfCap && col("postings_csv") === "").count() == 0)
+    assert(rows.where(col("df") > RetrievalOps.RareDfCap && col("postings_csv") =!= "").count() == 0)
+    // a posting list names exactly df documents
+    val bad = withPostings
+      .where(size(split(col("postings_csv"), ",")) =!= col("df"))
+    assert(bad.count() == 0)
+    // the synthetic corpus's rare term is indexed with postings
+    assert(withPostings.where(col("term") === "dup").count() == 1)
+    // cf >= df always (a doc counts at least one occurrence)
+    assert(rows.where(col("cf") < col("df")).count() == 0)
+  }
+
+  test("r02: ranks are contiguous from 1 and the rare query term dominates its query") {
+    val rows = q("r02_bm25_topk").cache()
+    val ranks = rows.groupBy("query_id")
+      .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(ranks.where(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // query 4 contains the rare term 'dup': its top hit must actually
+    // contain 'dup' (idf spread is doing its job)
+    val top4 = rows.where(col("query_id") === 4 && col("rank") === 1)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(top4.length == 1)
+    val text = Tables.t(spark, dir, "documents")
+      .where(col("doc_id") === top4.head).select("text").collect().head.getString(0)
+    assert(text.split("\\s+").contains("dup"), s"top doc for the 'dup' query lacks the term: $text")
+    // scores are non-increasing in rank within each query
+    val disorder = rows.alias("a")
+      .join(rows.alias("b"),
+        col("a.query_id") === col("b.query_id") && col("a.rank") + 1 === col("b.rank"))
+      .where(col("a.score") < col("b.score"))
+    assert(disorder.count() == 0)
+  }
+
+  test("r02: the query-term table joins by broadcast") {
+    val p = q("r02_bm25_topk").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("r03: hit counts agree with a direct per-doc recount; flag is the exact 2% integer rule") {
+    val rows = q("r03_blocklist_hits").cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(rows.count() == docs.count())
+    val direct = docs.select(
+      col("doc_id"),
+      expr("size(filter(split(lower(trim(text)), '\\\\s+'), x -> x IN ('slow','dup','big','crash')))")
+        .cast("long").as("expect_hits"))
+    assert(rows.join(direct, "doc_id").where(col("n_hits") =!= col("expect_hits")).count() == 0)
+    assert(rows.where(col("flagged") =!= (col("n_hits") * 50 > col("n_tokens"))).count() == 0)
+    // 'crash' never occurs in this corpus: nothing reaches 4 distinct terms
+    assert(rows.where(col("n_blocked_terms") >= 4).count() == 0)
+  }
+
+  test("r04: estimates are exact below the sketch size and within bound above it") {
+    val rows = q("r04_kmv_distinct").cache()
+    // sketch never filled -> the estimate IS the exact count
+    assert(rows
+      .where(col("exact_distinct") < RetrievalOps.KmvK &&
+        col("kmv_estimate") =!= col("exact_distinct").cast("double"))
+      .count() == 0)
+    assert(rows.where(!col("within_bound")).count() == 0,
+      "a KMV estimate fell outside the 50% bound")
+  }
+
+  test("r05: all five stages present, doc counts conserve, difficulty is monotone in stage") {
+    val rows = q("r05_curriculum_stages").cache()
+    assert(rows.count() == 5)
+    val total = rows.agg(sum("n_docs")).collect().head.getLong(0)
+    assert(total == Tables.t(spark, dir, "documents").count())
+    val avgs = rows.orderBy("stage").select("avg_difficulty").collect().map(_.getDouble(0))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b },
+      s"avg difficulty not monotone: ${avgs.mkString(",")}")
+    // quintiles: no stage may hold more than ~40% of docs (cutoff ties aside)
+    assert(rows.where(col("n_docs") > total * 2 / 5).count() == 0)
+  }
+
+  test("r06: every source respects the budget and keeps at least one doc") {
+    val rows = q("r06_token_budget_cap").cache()
+    assert(rows.where(col("kept_tokens") > RetrievalOps.SourceTokenBudget).count() == 0)
+    assert(rows.where(col("n_kept") < 1).count() == 0)
+    assert(rows.where(col("n_kept") > col("n_docs")).count() == 0)
+    // truncation really happens somewhere (total tokens exceed the budget)
+    assert(rows.where(col("total_tokens") > RetrievalOps.SourceTokenBudget
+      && col("n_kept") < col("n_docs")).count() > 0)
+  }
+}
