@@ -227,6 +227,49 @@ object RetrievalOps {
         .orderBy("stage")
     }),
 
+    // KMV sketch MERGE: the property that makes the sketch a cluster
+    // primitive. Each source builds its own K-minimum set (what an
+    // executor would hold); the global sketch is the K smallest of the
+    // UNION of those sets — provably identical to sketching the merged
+    // stream directly, because any hash among the global K minima is
+    // necessarily among its own source's K minima. The merged estimate
+    // is oracle-checked against the exact corpus-wide distinct count it
+    // approximates. The merge input is bounded at sources*K rows, so
+    // the final take-K is a constant-size sort at any corpus size.
+    "r07_kmv_union" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs
+        .select(col("source"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("source"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .select(col("source"), concat_ws(" ", expr("t[i - 1]"), expr("t[i]")).as("gram"))
+        .distinct()
+      val hashed = grams.select(
+        col("source"),
+        expr("CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val perSource = hashed
+        .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy(col("h"))))
+        .filter(col("rn") <= KmvK)
+      val merged = perSource
+        .select(col("h")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") === KmvK)
+      val exactUnion = hashed.select(col("h")).distinct()
+        .agg(count(lit(1)).as("exact_union"))
+      val sourceStats = hashed.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("n")).as("sum_per_source"))
+      sourceStats
+        .crossJoin(broadcast(exactUnion))
+        .crossJoin(broadcast(merged.select(col("h").as("h_k"))))
+        .select(
+          col("n_sources"), col("sum_per_source"), col("exact_union"),
+          round(lit((KmvK - 1).toDouble) * lit(math.pow(2, 60)) / col("h_k").cast("double"), 2)
+            .as("union_estimate"))
+        .withColumn("rel_err",
+          round(abs(col("union_estimate") - col("exact_union")) / col("exact_union"), 4))
+        .withColumn("within_bound", col("rel_err") <= 0.5)
+    }),
+
     // Per-source token budgeting: walk each source's docs in
     // deterministic pseudo-random order (md5 of doc_id) and keep docs
     // until the running token total exceeds the budget — the
@@ -311,6 +354,24 @@ object RetrievalOps {
         |  round(abs(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_err,
         |  round(abs(kmv_estimate - exact_distinct) / exact_distinct, 4) <= 0.5 AS within_bound
         |FROM est ORDER BY source""".stripMargin,
+    "r07_kmv_union" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+        |      FROM toks WHERE len(t) >= 2),
+        |h AS (SELECT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+        |ps AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |m AS (SELECT DISTINCT h FROM ps WHERE rn <= 64),
+        |kth AS (SELECT h AS h_k FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM m) WHERE rn = 64),
+        |ex AS (SELECT count(DISTINCT h) AS exact_union FROM h),
+        |ss AS (SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(n) AS BIGINT) AS sum_per_source
+        |       FROM (SELECT source, count(*) AS n FROM h GROUP BY 1)),
+        |est AS (SELECT ss.n_sources, ss.sum_per_source, CAST(ex.exact_union AS BIGINT) AS exact_union,
+        |  round(63.0 * power(2, 60) / CAST(k.h_k AS DOUBLE), 2) AS union_estimate
+        |  FROM ss, ex, kth k)
+        |SELECT n_sources, sum_per_source, exact_union, union_estimate,
+        |  round(abs(union_estimate - exact_union) / exact_union, 4) AS rel_err,
+        |  round(abs(union_estimate - exact_union) / exact_union, 4) <= 0.5 AS within_bound
+        |FROM est""".stripMargin,
     "r05_curriculum_stages" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
         |freq AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),

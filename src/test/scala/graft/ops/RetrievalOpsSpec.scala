@@ -82,6 +82,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "a KMV estimate fell outside the 50% bound")
   }
 
+  test("r07: merging per-source sketches equals sketching the union directly") {
+    val rows = q("r07_kmv_union").cache()
+    assert(rows.count() == 1)
+    // the merge property: the K-th smallest of the merged per-source
+    // minima must equal the K-th smallest over ALL hashes — recompute
+    // the direct global sketch and compare estimates
+    val docs = Tables.t(spark, dir, "documents")
+    val direct = docs
+      .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("source"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+      .select(col("source"), concat_ws(" ", expr("t[i - 1]"), expr("t[i]")).as("gram"))
+      .distinct()
+      .select(expr("CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+      .orderBy("h").limit(RetrievalOps.KmvK)
+      .agg(max("h").as("h_k"))
+      .collect().head.getLong(0)
+    val directEst = BigDecimal((RetrievalOps.KmvK - 1).toDouble * math.pow(2, 60) / direct.toDouble)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mergedEst = rows.select("union_estimate").collect().head.getDouble(0)
+    assert(math.abs(mergedEst - directEst) < 1e-6,
+      s"merged sketch estimate $mergedEst != direct sketch estimate $directEst")
+    assert(rows.where(!col("within_bound")).count() == 0)
+  }
+
   test("r05: all five stages present, doc counts conserve, difficulty is monotone in stage") {
     val rows = q("r05_curriculum_stages").cache()
     assert(rows.count() == 5)
