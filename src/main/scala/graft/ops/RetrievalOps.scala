@@ -97,13 +97,21 @@ object RetrievalOps {
       val docs = t(s, dir, "documents")
       val qterms = Bm25Queries.toDF("query_id", "query_text")
         .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
-      val tf = tok(docs).groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      // tf/df are only ever read for query terms, so the token stream is
+      // semi-joined against the broadcast query vocabulary BEFORE any
+      // aggregation — the index work is O(matching postings), not
+      // O(corpus tokens). df per term is then just the row count of the
+      // per-(term, doc) tf frame.
+      val qvocab = qterms.select("term").distinct()
+      val tf = tok(docs)
+        .join(broadcast(qvocab), "term")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
       val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
       val contrib = tf
         .join(broadcast(qterms), "term")
-        .join(dft, "term")
+        .join(broadcast(dft), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(corpus))
         .select(
