@@ -1286,6 +1286,49 @@ object TextOps {
     "d29_bigram_logprob" -> ((s, dir) =>
       bigramLogprobScores(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Interpolated trigram LM scoring — the Jelinek-Mercer ladder
+    // (0.6·trigram + 0.3·bigram + 0.1·add-1-unigram) the KenLM-style
+    // quality filters run. Each backoff level is exact by construction
+    // where it is evaluated (the scored position itself contributes its
+    // own context occurrence, so no denominator is ever zero), and the
+    // unigram floor keeps p > 0 for every position. All count tables
+    // join by key (no broadcast hint — at 100 TB the n-gram tables
+    // outgrow a broadcast and AQE picks per actual size); only the
+    // 1-row (T, V) totals frame broadcasts. Docs under three tokens
+    // have no trigram positions and drop, mirroring d29's floor.
+    "d42_trigram_logprob" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("tok")).groupBy("tok").agg(count(lit(1)).as("c1"))
+      val totals = uni.agg(sum(col("c1")).cast("double").as("tt"), count(lit(1)).as("v"))
+      val bg = toks
+        .where(size(col("t")) >= 2)
+        .select(col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .selectExpr("t[i - 1] AS a", "t[i] AS b")
+        .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      val docTg = toks
+        .where(size(col("t")) >= 3)
+        .select(col("doc_id"), col("t"), expr("explode(sequence(2, size(t) - 1)) AS i"))
+        .selectExpr("doc_id", "t[i - 2] AS a", "t[i - 1] AS b", "t[i] AS c")
+      val tg = docTg.groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+      docTg
+        .join(tg, Seq("a", "b", "c"))
+        .join(bg.select(col("a"), col("b"), col("c2").as("c_ab")), Seq("a", "b"))
+        .join(bg.select(col("a").as("b"), col("b").as("c"), col("c2").as("c_bc")), Seq("b", "c"))
+        .join(uni.select(col("tok").as("b"), col("c1").as("c_b")), "b")
+        .join(uni.select(col("tok").as("c"), col("c1").as("c_c")), "c")
+        .crossJoin(broadcast(totals))
+        .select(
+          col("doc_id"),
+          log(
+            lit(0.6) * col("c3").cast("double") / col("c_ab") +
+              lit(0.3) * col("c_bc").cast("double") / col("c_b") +
+              lit(0.1) * (col("c_c") + 1).cast("double") / (col("tt") + col("v")))
+            .as("logp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"), round(avg(col("logp")), 6).as("avg_logprob3"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing: score every doc under the corpus
     // bigram LM (d29's signal), cut the score distribution at its
     // terciles, and report each head/middle/tail bucket's size, mean
@@ -2085,6 +2128,29 @@ object TextOps {
         |  SELECT r.seed, e.doc_b, r.depth + 1 FROM reach r JOIN e ON e.doc_a = r.node WHERE r.depth < 5)
         |SELECT seed, CAST(count(DISTINCT node) AS BIGINT) AS n_reachable, CAST(max(depth) AS BIGINT) AS max_depth
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d42_trigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |uni AS (SELECT tok, count(*) AS c1 FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS tt, count(*) AS v FROM uni),
+        |bgu AS (SELECT unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+        |        FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT s.a AS a, s.b AS b, count(*) AS c2 FROM bgu GROUP BY 1, 2),
+        |dtgu AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> struct_pack(a := t[i], b := t[i + 1], c := t[i + 2]))) AS s
+        |         FROM toks WHERE len(t) >= 3),
+        |dtg AS (SELECT doc_id, s.a AS a, s.b AS b, s.c AS c FROM dtgu),
+        |tg AS (SELECT a, b, c, count(*) AS c3 FROM dtg GROUP BY 1, 2, 3),
+        |lp AS (SELECT d.doc_id,
+        |  ln(0.6 * CAST(tg.c3 AS DOUBLE) / ab.c2 +
+        |     0.3 * CAST(bc.c2 AS DOUBLE) / ub.c1 +
+        |     0.1 * CAST(uc.c1 + 1 AS DOUBLE) / (tot.tt + tot.v)) AS logp
+        |  FROM dtg d
+        |  JOIN tg ON d.a = tg.a AND d.b = tg.b AND d.c = tg.c
+        |  JOIN bg ab ON d.a = ab.a AND d.b = ab.b
+        |  JOIN bg bc ON d.b = bc.a AND d.c = bc.b
+        |  JOIN uni ub ON d.b = ub.tok
+        |  JOIN uni uc ON d.c = uc.tok, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, round(avg(logp), 6) AS avg_logprob3
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
     "d29_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |uni AS (SELECT unnest(t) AS tok FROM toks),
