@@ -96,6 +96,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q71: the lone-late-supplier query is ONE orderkey window — no decorrelated semi/anti joins") {
+    val p = plan("q71_late_supplier")
+    assert(p.contains("Window"), s"expected the hand-decorrelated window form:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"EXISTS/NOT-EXISTS decorrelation re-appeared (extra lineitem scans):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r01: posting lists come from a df-gated equi-join — no cartesian, no term window") {
+    val p = plan("r01_inverted_index")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"a window over the term key would skew on stopwords:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("r05: curriculum stages come from broadcast quantile cutoffs — no global rank window") {
+    val p = plan("r05_curriculum_stages")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), s"vocab-sized frequency dim not broadcast:\n$p")
+  }
+
   test("d13: sequence packing windows are PARTITIONED by shard — no single-partition global sort") {
     val p = plan("d13_sequence_pack")
     assert(!p.contains("Exchange SinglePartition"), s"global window detected:\n$p")
