@@ -253,6 +253,46 @@ object MultimodalOps {
     // encode→decode→featurize media pipeline. Color components are
     // multiples of 85, making every proportion a ratio of small integers
     // whose 4dp rounding is unambiguous across float/double.
+    // Image NEAR-DUP dedup via perceptual hashing: every doc renders as
+    // a real 9x8 grayscale P6 gradient (pattern class = doc_id % 8),
+    // encodes and DECODES through PpmCodec on the executors, and the
+    // decoded pixels produce the classic 64-bit dHash (horizontal
+    // neighbor luminance comparisons). Equal hashes group into dup
+    // clusters exactly like d01's content-hash dedup — but over PIXELS,
+    // so re-encoded/metadata-differing copies of the same image still
+    // collide. The hash is a closed form of the pattern class, so DuckDB
+    // replays the whole bit grid and hash-checks the decode path. The
+    // hash rides as a 64-char bit string (engine-portable, no BIGINT
+    // sign games); grouping is one map-side-combinable agg.
+    "m06_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 8).toInt
+        val img = PpmCodec.encodePixels(9, 8) { (x, y) =>
+          val lum = (17 * (x + 1) * (p + 1) + 31 * y * p) % 256
+          (lum, lum, lum)
+        }
+        val (w, h, px) = PpmCodec.decodePixels(img)
+        def lumAt(x: Int, y: Int): Int = {
+          val o = 3 * (y * w + x)
+          ((px(o) & 0xff) * 299 + (px(o + 1) & 0xff) * 587 + (px(o + 2) & 0xff) * 114) / 1000
+        }
+        val sb = new StringBuilder(64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) { sb.append(if (lumAt(x + 1, y) > lumAt(x, y)) '1' else '0'); x += 1 }
+          y += 1
+        }
+        (id, sb.toString)
+      }
+      hashes
+        .toDF("doc_id", "dhash")
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+        .orderBy("dhash")
+    }),
+
     "m04_ppm_features" -> ((s, dir) => {
       import s.implicits._
       val assets = Tables.t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
@@ -340,6 +380,15 @@ object MultimodalOps {
     * the exact header + 3wh.
     */
   val oracleSql: Map[String, String] = Map(
+    "m06_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS p FROM documents),
+        |bits AS (SELECT d.doc_id, y.y AS y, x.x AS x,
+        |  CASE WHEN (17 * (x.x + 2) * (d.p + 1) + 31 * y.y * d.p) % 256 >
+        |            (17 * (x.x + 1) * (d.p + 1) + 31 * y.y * d.p) % 256 THEN '1' ELSE '0' END AS b
+        |  FROM d, (SELECT unnest(range(0, 8)) AS y) y, (SELECT unnest(range(0, 8)) AS x) x),
+        |h AS (SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash FROM bits GROUP BY 1)
+        |SELECT dhash, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "m01_media_features" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),

@@ -57,6 +57,37 @@ object PpmCodec extends MediaCodec {
     out
   }
 
+  /** Encode arbitrary per-pixel RGB (row-major callback) — the input
+    * side of pixel-level ops like the m06 perceptual hash.
+    */
+  def encodePixels(width: Int, height: Int)(rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode to raw pixels: `(width, height, rgb bytes row-major)` — the
+    * full-fidelity sibling of `decode`'s fixed-width feature contract,
+    * for ops that need actual pixel values (perceptual hashing).
+    */
+  def decodePixels(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = parse(payload)
+    (img.width, img.height,
+      java.util.Arrays.copyOfRange(img.payload, img.dataOffset, img.dataOffset + 3 * img.width * img.height))
+  }
+
   /** Feature = per-channel energy proportions `[ΣR, ΣG, ΣB, 0…] / Σall` —
     * L1-normalized per the codec contract, and closed-form computable for
     * solid-color images (the m04 oracle).

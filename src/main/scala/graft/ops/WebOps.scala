@@ -134,7 +134,11 @@ object WebOps {
     // hot boilerplate keys are exactly what AQE's skew split handles, so
     // the pass scales like any gram-frequency job.
     "w03_line_dedup" -> ((s, dir) => {
+      // the documents table is a single parquet split at every test SF:
+      // without the upfront repartition the whole line build runs as ONE
+      // task (measured 5x the total query time at the 10x fixture)
       val lines = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("w", expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
         .withColumn("k", (lit(5) + pmod(col("doc_id"), lit(7))).cast("int"))
         .withColumn(
@@ -154,13 +158,20 @@ object WebOps {
           )
         )
         .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+        // popularity counting and the membership join key on the line's
+        // md5, not the line TEXT: the distinct + agg + join shuffles move
+        // 16-byte keys instead of ~60-char strings (the d34 span-key
+        // rule; 128 bits keeps collisions negligible at any corpus
+        // size). The text itself stays in the narrow pre-join frame for
+        // the rebuild.
+        .withColumn("lh", md5(col("line").cast("binary")))
       val popularity = lines
-        .select("line", "doc_id")
+        .select("lh", "doc_id")
         .distinct()
-        .groupBy("line")
+        .groupBy("lh")
         .agg(count(lit(1)).as("n_docs"))
       lines
-        .join(popularity, "line")
+        .join(popularity, "lh")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_lines"),
