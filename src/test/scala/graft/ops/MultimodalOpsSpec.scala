@@ -50,4 +50,25 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(MultimodalOps.queries("m01_media_features")(spark, sfDir).count() == 500)
     assert(MultimodalOps.queries("m02_frame_samples")(spark, sfDir).count() > 500)
   }
+
+  test("PPM pixel codec round-trips arbitrary images byte-for-byte") {
+    val img = PpmCodec.encodePixels(7, 5) { (x, y) => (x * 36 % 256, y * 51 % 256, (x + y) % 256) }
+    val (w, h, px) = PpmCodec.decodePixels(img)
+    assert(w == 7 && h == 5 && px.length == 3 * 7 * 5)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val o = 3 * (y * 7 + x)
+      assert((px(o) & 0xff) == x * 36 % 256 && (px(o + 1) & 0xff) == y * 51 % 256
+        && (px(o + 2) & 0xff) == (x + y) % 256, s"pixel ($x,$y) corrupted")
+    }
+  }
+
+  test("m06: perceptual-hash dedup clusters docs into their 8 pattern classes") {
+    val rows = MultimodalOps.queries("m06_phash_dedup")(spark, sfDir).collect()
+    // 8 gradient pattern classes; distinct dHashes may collide between
+    // classes only if the bit grids coincide — pin the actual structure
+    assert(rows.map(_.getLong(1)).sum == 500)
+    assert(rows.length <= 8 && rows.length >= 2, s"expected 2..8 clusters, got ${rows.length}")
+    // every cluster's keeper is its minimum doc_id => keeper < 8 for full clusters
+    assert(rows.forall(r => r.getLong(2) < 8), "a keeper is not the class minimum")
+  }
 }
