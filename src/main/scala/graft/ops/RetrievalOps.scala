@@ -278,6 +278,31 @@ object RetrievalOps {
         .withColumn("within_bound", col("rel_err") <= 0.5)
     }),
 
+    // Weighted reservoir sampling (Efraimidis-Spirakis A-ES) per
+    // language: doc i wins with probability proportional to its length
+    // weight via the key u_i^(1/w_i) — equivalently ranked by
+    // ln(u_i)/w_i — with u_i a deterministic md5-derived uniform, so
+    // both engines draw the SAME sample. The per-stratum top-k is a
+    // bounded window (k=5); in a streaming/merge setting the same keys
+    // make the reservoir mergeable (keep the k best keys of any union).
+    // Keys round to 6dp before ranking (doc_id tiebreak) so rank order
+    // is engine-portable.
+    "r08_weighted_sample" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(
+          col("lang"), col("doc_id"), col("n_chars").cast("double").as("weight"),
+          expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 10), 16, 10) AS BIGINT)").as("h"))
+        .withColumn("u", (col("h") + 1).cast("double") / lit(math.pow(2, 40)))
+        .withColumn("es_key", round(log(col("u")) / col("weight"), 6))
+      keyed
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("lang").orderBy(col("es_key").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("doc_id"), col("weight").cast("long").as("weight"),
+          col("es_key"))
+        .orderBy("lang", "rank")
+    }),
+
     // Per-source token budgeting: walk each source's docs in
     // deterministic pseudo-random order (md5 of doc_id) and keep docs
     // until the running token total exceeds the budget — the
@@ -397,6 +422,15 @@ object RetrievalOps {
         |  round(min(difficulty), 6) AS min_difficulty,
         |  round(max(difficulty), 6) AS max_difficulty
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r08_weighted_sample" ->
+      """WITH k AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT AS h FROM documents),
+        |es AS (SELECT lang, doc_id, weight,
+        |  round(ln(CAST(h + 1 AS DOUBLE) / power(2, 40)) / weight, 6) AS es_key FROM k),
+        |r AS (SELECT lang, doc_id, weight, es_key,
+        |  row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rank FROM es)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id, CAST(weight AS BIGINT) AS weight, es_key
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "r06_token_budget_cap" ->
       """WITH d AS (SELECT source, doc_id,
         |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens FROM documents),

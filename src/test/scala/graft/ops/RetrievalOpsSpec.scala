@@ -120,6 +120,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.where(col("n_docs") > total * 2 / 5).count() == 0)
   }
 
+  test("r08: the weighted sample favors heavy docs and ranks are contiguous per language") {
+    val rows = q("r08_weighted_sample").cache()
+    val ranks = rows.groupBy("lang")
+      .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(ranks.where(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // length-weighted selection: winners should average heavier than the corpus
+    val winnerAvg = rows.agg(avg("weight")).collect().head.getDouble(0)
+    val corpusAvg = Tables.t(spark, dir, "documents").agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(winnerAvg > corpusAvg,
+      f"weighted sample not length-biased: winners $winnerAvg%.1f vs corpus $corpusAvg%.1f")
+  }
+
   test("r06: every source respects the budget and keeps at least one doc") {
     val rows = q("r06_token_budget_cap").cache()
     assert(rows.where(col("kept_tokens") > RetrievalOps.SourceTokenBudget).count() == 0)
