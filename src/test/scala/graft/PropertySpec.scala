@@ -38,6 +38,26 @@ class PropertySpec extends AnyFunSuite {
     )
   }
 
+  test("training shards round-trip arbitrary document text (unicode, newlines, quotes, empties)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val textGen = Gen.listOfN(40, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const(""),
+      Gen.const("line\nbreak\tand \"quotes\" \\ backslash"),
+      Gen.const("emoji 🙂 and 語 unicode"),
+      Gen.listOf(Gen.oneOf('√', 'é', '語', 'a', ' ')).map(_.mkString)
+    ))
+    check(Prop.forAll(textGen) { texts =>
+      val out = java.nio.file.Files.createTempDirectory("graft-shard-prop").toString
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      graft.sources.TrainingShards.write(df, out, maxDocsPerShard = 7)
+      val back = graft.sources.TrainingShards.read(spark, out, Some(df.schema))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      back.sameElements(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.sortBy(_._1))
+    }, n = 12) // each trial is a full Spark write+read job
+  }
+
   test("SigV4 uriEncode is injective-by-decoding and idempotent on its own unreserved output") {
     val strGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '/', '+', '=', 'é', 'ß', '~', '.')))
       .map(_.mkString)
