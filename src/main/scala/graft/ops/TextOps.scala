@@ -1156,6 +1156,61 @@ object TextOps {
         .select(col("n_edges"), col("n_triangles"))
     }),
 
+    // Bounded-round k-core peel (k=2, 3 unrolled rounds) over the same
+    // banded near-dup edge graph d22/d23 use: each round drops nodes
+    // with degree < k and recomputes degrees among survivors. The round
+    // a node is peeled approximates its coreness ordering (the signal a
+    // curation pass uses to find densely-duplicated clusters worth
+    // auditing); survivors of all rounds are the 3-peel 2-core
+    // approximation. Per round: one keyed degree agg + two semi-joins —
+    // all map-side-combinable, rounds FIXED (the unbounded-iteration
+    // exact peel is the d12-style loop; a fixed unroll is what an
+    // incremental/streaming pipeline would run per batch).
+    "d43_kcore_peel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val edges = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .filter(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))) >= 0.7)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val adj = edges.select(col("doc_a").as("v"), col("doc_b").as("u"))
+        .union(edges.select(col("doc_b").as("v"), col("doc_a").as("u")))
+        .localCheckpoint()
+      def survivors(a: org.apache.spark.sql.DataFrame) =
+        a.groupBy("v").agg(count(lit(1)).as("d")).filter(col("d") >= 2).select(col("v"))
+      def restrict(a: org.apache.spark.sql.DataFrame, s1: org.apache.spark.sql.DataFrame) =
+        a.join(s1, "v").join(s1.withColumnRenamed("v", "u"), "u").select(col("v"), col("u"))
+      val deg0 = adj.groupBy("v").agg(count(lit(1)).as("deg0"))
+      val s1 = survivors(adj)
+      val adj1 = restrict(adj, s1).localCheckpoint()
+      val s2 = survivors(adj1)
+      val adj2 = restrict(adj1, s2).localCheckpoint()
+      val s3 = survivors(adj2)
+      def mark(s0: org.apache.spark.sql.DataFrame, name: String) =
+        s0.select(col("v").as("doc_id")).withColumn(name, lit(true))
+      docs.select(col("doc_id"))
+        .join(deg0.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .join(mark(s1, "a1"), Seq("doc_id"), "left")
+        .join(mark(s2, "a2"), Seq("doc_id"), "left")
+        .join(mark(s3, "a3"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("deg0"), lit(0L)).as("deg0"),
+          when(!coalesce(col("a1"), lit(false)), 1)
+            .when(!coalesce(col("a2"), lit(false)), 2)
+            .when(!coalesce(col("a3"), lit(false)), 3)
+            .otherwise(0).as("peel_round"),
+          (coalesce(col("a1"), lit(false)) && coalesce(col("a2"), lit(false)) &&
+            coalesce(col("a3"), lit(false))).as("in_2core"))
+        .orderBy("doc_id")
+    }),
+
     // Context-window chunking with overlap: each document's tokens split
     // into windows of 64 with stride 48 (16-token overlap) — the chunking
     // step that feeds context-bounded training or retrieval indexing.
@@ -1990,6 +2045,27 @@ object TextOps {
         |pr3 AS (SELECT d.id, d.deg, 0.15 / n.n + 0.85 * coalesce(c.s, 0) AS pr
         |        FROM deg d CROSS JOIN n LEFT JOIN (SELECT e.v AS id, sum(p.pr / p.deg) AS s FROM e JOIN pr2 p ON e.u = p.id GROUP BY 1) c ON c.id = d.id)
         |SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree, round(pr, 6) AS pagerank FROM pr3 ORDER BY doc_id""".stripMargin,
+    "d43_kcore_peel" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks)) >= 0.7),
+        |adj AS (SELECT doc_a AS v, doc_b AS u FROM e UNION ALL SELECT doc_b, doc_a FROM e),
+        |deg0 AS (SELECT v, count(*) AS deg0 FROM adj GROUP BY 1),
+        |s1 AS (SELECT v FROM deg0 WHERE deg0 >= 2),
+        |adj1 AS (SELECT adj.v, adj.u FROM adj JOIN s1 a ON adj.v = a.v JOIN s1 b ON adj.u = b.v),
+        |s2 AS (SELECT v FROM (SELECT v, count(*) AS d FROM adj1 GROUP BY 1) WHERE d >= 2),
+        |adj2 AS (SELECT adj1.v, adj1.u FROM adj1 JOIN s2 a ON adj1.v = a.v JOIN s2 b ON adj1.u = b.v),
+        |s3 AS (SELECT v FROM (SELECT v, count(*) AS d FROM adj2 GROUP BY 1) WHERE d >= 2)
+        |SELECT d.doc_id, CAST(coalesce(deg0.deg0, 0) AS BIGINT) AS deg0,
+        |  CAST(CASE WHEN s1.v IS NULL THEN 1 WHEN s2.v IS NULL THEN 2 WHEN s3.v IS NULL THEN 3 ELSE 0 END AS INT) AS peel_round,
+        |  (s1.v IS NOT NULL AND s2.v IS NOT NULL AND s3.v IS NOT NULL) AS in_2core
+        |FROM documents d
+        |LEFT JOIN deg0 ON deg0.v = d.doc_id
+        |LEFT JOIN s1 ON s1.v = d.doc_id
+        |LEFT JOIN s2 ON s2.v = d.doc_id
+        |LEFT JOIN s3 ON s3.v = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d22_triangles" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
         |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

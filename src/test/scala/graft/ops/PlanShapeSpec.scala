@@ -117,6 +117,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"vocab-sized frequency dim not broadcast:\n$p")
   }
 
+  test("r03: the blocklist dictionary joins by broadcast — never a shuffle of the token stream") {
+    val p = plan("r03_blocklist_hits")
+    assert(p.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d42: trigram LM count tables join by key with no cartesian and no window") {
+    val p = plan("d42_trigram_logprob")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("m06: perceptual-hash grouping is one aggregate — no join, no window over pixels") {
+    val p = plan("m06_phash_dedup")
+    assert(!p.contains("Join"), s"dedup grouping should be join-free:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
   test("d13: sequence packing windows are PARTITIONED by shard — no single-partition global sort") {
     val p = plan("d13_sequence_pack")
     assert(!p.contains("Exchange SinglePartition"), s"global window detected:\n$p")
