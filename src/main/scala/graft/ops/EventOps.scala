@@ -13,6 +13,60 @@ import Tables.{t, Q}
 object EventOps {
 
   val queries: Map[String, Q] = Map(
+    // Funnel analysis — the product-analytics staple: per user, the
+    // earliest view, the earliest click strictly AFTER that view, the
+    // earliest purchase strictly after that click; stage counts +
+    // step conversion rates. Three user-keyed min-aggregations chained
+    // by user-keyed joins — every step map-side combinable, no windows,
+    // no ordering shuffle beyond the user key (the classic funnel
+    // plans as a tree of semi-structured aggs at any event volume).
+    "q76_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val nv = v.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+      val nc = c.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click_after_view"))
+      val np = p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase_after_click"))
+      val staged = nv.unionByName(nc).unionByName(np)
+        .select(col("stage"), col("n"))
+      val w = Window.orderBy("stage") // 3 rows total — the tiny final frame only
+      staged
+        .withColumn("conv_from_prev",
+          round(col("n").cast("double") / lag(col("n"), 1, null).over(w), 4))
+        .orderBy("stage")
+    }),
+
+    // Robust outlier detection (median/MAD): per event type, the median
+    // value, the median absolute deviation, and how many events sit
+    // beyond 3.5 robust z-scores — the rule-of-thumb anomaly gate that
+    // survives heavy tails where mean/stddev z-scores drown. Two
+    // percentile aggs keyed on event_type with the medians broadcast
+    // back between them; the flagging pass is a narrow map.
+    "q77_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type").agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type").agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev
+        .join(broadcast(mad), "event_type")
+        .withColumn("rz", lit(0.6745) * col("adev") / col("mad"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("med"),
+          round(first(col("mad")), 4).as("mad"),
+          sum(when(col("rz") > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(col("rz")), 4).as("max_robust_z"))
+        .orderBy("event_type")
+    }),
+
     // Tumbling 1h window aggregate (streaming: groupBy(window($"ts","1 hour"))).
     "q30_tumbling_hour" -> ((s, dir) => {
       t(s, dir, "events")
@@ -252,6 +306,31 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q76_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        |staged AS (
+        |  SELECT '1_view' AS stage, count(*) AS n FROM v
+        |  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+        |SELECT stage, n,
+        |  round(CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY stage), 4) AS conv_from_prev
+        |FROM staged ORDER BY stage""".stripMargin,
+    "q77_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(any_value(d.med), 4) AS med,
+        |  round(any_value(ma.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN 0.6745 * d.adev / ma.mad > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(0.6745 * d.adev / ma.mad), 4) AS max_robust_z
+        |FROM dev d JOIN mad ma USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_tumbling_hour" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
