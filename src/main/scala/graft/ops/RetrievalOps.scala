@@ -278,6 +278,53 @@ object RetrievalOps {
         .withColumn("within_bound", col("rel_err") <= 0.5)
     }),
 
+    // Histogram-sketch quantiles: a 128-bin equi-width histogram over
+    // lineitem prices estimates the 50/90/99th percentiles by cumulative
+    // interpolation, oracle-checked against the exact percentiles it
+    // approximates. The sketch state is the BIN-COUNT vector — a plain
+    // groupBy whose partial aggregation IS the distributed merge (the
+    // quantile analogue of r04/r07's KMV distinct family). The cum-sum
+    // and interpolation run over 128 rows however large the fact table.
+    "r09_histogram_quantiles" -> ((s, dir) => {
+      val x = t(s, dir, "lineitem").select(col("l_extendedprice").cast("double").as("x"))
+      val stats = x.agg(
+        min(col("x")).as("lo"), max(col("x")).as("hi"), count(lit(1)).cast("double").as("n"))
+      val bins = x.crossJoin(broadcast(stats))
+        .select(least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 128), lit(127.0))
+          .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val wb = Window.orderBy("bin") // 128 rows max — the sketch, not the data
+      val cum = bins
+        .withColumn("cum", sum(col("cnt")).over(wb))
+        .withColumn("cum_prev", coalesce(lag(col("cum"), 1).over(wb), lit(0L)))
+      val targets = Seq(0.5, 0.9, 0.99)
+      val qdf = targets.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, q) =>
+        val one = stats.select(lit(q).as("q"), (lit(q) * col("n")).as("t"), col("lo"), col("hi"), col("n"))
+        Some(acc.fold(one)(_.unionByName(one)))
+      }.get
+      val first = qdf
+        .join(broadcast(cum), col("cum") >= col("t"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q").orderBy("bin")))
+        .filter(col("rn") === 1)
+      val exact = x.agg(
+        percentile(col("x"), lit(0.5)).as("e50"),
+        percentile(col("x"), lit(0.9)).as("e90"),
+        percentile(col("x"), lit(0.99)).as("e99"))
+      first
+        .crossJoin(broadcast(exact))
+        .select(
+          col("q"),
+          round(col("lo") + (col("bin") + (col("t") - col("cum_prev")) / col("cnt")) *
+            (col("hi") - col("lo")) / 128, 4).as("estimate"),
+          round(
+            when(col("q") === 0.5, col("e50"))
+              .when(col("q") === 0.9, col("e90"))
+              .otherwise(col("e99")), 4).as("exact"))
+        .withColumn("rel_err", round(abs(col("estimate") - col("exact")) / col("exact"), 6))
+        .withColumn("within_pct", col("rel_err") <= 0.02)
+        .orderBy("q")
+    }),
+
     // Weighted reservoir sampling (Efraimidis-Spirakis A-ES) per
     // language: doc i wins with probability proportional to its length
     // weight via the key u_i^(1/w_i) — equivalently ranked by
@@ -422,6 +469,27 @@ object RetrievalOps {
         |  round(min(difficulty), 6) AS min_difficulty,
         |  round(max(difficulty), 6) AS max_difficulty
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r09_histogram_quantiles" ->
+      """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |st AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS DOUBLE) AS n FROM x),
+        |b AS (SELECT CAST(least(floor((x.x - st.lo) / (st.hi - st.lo) * 128), 127) AS INT) AS bin, count(*) AS cnt
+        |      FROM x, st GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |             coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |      FROM b),
+        |q(q) AS (VALUES (0.5), (0.9), (0.99)),
+        |f AS (SELECT q.q, c.bin, c.cnt, c.cum_prev, q.q * st.n AS t, st.lo, st.hi,
+        |             row_number() OVER (PARTITION BY q.q ORDER BY c.bin) AS rn
+        |      FROM q, st, c WHERE c.cum >= q.q * st.n),
+        |ex AS (SELECT quantile_cont(x, 0.5) AS e50, quantile_cont(x, 0.9) AS e90, quantile_cont(x, 0.99) AS e99 FROM x),
+        |r AS (SELECT f.q,
+        |  round(f.lo + (f.bin + (f.t - f.cum_prev) / f.cnt) * (f.hi - f.lo) / 128, 4) AS estimate,
+        |  round(CASE WHEN f.q = 0.5 THEN ex.e50 WHEN f.q = 0.9 THEN ex.e90 ELSE ex.e99 END, 4) AS exact
+        |  FROM f, ex WHERE f.rn = 1)
+        |SELECT CAST(q AS DOUBLE) AS q, estimate, exact,
+        |  round(abs(estimate - exact) / exact, 6) AS rel_err,
+        |  round(abs(estimate - exact) / exact, 6) <= 0.02 AS within_pct
+        |FROM r ORDER BY q""".stripMargin,
     "r08_weighted_sample" ->
       """WITH k AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT AS h FROM documents),
