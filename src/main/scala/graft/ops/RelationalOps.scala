@@ -946,6 +946,70 @@ object RelationalOps {
         .limit(20)
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated-scalar-MIN
+    // pattern — for each part, the supplier(s) achieving its minimum
+    // unit price. Decorrelated by hand into one per-part min aggregate
+    // joined back (the plan Catalyst derives from the textbook form; the
+    // oracle keeps the correlated subquery). Ties keep every achieving
+    // supplier; equality compares the UNROUNDED division, identical
+    // IEEE in both engines.
+    "q78_min_cost_supplier" -> ((s, dir) => {
+      val parts = t(s, dir, "part").filter(col("p_partkey") < 100).select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val minUp = li.groupBy("l_partkey").agg(min(col("unit_price")).as("min_up"))
+      li
+        .join(minUp, "l_partkey")
+        .filter(col("unit_price") === col("min_up"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_name"),
+          round(col("unit_price"), 4).as("unit_price"))
+        .distinct() // a supplier with two min-price lines counts once
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    // TPC-H Q11 shape (important stock): fraction-of-total HAVING — keep
+    // part values above 0.1% of the group total. The total is a 1-row
+    // broadcast scalar, not a correlated re-aggregation; ordering is on
+    // the ROUNDED value so the top-20 cut is engine-portable.
+    "q79_important_parts" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .filter(col("s_nationkey") < 5).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("value"))
+      pv
+        .crossJoin(broadcast(pv.agg((sum(col("value")) * 0.001).as("cutoff"))))
+        .filter(col("value") > col("cutoff"))
+        .select(col("l_partkey"), round(col("value"), 2).as("total_value"))
+        .orderBy(col("total_value").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q20 shape (suppliers of heavily-shipped interesting parts):
+    // the nested IN + grouped HAVING — suppliers with some 'red%' part
+    // whose lines they shipped total >50 units. Plans as: broadcast the
+    // name-filtered part ids, one (supp, part) aggregate, HAVING, then
+    // a semi-shaped distinct join to supplier.
+    "q80_heavy_red_suppliers" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val qualified = t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 50)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_name"))
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q7 shape (nation-pair trade volume): a 6-table join where
     // the two nation dims broadcast and the fact-side joins shuffle on
     // their keys — the canonical star-join-with-two-role-playing-dims.
@@ -1170,6 +1234,29 @@ object RelationalOps {
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
         |GROUP BY 1, 2, 3, 4, 5 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q78_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, s.s_name, round(l.l_extendedprice / l.l_quantity, 4) AS unit_price
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_partkey < 100
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_name""".stripMargin,
+    "q79_important_parts" ->
+      """WITH pv AS (SELECT l.l_partkey, sum(l.l_extendedprice) AS value
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey < 5 GROUP BY 1)
+        |SELECT l_partkey, round(value, 2) AS total_value FROM pv
+        |WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+        |ORDER BY total_value DESC, l_partkey LIMIT 20""".stripMargin,
+    "q80_heavy_red_suppliers" ->
+      """SELECT s.s_name FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l.l_suppkey, l.l_partkey HAVING sum(l.l_quantity) > 50)
+        |ORDER BY s.s_name""".stripMargin,
     "q71_late_supplier" ->
       """SELECT s.s_name, count(*) AS numwait
         |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
