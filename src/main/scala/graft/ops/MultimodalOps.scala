@@ -253,6 +253,24 @@ object MultimodalOps {
     // encode→decode→featurize media pipeline. Color components are
     // multiples of 85, making every proportion a ratio of small integers
     // whose 4dp rounding is unambiguous across float/double.
+    // FRAME-level dedup across assets: group m02's sampled frame hashes
+    // and keep hashes appearing in ≥2 distinct assets — the
+    // shared-scene/boilerplate-frame detection a video pipeline runs
+    // after frame sampling (dedup at a granularity below the whole
+    // asset, the m06 counterpart for temporal media). One
+    // map-side-combinable agg on the 8-byte frame hash.
+    "m07_frame_dedup" -> ((s, dir) => {
+      sampleFrames(syntheticAssets(s, dir), strideBytes = 64, maxFrames = 4)
+        .toDF()
+        .groupBy("frame_hash")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          countDistinct(col("asset_id")).as("n_assets"),
+          min(col("asset_id")).as("keeper_asset"))
+        .filter(col("n_assets") >= 2)
+        .orderBy("frame_hash")
+    }),
+
     // Image NEAR-DUP dedup via perceptual hashing: every doc renders as
     // a real 9x8 grayscale P6 gradient (pattern class = doc_id % 8),
     // encodes and DECODES through PpmCodec on the executors, and the
@@ -402,6 +420,15 @@ object MultimodalOps {
         |  n.n AS n_bytes, e.ent AS byte_entropy, e.f0c AS f0_count,
         |  round(CAST(e.f0c AS DOUBLE) / greatest(n.n, 1), 4) AS f0
         |FROM e JOIN n USING (doc_id) ORDER BY asset_id""".stripMargin,
+    "m07_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, substr(text, CAST(i * 64 + 1 AS INT), 64) AS fr
+        |      FROM d, UNNEST(range(0, least(4, n // 64))) u(i)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(fr), 1, 15))::BIGINT AS frame_hash FROM f)
+        |SELECT frame_hash, count(*) AS n_frames,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_assets,
+        |  min(doc_id) AS keeper_asset
+        |FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY 1""".stripMargin,
     "m02_frame_samples" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
         |f AS (SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS fr

@@ -1156,6 +1156,29 @@ object TextOps {
         .select(col("n_edges"), col("n_triangles"))
     }),
 
+    // Per-doc bigram ENTROPY — the repetitiveness signal one rung above
+    // d17's repeat ratios: a doc cycling few bigrams scores near 0, a
+    // diverse doc near ln(n). Computed as ln(n) - Σ c·ln(c) / n from
+    // per-doc bigram counts (one keyed agg; the identity avoids a
+    // second normalization pass over the counts).
+    "d45_bigram_entropy" -> ((s, dir) => {
+      val docBg = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
+      docBg
+        .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_bigrams"),
+          round(
+            log(sum(col("c")).cast("double")) -
+              sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")),
+            6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Bounded-round k-core peel (k=2, 3 unrolled rounds) over the same
     // banded near-dup edge graph d22/d23 use: each round drops nodes
     // with degree < k and recomputes degrees among survivors. The round
@@ -2045,6 +2068,14 @@ object TextOps {
         |pr3 AS (SELECT d.id, d.deg, 0.15 / n.n + 0.85 * coalesce(c.s, 0) AS pr
         |        FROM deg d CROSS JOIN n LEFT JOIN (SELECT e.v AS id, sum(p.pr / p.deg) AS s FROM e JOIN pr2 p ON e.u = p.id GROUP BY 1) c ON c.id = d.id)
         |SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree, round(pr, 6) AS pagerank FROM pr3 ORDER BY doc_id""".stripMargin,
+    "d45_bigram_entropy" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |bgu AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+        |        FROM tok WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, s.a AS a, s.b AS b, count(*) AS c FROM bgu GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |FROM bc GROUP BY 1 ORDER BY 1""".stripMargin,
     "d43_kcore_peel" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
         |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
