@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe per-key prefix sums (running totals, dense ranks).
+  *
+  * `sum(x).over(Window.partitionBy(lowCardKey).orderBy(ord))` executes as
+  * ONE task per key value — a source holding 90% of a 100 TB corpus
+  * serializes on a single task. This helper plans the classic two-phase
+  * prefix sum instead:
+  *
+  *   1. CHUNK: split each key's rows into `nChunks` ranges contiguous in
+  *      the order key, using broadcast `percentile_approx` cutpoints (any
+  *      monotone chunking yields the identical final prefix sum, so the
+  *      approximation never affects results — only balance).
+  *   2. LOCAL: cumsum within (key, chunk) — `nChunks`-way parallel per
+  *      key, each window task holds ~1/nChunks of the key's rows.
+  *   3. OFFSET: per-chunk totals (a map-side-combinable agg) form a
+  *      keys×nChunks-row frame; each chunk's offset — the sum of its
+  *      predecessors — comes from a keyed self-join over that bounded
+  *      frame and broadcasts back. No plan node ever partitions by the
+  *      low-cardinality key alone.
+  *
+  * The same shape with a cheaper chunking (md5-prefix chunks, no
+  * percentile pass) is inlined in `r06_token_budget_cap`, whose order key
+  * is already a uniform hash string.
+  */
+object PrefixOps {
+
+  /** Adds `chunkCol`: a 0-based bucket index that is monotone in `ord`
+    * within each `part` (equal order keys always share a bucket), from
+    * broadcast per-key `percentile_approx` cutpoints.
+    */
+  def withRangeChunks(
+      df: DataFrame, part: String, ord: String, chunkCol: String, nChunks: Int = 256): DataFrame = {
+    val probs = array((1 until nChunks).map(i => lit(i.toDouble / nChunks)): _*)
+    val cuts = df.groupBy(part)
+      .agg(percentile_approx(col(ord), probs, lit(10000)).as("__cuts"))
+    df.join(broadcast(cuts), part)
+      .withColumn(chunkCol, size(filter(col("__cuts"), c => c < col(ord))))
+      .drop("__cuts")
+  }
+
+  /** Running sum of `valueCol` per `part` in `ord` order (inclusive of the
+    * current row), as `outCol` — the scale-safe equivalent of
+    * `sum(valueCol).over(Window.partitionBy(part).orderBy(ord))`.
+    * The head of `ord` drives the chunking; the full `ord` list orders
+    * rows within a chunk and must be unique per row within a `part`
+    * (prefix sums over ties are frame-ambiguous in SQL too).
+    */
+  def partitionedCumSum(
+      df: DataFrame,
+      part: String,
+      ord: Seq[String],
+      valueCol: String,
+      outCol: String,
+      nChunks: Int = 256): DataFrame = {
+    require(ord.nonEmpty, "at least one order column required")
+    val chunked = withRangeChunks(df, part, ord.head, "__chunk", nChunks)
+    val local = chunked.withColumn("__local",
+      sum(col(valueCol)).over(
+        Window.partitionBy(col(part), col("__chunk")).orderBy(ord.map(col): _*)))
+    val totals = chunked.groupBy(part, "__chunk").agg(sum(col(valueCol)).as("__total"))
+    val offsets = totals.alias("a")
+      .join(totals.alias("b"),
+        col(s"a.$part") === col(s"b.$part") && col("b.__chunk") < col("a.__chunk"), "left")
+      .select(col(s"a.$part").as(part), col("a.__chunk").as("__chunk"),
+        col("b.__total").as("__prev"))
+      .groupBy(part, "__chunk")
+      .agg(coalesce(sum(col("__prev")), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), Seq(part, "__chunk"))
+      .withColumn(outCol, col("__offset") + col("__local"))
+      .drop("__chunk", "__local", "__offset")
+  }
+
+  /** Dense 1-based rank of each row per `part` in `ord` order, as
+    * `outCol` — the scale-safe equivalent of
+    * `row_number().over(Window.partitionBy(part).orderBy(ord))` for
+    * tie-free orderings.
+    */
+  def partitionedRowNumber(
+      df: DataFrame,
+      part: String,
+      ord: Seq[String],
+      outCol: String,
+      nChunks: Int = 256): DataFrame =
+    partitionedCumSum(df.withColumn("__one", lit(1L)), part, ord, "__one", outCol, nChunks)
+      .drop("__one")
+}

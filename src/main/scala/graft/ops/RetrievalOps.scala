@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAggregates.minK
 import Tables.t
 
 /** Retrieval + corpus-budgeting operators over the `documents` table —
@@ -162,9 +163,15 @@ object RetrievalOps {
     // sketch is what a 1000-executor job would MERGE (union the minima,
     // re-take K smallest — associative), where exact distinct needs a
     // full shuffle; here both are computed so the estimate is
-    // oracle-checked against its own ground truth. Sources with fewer
-    // than K distinct bigrams fall back to the exact count (the KMV
-    // rule when the sketch never fills).
+    // oracle-checked against its own ground truth. The K minima come
+    // from a bounded-heap aggregate (minK → ObjectHashAggregate), NOT a
+    // per-source window: each map task keeps at most K hashes per
+    // source and the shuffle moves (source, K-array) per task, so a
+    // source holding 90% of a 100 TB corpus costs the same as any
+    // other — where a window partitioned by `source` would sort that
+    // source's entire gram set in ONE task. Sources with fewer than K
+    // distinct bigrams fall back to the exact count (the KMV rule when
+    // the sketch never fills).
     "r04_kmv_distinct" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val grams = docs
@@ -178,9 +185,10 @@ object RetrievalOps {
         expr("CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
       val exact = hashed.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
       val kth = hashed
-        .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy(col("h"), col("gram"))))
-        .filter(col("rn") === KmvK)
-        .select(col("source"), col("h").as("h_k"))
+        .groupBy("source")
+        .agg(minK(col("h"), KmvK).as("minima"))
+        .where(size(col("minima")) === KmvK)
+        .select(col("source"), element_at(col("minima"), KmvK).as("h_k"))
       exact
         .join(kth, Seq("source"), "left")
         .select(
@@ -242,8 +250,10 @@ object RetrievalOps {
     // stream directly, because any hash among the global K minima is
     // necessarily among its own source's K minima. The merged estimate
     // is oracle-checked against the exact corpus-wide distinct count it
-    // approximates. The merge input is bounded at sources*K rows, so
-    // the final take-K is a constant-size sort at any corpus size.
+    // approximates. Both levels are bounded-heap aggregates (minK), not
+    // windows: the per-source level keeps K per source per map task,
+    // and the merge level re-sketches the exploded sources*K minima —
+    // the merge input is bounded at sources*K rows at any corpus size.
     "r07_kmv_union" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val grams = docs
@@ -256,12 +266,14 @@ object RetrievalOps {
         col("source"),
         expr("CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
       val perSource = hashed
-        .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy(col("h"))))
-        .filter(col("rn") <= KmvK)
+        .groupBy("source")
+        .agg(minK(col("h"), KmvK).as("minima"))
+        .select(col("source"), explode(col("minima")).as("h"))
       val merged = perSource
         .select(col("h")).distinct()
-        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
-        .filter(col("rn") === KmvK)
+        .agg(minK(col("h"), KmvK).as("m"))
+        .where(size(col("m")) === KmvK)
+        .select(element_at(col("m"), KmvK).as("h"))
       val exactUnion = hashed.select(col("h")).distinct()
         .agg(count(lit(1)).as("exact_union"))
       val sourceStats = hashed.groupBy("source").agg(count(lit(1)).as("n"))
@@ -329,11 +341,15 @@ object RetrievalOps {
     // language: doc i wins with probability proportional to its length
     // weight via the key u_i^(1/w_i) — equivalently ranked by
     // ln(u_i)/w_i — with u_i a deterministic md5-derived uniform, so
-    // both engines draw the SAME sample. The per-stratum top-k is a
-    // bounded window (k=5); in a streaming/merge setting the same keys
-    // make the reservoir mergeable (keep the k best keys of any union).
+    // both engines draw the SAME sample. The per-stratum reservoir IS
+    // the bounded-heap aggregate: minK over struct(-es_key, doc_id,
+    // payload) keeps the k best keys per language per map task and
+    // merges K-bounded across tasks — exactly the mergeable-reservoir
+    // property A-ES promises, and never a window partitioned by the
+    // low-cardinality `lang` key (one task per language at scale).
     // Keys round to 6dp before ranking (doc_id tiebreak) so rank order
-    // is engine-portable.
+    // is engine-portable; ranks are recovered by posexplode of the
+    // sorted K-array.
     "r08_weighted_sample" -> ((s, dir) => {
       val keyed = t(s, dir, "documents")
         .select(
@@ -342,11 +358,14 @@ object RetrievalOps {
         .withColumn("u", (col("h") + 1).cast("double") / lit(math.pow(2, 40)))
         .withColumn("es_key", round(log(col("u")) / col("weight"), 6))
       keyed
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("lang").orderBy(col("es_key").desc, col("doc_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("lang"), col("rank"), col("doc_id"), col("weight").cast("long").as("weight"),
-          col("es_key"))
+        .select(col("lang"),
+          struct((-col("es_key")).as("nk"), col("doc_id"), col("weight"), col("es_key")).as("rec"))
+        .groupBy("lang")
+        .agg(minK(col("rec"), 5).as("recs"))
+        .select(col("lang"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.weight").cast("long").as("weight"),
+          col("rec.es_key").as("es_key"))
         .orderBy("lang", "rank")
     }),
 
@@ -354,16 +373,34 @@ object RetrievalOps {
     // deterministic pseudo-random order (md5 of doc_id) and keep docs
     // until the running token total exceeds the budget — the
     // source-balancing truncation a data recipe applies to oversized
-    // crawls. One running-sum window per source; at cluster scale the
-    // cumsum is a range-partitioned prefix sum, and the per-row state
-    // is a single long.
+    // crawls. The running sum is a TWO-PHASE PREFIX SUM, not a window
+    // partitioned by `source` (Spark's WindowExec moves each partition
+    // key's rows to one task — one task per source at scale): the order
+    // key's first two hex chars split each source into 256 chunks that
+    // are contiguous in (md5, doc_id) order; phase 1 cumsums within
+    // (source, chunk) — 256-way parallel per source — and phase 2 adds
+    // each chunk's offset, computed from the sources*256-row
+    // chunk-totals frame by a keyed self-join and broadcast back.
     "r06_token_budget_cap" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      val walked = docs
+      val base = docs
         .select(col("source"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("ord", md5(col("doc_id").cast("string")))
+        .withColumn("chunk", substring(col("ord"), 1, 2))
+      val local = base.withColumn("local_cum",
+        sum(col("n_tokens")).over(
+          Window.partitionBy("source", "chunk").orderBy(col("ord"), col("doc_id"))))
+      val totals = base.groupBy("source", "chunk").agg(sum(col("n_tokens")).as("chunk_total"))
+      val offsets = totals.alias("a")
+        .join(totals.alias("b"),
+          col("a.source") === col("b.source") && col("b.chunk") < col("a.chunk"), "left")
+        .select(col("a.source").as("source"), col("a.chunk").as("chunk"),
+          col("b.chunk_total").as("prev_total"))
+        .groupBy("source", "chunk")
+        .agg(coalesce(sum(col("prev_total")), lit(0L)).as("offset"))
+      val walked = local
+        .join(broadcast(offsets), Seq("source", "chunk"))
+        .withColumn("cum_tokens", col("offset") + col("local_cum"))
         .withColumn("kept", col("cum_tokens") <= SourceTokenBudget)
       walked
         .groupBy("source")

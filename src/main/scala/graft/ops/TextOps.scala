@@ -1010,18 +1010,18 @@ object TextOps {
     // Sequence packing by running token budget — the pre-training step
     // that groups documents into ~fixed-token-count bins (context-length
     // packing). Contiguous packing: bin = floor(running-token-start /
-    // budget) per SOURCE shard, so the window is PARTITIONED (one shard's
-    // ordering never shuffles another's) — the 100 TB posture; a global
-    // ORDER BY window would single-partition the sort. Deterministic and
-    // SQL-identical in both engines (greedy best-fit packing is
-    // order-dependent and engine-specific; contiguous packing is the
-    // reproducible variant).
+    // budget) per SOURCE shard. The running sum is [[PrefixOps]]'s
+    // two-phase prefix sum — a window partitioned by the low-cardinality
+    // `source` key alone would move each source's rows to ONE task at
+    // scale; the chunked form is 256-way parallel per source with a
+    // broadcast offset join. Deterministic and SQL-identical in both
+    // engines (greedy best-fit packing is order-dependent and
+    // engine-specific; contiguous packing is the reproducible variant).
     "d13_sequence_pack" -> ((s, dir) => {
       val budget = 512
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      PrefixOps.partitionedCumSum(base, "source", Seq("doc_id"), "n_tokens", "cum")
         .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long"))
         .groupBy("source", "bin_id")
         .agg(
@@ -1036,13 +1036,13 @@ object TextOps {
     // Deterministic stratified sampling: every 5th document per LANGUAGE
     // stratum (rank by doc_id within lang) — the reproducible
     // mixture-control sampler a data pipeline needs (hash-based sampling
-    // is engine-specific; rank-based is portable and auditable). Window
-    // partitioned by the stratum: no global sort, shuffles only on lang.
+    // is engine-specific; rank-based is portable and auditable). The
+    // rank is [[PrefixOps]]'s two-phase row number — a window
+    // partitioned by the handful-of-values `lang` key alone would rank
+    // each stratum in ONE task at scale.
     "d14_stratified_sample" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"))
-        .withColumn("rn", row_number().over(w))
+      val base = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      PrefixOps.partitionedRowNumber(base, "lang", Seq("doc_id"), "rn")
         .filter(pmod(col("rn"), lit(5)) === 1)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
