@@ -36,9 +36,12 @@ object EventOps {
       val staged = nv.unionByName(nc).unionByName(np)
         .select(col("stage"), col("n"))
       val w = Window.orderBy("stage") // 3 rows total — the tiny final frame only
+      // nullif guards the degenerate empty-stage case: lag(n) = 0 would
+      // return NULL here (non-ANSI divide) but inf in DuckDB's IEEE
+      // float division — both engines agree on NULL via nullif.
       staged
         .withColumn("conv_from_prev",
-          round(col("n").cast("double") / lag(col("n"), 1, null).over(w), 4))
+          round(col("n").cast("double") / nullif(lag(col("n"), 1, null).over(w), lit(0)), 4))
         .orderBy("stage")
     }),
 
@@ -54,9 +57,13 @@ object EventOps {
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type").agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      // nullif guards MAD = 0 (at least half the values equal the
+      // median — legal degenerate data): Spark's non-ANSI divide gives
+      // NULL, DuckDB's IEEE division gives inf/nan; nullif makes both
+      // engines agree on NULL (outlier test then counts 0, max is NULL).
       dev
         .join(broadcast(mad), "event_type")
-        .withColumn("rz", lit(0.6745) * col("adev") / col("mad"))
+        .withColumn("rz", lit(0.6745) * col("adev") / nullif(col("mad"), lit(0.0)))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
@@ -317,7 +324,7 @@ object EventOps {
         |  UNION ALL SELECT '2_click_after_view', count(*) FROM c
         |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
         |SELECT stage, n,
-        |  round(CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY stage), 4) AS conv_from_prev
+        |  round(CAST(n AS DOUBLE) / nullif(lag(n) OVER (ORDER BY stage), 0), 4) AS conv_from_prev
         |FROM staged ORDER BY stage""".stripMargin,
     "q77_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
@@ -327,8 +334,8 @@ object EventOps {
         |SELECT d.event_type, count(*) AS n,
         |  round(any_value(d.med), 4) AS med,
         |  round(any_value(ma.mad), 4) AS mad,
-        |  CAST(sum(CASE WHEN 0.6745 * d.adev / ma.mad > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  round(max(0.6745 * d.adev / ma.mad), 4) AS max_robust_z
+        |  CAST(sum(CASE WHEN 0.6745 * d.adev / nullif(ma.mad, 0) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(0.6745 * d.adev / nullif(ma.mad, 0)), 4) AS max_robust_z
         |FROM dev d JOIN mad ma USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_tumbling_hour" ->

@@ -301,9 +301,14 @@ object RetrievalOps {
       val x = t(s, dir, "lineitem").select(col("l_extendedprice").cast("double").as("x"))
       val stats = x.agg(
         min(col("x")).as("lo"), max(col("x")).as("hi"), count(lit(1)).cast("double").as("n"))
+      // greatest(hi - lo, eps) guards the all-equal / single-row case
+      // identically in both engines (Spark's non-ANSI 0/0 is NULL,
+      // DuckDB's is nan): when hi == lo all mass lands in bin 0 and the
+      // interpolated estimate collapses to lo = the exact value.
       val bins = x.crossJoin(broadcast(stats))
-        .select(least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 128), lit(127.0))
-          .cast("int").as("bin"))
+        .select(least(
+          floor((col("x") - col("lo")) / greatest(col("hi") - col("lo"), lit(1e-12)) * 128),
+          lit(127.0)).cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
       val wb = Window.orderBy("bin") // 128 rows max — the sketch, not the data
       val cum = bins
@@ -509,7 +514,7 @@ object RetrievalOps {
     "r09_histogram_quantiles" ->
       """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
         |st AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS DOUBLE) AS n FROM x),
-        |b AS (SELECT CAST(least(floor((x.x - st.lo) / (st.hi - st.lo) * 128), 127) AS INT) AS bin, count(*) AS cnt
+        |b AS (SELECT CAST(least(floor((x.x - st.lo) / greatest(st.hi - st.lo, 1e-12) * 128), 127) AS INT) AS bin, count(*) AS cnt
         |      FROM x, st GROUP BY 1),
         |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
         |             coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
