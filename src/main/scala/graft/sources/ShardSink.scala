@@ -1,12 +1,13 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 import java.util.zip.GZIPOutputStream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -30,14 +31,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[TrainingShards.write]]), so the writer is pure container logic and
   * any schema ships through unchanged.
   *
-  * Commit protocol: tasks write shards under their own (partitionId,
-  * taskId) names — a retried task never collides with its predecessor —
-  * and report them in the commit message; only shards from COMMITTED
-  * tasks enter the manifest (aborted tasks delete their files best-
-  * effort, and a reader that trusts the manifest never sees orphans).
-  * The 100 TB posture: the driver handles shard NAMES and counts only;
-  * all bytes move executor-side, one gzip stream open per task at a
-  * time.
+  * Commit protocol — THE MANIFEST IS THE READ GATE:
+  *   - Shard names carry the job's query-id token plus (partitionId,
+  *     taskId), so a retried task never collides with its predecessor and
+  *     a second job never collides with an earlier one's files.
+  *   - Only shards from COMMITTED tasks of a COMMITTED job enter the
+  *     manifest. Aborted tasks/jobs delete their files best-effort; any
+  *     survivor of a crashed delete is an orphan that
+  *     [[TrainingShards.read]] (which reads exactly the manifest-listed
+  *     files) never sees.
+  *   - `append` mode MERGES the prior manifest's entries with the new
+  *     job's, so the manifest always accounts for every committed shard
+  *     in the directory. `overwrite` mode truncates: the new manifest
+  *     holds only the new job's shards, and stale part files are removed
+  *     at job commit (never earlier — a failed overwrite leaves the
+  *     previous committed state intact and readable).
+  *   - Concurrent writers to one directory are NOT coordinated (same as
+  *     Hadoop's output committers): the last job's manifest merge wins.
+  *
+  * All file IO goes through the Hadoop FileSystem API resolved from the
+  * destination path's scheme, so the sink works on any Hadoop-supported
+  * filesystem (local, HDFS, s3a, ...) — the Hadoop configuration is
+  * captured driver-side and shipped to executors with the writer
+  * factory. The 100 TB posture: the driver handles shard NAMES and
+  * counts only; all bytes move executor-side, one gzip stream open per
+  * task at a time.
   */
 class ShardSinkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-shards"
@@ -56,7 +74,10 @@ class ShardSinkProvider extends TableProvider with DataSourceRegister {
       Option(opts.get(k)).filter(_.nonEmpty).getOrElse(default)
     val path = Option(opts.get("path")).filter(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException("graft-shards requires option 'path'"))
-    new ShardTable(path, opt("maxdocspershard", "100000").toLong, opt("maxshardbytes", s"${64L << 20}").toLong)
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new ShardTable(path, opt("maxdocspershard", "100000").toLong,
+      opt("maxshardbytes", s"${64L << 20}").toLong, conf)
   }
 }
 
@@ -64,8 +85,22 @@ object ShardSinkProvider {
   val schema: StructType = StructType(Seq(StructField("line", StringType, nullable = false)))
 }
 
-private[sources] class ShardTable(path: String, maxDocs: Long, maxBytes: Long)
-    extends Table with SupportsWrite {
+/** Hadoop `Configuration` is not `java.io.Serializable`; this carries it
+  * through task serialization via its own writable form (the same shape
+  * Spark uses internally for its private equivalent).
+  */
+private[sources] class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = conf.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+private[sources] class ShardTable(
+    path: String, maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
+) extends Table with SupportsWrite {
   require(maxDocs > 0 && maxBytes > 0, s"shard targets must be positive (docs=$maxDocs bytes=$maxBytes)")
   override def name(): String = s"graft-shards($path)"
   override def schema(): StructType = ShardSinkProvider.schema
@@ -78,74 +113,95 @@ private[sources] class ShardTable(path: String, maxDocs: Long, maxBytes: Long)
       s"graft-shards sink expects exactly one 'line' string column, got $cols")
     require(info.schema().fields.head.dataType == StringType,
       s"graft-shards 'line' column must be string, got ${info.schema().fields.head.dataType.simpleString}")
+    // The query id makes shard names unique ACROSS jobs, so an append
+    // can never silently overwrite an earlier job's shard of the same
+    // (partition, task) coordinates.
+    val jobToken = info.queryId().replace("-", "").take(16)
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this // overwrite = same fresh dir semantics
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new ShardBatchWrite(path, maxDocs, maxBytes)
+      private var truncateExisting = false
+      override def truncate(): WriteBuilder = { truncateExisting = true; this }
+      override def build(): Write = {
+        val t = truncateExisting
+        new Write {
+          override def toBatch: BatchWrite =
+            new ShardBatchWrite(path, jobToken, maxDocs, maxBytes, t, conf)
+        }
       }
     }
   }
 }
 
-private[sources] class ShardBatchWrite(path: String, maxDocs: Long, maxBytes: Long) extends BatchWrite {
+private[sources] class ShardBatchWrite(
+    path: String, jobToken: String, maxDocs: Long, maxBytes: Long,
+    truncateExisting: Boolean, conf: SerializableHadoopConf
+) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ShardWriterFactory(path, maxDocs, maxBytes)
+    ShardWriterFactory(path, jobToken, maxDocs, maxBytes, conf)
 
-  /** Job commit = write the manifest naming every committed shard. The
-    * manifest is the read gate: shards not named here are garbage from
-    * aborted attempts and are ignored by manifest-trusting readers.
+  /** Job commit = publish the manifest naming every committed shard:
+    * the new job's shards merged with the prior manifest's on append,
+    * or exactly the new job's on truncate (overwrite) — in which case
+    * stale part files are deleted only AFTER the new manifest is live.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val shards = messages.collect { case ShardsWritten(s) => s }.flatten.sortBy(_.file)
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val entries = shards.map { s =>
-      s"""{"file": ${q(s.file)}, "docs": ${s.docs}, "raw_bytes": ${s.rawBytes}}"""
+    val fs = new HPath(path).getFileSystem(conf.conf)
+    val dirPath = new HPath(path)
+    val fresh = messages.collect { case ShardsWritten(s) => s }.flatten.toSeq
+    val prior = if (truncateExisting) Seq.empty else ShardManifest.readIfExists(fs, dirPath)
+    val all = (prior ++ fresh).sortBy(_.file)
+    require(all.map(_.file).distinct.size == all.size,
+      s"shard name collision in ${dirPath}: committed and prior manifests overlap")
+    ShardManifest.writeAtomic(fs, dirPath, all)
+    if (truncateExisting) {
+      val keep = fresh.map(_.file).toSet
+      fs.listStatus(dirPath).iterator
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("part-") && p.getName.endsWith(".jsonl.gz") && !keep(p.getName)
+        }
+        .foreach(p => fs.delete(p, false))
     }
-    val json =
-      s"""{"n_shards": ${shards.length}, "total_docs": ${shards.map(_.docs).sum},
-         |"total_raw_bytes": ${shards.map(_.rawBytes).sum},
-         |"shards": [${entries.mkString(",\n  ")}]}""".stripMargin
-    val tmp = Paths.get(path, "_MANIFEST.json.tmp")
-    Files.createDirectories(Paths.get(path))
-    Files.write(tmp, json.getBytes(UTF_8))
-    Files.move(tmp, Paths.get(path, "_MANIFEST.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(path).getFileSystem(conf.conf)
     messages.collect { case ShardsWritten(s) => s }.flatten
-      .foreach(s => new File(path, s.file).delete())
+      .foreach(s => fs.delete(new HPath(path, s.file), false))
+  }
 }
 
-private[sources] case class ShardWriterFactory(path: String, maxDocs: Long, maxBytes: Long)
-    extends DataWriterFactory {
+private[sources] case class ShardWriterFactory(
+    path: String, jobToken: String, maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
+) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(path, partitionId, taskId, maxDocs, maxBytes)
+    new ShardDataWriter(path, jobToken, partitionId, taskId, maxDocs, maxBytes, conf)
 }
 
 /** Rolls gzip shard files as lines arrive: a shard closes once it holds
   * `maxDocs` documents or `maxBytes` raw (pre-compression) bytes. One
   * open stream per task; files are named
-  * `part-{partitionId}-{taskId}.{seq}.jsonl.gz` so task retries cannot
-  * collide, and the commit message (not the directory listing) is the
-  * source of truth for what this attempt produced.
+  * `part-{jobToken}-{partitionId}-{taskId}.{seq}.jsonl.gz` so neither a
+  * task retry nor a later job can collide, and the commit message (not
+  * the directory listing) is the source of truth for what this attempt
+  * produced.
   */
 private[sources] class ShardDataWriter(
-    path: String, partitionId: Int, taskId: Long, maxDocs: Long, maxBytes: Long
+    path: String, jobToken: String, partitionId: Int, taskId: Long,
+    maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
 ) extends DataWriter[InternalRow] {
   private val written = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
+  @transient private lazy val fs: FileSystem = new HPath(path).getFileSystem(conf.conf)
   private var out: GZIPOutputStream = _
   private var seq = 0
   private var docs = 0L
   private var rawBytes = 0L
 
-  private def fileName(n: Int) = f"part-$partitionId%05d-$taskId.$n%03d.jsonl.gz"
+  private def fileName(n: Int) = f"part-$jobToken-$partitionId%05d-$taskId.$n%03d.jsonl.gz"
 
   private def roll(): Unit = {
     closeCurrent()
-    val f = new File(path, fileName(seq))
-    f.getParentFile.mkdirs()
-    out = new GZIPOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
+    out = new GZIPOutputStream(
+      new BufferedOutputStream(fs.create(new HPath(path, fileName(seq)), true), 1 << 16))
     docs = 0L
     rawBytes = 0L
   }
@@ -173,7 +229,7 @@ private[sources] class ShardDataWriter(
 
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
-    (0 to seq).foreach(n => new File(path, fileName(n)).delete())
+    (0 to seq).foreach(n => fs.delete(new HPath(path, fileName(n)), false))
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }
@@ -182,28 +238,107 @@ private[sources] class ShardDataWriter(
 case class ShardInfo(file: String, docs: Long, rawBytes: Long)
 case class ShardsWritten(shards: Seq[ShardInfo]) extends WriterCommitMessage
 
+/** Render / parse / atomically publish `_MANIFEST.json`. */
+private[sources] object ShardManifest {
+  val FileName = "_MANIFEST.json"
+
+  def render(shards: Seq[ShardInfo]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries = shards.map { s =>
+      s"""{"file": ${q(s.file)}, "docs": ${s.docs}, "raw_bytes": ${s.rawBytes}}"""
+    }
+    s"""{"n_shards": ${shards.length}, "total_docs": ${shards.map(_.docs).sum},
+       |"total_raw_bytes": ${shards.map(_.rawBytes).sum},
+       |"shards": [${entries.mkString(",\n  ")}]}""".stripMargin
+  }
+
+  def parse(json: String): Seq[ShardInfo] = {
+    import org.json4s._
+    def num(j: JValue): Long = j match {
+      case JInt(n)  => n.toLong
+      case JLong(n) => n
+      case other    => throw new IllegalStateException(s"malformed manifest number: $other")
+    }
+    org.json4s.jackson.JsonMethods.parse(json) \ "shards" match {
+      case JArray(items) =>
+        items.map { i =>
+          val file = i \ "file" match {
+            case JString(f) => f
+            case other      => throw new IllegalStateException(s"malformed manifest file: $other")
+          }
+          ShardInfo(file, num(i \ "docs"), num(i \ "raw_bytes"))
+        }
+      case other => throw new IllegalStateException(s"malformed manifest: shards = $other")
+    }
+  }
+
+  def readIfExists(fs: FileSystem, dir: HPath): Seq[ShardInfo] = {
+    val p = new HPath(dir, FileName)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      parse(new String(buf, UTF_8))
+    }
+  }
+
+  def writeAtomic(fs: FileSystem, dir: HPath, shards: Seq[ShardInfo]): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, FileName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(render(shards).getBytes(UTF_8))
+    finally out.close()
+    val dest = new HPath(dir, FileName)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not publish $dest")
+  }
+}
+
 /** Caller-facing API over the `graft-shards` container. */
 object TrainingShards {
   /** Serialize every column of `df` into JSON lines and land them as
     * `.jsonl.gz` shards under `dir`. Shard targets bound DOCUMENT count
     * and RAW byte size per shard (compression ratio varies by corpus;
     * the raw bound is what a training loader's memory budget sees).
+    * `mode` is `append` (manifest-merging) by default; pass `overwrite`
+    * to truncate the directory to this write's shards at commit.
     */
   def write(df: DataFrame, dir: String, maxDocsPerShard: Long = 100000L,
-            maxShardBytes: Long = 64L << 20): Unit =
+            maxShardBytes: Long = 64L << 20, mode: String = "append"): Unit =
     df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
       .write.format("graft-shards")
       .option("path", dir)
       .option("maxDocsPerShard", maxDocsPerShard.toString)
       .option("maxShardBytes", maxShardBytes.toString)
-      .mode("append")
+      .mode(mode)
       .save()
 
-  /** Read a shard directory back as rows (Spark's json reader handles
-    * the gzip members natively; pass `schema` to skip inference).
+  /** Read a shard directory back as rows, trusting the manifest: exactly
+    * the committed, manifest-listed shards are read, so orphans from
+    * aborted attempts (whose best-effort delete lost a race) are never
+    * served as data. Fails loudly on a directory with no manifest — that
+    * directory holds no committed write. Pass `schema` to skip
+    * inference (required when the manifest lists zero shards).
     */
   def read(spark: SparkSession, dir: String, schema: Option[StructType] = None): DataFrame = {
-    val base = spark.read
-    schema.fold(base)(base.schema).json(s"$dir/part-*.jsonl.gz")
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new HPath(dirPath, ShardManifest.FileName)),
+      s"no ${ShardManifest.FileName} under $dir — not a committed graft-shards directory")
+    val shards = ShardManifest.readIfExists(fs, dirPath)
+    val files = shards.map(s => new HPath(dirPath, s.file).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        schema.getOrElse(throw new IllegalArgumentException(
+          s"manifest under $dir lists zero shards; pass a schema to read an empty corpus")))
+    else {
+      val base = spark.read
+      schema.fold(base)(base.schema).json(files: _*)
+    }
   }
 }

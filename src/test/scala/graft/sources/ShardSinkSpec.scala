@@ -55,6 +55,74 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(rawBytes.forall(_ <= 2048), s"a shard exceeded the byte bound: $rawBytes")
   }
 
+  test("append merges the prior manifest: two writes, one manifest accounting for both") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    TrainingShards.write(half1, out, maxDocsPerShard = 64)
+    TrainingShards.write(half2, out, maxDocsPerShard = 64)
+    val manifest = new String(Files.readAllBytes(Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    val totalDocs = """"total_docs": (\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+    assert(totalDocs.contains(docs.count()), s"append undercounted: $totalDocs")
+    val back = TrainingShards.read(spark, out, Some(docs.schema))
+    assert(back.count() == docs.count())
+    assert(docs.except(back.select(docs.columns.map(col): _*)).count() == 0)
+  }
+
+  test("overwrite truncates: stale shards removed, manifest holds only the new write") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    TrainingShards.write(docs, out, maxDocsPerShard = 64)
+    val before = new java.io.File(out).list().count(_.endsWith(".jsonl.gz"))
+    assert(before > 1)
+    val tiny = docs.limit(3)
+    TrainingShards.write(tiny, out, maxDocsPerShard = 64, mode = "overwrite")
+    val manifest = new String(Files.readAllBytes(Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    val totalDocs = """"total_docs": (\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+    assert(totalDocs.contains(3L), s"overwrite manifest still counts stale shards: $totalDocs")
+    // stale part files are gone from disk, not just unreferenced
+    val files = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
+    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert(onDisk == files, s"stale shards survive overwrite: ${onDisk -- files}")
+    assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == 3)
+  }
+
+  test("read trusts the manifest: a planted orphan part file is never served as data") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    TrainingShards.write(docs, out, maxDocsPerShard = 64)
+    val n = docs.count()
+    // an orphan from a crashed attempt whose best-effort delete lost the
+    // race: valid container bytes, name matching the shard pattern
+    val orphanLines = """{"doc_id": 999999, "text": "ORPHAN", "lang": "xx", "source": "bad", "n_chars": 6}"""
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(out, "part-deadbeefdeadbeef-00099-999.000.jsonl.gz")))
+    gz.write((orphanLines + "\n").getBytes("UTF-8")); gz.finish(); gz.close()
+    val back = TrainingShards.read(spark, out, Some(docs.schema))
+    assert(back.count() == n, "orphan rows leaked into a manifest-trusting read")
+    assert(back.filter(col("doc_id") === 999999L).count() == 0)
+  }
+
+  test("read refuses a directory with no manifest (nothing committed there)") {
+    val out = freshDir()
+    val e = intercept[IllegalArgumentException] {
+      TrainingShards.read(spark, out)
+    }
+    assert(e.getMessage.contains("_MANIFEST.json"))
+  }
+
+  test("two appends never collide on shard names (job token in the file name)") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(10)
+    TrainingShards.write(docs, out)
+    TrainingShards.write(docs, out)
+    val manifest = new String(Files.readAllBytes(Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    val files = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSeq
+    assert(files.size == files.distinct.size, s"colliding shard names: $files")
+    assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == 20)
+  }
+
   test("the sink rejects multi-column or non-string input") {
     val out = freshDir()
     val docs = graft.ops.Tables.t(spark, dir, "documents")
