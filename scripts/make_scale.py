@@ -17,13 +17,21 @@ without changing data STRUCTURE (the honest way to measure scaling):
   while train + search volume scales by FACTOR.
 - supplier: copied as-is (dimension).
 
-Usage: python3 scripts/make_scale.py [src=/root/testdata/sf0.1] [out=/tmp/scale10] [factor=10]
+A 4th arg `skew` makes the documents blow-up HOT-KEYED: every copy lands
+in source 'src0' / lang 'en', so at factor 10 one source (and one lang)
+holds ~90% of the corpus. This is the fixture for the per-key prefix-sum
+and bounded-top-K operators (r04/r06/r07/r08, d13/d14): a window
+partitioned by source/lang would serialize ~90% of the data into ONE
+task here, while the two-phase/bounded-heap forms must stay ~linear.
+
+Usage: python3 scripts/make_scale.py [src=/root/testdata/sf0.1] [out=/tmp/scale10] [factor=10] [skew]
 """
 import duckdb, os, sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/scale10'
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+skew = len(sys.argv) > 4 and sys.argv[4] == 'skew'
 os.makedirs(out, exist_ok=True)
 
 con = duckdb.connect()
@@ -34,7 +42,8 @@ COPY (
   UNION ALL
   SELECT doc_id + i * 10000000 AS doc_id,
          string_agg(w, ' ' ORDER BY hash(concat(w, '-', rn, '-', i)), rn) AS text,
-         any_value(lang) AS lang, any_value(source) AS source, any_value(n_chars) AS n_chars
+         {"'en' AS lang, 'src0' AS source" if skew else "any_value(lang) AS lang, any_value(source) AS source"},
+         any_value(n_chars) AS n_chars
   FROM (
     SELECT doc_id, lang, source, n_chars,
            unnest(regexp_split_to_array(text, '\\s+')) AS w,
