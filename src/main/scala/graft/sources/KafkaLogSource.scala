@@ -39,14 +39,14 @@ import org.slf4j.LoggerFactory
   *    timestamp:8  key_len:4  key  value_len:4  value
   *    }}}
   *    `crc` is CRC-32 of everything after the crc field. Compressed
-  *    wrapper messages (attributes bits 0-2: gzip or xerial-framed
-  *    snappy, the codecs v1-era producers shipped) are decompressed: the
-  *    wrapper's value is an inner message set with RELATIVE offsets, the
-  *    wrapper offset is the absolute offset of the LAST inner record, so
-  *    `absolute = wrapper - lastRel + rel` (the consumer-side rule from
-  *    the protocol guide). v1 lz4 wrappers are rejected loudly — that
-  *    era's frame checksum is nonstandard and a standard-frame decode
-  *    would mis-verify.
+  *    wrapper messages (attributes bits 0-2: gzip, xerial-framed snappy,
+  *    or lz4) are decompressed: the wrapper's value is an inner message
+  *    set with RELATIVE offsets, the wrapper offset is the absolute
+  *    offset of the LAST inner record, so `absolute = wrapper - lastRel
+  *    + rel` (the consumer-side rule from the protocol guide). v1-era
+  *    lz4 wrappers carry a legacy frame-header checksum (pre-KIP-57
+  *    clients hashed the frame magic too) — the lenient lz4 decoder
+  *    accepts either convention and rejects frames matching neither.
   *  - **Record batches v2** (magic 2) — what every Kafka >= 0.11 broker
   *    writes:
   *    {{{
@@ -122,10 +122,10 @@ object KafkaLogFormat {
 
   // Codec ids from the batch/message attributes bits 0-2 (Kafka's public
   // compression-type table). v2 batches support all four; legacy v1
-  // wrappers support gzip and snappy (the codecs pre-0.11 producers
-  // actually shipped with xerial/JDK framing — v1-era LZ4 used a
-  // nonstandard frame checksum that the fixed magic-1 format replaced,
-  // so a v1 lz4 wrapper is rejected loudly rather than mis-decoded).
+  // wrappers support gzip, snappy, and lz4 — v1-era LZ4 framing carried
+  // the pre-KIP-57 header checksum (hashed over the frame magic too),
+  // which the lenient decoder detects and normalizes before a standard
+  // frame decode. zstd never existed for the legacy wrapper format.
   val NoCodec = 0
   val GzipCodec = 1
   val SnappyCodec = 2
@@ -184,6 +184,55 @@ object KafkaLogFormat {
     case ZstdCodec =>
       com.github.luben.zstd.Zstd.compress(data)
     case c => throw new IllegalArgumentException(s"unknown compression codec $c")
+  }
+
+  /** Decompress an LZ4 frame accepting BOTH header-checksum conventions:
+    * the LZ4 spec's (XXH32 over the frame descriptor, excluding the
+    * 4-byte magic) and the legacy Kafka one (pre-KIP-57 clients hashed
+    * the whole header INCLUDING the magic — the "v1-era" framing that
+    * shipped with message-format-v0/v1 producers). A legacy frame gets
+    * its HC byte rewritten to the spec value and decodes through the
+    * standard frame reader; a frame matching NEITHER checksum is corrupt
+    * and is rejected loudly.
+    */
+  private[sources] def lz4DecompressLenient(data: Array[Byte], ctx: => String): Array[Byte] = {
+    require(data.length >= 7, s"$ctx: truncated LZ4 frame (${data.length} bytes)")
+    require(
+      data(0) == 0x04.toByte && data(1) == 0x22.toByte &&
+        data(2) == 0x4d.toByte && data(3) == 0x18.toByte,
+      s"$ctx: not an LZ4 frame (bad magic)")
+    val flg = data(4)
+    require(((flg >> 6) & 0x03) == 1, s"$ctx: unsupported LZ4 frame version")
+    var hcPos = 6 // magic(4) + FLG + BD
+    if ((flg & 0x08) != 0) hcPos += 8 // content-size field present
+    if ((flg & 0x01) != 0) hcPos += 4 // dictionary-id field present
+    require(data.length > hcPos, s"$ctx: truncated LZ4 frame header")
+    val xx = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+    def hcFrom(from: Int): Byte = ((xx.hash(data, from, hcPos - from, 0) >> 8) & 0xff).toByte
+    val stored = data(hcPos)
+    val fixed =
+      if (stored == hcFrom(4)) data // spec-correct framing
+      else if (stored == hcFrom(0)) { // legacy: hash included the magic
+        val d = data.clone(); d(hcPos) = hcFrom(4); d
+      } else
+        throw new IllegalArgumentException(
+          s"$ctx: LZ4 frame header checksum matches neither the spec nor the legacy Kafka variant")
+    val in = new net.jpountz.lz4.LZ4FrameInputStream(new java.io.ByteArrayInputStream(fixed))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Frame `data` the way a pre-KIP-57 producer did: a standard LZ4 frame
+    * whose header checksum covers the magic bytes too. Fixture-only.
+    */
+  private[sources] def lz4BrokenFrame(data: Array[Byte]): Array[Byte] = {
+    val framed = compress(Lz4Codec, data)
+    val flg = framed(4)
+    var hcPos = 6
+    if ((flg & 0x08) != 0) hcPos += 8
+    if ((flg & 0x01) != 0) hcPos += 4
+    val xx = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+    framed(hcPos) = ((xx.hash(framed, 0, hcPos, 0) >> 8) & 0xff).toByte
+    framed
   }
 
   private def decompress(codec: Int, data: Array[Byte], ctx: => String): Array[Byte] =
@@ -270,6 +319,20 @@ object KafkaLogFormat {
       Record(records.last.offset, records.last.timestampMs, null,
         compress(codec, inner.toByteArray)),
       attributes = codec.toByte)
+  }
+
+  /** Encode a v1 lz4 wrapper the way a pre-KIP-57 producer framed it
+    * (legacy header checksum over the magic bytes). Fixture-only: this
+    * is the wrapper shape old mirrored topics still hold on disk.
+    */
+  def encodeLz4BrokenWrapperV1(records: Seq[Record]): Array[Byte] = {
+    require(records.nonEmpty, "empty wrapper")
+    val inner = new java.io.ByteArrayOutputStream()
+    records.zipWithIndex.foreach { case (r, i) => inner.write(encode(r.copy(offset = i.toLong))) }
+    encode(
+      Record(records.last.offset, records.last.timestampMs, null,
+        lz4BrokenFrame(inner.toByteArray)),
+      attributes = Lz4Codec.toByte)
   }
 
   // ---- v2 (record batch) encoding ----
@@ -387,22 +450,26 @@ object KafkaLogFormat {
     val value = if (valLen < 0) null else { val a = new Array[Byte](valLen); mb.get(a); a }
     codec match {
       case NoCodec => Seq(Record(offset, ts, key, value))
-      case GzipCodec | SnappyCodec =>
+      case GzipCodec | SnappyCodec | Lz4Codec =>
         require(allowWrapper, s"$segPath: nested compressed wrapper at offset $offset")
         require(value != null, s"$segPath: compressed wrapper with null value at offset $offset")
-        val inner = decodeInnerSet(
-          decompress(codec, value, s"$segPath: wrapper at offset $offset"), segPath)
+        // v1-era lz4 wrappers may carry the legacy (pre-KIP-57) frame
+        // header checksum computed over the magic bytes — the lenient
+        // decoder accepts both conventions and rejects anything else.
+        val inflated =
+          if (codec == Lz4Codec)
+            lz4DecompressLenient(value, s"$segPath: lz4 wrapper at offset $offset")
+          else decompress(codec, value, s"$segPath: wrapper at offset $offset")
+        val inner = decodeInnerSet(inflated, segPath)
         require(inner.nonEmpty, s"$segPath: empty compressed wrapper at offset $offset")
         // magic-1 rule: wrapper offset = absolute offset of the LAST inner
         // record; inner offsets are relative
         val lastRel = inner.last.offset
         inner.map(r => r.copy(offset = offset - lastRel + r.offset))
       case c =>
-        // v1-era lz4 framing predates the fixed magic-1 frame checksum;
-        // decoding it with a standard LZ4 frame reader would mis-verify.
-        // Reject loudly rather than guess (zstd never existed for v1).
+        // zstd never existed for the legacy wrapper format.
         throw new IllegalArgumentException(
-          s"$segPath: unsupported v1 compression codec $c at offset $offset (none/gzip/snappy)")
+          s"$segPath: unsupported v1 compression codec $c at offset $offset (none/gzip/snappy/lz4)")
     }
   }
 

@@ -163,7 +163,7 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     assert(readAll(ZstdCodec, "zstd-0") == plain)
   }
 
-  test("snappy v1 wrapper drains like gzip; v1 lz4 is rejected loudly") {
+  test("snappy/lz4 v1 wrappers drain like gzip — incl. the pre-KIP-57 broken-checksum lz4 frame") {
     val records = (0L until 4L).map(o => rec(o, s"snap-$o", s"k$o"))
     val root = Files.createTempDirectory("kv1snap")
     def drain(frame: Array[Byte], name: String): List[(Long, String)] = {
@@ -178,10 +178,35 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     }
     val expected = records.map(r => (r.offset, new String(r.value))).toList
     assert(drain(KafkaLogFormat.encodeWrapperV1(records, KafkaLogFormat.SnappyCodec), "s-0") == expected)
-    val e = intercept[IllegalArgumentException] {
-      drain(KafkaLogFormat.encodeWrapperV1(records, KafkaLogFormat.Lz4Codec), "l-0")
+    // modern (spec-checksum) lz4 framing
+    assert(drain(KafkaLogFormat.encodeWrapperV1(records, KafkaLogFormat.Lz4Codec), "l-0") == expected)
+    // v1-era framing: header checksum hashed over the frame magic too
+    val broken = KafkaLogFormat.encodeLz4BrokenWrapperV1(records)
+    assert(drain(broken, "l-1") == expected)
+    // the broken frame really is rejected by a strict spec decoder
+    // (otherwise this test would not be exercising the lenient path)
+    val bb = java.nio.ByteBuffer.wrap(broken)
+    bb.getLong; bb.getInt // frame header: offset, message_size
+    bb.getInt; bb.get; bb.get; bb.getLong // crc, magic, attrs, ts
+    val kl = bb.getInt; if (kl > 0) bb.position(bb.position() + kl)
+    val vl = bb.getInt
+    val wrapped = new Array[Byte](vl); bb.get(wrapped)
+    assertThrows[Exception] {
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(new java.io.ByteArrayInputStream(wrapped))
+      try in.readAllBytes() finally in.close()
     }
-    assert(e.getMessage.contains("unsupported v1 compression codec 3"))
+    // a frame whose header checksum matches NEITHER convention is
+    // corrupt → the lenient decoder rejects instead of guessing
+    val neither = wrapped.clone()
+    val flg = neither(4)
+    var hcPos = 6
+    if ((flg & 0x08) != 0) hcPos += 8
+    if ((flg & 0x01) != 0) hcPos += 4
+    neither(hcPos) = (neither(hcPos) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException] {
+      KafkaLogFormat.lz4DecompressLenient(neither, "corrupt-fixture")
+    }
+    assert(e.getMessage.contains("neither the spec nor the legacy"), e.getMessage)
   }
 
   test("out-of-table codec ids are rejected loudly, not silently skipped") {
