@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * prefix sum instead:
   *
   *   1. CHUNK: split each key's rows into `nChunks` ranges contiguous in
-  *      the order key, using broadcast `percentile_approx` cutpoints (any
-  *      monotone chunking yields the identical final prefix sum, so the
-  *      approximation never affects results — only balance).
+  *      the order key, from a broadcast per-key min/max (any monotone
+  *      chunking yields the identical final prefix sum, so the chunk
+  *      geometry never affects results — only balance).
   *   2. LOCAL: cumsum within (key, chunk) — `nChunks`-way parallel per
   *      key, each window task holds ~1/nChunks of the key's rows.
   *   3. OFFSET: per-chunk totals (a map-side-combinable agg) form a
@@ -30,17 +30,29 @@ import org.apache.spark.sql.functions._
 object PrefixOps {
 
   /** Adds `chunkCol`: a 0-based bucket index that is monotone in `ord`
-    * within each `part` (equal order keys always share a bucket), from
-    * broadcast per-key `percentile_approx` cutpoints.
+    * within each `part` (equal order keys always share a bucket), from a
+    * broadcast per-key min/max — equi-WIDTH ranges over the key space.
+    * One map-side-combinable agg + one broadcast join: far cheaper than
+    * a quantile sketch, and balance follows the key distribution (a
+    * uniformly-assigned key like a dense id or a hash spreads evenly;
+    * a pathologically clustered key would degrade balance, never
+    * correctness — and never below the one-task-per-key window this
+    * replaces). Swap in `percentile_approx` cutpoints here if a workload
+    * ever needs distribution-proof balance; every downstream step is
+    * chunking-agnostic because ANY monotone chunking yields the same
+    * prefix sums.
     */
   def withRangeChunks(
       df: DataFrame, part: String, ord: String, chunkCol: String, nChunks: Int = 256): DataFrame = {
-    val probs = array((1 until nChunks).map(i => lit(i.toDouble / nChunks)): _*)
-    val cuts = df.groupBy(part)
-      .agg(percentile_approx(col(ord), probs, lit(10000)).as("__cuts"))
-    df.join(broadcast(cuts), part)
-      .withColumn(chunkCol, size(filter(col("__cuts"), c => c < col(ord))))
-      .drop("__cuts")
+    val bounds = df.groupBy(part)
+      .agg(min(col(ord)).as("__lo"), max(col(ord)).as("__hi"))
+    df.join(broadcast(bounds), part)
+      .withColumn(chunkCol,
+        least(
+          floor((col(ord) - col("__lo")) /
+            greatest((col("__hi") - col("__lo")) / nChunks, lit(1))).cast("int"),
+          lit(nChunks - 1)))
+      .drop("__lo", "__hi")
   }
 
   /** Running sum of `valueCol` per `part` in `ord` order (inclusive of the
