@@ -74,6 +74,29 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // Bounded per-user event-prefix sequences — the session-to-training-
+    // sequence construction step (recommendation / behavioral-LM
+    // pipelines): the FIRST 8 events per user in (ts, event_id) order,
+    // joined into one '>'-separated string. The prefix comes from the
+    // minK bounded-heap aggregate over struct(ts, event_id, event_type):
+    // each map task keeps at most 8 events per user and the shuffle
+    // moves (user, 8-array) pairs — never a window partitioned by
+    // user_id ranking the full event history, and no per-user
+    // collect_list buffering unbounded activity.
+    "q81_user_prefix_seq" -> ((s, dir) => {
+      import graft.functions.TopKAggregates.minK
+      t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+        .groupBy("user_id")
+        .agg(minK(col("e"), 8).as("es"), count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"), col("n_events"),
+          expr("array_join(transform(es, x -> x.event_type), '>')").as("prefix_seq"),
+          size(col("es")).as("prefix_len"))
+        .orderBy("user_id")
+    }),
+
     // Tumbling 1h window aggregate (streaming: groupBy(window($"ts","1 hour"))).
     "q30_tumbling_hour" -> ((s, dir) => {
       t(s, dir, "events")
@@ -338,6 +361,15 @@ object EventOps {
         |  round(max(0.6745 * d.adev / nullif(ma.mad, 0)), 4) AS max_robust_z
         |FROM dev d JOIN mad ma USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_user_prefix_seq" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, CAST(any_value(n_events) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY rn) AS prefix_seq,
+        |  CAST(count(*) AS INT) AS prefix_len
+        |FROM r WHERE rn <= 8 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_tumbling_hour" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

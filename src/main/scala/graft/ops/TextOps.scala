@@ -1179,6 +1179,58 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // RAG-style sliding-window chunking: fixed W-token windows at stride
+    // S — the retrieval-corpus construction step between cleaning and
+    // embedding. Purely narrow codegen (slice over an exploded start
+    // sequence): no shuffle at all until a downstream op asks for one,
+    // so chunk construction streams at scan speed at any corpus size.
+    // Window geometry: starts at 0, S, 2S, ... while start < n_tokens;
+    // the final window may be short (a loader masks padding anyway).
+    "d46_chunk_windows" -> ((s, dir) => {
+      val W = 32
+      val S = 16
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(0, CAST(floor((size(t) - 1) / $S) AS INT))")).as("c"))
+        .select(
+          col("doc_id"),
+          col("c").cast("int").as("chunk_id"),
+          expr(s"size(slice(t, c * $S + 1, $W))").cast("long").as("n_tokens"),
+          expr(s"array_join(slice(t, c * $S + 1, $W), ' ')").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // DoReMi-flavored source mixture reweighting: per-source mean token
+    // surprisal under the corpus unigram LM (the "excess loss" proxy —
+    // harder sources get upweighted), softmaxed at temperature tau into
+    // mixture weights a sampler would draw with. Everything is either a
+    // map-side-combinable agg keyed on term/source or a broadcast 1-row
+    // frame; the softmax normalizer is an agg over the handful-of-rows
+    // per-source frame. Surprisal rounds to 6dp BEFORE exp so both
+    // engines softmax the same inputs.
+    "d47_mixture_weights" -> ((s, dir) => {
+      val tau = 2.0
+      val rows = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val freq = rows.groupBy("term").agg(count(lit(1)).as("cf"))
+      val total = rows.agg(count(lit(1)).cast("double").as("tt"))
+      val perSource = rows
+        .join(broadcast(freq), "term")
+        .crossJoin(broadcast(total))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cf").cast("double") / col("tt"))), 6).as("avg_surprisal"))
+      val z = perSource.agg(sum(exp(col("avg_surprisal") / tau)).as("z"))
+      perSource
+        .crossJoin(broadcast(z))
+        .select(
+          col("source"), col("n_tokens"), col("avg_surprisal"),
+          round(exp(col("avg_surprisal") / tau) / col("z"), 6).as("mixture_weight"))
+        .orderBy("source")
+    }),
+
     // Bounded-round k-core peel (k=2, 3 unrolled rounds) over the same
     // banded near-dup edge graph d22/d23 use: each round drops nodes
     // with degree < k and recomputes degrees among survivors. The round
@@ -2076,6 +2128,24 @@ object TextOps {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM bc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d46_chunk_windows" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, CAST(floor((len(t) - 1) / 16) AS INT) + 1)) AS chunk_id FROM tok)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(list_slice(t, chunk_id * 16 + 1, chunk_id * 16 + 32)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, chunk_id * 16 + 1, chunk_id * 16 + 32), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "d47_mixture_weights" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |freq AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM tok),
+        |ps AS (SELECT source, count(*) AS n_tokens,
+        |         round(avg(-ln(CAST(f.cf AS DOUBLE) / t.tt)), 6) AS avg_surprisal
+        |       FROM tok JOIN freq f USING (term), total t GROUP BY 1),
+        |z AS (SELECT sum(exp(avg_surprisal / 2.0)) AS z FROM ps)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, avg_surprisal,
+        |  round(exp(avg_surprisal / 2.0) / z.z, 6) AS mixture_weight
+        |FROM ps, z ORDER BY source""".stripMargin,
     "d43_kcore_peel" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
         |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
