@@ -360,6 +360,48 @@ object MultimodalOps {
         .toDF("doc_id", "n_bytes", "sample_rate", "channels", "bits", "n_samples", "sum_sq", "roundtrip_ok")
       feats.orderBy("doc_id")
     }),
+    // Energy-based voice-activity segmentation over REAL decoded audio:
+    // each doc's WAV (same PCM16 mapping as m05) round-trips through
+    // WavCodec on the executors, the decoded samples frame at 16 samples
+    // per frame, a frame is "voiced" when its peak |sample| clears the
+    // gate, and consecutive voiced frames merge into segments via the
+    // gaps-and-islands rank difference — the VAD-shaped preprocessing an
+    // audio-training pipeline runs before transcription/filtering. The
+    // islands window partitions by doc_id (high-cardinality), and frames
+    // per doc are bounded by doc length. Exact oracle: DuckDB replays
+    // frames/peaks/islands from the same ASCII bytes.
+    "m08_voiced_segments" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val samples = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val pcm = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            .map(b => ((b - 64) * 256).toShort)
+          val decoded = WavCodec.parse(WavCodec.encodePcm16(pcm, 8000)).samples
+          (id, decoded.map(_.toInt))
+        }.toDF("doc_id", "samples")
+      val fr = samples
+        .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "v")))
+        .groupBy(col("doc_id"), floor(col("i") / 16).as("frame"))
+        .agg(max(abs(col("v"))).as("peak"))
+      val voiced = fr.where(col("peak") >= 14080)
+      val segs = voiced
+        .withColumn("grp",
+          col("frame") - row_number().over(Window.partitionBy("doc_id").orderBy("frame")))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"), max("len").as("longest_segment"))
+      fr.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("peak") >= 14080, 1L).otherwise(0L)).as("n_voiced"))
+        .join(segs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("n_voiced"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+        .orderBy("doc_id")
+    }),
+
     // Resize pass: payloads shrunk by the codec (stub: stride-decimate),
     // emitting before/after sizes and the re-extracted leading feature —
     // the downsample-then-refeaturize step of a media pipeline. Narrow
@@ -462,6 +504,25 @@ object MultimodalOps {
     // included) + 2 bytes/sample, and the format
     // fields replay the synthesis formulas. roundtrip_ok pinned TRUE =
     // the real RIFF walker recovered every sample bit-identically.
+    "m08_voiced_segments" ->
+      """WITH ch AS (SELECT doc_id, ascii(c) AS a, i
+        |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c,
+        |                         generate_subscripts(string_split(text, ''), 1) AS i FROM documents)),
+        |fr AS (SELECT doc_id, CAST(floor((i - 1) / 16) AS BIGINT) AS frame,
+        |              max(abs((a - 64) * 256)) AS peak
+        |       FROM ch GROUP BY 1, 2),
+        |isl AS (SELECT doc_id, frame,
+        |          frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+        |        FROM fr WHERE peak >= 14080),
+        |seg AS (SELECT doc_id, count(*) AS n_segments, max(len) AS longest_segment
+        |        FROM (SELECT doc_id, grp, count(*) AS len FROM isl GROUP BY 1, 2) GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |           CAST(sum(CASE WHEN peak >= 14080 THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced
+        |         FROM fr GROUP BY 1)
+        |SELECT b.doc_id, b.n_frames, b.n_voiced,
+        |  CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(s.longest_segment, 0) AS BIGINT) AS longest_segment
+        |FROM base b LEFT JOIN seg s USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "m05_wav_features" ->
       """WITH ch AS (SELECT doc_id, ascii(c) - 64 AS v
         |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),

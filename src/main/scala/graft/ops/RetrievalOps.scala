@@ -132,6 +132,56 @@ object RetrievalOps {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid-retrieval fusion: reciprocal-rank fusion (RRF, k=60) of the
+    // BM25 lexical ranking with a query-independent static prior (doc
+    // length — the PageRank slot in a web stack) evaluated over the SAME
+    // candidate set. Search engines fuse exactly this way: per ranked
+    // list, score = 1/(k + rank); sum; re-rank. Both rankings window by
+    // query_id over BM25's candidate set, which is bounded by the query
+    // terms' document frequency — never the corpus; the fused top-5 per
+    // query is the output.
+    "r10_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qterms = Bm25Queries.toDF("query_id", "query_text")
+        .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+      val qvocab = qterms.select("term").distinct()
+      val tf = tok(docs)
+        .join(broadcast(qvocab), "term")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+      val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val scored = tf
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .select(
+          col("query_id"), col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+            .as("c"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("c")), 4).as("bm25"))
+      val ranked = scored
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("r_bm25",
+          row_number().over(Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))))
+        .withColumn("r_prior",
+          row_number().over(Window.partitionBy("query_id").orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("rrf",
+          round(lit(1.0) / (lit(60) + col("r_bm25")) + lit(1.0) / (lit(60) + col("r_prior")), 6))
+      ranked
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf"), col("r_bm25"), col("r_prior"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Dictionary blocklist filtering: per-doc hit counts against a term
     // blocklist — the scalable form of bad-word filtering (an equi-join
     // against a broadcast dictionary, not a regex scan per pattern).
@@ -449,6 +499,32 @@ object RetrievalOps {
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "r10_rrf_fusion" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id, round(sum(
+        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT s.query_id, s.doc_id,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.bm25 DESC, s.doc_id) AS r_bm25,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY d.n_chars DESC, s.doc_id) AS r_prior
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |fused AS (SELECT query_id, doc_id, r_bm25, r_prior,
+        |    round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_prior), 6) AS rrf
+        |  FROM ranked)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+        |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_prior AS INT) AS r_prior
+        |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "r03_blocklist_hits" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
         |hits AS (SELECT doc_id, count(*) AS n_hits, count(DISTINCT term) AS n_blocked_terms

@@ -1179,6 +1179,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Language-ID quality audit: the confusion matrix of d04's heuristic
+    // classifier against the labeled lang column — per (true, predicted)
+    // cell, doc count and the fraction of the true class it captures.
+    // The per-class totals are a broadcast dim (there are a handful of
+    // langs); the cross-tab itself is one map-side-combinable agg. This
+    // is the eval loop a pipeline closes before trusting a classifier to
+    // route 100 TB.
+    "d49_lang_confusion" -> ((s, dir) => {
+      val pred = t(s, dir, "documents")
+        .select(
+          col("lang"),
+          when(
+            expr(
+              "size(filter(split(lower(text), '\\\\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))"
+            ).cast("double") / size(split(lower(col("text")), "\\s+")) > 0.05,
+            "en"
+          ).otherwise("other").as("lang_pred"))
+      val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_true"))
+      cells
+        .join(broadcast(totals), "lang")
+        .select(col("lang"), col("lang_pred"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_true"), 4).as("class_frac"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     // RAG-style sliding-window chunking: fixed W-token windows at stride
     // S — the retrieval-corpus construction step between cleaning and
     // embedding. Purely narrow codegen (slice over an exploded start
@@ -2128,6 +2154,18 @@ object TextOps {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM bc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d49_lang_confusion" ->
+      """WITH p AS (SELECT lang,
+        |  CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) /
+        |       len(regexp_split_to_array(lower(text), '\s+')) > 0.05
+        |    THEN 'en' ELSE 'other' END AS lang_pred
+        |  FROM documents),
+        |cells AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS n_true FROM p GROUP BY 1)
+        |SELECT c.lang, c.lang_pred, CAST(c.n_docs AS BIGINT) AS n_docs,
+        |  round(CAST(c.n_docs AS DOUBLE) / t.n_true, 4) AS class_frac
+        |FROM cells c JOIN tot t USING (lang) ORDER BY c.lang, c.lang_pred""".stripMargin,
     "d46_chunk_windows" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(range(0, CAST(floor((len(t) - 1) / 16) AS INT) + 1)) AS chunk_id FROM tok)

@@ -59,6 +59,45 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == direct, s"user $u: $got != $direct")
   }
 
+  test("d49: confusion cells partition each true class; fractions sum to 1 per lang") {
+    val rows = TextOps.queries("d49_lang_confusion")(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(rows.agg(sum("n_docs")).collect().head.getLong(0) == docs.count())
+    val fracs = rows.groupBy("lang").agg(sum("class_frac").as("f"))
+      .where(abs(col("f") - 1.0) > 1e-3)
+    assert(fracs.count() == 0, "class fractions don't partition a true class")
+    // the heuristic must actually separate: 'en' predicted majority-en
+    val en = rows.where(col("lang") === "en" && col("lang_pred") === "en")
+      .select("class_frac").collect()
+    assert(en.nonEmpty && en.head.getDouble(0) > 0.5, "en recall under 50% — heuristic broken")
+  }
+
+  test("m08: frame count matches doc length; segment accounting is conserved") {
+    val rows = MultimodalOps.queries("m08_voiced_segments")(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), ceil(length(col("text")) / 16.0).cast("long").as("want_frames"))
+    assert(rows.join(docs, "doc_id").where(col("n_frames") =!= col("want_frames")).count() == 0)
+    assert(rows.where(col("n_voiced") > col("n_frames")).count() == 0)
+    assert(rows.where(col("n_segments") > col("n_voiced")).count() == 0)
+    assert(rows.where(col("longest_segment") > col("n_voiced")).count() == 0)
+    assert(rows.where(col("n_voiced") > 0 && col("n_segments") === 0).count() == 0)
+    // segmentation is non-trivial on this corpus: some doc has >1 segment
+    assert(rows.where(col("n_segments") > 1).count() > 0)
+  }
+
+  test("r10: a doc leading BOTH rankings leads the fusion; ranks are dense per query") {
+    val rows = RetrievalOps.queries("r10_rrf_fusion")(spark, dir).cache()
+    val ranks = rows.groupBy("query_id")
+      .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(ranks.where(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // RRF dominance: fused-first implies no doc beat it on both lists
+    val top = rows.where(col("rank") === 1).select("query_id", "r_bm25", "r_prior")
+    val dominated = top.alias("t").join(rows.alias("o"),
+      col("t.query_id") === col("o.query_id") &&
+        col("o.r_bm25") < col("t.r_bm25") && col("o.r_prior") < col("t.r_prior"))
+    assert(dominated.count() == 0, "a strictly-dominating doc lost the fusion")
+  }
+
   test("q81 plan: bounded-heap aggregate, no user-partitioned window, no collect_list") {
     val p = EventOps.queries("q81_user_prefix_seq")(spark, dir)
       .queryExecution.executedPlan.toString
