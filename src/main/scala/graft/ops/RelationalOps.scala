@@ -992,6 +992,31 @@ object RelationalOps {
 
     // TPC-H Q20 shape (suppliers of heavily-shipped interesting parts):
     // the nested IN + grouped HAVING — suppliers with some 'red%' part
+    // TPC-H Q22 shape: well-funded customers (balance above the positive
+    // average for their segment of nations) with no RECENT order — the
+    // scalar correlated subquery + NOT EXISTS pair on a lapsed-customer
+    // cutoff. Plans as: a 1-row broadcast scalar (the average), then a
+    // LEFT ANTI join against the date-filtered orders (the filter pushes
+    // to the orders scan) — the decorrelation Catalyst applies to the
+    // textbook form, written directly so no per-row re-scan can ever
+    // appear. The oracle keeps the correlated NOT EXISTS form.
+    "q82_idle_customers" -> ((s, dir) => {
+      val cutoff = "2001-01-01"
+      val cust = t(s, dir, "customer").filter(col("c_nationkey") < 10)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        .select(col("o_custkey"))
+      cust
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // whose lines they shipped total >50 units. Plans as: broadcast the
     // name-filtered part ids, one (supp, part) aggregate, HAVING, then
     // a semi-shaped distinct join to supplier.
@@ -1250,6 +1275,15 @@ object RelationalOps {
         |SELECT l_partkey, round(value, 2) AS total_value FROM pv
         |WHERE value > (SELECT sum(value) * 0.001 FROM pv)
         |ORDER BY total_value DESC, l_partkey LIMIT 20""".stripMargin,
+    "q82_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_nationkey < 10
+        |  AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_acctbal > 0 AND c2.c_nationkey < 10)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q80_heavy_red_suppliers" ->
       """SELECT s.s_name FROM supplier s
         |WHERE s.s_suppkey IN (

@@ -1179,6 +1179,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // N-gram novelty scoring: per doc, the fraction of its distinct
+    // bigrams appearing for the FIRST time in doc_id order — the
+    // freshness signal an incremental crawl pipeline ranks candidate
+    // docs by (a near-1 score is genuinely new material; near-0 is
+    // recombination of what the corpus already holds). One gram-keyed
+    // min aggregate (map-side combinable) + one gram-keyed join — the
+    // same shuffle shape as exact dedup, never a scan over prior docs
+    // per candidate.
+    "d50_ngram_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .select(col("doc_id"), concat_ws(" ", expr("t[i - 1]"), expr("t[i]")).as("gram"))
+        .distinct()
+      val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams
+        .join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round(col("n_novel").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID quality audit: the confusion matrix of d04's heuristic
     // classifier against the labeled lang column — per (true, predicted)
     // cell, doc count and the fraction of the true class it captures.
@@ -2154,6 +2180,15 @@ object TextOps {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM bc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d50_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+        |      FROM toks WHERE len(t) >= 2),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+        |FROM g JOIN f USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
     "d49_lang_confusion" ->
       """WITH p AS (SELECT lang,
         |  CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -98,6 +98,47 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(dominated.count() == 0, "a strictly-dominating doc lost the fusion")
   }
 
+  test("d50: the first doc is fully novel; novel grams across docs tile the gram space") {
+    val rows = TextOps.queries("d50_ngram_novelty")(spark, dir).cache()
+    val firstDoc = rows.orderBy("doc_id").first()
+    assert(firstDoc.getDouble(3) == 1.0, "the earliest doc must be 100% novel")
+    // each distinct gram is novel in exactly one doc: sums must agree
+    val novelSum = rows.agg(sum("n_novel")).collect().head.getLong(0)
+    val distinctGrams = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))")).as("g"))
+      .distinct().count()
+    assert(novelSum == distinctGrams, s"novel-gram total $novelSum != distinct grams $distinctGrams")
+    assert(rows.where(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+  }
+
+  test("q82: lapsed customers have no recent orders and above-average balances") {
+    val rows = RelationalOps.queries("q82_idle_customers")(spark, dir).cache()
+    assert(rows.count() > 0, "the cutoff must select a non-degenerate lapsed population")
+    // recompute the population the aggregate summarizes and cross-check
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val cust = Tables.t(spark, dir, "customer").filter(col("c_nationkey") < 10)
+    val avgBal = cust.filter(col("c_acctbal") > 0).agg(avg("c_acctbal")).collect().head.getDouble(0)
+    val idle = cust.where(col("c_acctbal") > avgBal)
+      .join(Tables.t(spark, dir, "orders").where(col("o_orderdate") >= cutoff)
+          .select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+    assert(rows.agg(sum("numcust")).collect().head.getLong(0) == idle.count())
+    // no counted customer may have a recent order
+    val leak = idle.join(
+      Tables.t(spark, dir, "orders").where(col("o_orderdate") >= cutoff),
+      col("c_custkey") === col("o_custkey"), "inner")
+    assert(leak.count() == 0)
+  }
+
+  test("q82 plan: scalar broadcast + anti join — no per-row re-scan, no cartesian") {
+    val p = RelationalOps.queries("q82_idle_customers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT EXISTS lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q81 plan: bounded-heap aggregate, no user-partitioned window, no collect_list") {
     val p = EventOps.queries("q81_user_prefix_seq")(spark, dir)
       .queryExecution.executedPlan.toString
