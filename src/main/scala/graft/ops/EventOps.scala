@@ -97,6 +97,52 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Cohort retention — the week-over-week retention matrix: users are
+    // cohorted by their first active week; each (cohort, offset) cell
+    // counts distinct users still active that many weeks later, plus the
+    // rate against the cohort's own size. Everything is keyed on
+    // user_id (distinct, min-agg, self-join) — no windows at all — and
+    // the per-cohort sizes frame is one row per calendar week, broadcast.
+    "q91_retention_cohorts" -> ((s, dir) => {
+      val active = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohort = active.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val ret = active.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / lit(7)).cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val sizes = ret.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("active_users").as("cohort_size"))
+      ret.join(broadcast(sizes), "cohort_week")
+        .select(to_date(col("cohort_week")).as("cohort_week"), col("week_offset"), col("active_users"),
+          round(col("active_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Event-transition matrix (first-order Markov estimate): consecutive
+    // event-type pairs per user via lead() over the user's timeline,
+    // counted into a from→to matrix with row-normalized probabilities.
+    // The window partitions on user_id — high-cardinality and bounded
+    // per key (a user's own history), the legitimate window shape — and
+    // the row-totals frame is |event_type| rows, broadcast.
+    "q92_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val counts = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum(col("n")).as("total"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("total"), 4).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Tumbling 1h window aggregate (streaming: groupBy(window($"ts","1 hour"))).
     "q30_tumbling_hour" -> ((s, dir) => {
       t(s, dir, "events")
@@ -370,6 +416,27 @@ object EventOps {
         |  string_agg(event_type, '>' ORDER BY rn) AS prefix_seq,
         |  CAST(count(*) AS INT) AS prefix_len
         |FROM r WHERE rn <= 8 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q91_retention_cohorts" ->
+      """WITH active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM active GROUP BY 1),
+        |ret AS (
+        |  SELECT c.cohort_week,
+        |    CAST(date_diff('day', c.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+        |    count(DISTINCT a.user_id) AS active_users
+        |  FROM active a JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_offset, r.active_users,
+        |  round(r.active_users * 1.0 / s.active_users, 4) AS retention
+        |FROM ret r JOIN ret s ON s.cohort_week = r.cohort_week AND s.week_offset = 0
+        |ORDER BY 1, 2""".stripMargin,
+    "q92_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q30_tumbling_hour" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -1216,6 +1216,176 @@ object RelationalOps {
       """)
       Seq(c, o).foreach(s.catalog.dropTempView)
       df
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): the double
+    // aggregation over a LEFT join — count per customer INCLUDING the
+    // zero-order customers (count of the nullable side's key), then the
+    // histogram of those counts. First agg shuffles on custkey; the
+    // second is over at most max-orders-per-customer distinct values.
+    "q83_order_count_dist" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    // AVG subquery, decorrelated by hand into one per-part aggregate
+    // joined back (partkey determines the part row, so averaging over
+    // the part-filtered join equals averaging over all of lineitem for
+    // those partkeys). Parts broadcast; lineitem is scanned once and
+    // reused for both the average and the final filter.
+    "q84_small_qty_revenue" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12" && col("p_size") < 5)
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgQty = li.groupBy("l_partkey").agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+      li.join(avgQty, "l_partkey")
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive join predicates): three OR'd
+    // brand/size/quantity conjunctions spanning both join sides. The
+    // per-side implied envelopes (brand IN set + size bound; quantity
+    // bound) are written as pre-join filters so they push into BOTH
+    // scans — the residual OR evaluates post-join on survivors only.
+    "q85_disjunctive_revenue" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#2", "Brand#12", "Brand#23") && col("p_size") <= 15)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+        )
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // TPC-H Q9 shape (product-line profit by nation and year): the
+    // name-LIKE part filter broadcast into a fact scan, supplier and
+    // nation dims broadcast, profit = revenue minus a cost proxy from
+    // the part's retail price (no partsupp table in this schema).
+    "q86_profit_by_nation" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(round(sum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier): revenue per supplier over one
+    // quarter, keep the supplier(s) achieving the maximum — the
+    // scalar-MAX-of-a-view pattern. The max is a 1-row broadcast scalar;
+    // equality compares the ROUNDED revenue so ties are engine-portable.
+    "q87_top_supplier" -> ((s, dir) => {
+      val revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+      revenue
+        .crossJoin(broadcast(revenue.agg(max(col("total_revenue")).as("max_rev"))))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape (supplier count per part group): COUNT DISTINCT
+    // over a relation with a NOT-IN exclusion list. The exclusion
+    // (negative-balance suppliers) is a broadcast LEFT ANTI join — the
+    // decorrelation Catalyst applies to NOT IN over a non-null key.
+    // lineitem plays the part-supplier relation (no partsupp here).
+    "q88_supplier_cnt" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of orders,
+    // returned lines only, revenue per customer with nation context,
+    // top 20. Date + returnflag filters push to the scans; nation
+    // broadcasts; the join to orders/lineitem shuffles on its keys.
+    "q89_returned_items" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      t(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(returned, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's volume per year — conditional-sum-over-sum on an 8-table
+    // star join where every dim broadcasts and only the fact joins
+    // shuffle. The share denominator is per-group, never zero for a
+    // group that exists (volume > 0 on every contributing row).
+    "q90_market_share" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val america = broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA"))
+      val parts = t(s, dir, "part").filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate").between(lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("cn_key") === col("c_nationkey"))
+        .join(america, col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n2), col("sn_key") === col("s_nationkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(lit(0.0))) / sum(col("volume")),
+          4).as("mkt_share"))
+        .orderBy("o_year")
     })
   )
 
@@ -1626,6 +1796,78 @@ object RelationalOps {
         |FROM orders WHERE o_custkey < 20
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q83_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q84_small_qty_revenue" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#12' AND p.p_size < 5
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q85_disjunctive_revenue" ->
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q86_profit_by_nation" ->
+      """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q87_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q88_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q89_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 4, 5 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q90_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        |    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin
   )
 }

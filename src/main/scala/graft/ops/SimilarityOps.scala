@@ -519,8 +519,62 @@ object SimilarityOps {
         )
         .filter(col("cos_sim") > 0.4)
         .orderBy("vec_a", "vec_b")
-    })
+    }),
+
+    // Lloyd's k-means over the embedding table: k=8 centroids seeded
+    // from the 8 lowest vec_ids, 3 fixed assignment rounds, reporting
+    // per-cluster sizes and inertia. The iterative plan is built by a
+    // driver-side loop but NOTHING is collected: each round is (a) a
+    // broadcast of the k×dim centroid frame crossed against the scan
+    // with the codegen'd dot-product distance and an argmin via
+    // map-side-combinable min(struct(dist, cluster)), and (b) a centroid
+    // recompute whose posexplode aggregate collapses to k×dim rows
+    // map-side. At 100 TB the per-round cost is one narrow pass plus a
+    // k×dim-row shuffle — the canonical distributed-kmeans shape.
+    // Cross-engine determinism: distances and per-dim means are rounded
+    // (6dp) before any comparison, argmin ties break on cluster id, and
+    // the final inertia sums ROUNDED distances (3dp output) — the same
+    // replay discipline as s11/s12.
+    "s14_kmeans" -> ((s, dir) =>
+      kmeansAssign(t(s, dir, "embeddings"), k = 8, rounds = 3)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"), round(sum(col("dist")), 3).as("inertia"))
+        .orderBy("cluster"))
   )
+
+  /** Lloyd's k-means assignment after `rounds` assignment passes (>= 1),
+    * seeded from the `k` lowest vec_ids. Returns (vec_id, cluster, dist)
+    * where dist is the 6dp-rounded squared distance to the winning
+    * centroid. See the s14 query comment for the plan-shape and
+    * cross-engine-determinism rationale.
+    */
+  def kmeansAssign(emb0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val init = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"),
+        expr("transform(embedding, x -> cast(x as double))").as("c"))
+    def assign(cent: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cent))
+        .withColumn("dist", round(
+          dot_product(col("embedding"), col("embedding"))
+            - lit(2.0) * dot_product(col("embedding"), col("c"))
+            + dot_product(col("c"), col("c")), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          col("best.cluster").as("cluster"), col("best.dist").as("dist"))
+    val cFinal = (1 until rounds).foldLeft(init) { (cent, _) =>
+      assign(cent)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos")
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+    }
+    assign(cFinal).select(col("vec_id"), col("cluster"), col("dist"))
+  }
 
   // Shared CTE for the ANN soundness oracles: exact cosine of every vector
   // against query 0, matching annSoundness's exact side bit for bit (s01
@@ -666,6 +720,37 @@ object SimilarityOps {
         |SELECT e.vec_id, CAST(e.label AS BIGINT) AS cluster, coalesce(m.mx, -1.0) AS max_cos_to_lower,
         |       coalesce(m.mx, -1.0) <= 0.4 AS keep
         |FROM embeddings e LEFT JOIN m ON e.vec_id = m.va ORDER BY e.vec_id""".stripMargin,
+    // k-means replay: the 3 Lloyd rounds unrolled (the d18/s12 trick),
+    // same 6dp-rounded distances/means, same cluster-id tie-break.
+    "s14_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e WHERE vec_id < 8),
+        |u AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS pos FROM e),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), 6),
+        |      c.cluster) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        |    SELECT a.cluster, u.pos, round(avg(u.val), 6) AS m
+        |    FROM a1 a JOIN u USING (vec_id) GROUP BY 1, 2) GROUP BY 1),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), 6),
+        |      c.cluster) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        |    SELECT a.cluster, u.pos, round(avg(u.val), 6) AS m
+        |    FROM a2 a JOIN u USING (vec_id) GROUP BY 1, 2) GROUP BY 1),
+        |f AS (SELECT vec_id, cluster, dist FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), 6) AS dist,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), 6),
+        |        c.cluster) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT cluster, count(*) AS n_vectors, round(sum(dist), 3) AS inertia
+        |FROM f GROUP BY 1 ORDER BY cluster""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

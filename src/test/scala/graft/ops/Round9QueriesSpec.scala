@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior pins for the late-round-9 additions (the remaining TPC-H
+  * optimizer shapes q83–q90, the cohort/transition event analytics
+  * q91–q92, and the s14 k-means) — the semantics the value-level DuckDB
+  * oracle can't articulate: conservation laws, Lloyd monotonicity,
+  * plan boundedness.
+  */
+class Round9QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q83: custdist partitions the customer base; weighted sum recounts the orders") {
+    val rows = RelationalOps.queries("q83_order_count_dist")(spark, dir).cache()
+    val nCust = Tables.t(spark, dir, "customer").count()
+    assert(rows.agg(sum("custdist")).collect().head.getLong(0) == nCust,
+      "order-count histogram must partition every customer exactly once")
+    val nOrders = Tables.t(spark, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .join(Tables.t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    val weighted = rows.agg(sum(col("c_count") * col("custdist"))).collect().head.getLong(0)
+    assert(weighted == nOrders, s"sum(c_count*custdist)=$weighted != non-urgent orders $nOrders")
+  }
+
+  test("q87: every returned supplier achieves exactly the maximum quarterly revenue") {
+    val rows = RelationalOps.queries("q87_top_supplier")(spark, dir).cache()
+    assert(rows.count() >= 1)
+    val rev = Tables.t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("r"))
+    val mx = rev.agg(max("r")).collect().head.getDouble(0)
+    assert(rows.where(col("total_revenue") =!= mx).count() == 0,
+      "a returned supplier's revenue differs from the recomputed maximum")
+  }
+
+  test("q90: market shares are true fractions of their year's volume") {
+    val rows = RelationalOps.queries("q90_market_share")(spark, dir).cache()
+    assert(rows.count() > 0, "the 1995-1996 window must produce at least one year")
+    assert(rows.where(col("mkt_share") < 0 || col("mkt_share") > 1).count() == 0)
+  }
+
+  test("q91: cohort week 0 retains 100%; later offsets never exceed the cohort size") {
+    val rows = EventOps.queries("q91_retention_cohorts")(spark, dir).cache()
+    assert(rows.where(col("week_offset") === 0 && col("retention") =!= 1.0).count() == 0,
+      "a cohort's own week must retain exactly its size")
+    assert(rows.where(col("retention") <= 0 || col("retention") > 1).count() == 0)
+    assert(rows.where(col("week_offset") < 0).count() == 0,
+      "an activity week before the user's own first week is impossible")
+  }
+
+  test("q92: transition probabilities sum to 1 per source state; counts conserve events") {
+    val rows = EventOps.queries("q92_event_transitions")(spark, dir).cache()
+    val bad = rows.groupBy("from_type").agg(sum("p").as("mass"))
+      .where(abs(col("mass") - 1.0) > 1e-2) // 4dp-rounded cells, <=|types| of them
+    assert(bad.count() == 0, "row-normalized transition mass drifted from 1")
+    val ev = Tables.t(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val got = rows.agg(sum("n")).collect().head.getLong(0)
+    assert(got == expected, s"transition count $got != events - users = $expected")
+  }
+
+  test("s14: clusters partition the vector set and Lloyd rounds never increase inertia") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val out = SimilarityOps.queries("s14_kmeans")(spark, dir).cache()
+    assert(out.agg(sum("n_vectors")).collect().head.getLong(0) == n)
+    assert(out.where(col("inertia") < 0).count() == 0)
+    val inertias = (1 to 3).map { r =>
+      SimilarityOps.kmeansAssign(emb, k = 8, rounds = r)
+        .agg(sum("dist")).collect().head.getDouble(0)
+    }
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-3, s"inertia increased across a Lloyd round: $inertias")
+    }
+  }
+
+  test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
+    for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
+        "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
+        "q89_returned_items", "q90_market_share", "s14_kmeans")) {
+      val p = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+    // the Q17 shape must keep its part filter broadcast and its NOT-IN anti join
+    val p84 = RelationalOps.queries("q84_small_qty_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p84.contains("BroadcastHashJoin"), p84)
+    val p88 = RelationalOps.queries("q88_supplier_cnt")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p88.contains("LeftAnti"), s"NOT IN lost its anti join:\n$p88")
+  }
+}
