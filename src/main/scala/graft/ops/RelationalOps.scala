@@ -1386,6 +1386,30 @@ object RelationalOps {
           sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(lit(0.0))) / sum(col("volume")),
           4).as("mkt_share"))
         .orderBy("o_year")
+    }),
+
+    // TPC-H Q12 shape (late-line priority split): conditional-count
+    // aggregation over a date-arithmetic join filter — lines shipped
+    // more than 30 days after their order, split into high/low-priority
+    // counts per line status (l_linestatus plays Q12's ship-mode role;
+    // this schema has no l_shipmode). The shipdate year-range filter
+    // pushes to the lineitem scan; the residual lateness predicate
+    // evaluates post-join.
+    "q93_late_line_priority" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+        .join(orders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
     })
   )
 
@@ -1868,6 +1892,14 @@ object RelationalOps {
         |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
         |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
         |    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
-        |GROUP BY o_year ORDER BY o_year""".stripMargin
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q93_late_line_priority" ->
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -540,6 +540,35 @@ object SimilarityOps {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_vectors"), round(sum(col("dist")), 3).as("inertia"))
         .orderBy("cluster"))
+      ,
+
+    // Silhouette score per label cluster: for each vector, a = mean
+    // squared distance to its own cluster, b = the nearest other
+    // cluster's mean distance, s = (b-a)/max(a,b). The all-pairs kernel
+    // is the CAPPED correctness baseline (<=200 vectors, the s05
+    // precedent); the scale path is the centroid-based simplified
+    // silhouette (one broadcast of k centroids — the s08/s14 shape).
+    // Means are 6dp-rounded before the min/compare (s11/s12 discipline).
+    "s15_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("a.label").as("li"), col("b.label").as("lj"),
+          round(
+            dot_product(col("a.embedding"), col("a.embedding"))
+              - lit(2.0) * dot_product(col("a.embedding"), col("b.embedding"))
+              + dot_product(col("b.embedding"), col("b.embedding")), 6).as("d"))
+      val byCluster = pairs.groupBy("i", "li", "lj").agg(round(avg(col("d")), 6).as("m"))
+      val own = byCluster.filter(col("li") === col("lj")).select(col("i"), col("m").as("a"))
+      val near = byCluster.filter(col("li") =!= col("lj"))
+        .groupBy("i").agg(min(col("m")).as("b"))
+      val sil = own.join(near, "i")
+        .withColumn("s", (col("b") - col("a")) / nullif(greatest(col("a"), col("b")), lit(0.0)))
+      emb.select(col("vec_id").as("i"), col("label")).join(sil, "i")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vectors"), round(avg(col("s")), 4).as("avg_silhouette"))
+        .orderBy("label")
+    })
   )
 
   /** Lloyd's k-means assignment after `rounds` assignment passes (>= 1),
@@ -751,6 +780,20 @@ object SimilarityOps {
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1)
         |SELECT cluster, count(*) AS n_vectors, round(sum(dist), 3) AS inertia
         |FROM f GROUP BY 1 ORDER BY cluster""".stripMargin,
+    // Silhouette replay: same capped all-pairs, same 6dp-rounded means,
+    // same nearest-other-cluster min and (b-a)/max(a,b) form.
+    "s15_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+        |  round(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v) + list_dot_product(b.v, b.v), 6) AS d
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |m AS (SELECT i, li, lj, round(avg(d), 6) AS m FROM p GROUP BY 1, 2, 3),
+        |own AS (SELECT i, m AS a FROM m WHERE li = lj),
+        |near AS (SELECT i, min(m) AS b FROM m WHERE li <> lj GROUP BY 1),
+        |s AS (SELECT own.i, (near.b - own.a) / nullif(greatest(own.a, near.b), 0) AS s
+        |      FROM own JOIN near USING (i))
+        |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_vectors, round(avg(s.s), 4) AS avg_silhouette
+        |FROM e JOIN s ON s.i = e.vec_id GROUP BY 1 ORDER BY 1""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

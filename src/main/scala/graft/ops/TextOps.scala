@@ -2053,6 +2053,30 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    }),
+
+    // Heaps'-law vocabulary growth curve: cumulative corpus tokens vs
+    // cumulative distinct vocabulary in doc_id order — the corpus-size
+    // planning curve ("how much more data until the vocab saturates?").
+    // Each token's vocabulary contribution is charged to its FIRST doc
+    // (a min-agg per token, map-side combinable), per-doc novel counts
+    // follow, and both running totals go through the two-phase
+    // [[PrefixOps.partitionedCumSum]] under a constant key — 256-way
+    // parallel chunked cumsum, never a single-task global window.
+    "d51_vocab_growth" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val novel = tok.groupBy("token").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      val base = perDoc.join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("__all", lit(0))
+      val c1 = PrefixOps.partitionedCumSum(base, "__all", Seq("doc_id"), "n_tokens", "corpus_tokens")
+      PrefixOps.partitionedCumSum(c1, "__all", Seq("doc_id"), "n_novel", "vocab_size")
+        .select(col("doc_id"), col("n_tokens"), col("n_novel"),
+          col("corpus_tokens"), col("vocab_size"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2609,6 +2633,17 @@ object TextOps {
         |      FROM nm, UNNEST(range(1, greatest(len(norm) - 4, 1) + 1)) u(i)),
         |f AS (SELECT doc_id, i, n, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)
         |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
-        |FROM f WHERE i >= least(4, n) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM f WHERE i >= least(4, n) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d51_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
+        |per AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |fs AS (SELECT token, min(doc_id) AS doc_id FROM tok GROUP BY 1),
+        |novel AS (SELECT doc_id, count(*) AS n_novel FROM fs GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.n_tokens, coalesce(n.n_novel, 0) AS n_novel
+        |      FROM per p LEFT JOIN novel n USING (doc_id))
+        |SELECT doc_id, n_tokens, n_novel,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS corpus_tokens,
+        |  CAST(sum(n_novel) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+        |FROM j ORDER BY doc_id""".stripMargin
   )
 }

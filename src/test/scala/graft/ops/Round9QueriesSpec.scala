@@ -81,6 +81,44 @@ class Round9QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d51: growth curves are monotone and land exactly on the corpus totals") {
+    val rows = TextOps.queries("d51_vocab_growth")(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+    val totalTokens = docs.select(sum(size(col("t")))).collect().head.getLong(0)
+    val totalVocab = docs.select(explode(col("t")).as("tok")).distinct().count()
+    val last = rows.orderBy(col("doc_id").desc).first()
+    assert(last.getAs[Long]("corpus_tokens") == totalTokens)
+    assert(last.getAs[Long]("vocab_size") == totalVocab)
+    // running totals never decrease and vocab never outruns the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val bad = rows.withColumn("pv", lag("vocab_size", 1, 0L).over(w))
+      .withColumn("pc", lag("corpus_tokens", 1, 0L).over(w))
+      .where(col("vocab_size") < col("pv") || col("corpus_tokens") < col("pc") ||
+        col("vocab_size") > col("corpus_tokens"))
+    assert(bad.count() == 0)
+  }
+
+  test("q93: the priority split partitions the late-line population exactly") {
+    val rows = RelationalOps.queries("q93_late_line_priority")(spark, dir).cache()
+    val late = Tables.t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.t(spark, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .count()
+    val split = rows.agg(sum(col("high_line_count") + col("low_line_count")))
+      .collect().head.getLong(0)
+    assert(split == late, s"high+low = $split != late-line recount $late")
+  }
+
+  test("s15: silhouettes stay in [-1, 1] and cover every capped vector") {
+    val rows = SimilarityOps.queries("s15_silhouette")(spark, dir).cache()
+    assert(rows.where(col("avg_silhouette") < -1 || col("avg_silhouette") > 1).count() == 0)
+    val n = Tables.t(spark, dir, "embeddings").where(col("vec_id") < 200).count()
+    assert(rows.agg(sum("n_vectors")).collect().head.getLong(0) == n)
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
