@@ -74,10 +74,22 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
+# events: copy i offsets user_id/event_id into independent user shards over
+# the SAME one-month window -- a FACTORx-busier month of the same workload.
+# Per-user histories (and so cohort weeks, sessions, transition counts per
+# user) are preserved exactly; only the population scales.
+con.execute(f"""
+COPY (
+  SELECT event_id + i * 10000000 AS event_id, ts,
+         user_id + i * 10000000 AS user_id, event_type, value, props
+  FROM '{src}/events.parquet' CROSS JOIN range({factor}) r(i)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
 for t in ['supplier', 'customer', 'part', 'nation', 'region']:
     con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
-for t in ['documents', 'orders', 'lineitem', 'embeddings']:
+for t in ['documents', 'orders', 'lineitem', 'embeddings', 'events']:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
 print(f"scale fixture at {out} (factor {factor})")
