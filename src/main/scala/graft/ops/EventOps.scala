@@ -143,6 +143,23 @@ object EventOps {
         .orderBy("from_type", "to_type")
     }),
 
+    // Top common 3-step behavioral paths: consecutive event-type
+    // trigrams per user (two leads over the user's own timeline — the
+    // q92 window shape, high-cardinality bounded key), counted
+    // corpus-wide with a deterministic top-20 cut.
+    "q94_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // Tumbling 1h window aggregate (streaming: groupBy(window($"ts","1 hour"))).
     "q30_tumbling_hour" -> ((s, dir) => {
       t(s, dir, "events")
@@ -437,6 +454,13 @@ object EventOps {
         |SELECT from_type, to_type, n,
         |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q94_event_paths" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q30_tumbling_hour" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

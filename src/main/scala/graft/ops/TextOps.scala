@@ -2055,6 +2055,80 @@ object TextOps {
         .limit(20)
     }),
 
+    // Synchronous label propagation (3 rounds) over the near-dup edge
+    // graph (same bounded-offset Jaccard edges as d43/d22): every node
+    // starts as its own community; each round it adopts its neighbors'
+    // modal label (count desc, label asc tie-break), keeping its own
+    // when isolated. Distinct from d12's connected components: LPA can
+    // split a weakly-bridged component. Per round: one keyed join + one
+    // (v, lab) count + one map-side-combinable min(struct) argmax — no
+    // windows; edges localCheckpointed once so the 3 rounds do not
+    // re-derive the Jaccard join.
+    "d52_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val edges = tok
+        .select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .select(col("doc_a"), col("toks_a"), (col("doc_a") + col("off")).as("doc_b"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .filter(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))) >= 0.7)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val adj = edges.select(col("doc_a").as("v"), col("doc_b").as("u"))
+        .union(edges.select(col("doc_b").as("v"), col("doc_a").as("u")))
+        .localCheckpoint()
+      val l0 = docs.select(col("doc_id").as("v"), col("doc_id").as("lab"))
+      val l3 = (1 to 3).foldLeft(l0) { (labels, _) =>
+        val modal = adj
+          .join(labels.withColumnRenamed("v", "u"), "u")
+          .groupBy("v", "lab").agg(count(lit(1)).as("c"))
+          .groupBy("v")
+          .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("best"))
+          .select(col("v"), col("best.lab").as("new_lab"))
+        labels.join(modal, Seq("v"), "left")
+          .select(col("v"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      }
+      val sizes = l3.groupBy("lab").agg(count(lit(1)).as("community_size"))
+      l3.join(sizes, "lab")
+        .select(col("v").as("doc_id"), col("lab").as("community"), col("community_size"))
+        .orderBy("doc_id")
+    }),
+
+    // BLEU-style modified n-gram precision between consecutive docs
+    // (candidate = doc b, reference = doc a = b-1; the d08 bounded-pair
+    // precedent): clipped gram-count overlap over candidate mass, for
+    // unigrams and bigrams. The gram-count frames shuffle once keyed on
+    // (doc, gram); each precision is one keyed join + one pair agg.
+    "d53_ngram_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def gramCounts(n: Int) = {
+        val base = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= n)
+        val g =
+          if (n == 1) base.select(col("doc_id"), explode(col("t")).as("g"))
+          else base.select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))")).as("g"))
+        g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      }
+      def prec(gr: DataFrame, out: String) = {
+        val a = gr.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca"))
+        val b = gr.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb"))
+        b.filter(col("doc_b").between(1, 100))
+          .withColumn("doc_a", col("doc_b") - 1)
+          .join(a, Seq("doc_a", "g"), "left")
+          .groupBy("doc_a", "doc_b")
+          .agg(round(
+            sum(least(coalesce(col("ca"), lit(0L)), col("cb"))).cast("double") / sum(col("cb")),
+            4).as(out))
+      }
+      prec(gramCounts(1), "p1")
+        .join(prec(gramCounts(2), "p2"), Seq("doc_a", "doc_b"), "left")
+        .orderBy("doc_a")
+    }),
+
     // Heaps'-law vocabulary growth curve: cumulative corpus tokens vs
     // cumulative distinct vocabulary in doc_id order — the corpus-size
     // planning curve ("how much more data until the vocab saturates?").
@@ -2634,6 +2708,46 @@ object TextOps {
         |f AS (SELECT doc_id, i, n, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)
         |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
         |FROM f WHERE i >= least(4, n) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // LPA replay: same edges as d43/d22, three synchronous rounds
+    // unrolled, same (count desc, label asc) modal tie-break.
+    "d52_label_prop" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN tok b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks)) >= 0.7),
+        |adj AS (SELECT doc_a AS v, doc_b AS u FROM e UNION ALL SELECT doc_b, doc_a FROM e),
+        |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+        |n1 AS (SELECT adj.v, l.lab, count(*) AS c FROM adj JOIN l0 l ON l.v = adj.u GROUP BY 1, 2),
+        |m1 AS (SELECT v, lab FROM (SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n1) WHERE rn = 1),
+        |l1 AS (SELECT l0.v, coalesce(m1.lab, l0.lab) AS lab FROM l0 LEFT JOIN m1 ON m1.v = l0.v),
+        |n2 AS (SELECT adj.v, l.lab, count(*) AS c FROM adj JOIN l1 l ON l.v = adj.u GROUP BY 1, 2),
+        |m2 AS (SELECT v, lab FROM (SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n2) WHERE rn = 1),
+        |l2 AS (SELECT l1.v, coalesce(m2.lab, l1.lab) AS lab FROM l1 LEFT JOIN m2 ON m2.v = l1.v),
+        |n3 AS (SELECT adj.v, l.lab, count(*) AS c FROM adj JOIN l2 l ON l.v = adj.u GROUP BY 1, 2),
+        |m3 AS (SELECT v, lab FROM (SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n3) WHERE rn = 1),
+        |l3 AS (SELECT l2.v, coalesce(m3.lab, l2.lab) AS lab FROM l2 LEFT JOIN m3 ON m3.v = l2.v),
+        |sz AS (SELECT lab, count(*) AS community_size FROM l3 GROUP BY 1)
+        |SELECT l3.v AS doc_id, l3.lab AS community, CAST(sz.community_size AS BIGINT) AS community_size
+        |FROM l3 JOIN sz USING (lab) ORDER BY doc_id""".stripMargin,
+    // Overlap replay: same tokenization/bigram forms as d02/d11, same
+    // clipped-count precision and pair construction.
+    "d53_ngram_overlap" ->
+      """WITH t1 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS g FROM documents),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM t1 GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |t2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+        |       FROM tt WHERE len(t) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM t2 GROUP BY 1, 2),
+        |p1 AS (SELECT b.doc_id - 1 AS doc_a, b.doc_id AS doc_b,
+        |         round(sum(least(coalesce(a.c, 0), b.c)) * 1.0 / sum(b.c), 4) AS p1
+        |       FROM c1 b LEFT JOIN c1 a ON a.doc_id = b.doc_id - 1 AND a.g = b.g
+        |       WHERE b.doc_id BETWEEN 1 AND 100 GROUP BY 1, 2),
+        |p2 AS (SELECT b.doc_id - 1 AS doc_a, b.doc_id AS doc_b,
+        |         round(sum(least(coalesce(a.c, 0), b.c)) * 1.0 / sum(b.c), 4) AS p2
+        |       FROM c2 b LEFT JOIN c2 a ON a.doc_id = b.doc_id - 1 AND a.g = b.g
+        |       WHERE b.doc_id BETWEEN 1 AND 100 GROUP BY 1, 2)
+        |SELECT p1.doc_a, p1.doc_b, p1.p1, p2.p2
+        |FROM p1 LEFT JOIN p2 USING (doc_a, doc_b) ORDER BY doc_a""".stripMargin,
     "d51_vocab_growth" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token FROM documents),
         |per AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),

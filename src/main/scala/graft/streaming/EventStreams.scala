@@ -8,6 +8,14 @@ import org.apache.spark.sql.types._
 /** Running per-user aggregate carried in stream state. */
 final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
+/** Last event seen per user, carried across micro-batches so transitions
+  * spanning a batch boundary are still emitted.
+  */
+final case class LastEvent(ts_micros: Long, event_id: Long, event_type: String)
+
+/** One observed consecutive-event transition for a user. */
+final case class Transition(user_id: Long, from_type: String, to_type: String)
+
 /** Structured Streaming surface — the streaming formalisation of the
   * reference's scheduled incremental batch (SURVEY.md §2.3): a file source
   * watched incrementally with checkpointed offsets, event-time watermarks,
@@ -90,6 +98,48 @@ object EventStreams {
           val next = UserStats(userId, n, math.round(total * 100.0) / 100.0)
           state.update(next)
           next
+      }
+  }
+
+  /** Per-user event-transition stream — the streaming twin of the batch
+    * `q92_event_transitions`/`q94_event_paths` window queries, built on
+    * `flatMapGroupsWithState` (the emit-many stateful rung next to
+    * [[runningUserStats]]'s mapGroupsWithState): each user's state is
+    * ONLY their last event (constant per key — the property that keeps
+    * state O(active users) on an unbounded stream); every micro-batch
+    * sorts the user's in-batch rows by (ts, event_id) — bounded: a
+    * user's slice of one micro-batch — and emits one Transition per
+    * consecutive pair, including the pair that spans the previous
+    * batch's tail. Ordering caveat (documented, matching the
+    * reference's committed-day semantics): rows arriving in a LATER
+    * micro-batch with an EARLIER timestamp than the stored tail are
+    * counted as arrival-order transitions; bound disorder upstream with
+    * a watermark + sorted file feed (the spec drives time-split files).
+    */
+  def eventTransitions(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val sorted = rows.toSeq
+            .map { case (_, ts, id, tpe) =>
+              // full microsecond precision: getTime truncates to millis
+              val micros = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+              LastEvent(micros, id, tpe)
+            }
+            .sortBy(e => (e.ts_micros, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val chain = state.getOption.toSeq ++ sorted
+            state.update(chain.last)
+            chain.sliding(2).collect {
+              case Seq(a, b) => Transition(userId, a.event_type, b.event_type)
+            }
+          }
       }
   }
 

@@ -119,6 +119,44 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(rows.agg(sum("n_vectors")).collect().head.getLong(0) == n)
   }
 
+  test("d52: communities partition the corpus; isolated docs stay singletons; LPA refines CC") {
+    val rows = TextOps.queries("d52_label_prop")(spark, dir).cache()
+    val docs = Tables.t(spark, dir, "documents")
+    assert(rows.count() == docs.count(), "every doc gets exactly one community")
+    // the reported size is the actual membership count
+    val bad = rows.groupBy("community", "community_size").agg(count(lit(1)).as("n"))
+      .where(col("n") =!= col("community_size"))
+    assert(bad.count() == 0)
+    // LPA labels only flow along edges: every community sits inside ONE
+    // of d12's connected components
+    val cc = TextOps.queries("d12_dup_clusters")(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val split = rows.join(cc, "doc_id")
+      .groupBy("community").agg(countDistinct("cluster_id").as("k"))
+      .where(col("k") > 1)
+    assert(split.count() == 0, "an LPA community crossed a connected component")
+  }
+
+  test("d53: clipped precisions live in [0, 1] and unigram overlap bounds nothing below bigram") {
+    val rows = TextOps.queries("d53_ngram_overlap")(spark, dir).cache()
+    assert(rows.count() > 0)
+    assert(rows.where(col("p1") < 0 || col("p1") > 1).count() == 0)
+    assert(rows.where(col("p2").isNotNull && (col("p2") < 0 || col("p2") > 1)).count() == 0)
+    // pairs are exactly the consecutive-id pairs present in the corpus
+    assert(rows.where(col("doc_b") =!= col("doc_a") + 1).count() == 0)
+  }
+
+  test("q94: the top-20 paths are 3-step, counted within the trigram total") {
+    val rows = EventOps.queries("q94_event_paths")(spark, dir).cache()
+    assert(rows.count() <= 20)
+    assert(rows.where(size(split(col("path"), ">")) =!= 3).count() == 0)
+    val ev = Tables.t(spark, dir, "events")
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val totalTrigrams = perUser.agg(sum(greatest(col("n") - 2, lit(0L))))
+      .collect().head.getLong(0)
+    assert(rows.agg(sum("n")).collect().head.getLong(0) <= totalTrigrams)
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",

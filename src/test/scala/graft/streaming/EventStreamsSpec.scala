@@ -55,6 +55,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed > 0 && streamed <= batch)
   }
 
+  test("flatMapGroupsWithState transitions match the batch q92 counts across a batch boundary") {
+    // Two TIME-split files (every row of file 0 precedes every row of
+    // file 1) fed one per micro-batch: per-user order is preserved and
+    // at least one transition must span the batch boundary via state.
+    val d = Files.createTempDirectory("events-transitions").toString
+    val ev = graft.ops.Tables.t(spark, sfDir, "events")
+    val cut = ev.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= cut).coalesce(1).write.parquet(s"$d/b0")
+    ev.filter(col("ts").cast("double") > cut).coalesce(1).write.parquet(s"$d/b1")
+    val staged = Files.createTempDirectory("events-transitions-feed").toString
+    // stage in lexical order so the file source picks b0 before b1
+    Files.list(java.nio.file.Paths.get(s"$d/b0")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, java.nio.file.Paths.get(staged, "0-" + p.getFileName))
+    }
+    Files.list(java.nio.file.Paths.get(s"$d/b1")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, java.nio.file.Paths.get(staged, "1-" + p.getFileName))
+    }
+    // FileStreamSource orders by modification time: pin b0 strictly first
+    Files.list(java.nio.file.Paths.get(staged)).forEach { p =>
+      val early = p.getFileName.toString.startsWith("0-")
+      p.toFile.setLastModified(if (early) 1000000000000L else 1000000100000L)
+    }
+    val events = EventStreams.readEventStream(spark, staged, maxFilesPerTrigger = 1)
+    val q = EventStreams.eventTransitions(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName("transitions_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("transitions_out")
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val batch = graft.ops.EventOps.queries("q92_event_transitions")(spark, sfDir)
+      .select(col("from_type"), col("to_type"), col("n").as("n_batch"))
+    val joined = streamed.join(batch, Seq("from_type", "to_type"), "full_outer")
+    assert(joined.filter(col("n").isNull || col("n_batch").isNull || col("n") =!= col("n_batch"))
+      .count() == 0, "streamed transition counts diverge from the batch window query")
+    // the boundary really was crossed: more transitions than any single batch could emit alone
+    val nUsers = ev.select("user_id").distinct().count()
+    val total = spark.table("transitions_out").count()
+    assert(total == ev.count() - nUsers, "every consecutive pair must be emitted exactly once")
+  }
+
   test("stateful dedup emits at most one row per key") {
     val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
     val q = EventStreams
