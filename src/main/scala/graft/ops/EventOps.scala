@@ -160,6 +160,37 @@ object EventOps {
         .limit(20)
     }),
 
+    // Seasonal decomposition + anomaly flags: hourly event counts minus
+    // their hour-of-day seasonal mean (per event type), residuals
+    // z-scored against the type's residual spread — the STL-lite
+    // monitoring shape. Three keyed aggregations chained by broadcast
+    // joins (the seasonal frame is |types|×24 rows, the spread frame
+    // |types| rows — both broadcast at ANY scale); no windows.
+    "q95_seasonal_residuals" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val seasonal = hourly
+        .groupBy(col("event_type").as("s_type"), hour(col("h")).as("hod"))
+        .agg(avg(col("n")).as("seasonal_mean"))
+      val resid = hourly
+        .join(broadcast(seasonal),
+          col("event_type") === col("s_type") && hour(col("h")) === col("hod"))
+        .select(col("event_type"), col("h"), col("n"),
+          (col("n") - col("seasonal_mean")).as("r"))
+      val spread = resid.groupBy("event_type")
+        .agg(stddev_samp(col("r")).as("sd"))
+      resid.join(broadcast(spread), "event_type")
+        .select(col("event_type"),
+          (abs(col("r")) / nullif(col("sd"), lit(0.0))).as("z"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(when(col("z") > 3, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(col("z")), 4).as("max_z"))
+        .orderBy("event_type")
+    }),
+
     // Tumbling 1h window aggregate (streaming: groupBy(window($"ts","1 hour"))).
     "q30_tumbling_hour" -> ((s, dir) => {
       t(s, dir, "events")
@@ -461,6 +492,19 @@ object EventOps {
         |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
         |FROM seq WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q95_seasonal_residuals" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |seasonal AS (SELECT event_type, hour(h) AS hod, avg(n) AS seasonal_mean
+        |  FROM hourly GROUP BY 1, 2),
+        |resid AS (SELECT hourly.event_type, hourly.h, hourly.n, hourly.n - s.seasonal_mean AS r
+        |  FROM hourly JOIN seasonal s ON s.event_type = hourly.event_type AND s.hod = hour(hourly.h)),
+        |spread AS (SELECT event_type, stddev_samp(r) AS sd FROM resid GROUP BY 1)
+        |SELECT r.event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(r.r) / nullif(sp.sd, 0) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(max(abs(r.r) / nullif(sp.sd, 0)), 4) AS max_z
+        |FROM resid r JOIN spread sp ON sp.event_type = r.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_tumbling_hour" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -157,6 +157,16 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(rows.agg(sum("n")).collect().head.getLong(0) <= totalTrigrams)
   }
 
+  test("q95: residual accounting covers every (type, hour) cell; anomalies are a subset") {
+    val rows = EventOps.queries("q95_seasonal_residuals")(spark, dir).cache()
+    val cells = Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count()
+      .groupBy("event_type").agg(count(lit(1)).as("want"))
+    assert(rows.join(cells, "event_type").where(col("n_hours") =!= col("want")).count() == 0)
+    assert(rows.where(col("n_anomalies") > col("n_hours")).count() == 0)
+    assert(rows.where(col("max_z") < 0).count() == 0)
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
