@@ -466,6 +466,49 @@ object RetrievalOps {
           coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .withColumn("budget_used", round(col("kept_tokens").cast("double") / SourceTokenBudget, 4))
         .orderBy("source")
+    }),
+
+    // KMV-estimated Jaccard between source vocabularies — sketch
+    // algebra over the same per-source minK(h, 64) sketches as r04/r07:
+    // with M = the k smallest of S_A ∪ S_B, J ≈ |{x ∈ M : x ∈ S_A ∧
+    // x ∈ S_B}| / |M| (Beyer et al.'s two-sketch estimator). The pair
+    // frame is |sources|² rows of 64-long arrays — broadcast at ANY
+    // corpus size; only the sketch build touches the data. The exact
+    // gram-level Jaccard rides along for the error gate.
+    "r11_kmv_jaccard" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("source"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("source"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .select(col("source"), concat_ws(" ", expr("t[i - 1]"), expr("t[i]")).as("gram"))
+        .distinct()
+      val hashed = grams.select(col("source"), col("gram"),
+        expr("CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val sk = hashed.groupBy("source").agg(minK(col("h"), KmvK).as("s"))
+      val est = sk.select(col("source").as("src_a"), col("s").as("sa"))
+        .join(broadcast(sk.select(col("source").as("src_b"), col("s").as("sb"))),
+          col("src_a") < col("src_b"))
+        .withColumn("m", slice(array_sort(array_union(col("sa"), col("sb"))), 1, KmvK))
+        .withColumn("est_jaccard", round(
+          size(expr("filter(m, x -> array_contains(sa, x) AND array_contains(sb, x))")).cast("double") /
+            size(col("m")), 4))
+        .select(col("src_a"), col("src_b"), col("est_jaccard"))
+      val inter = hashed.select(col("source").as("src_a"), col("gram"))
+        .join(hashed.select(col("source").as("src_b"), col("gram")), Seq("gram"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      val sizes = hashed.groupBy("source").agg(count(lit(1)).as("n"))
+      est
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("exact_jaccard", round(
+          col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 6))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
+        .withColumn("within_bound", col("abs_err") <= 0.25)
+        .select("src_a", "src_b", "est_jaccard", "exact_jaccard", "abs_err", "within_bound")
+        .orderBy("src_a", "src_b")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -628,5 +671,35 @@ object RetrievalOps {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(coalesce(sum(CASE WHEN cum_tokens <= 800 THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
         |  round(CAST(coalesce(sum(CASE WHEN cum_tokens <= 800 THEN n_tokens END), 0) AS DOUBLE) / 800, 4) AS budget_used
-        |FROM walked GROUP BY source ORDER BY source""".stripMargin)
+        |FROM walked GROUP BY source ORDER BY source""".stripMargin,
+    // Sketch-Jaccard replay: the same portable md5 hash family and
+    // two-sketch estimator, the exact side recomputed gram-level.
+    "r11_kmv_jaccard" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+        |      FROM toks WHERE len(t) >= 2),
+        |h AS (SELECT source, gram, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+        |sk AS (SELECT source, list(h ORDER BY h) AS s FROM (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+        |  WHERE rn <= 64 GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.s AS sa, b.s AS sb
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |est AS (SELECT src_a, src_b,
+        |  round(len(list_filter(list_sort(list_distinct(sa || sb))[1:64],
+        |          x -> list_contains(sa, x) AND list_contains(sb, x))) * 1.0 /
+        |        len(list_sort(list_distinct(sa || sb))[1:64]), 4) AS est_jaccard
+        |  FROM p),
+        |sizes AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |          FROM h a JOIN h b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2),
+        |ex AS (SELECT e.src_a, e.src_b, e.est_jaccard,
+        |  round(coalesce(i.n_inter, 0) * 1.0 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS exact_jaccard
+        |  FROM est e
+        |  JOIN sizes sa ON sa.source = e.src_a
+        |  JOIN sizes sb ON sb.source = e.src_b
+        |  LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b)
+        |SELECT src_a, src_b, est_jaccard, exact_jaccard,
+        |  round(abs(est_jaccard - exact_jaccard), 4) AS abs_err,
+        |  round(abs(est_jaccard - exact_jaccard), 4) <= 0.25 AS within_bound
+        |FROM ex ORDER BY src_a, src_b""".stripMargin)
 }

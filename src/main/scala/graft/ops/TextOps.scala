@@ -2129,6 +2129,25 @@ object TextOps {
         .orderBy("doc_a")
     }),
 
+    // Tokenizer fertility per language: BPE-ish tokens (d07's regex
+    // family) per whitespace word — the compression-rate signal that
+    // decides per-language token budgets and flags scripts a tokenizer
+    // handles poorly. One narrow map + one keyed agg.
+    "d54_token_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)")).cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          round(avg(col("bpe").cast("double") / col("ws")), 4).as("avg_fertility"),
+          round(sum(col("bpe")).cast("double") / sum(col("ws")), 4).as("corpus_fertility"))
+        .orderBy("lang")
+    }),
+
     // Heaps'-law vocabulary growth curve: cumulative corpus tokens vs
     // cumulative distinct vocabulary in doc_id order — the corpus-size
     // planning curve ("how much more data until the vocab saturates?").
@@ -2708,6 +2727,15 @@ object TextOps {
         |f AS (SELECT doc_id, i, n, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM g)
         |SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
         |FROM f WHERE i >= least(4, n) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d54_token_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS bpe_tokens,
+        |  round(avg(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) * 1.0 /
+        |            len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4) AS avg_fertility,
+        |  round(sum(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) * 1.0 /
+        |        sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4) AS corpus_fertility
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // LPA replay: same edges as d43/d22, three synchronous rounds
     // unrolled, same (count desc, label asc) modal tie-break.
     "d52_label_prop" ->

@@ -167,10 +167,31 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(rows.where(col("max_z") < 0).count() == 0)
   }
 
+  test("r11: every source pair is estimated, estimates are probabilities, bound holds here") {
+    val rows = RetrievalOps.queries("r11_kmv_jaccard")(spark, dir).cache()
+    val nSources = Tables.t(spark, dir, "documents").select("source").distinct().count()
+    assert(rows.count() == nSources * (nSources - 1) / 2, "one row per unordered source pair")
+    assert(rows.where(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() == 0)
+    assert(rows.where(col("exact_jaccard") < 0 || col("exact_jaccard") > 1).count() == 0)
+    assert(rows.where(!col("within_bound")).count() == 0,
+      "a k=64 KMV Jaccard estimate strayed past 0.25 absolute error on this corpus")
+  }
+
+  test("d54: fertility is >= 1 (every word yields at least one BPE-ish token) and covers the corpus") {
+    val rows = TextOps.queries("d54_token_fertility")(spark, dir).cache()
+    assert(rows.agg(sum("n_docs")).collect().head.getLong(0) ==
+      Tables.t(spark, dir, "documents").count())
+    assert(rows.where(col("corpus_fertility") < 1.0 || col("avg_fertility") < 1.0).count() == 0)
+    assert(rows.where(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
-        "q89_returned_items", "q90_market_share", "s14_kmeans")) {
+        "q89_returned_items", "q90_market_share", "s14_kmeans",
+        "q91_retention_cohorts", "q92_event_transitions", "q93_late_line_priority",
+        "q94_event_paths", "q95_seasonal_residuals", "d51_vocab_growth",
+        "d52_label_prop", "d53_ngram_overlap")) {
       val p = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
