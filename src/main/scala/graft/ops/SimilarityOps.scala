@@ -568,6 +568,37 @@ object SimilarityOps {
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vectors"), round(avg(col("s")), 4).as("avg_silhouette"))
         .orderBy("label")
+    }),
+
+    // Simplified (centroid-based) silhouette — s15's 100 TB scale path
+    // made concrete: a = distance to the OWN label centroid, b = the
+    // nearest OTHER centroid's distance. One k×dim centroid build
+    // (posexplode agg collapsing map-side, the s08/s14 shape), one
+    // broadcast, one narrow pass + keyed agg over the WHOLE table — no
+    // pairwise join anywhere. Same 6dp replay discipline.
+    "s16_simplified_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"), col("embedding"))
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy(col("label").as("c_label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+      val dists = emb.crossJoin(broadcast(cents))
+        .withColumn("d", round(
+          dot_product(col("embedding"), col("embedding"))
+            - lit(2.0) * dot_product(col("embedding"), col("c"))
+            + dot_product(col("c"), col("c")), 6))
+      val own = dists.filter(col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"), col("d").as("a"))
+      val other = dists.filter(col("label") =!= col("c_label"))
+        .groupBy("vec_id").agg(min(col("d")).as("b"))
+      own.join(other, "vec_id")
+        .withColumn("s", (col("b") - col("a")) / nullif(greatest(col("a"), col("b")), lit(0.0)))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vectors"), round(avg(col("s")), 4).as("avg_silhouette"))
+        .orderBy("label")
     })
   )
 
@@ -794,6 +825,22 @@ object SimilarityOps {
         |      FROM own JOIN near USING (i))
         |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_vectors, round(avg(s.s), 4) AS avg_silhouette
         |FROM e JOIN s ON s.i = e.vec_id GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Simplified-silhouette replay: same rounded per-dim centroid means
+    // (the s08 form), same rounded distances and (b-a)/max(a,b).
+    "s16_simplified_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS pos FROM e),
+        |cents AS (SELECT label AS c_label, list(m ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, round(avg(val), 6) AS m FROM u GROUP BY 1, 2) GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label, cents.c_label,
+        |  round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cents.c) + list_dot_product(cents.c, cents.c), 6) AS d
+        |  FROM e CROSS JOIN cents),
+        |own AS (SELECT vec_id, label, d AS a FROM d WHERE label = c_label),
+        |oth AS (SELECT vec_id, min(d) AS b FROM d WHERE label <> c_label GROUP BY 1),
+        |s AS (SELECT own.vec_id, own.label, (oth.b - own.a) / nullif(greatest(own.a, oth.b), 0) AS s
+        |      FROM own JOIN oth USING (vec_id))
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors, round(avg(s), 4) AS avg_silhouette
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "s05_neardup_exact" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

@@ -185,6 +185,18 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(rows.where(col("bpe_tokens") < col("ws_tokens")).count() == 0)
   }
 
+  test("s16: the scale-path silhouette covers EVERY vector and stays in [-1, 1]") {
+    val rows = SimilarityOps.queries("s16_simplified_silhouette")(spark, dir).cache()
+    assert(rows.agg(sum("n_vectors")).collect().head.getLong(0) ==
+      Tables.t(spark, dir, "embeddings").count())
+    assert(rows.where(col("avg_silhouette") < -1 || col("avg_silhouette") > 1).count() == 0)
+    // no pairwise join in the plan: the only join inputs are the k-row
+    // centroid broadcast and the per-vector frames
+    val p = SimilarityOps.queries("s16_simplified_silhouette")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
