@@ -160,6 +160,38 @@ object EventOps {
         .limit(20)
     }),
 
+    // Funnel step latency: the timing half of q76 — per converting
+    // user, the elapsed seconds between funnel stages, summarized as
+    // exact interpolated percentiles per step. Durations are computed
+    // in integer MICROseconds (unix_micros) and divided once, so both
+    // engines see bit-identical doubles before the percentile. Same
+    // user-keyed min-agg tree as q76; the final frame is 2 rows.
+    "q96_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val d1 = c.join(v, "user_id")
+        .select(((unix_micros(col("t2")) - unix_micros(col("t1"))) / lit(1000000.0)).as("s"))
+        .withColumn("step", lit("1_view_to_click"))
+      val d2 = p.join(c, "user_id")
+        .select(((unix_micros(col("t3")) - unix_micros(col("t2"))) / lit(1000000.0)).as("s"))
+        .withColumn("step", lit("2_click_to_purchase"))
+      d1.unionByName(d2)
+        .groupBy("step")
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(percentile(col("s"), lit(0.5)), 2).as("p50_s"),
+          round(percentile(col("s"), lit(0.9)), 2).as("p90_s"),
+          round(max(col("s")), 2).as("max_s"))
+        .orderBy("step")
+    }),
+
     // Seasonal decomposition + anomaly flags: hourly event counts minus
     // their hour-of-day seasonal mean (per event type), residuals
     // z-scored against the type's residual spread — the STL-lite
@@ -492,6 +524,23 @@ object EventOps {
         |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
         |FROM seq WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q96_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        |d AS (
+        |  SELECT '1_view_to_click' AS step, (epoch_us(c.t2) - epoch_us(v.t1)) / 1000000.0 AS s
+        |  FROM c JOIN v USING (user_id)
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase', (epoch_us(p.t3) - epoch_us(c.t2)) / 1000000.0
+        |  FROM p JOIN c USING (user_id))
+        |SELECT step, count(*) AS n_users,
+        |  round(quantile_cont(s, 0.5), 2) AS p50_s,
+        |  round(quantile_cont(s, 0.9), 2) AS p90_s,
+        |  round(max(s), 2) AS max_s
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_seasonal_residuals" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
         |  FROM events GROUP BY 1, 2),

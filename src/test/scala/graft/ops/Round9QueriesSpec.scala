@@ -197,6 +197,19 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q96: latencies are positive and ordered; populations agree with q76's funnel stages") {
+    val rows = EventOps.queries("q96_funnel_latency")(spark, dir).cache()
+    assert(rows.count() == 2)
+    assert(rows.where(col("p50_s") <= 0 || col("p50_s") > col("p90_s") ||
+      col("p90_s") > col("max_s")).count() == 0)
+    val funnel = EventOps.queries("q76_funnel")(spark, dir)
+      .select(col("stage"), col("n")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lat = rows.select(col("step"), col("n_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lat("1_view_to_click") == funnel("2_click_after_view"))
+    assert(lat("2_click_to_purchase") == funnel("3_purchase_after_click"))
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
