@@ -76,7 +76,11 @@ object BpeOps {
         case Some(row) =>
           val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += Merge(round, l, r, n)
-          vocab = vocab.map { case (syms, f) => (mergeSymbols(syms, l, r), f) }.localCheckpoint()
+          // Lazy checkpoint: still truncates lineage, but materializes
+          // inside the NEXT round's head(1) action instead of spending a
+          // dedicated eager job per round — halves the per-round job
+          // count (8 rounds of tiny-vocab jobs are latency-bound).
+          vocab = vocab.map { case (syms, f) => (mergeSymbols(syms, l, r), f) }.localCheckpoint(false)
           round += 1
       }
     }
