@@ -160,6 +160,28 @@ object EventOps {
         .limit(20)
     }),
 
+    // Daily active users + cumulative reach: each user's reach
+    // contribution is charged to their FIRST active day (a min-agg per
+    // user, map-side combinable), then the running total goes through
+    // the two-phase chunked prefix sum under a constant key (the d51
+    // shape; the order key is the epoch-day int) — never a single-task
+    // global window. The growth-curve staple next to q91's retention.
+    "q97_user_reach" -> ((s, dir) => {
+      val active = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = active.groupBy("day").agg(count(lit(1)).as("dau"))
+      val newUsers = active.groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val base = dau.join(newUsers, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+        .withColumn("__all", lit(0))
+      PrefixOps.partitionedCumSum(base, "__all", Seq("day_num"), "new_users", "cumulative_reach")
+        .select(col("day"), col("dau"), col("new_users"), col("cumulative_reach"))
+        .orderBy("day")
+    }),
+
     // Funnel step latency: the timing half of q76 — per converting
     // user, the elapsed seconds between funnel stages, summarized as
     // exact interpolated percentiles per step. Durations are computed
@@ -524,6 +546,16 @@ object EventOps {
         |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
         |FROM seq WHERE t3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q97_user_reach" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM active GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM active GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+        |j AS (SELECT d.day, d.dau, coalesce(n.new_users, 0) AS new_users
+        |      FROM dau d LEFT JOIN nu n USING (day))
+        |SELECT day, dau, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_reach
+        |FROM j ORDER BY day""".stripMargin,
     "q96_funnel_latency" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id

@@ -210,6 +210,18 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(lat("2_click_to_purchase") == funnel("3_purchase_after_click"))
   }
 
+  test("q97: the reach curve is monotone, bounded by DAU sums, and lands on the user count") {
+    val rows = EventOps.queries("q97_user_reach")(spark, dir).cache()
+    val ev = Tables.t(spark, dir, "events")
+    assert(rows.orderBy(col("day").desc).first().getAs[Long]("cumulative_reach") ==
+      ev.select("user_id").distinct().count())
+    assert(rows.agg(sum("new_users")).collect().head.getLong(0) ==
+      ev.select("user_id").distinct().count())
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    assert(rows.withColumn("prev", lag("cumulative_reach", 1, 0L).over(w))
+      .where(col("cumulative_reach") < col("prev") || col("new_users") > col("dau")).count() == 0)
+  }
+
   test("plans: the decorrelated/disjunctive shapes broadcast their dims and never go cartesian") {
     for (q <- Seq("q83_order_count_dist", "q84_small_qty_revenue", "q85_disjunctive_revenue",
         "q86_profit_by_nation", "q87_top_supplier", "q88_supplier_cnt",
