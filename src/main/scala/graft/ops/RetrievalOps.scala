@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,13 @@ object RetrievalOps {
 
   /** KMV sketch size: the estimator keeps the K smallest hash values. */
   val KmvK = 64
+
+  /** Per-leg candidate cap for truncated RRF (r10): each retriever
+    * contributes its top-C list to the fusion; docs outside a leg's
+    * top-C contribute 0 for that leg. Bounds the fused re-rank at 2C
+    * rows per query at any corpus size.
+    */
+  val RrfCandidateCap = 50
 
   /** Token budget per source for r06 (a fixed corpus-curation budget:
     * sources are truncated, in deterministic pseudo-random doc order,
@@ -89,10 +96,14 @@ object RetrievalOps {
     // scoring (k1=1.2, b=0.75, idf = ln(1 + (N-df+.5)/(df+.5))) over the
     // tf index, top-10 docs per query. The query-term table broadcasts
     // (it is O(queries)); candidates are only the docs containing a
-    // query term, so the per-query ranking window is bounded by the df
-    // of the query's terms — the reason the workload avoids stopwords.
-    // Scores are rounded BEFORE ranking so the rank order (score desc,
-    // doc_id) is engine-portable.
+    // query term. The final top-10 is a bounded-heap minK aggregate
+    // over struct(-score, doc_id, score) — NOT a window partitioned by
+    // query_id: a common query term makes the candidate set O(corpus),
+    // and a per-query rank window would then sort it in ONE task per
+    // query. minK keeps 10 rows per query per map task, shuffles only
+    // (query_id, 10-array), and merges K-bounded; ranks are recovered
+    // by posexplode. Scores are rounded BEFORE ranking so the rank
+    // order (score desc, doc_id) is engine-portable.
     "r02_bm25_topk" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -125,21 +136,28 @@ object RetrievalOps {
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(col("c")), 4).as("score"))
       scored
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        .select(col("query_id"),
+          struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 10).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
         .orderBy("query_id", "rank")
     }),
 
-    // Hybrid-retrieval fusion: reciprocal-rank fusion (RRF, k=60) of the
-    // BM25 lexical ranking with a query-independent static prior (doc
-    // length — the PageRank slot in a web stack) evaluated over the SAME
-    // candidate set. Search engines fuse exactly this way: per ranked
-    // list, score = 1/(k + rank); sum; re-rank. Both rankings window by
-    // query_id over BM25's candidate set, which is bounded by the query
-    // terms' document frequency — never the corpus; the fused top-5 per
-    // query is the output.
+    // Hybrid-retrieval fusion: TRUNCATED reciprocal-rank fusion (RRF,
+    // k=60, candidate cap C=50 per leg) of the BM25 lexical ranking with
+    // a query-independent static prior (doc length — the PageRank slot
+    // in a web stack) evaluated over the SAME candidate set. This is the
+    // standard production formulation: each retriever returns its top-C
+    // list; fusion scores only the union of those lists, a doc absent
+    // from a leg contributing 0 for that leg. Each leg's top-C is a
+    // bounded-heap minK aggregate — NOT a window partitioned by
+    // query_id, which would sort the whole candidate set (O(corpus)
+    // when a query term is common) in ONE task per query. The fused
+    // re-rank then runs over ≤2C rows per query — bounded at any corpus
+    // size — and is itself a minK.
     "r10_rrf_fusion" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -165,20 +183,32 @@ object RetrievalOps {
             .as("c"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(col("c")), 4).as("bm25"))
-      val ranked = scored
-        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        .withColumn("r_bm25",
-          row_number().over(Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))))
-        .withColumn("r_prior",
-          row_number().over(Window.partitionBy("query_id").orderBy(col("n_chars").desc, col("doc_id"))))
-        .withColumn("rrf",
-          round(lit(1.0) / (lit(60) + col("r_bm25")) + lit(1.0) / (lit(60) + col("r_prior")), 6))
-      ranked
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          col("rrf"), col("r_bm25"), col("r_prior"))
+      val base = scored.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      // Each leg: top-C per query via the bounded heap; posexplode of the
+      // sorted K-array recovers the leg rank (identical to the full rank
+      // for every doc inside the top-C).
+      def leg(key: Column, rankName: String) = base
+        .select(col("query_id"), struct(key.as("nk"), col("doc_id")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), RrfCandidateCap).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), col("rec.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("int").as(rankName))
+      val bmLeg = leg(-col("bm25"), "r_bm25")
+      val prLeg = leg(-col("n_chars"), "r_prior")
+      bmLeg.join(prLeg, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_prior")), lit(0.0)), 6))
+        .select(col("query_id"),
+          struct((-col("rrf")).as("nk"), col("doc_id"), col("rrf"),
+            col("r_bm25"), col("r_prior")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 5).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.rrf").as("rrf"),
+          col("rec.r_bm25").as("r_bm25"), col("rec.r_prior").as("r_prior"))
         .orderBy("query_id", "rank")
     }),
 
@@ -557,13 +587,18 @@ object RetrievalOps {
         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
-        |ranked AS (SELECT s.query_id, s.doc_id,
-        |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.bm25 DESC, s.doc_id) AS r_bm25,
-        |    row_number() OVER (PARTITION BY s.query_id ORDER BY d.n_chars DESC, s.doc_id) AS r_prior
+        |base AS (SELECT s.query_id, s.doc_id, s.bm25, d.n_chars
         |  FROM scored s JOIN documents d USING (doc_id)),
-        |fused AS (SELECT query_id, doc_id, r_bm25, r_prior,
-        |    round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_prior), 6) AS rrf
-        |  FROM ranked)
+        |bm AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_bm25
+        |  FROM base QUALIFY r_bm25 <= 50),
+        |pr AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n_chars DESC, doc_id) AS r_prior
+        |  FROM base QUALIFY r_prior <= 50),
+        |fused AS (SELECT coalesce(bm.query_id, pr.query_id) AS query_id,
+        |    coalesce(bm.doc_id, pr.doc_id) AS doc_id, bm.r_bm25, pr.r_prior,
+        |    round(coalesce(1.0 / (60 + bm.r_bm25), 0) + coalesce(1.0 / (60 + pr.r_prior), 0), 6) AS rrf
+        |  FROM bm FULL OUTER JOIN pr ON bm.query_id = pr.query_id AND bm.doc_id = pr.doc_id)
         |SELECT CAST(query_id AS BIGINT) AS query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
         |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_prior AS INT) AS r_prior

@@ -339,24 +339,31 @@ object SimilarityOps {
     // kNN retrieval JOIN — many queries at once, the RAG-curation /
     // retrieval shape (s01 is the single-query special case). The bounded
     // query set broadcasts; the corpus streams through ONE pass computing
-    // Q fused-codegen cosines per row; ranking shuffles only (query_id,
-    // vec_id, cos) triples — corpus bytes never shuffle. Top-k per query
-    // via a window on the ROUNDED score with vec_id tie-break, so rank
-    // order is deterministic and engine-portable. Exact oracle: DuckDB
-    // recomputes the full join + window by brute force.
+    // Q fused-codegen cosines per row. Top-k per query is a bounded-heap
+    // minK aggregate over struct(-cos, vec_id, cos) — NOT a window
+    // partitioned by query_id, which would execute as ONE task per query
+    // each sorting the whole corpus's triples (Q tasks serializing 100 TB
+    // of scores). minK keeps k rows per query per MAP task, shuffles only
+    // (query_id, k-array), and merges K-bounded; ranks are recovered by
+    // posexplode of the sorted array. Scores round to 6dp BEFORE ranking
+    // (vec_id tie-break) so rank order is engine-portable. Exact oracle:
+    // DuckDB recomputes the full join + ranking by brute force.
     "s10_knn_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TopKAggregates.minK
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
       emb.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+        .select(col("query_id"),
+          struct((-col("cos_sim")).as("nc"), col("vec_id"), col("cos_sim")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 3).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
         .orderBy("query_id", "rank")
     }),
     // IVF coarse-quantizer ANN, emitted as the soundness summary (exact

@@ -206,9 +206,41 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("n_exact_pairs_cap")) > 0L)
     assert(row.getBoolean(row.fieldIndex("recall_cap_ok")))
     assert(row.getBoolean(row.fieldIndex("recall_tuned_ok")))
-    // the uncapped-bucket tuned run must recover every exact pair here
-    assert(row.getLong(row.fieldIndex("n_hit_tuned")) ==
-      row.getLong(row.fieldIndex("n_exact_pairs_tcap")))
+  }
+
+  // The strong form of recall_tuned_ok, asserted engine-side where
+  // fixture-dependence belongs (the oracle row only carries SF-portable
+  // floors): with the mega-bucket guard lifted, 8x4 banding at j>=0.95
+  // collides with p ~ 1-1.3e-6, so the tuned run must recover EVERY
+  // exact pair inside the tcap subset — not just 80% of them.
+  test("x02 tuned (uncapped-bucket) run recovers every exact pair inside tcap") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val tcap = 200L
+    val sigs = TextOps.minhashSignatures(docs, shingleWidth = 1)
+      .filter(col("doc_id") < tcap).persist()
+    val bands = TextOps.minhashBands(sigs).persist()
+    val toks = docs.filter(col("doc_id") < tcap)
+      .select(col("doc_id"), array_distinct(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+      .persist()
+    val (tuned, sub) =
+      try {
+        val pairs = TextOps.minhashPairsFromShared(sigs, bands, toks, 0.95, maxBucket = tcap.toInt + 1)
+          .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (pairs, toks.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)))
+      } finally {
+        sigs.unpersist(blocking = false)
+        bands.unpersist(blocking = false)
+        toks.unpersist(blocking = false)
+      }
+    val exact = (for {
+      (a, ta) <- sub
+      (b, tb) <- sub
+      if a < b && ta.intersect(tb).size.toDouble / ta.union(tb).size >= 0.95
+    } yield (a, b)).toSet
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs inside tcap — probe is vacuous")
+    assert(exact.subsetOf(tuned),
+      s"tuned LSH missed ${(exact -- tuned).take(5)} of ${exact.size} exact pairs")
   }
 
   test("s01 brute-force cosine top-k: best match agrees with driver-side recompute") {

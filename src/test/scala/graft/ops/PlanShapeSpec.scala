@@ -216,25 +216,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("""BatchScan graft-objects[^\[]*\[key#\d+\]""".r.findFirstIn(p).isDefined, s"scan not pruned to key:\n$p")
   }
 
-  test("s10: kNN join broadcasts the query side; corpus bytes never shuffle (only id/score triples)") {
+  test("s10: kNN join broadcasts the query side; corpus bytes never shuffle (only K-arrays)") {
     val p = plan("s10_knn_join")
     assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
-    assert(p.contains("Window"), p)
-    // the only Exchange is the per-query ranking shuffle of (query_id,
-    // vec_id, cos) triples — the embedding column must not appear in it
+    // top-k per query is the bounded-heap aggregate: the partial
+    // collect_top_k runs BEFORE the exchange (map-side K-bounding), so
+    // the only hashpartitioning Exchange moves (query_id, K-array) rows
+    // — the embedding column must not appear in any shuffle
+    assert(p.contains("partial_collect_top_k"), s"map-side K-bounding missing:\n$p")
     val exchanges = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toList
     assert(exchanges.nonEmpty && exchanges.forall(e => !e.contains("embedding")),
       s"corpus vectors cross a shuffle:\n$p")
   }
 
-  test("r04/r07/r08: bounded-heap minK replaced every per-source/per-lang window (no WindowExec at all)") {
-    for (n <- Seq("r04_kmv_distinct", "r07_kmv_union", "r08_weighted_sample")) {
+  test("r04/r07/r08 + s10/r02/r10: bounded-heap minK replaced every per-source/per-lang/" +
+    "per-query_id window (no WindowExec at all)") {
+    for (n <- Seq("r04_kmv_distinct", "r07_kmv_union", "r08_weighted_sample",
+        "s10_knn_join", "r02_bm25_topk", "r10_rrf_fusion")) {
       val p = plan(n)
       assert(windowPartitions(p).isEmpty,
-        s"$n still plans a WindowExec — one task per source/lang value at scale:\n$p")
+        s"$n still plans a WindowExec — one task per source/lang/query value at scale:\n$p")
       assert(p.contains("ObjectHashAggregate"),
         s"$n: the minK bounded-heap aggregate (ObjectHashAggregate) is missing:\n$p")
     }
+  }
+
+  test("d16: keeper selection is a map-side-combinable aggregate, not a content_hash window") {
+    val p = plan("d16_corpus_curation")
+    assert(windowPartitions(p).isEmpty,
+      s"d16 plans a WindowExec — a 10⁹-duplicate hash group would serialize into one task:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"d16: keeper min does not partial-aggregate map-side:\n$p")
   }
 
   test("r06: the prefix sum is two-phase — every window partitioned by (source, chunk), never source alone") {
@@ -260,8 +272,42 @@ class PlanShapeSpec extends AnyFunSuite {
   private val unpartitionedWindowAllowlist =
     Set("q76_funnel", "r09_histogram_quantiles", "d26_zipf_slope")
 
+  /** The partition keys a WindowExec MAY partition by: columns whose
+    * cardinality grows with the corpus (ids, keys, chunk salts), so the
+    * per-key group a single task must hold stays bounded as data grows.
+    * This is an ALLOWLIST — the round-9 audit blocklisted `source|lang`
+    * and let the same one-task-per-key shape through on `query_id`
+    * (s10/r02/r10) and on the skewable `content_hash` (d16). Any window
+    * whose partition spec contains NONE of these keys now fails the
+    * audit with the offending spec, whatever the key is called.
+    * Deliberately absent: `source`, `lang`, `query_id` (bounded
+    * workload cardinality = one task per value), and `content_hash`
+    * (unbounded cardinality but unbounded per-key skew — a boilerplate
+    * doc duplicated 10⁹ times lands in ONE task, and AQE skew-split
+    * does not apply to windows).
+    */
+  private val highCardWindowKeys: Set[String] = Set(
+    "doc_id", "vec_id", "user_id", "event_id", "chunk", "__chunk",
+    "l_orderkey", "o_orderkey", "o_custkey", "c_custkey",
+    "l_partkey", "l_suppkey", "ps_partkey", "ps_suppkey", "s_suppkey", "p_partkey")
+
+  /** Queries whose PARTITIONED windows run over an input that is bounded
+    * by construction, not by key cardinality — r09's window partitions
+    * its 128-bin histogram sketch by the quantile probability `q` (3
+    * values × ≤128 rows per task at any corpus size). Everything else
+    * must carry a high-cardinality partition key.
+    */
+  private val boundedInputWindowAllowlist = Set("r09_histogram_quantiles")
+
+  /** Identifiers referenced by a printed partition spec (`name#123`). */
+  private def partitionKeyNames(ps: String): Set[String] =
+    "([A-Za-z_][A-Za-z0-9_]*)#\\d+".r.findAllMatchIn(ps).map(_.group(1)).toSet
+
+  private def lowCardOffense(ps: String): Boolean =
+    partitionKeyNames(ps).intersect(highCardWindowKeys).isEmpty
+
   test("window audit over ALL queries: no single-task window outside the allowlist; " +
-    "no window partitioned solely by a low-cardinality corpus key (source/lang)") {
+    "every window partition spec contains a high-cardinality key") {
     val offendersGlobal = scala.collection.mutable.ArrayBuffer.empty[String]
     val offendersLowCard = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.foreach { case (name, fn) =>
@@ -270,16 +316,30 @@ class PlanShapeSpec extends AnyFunSuite {
         case None =>
           if (!unpartitionedWindowAllowlist.contains(name)) offendersGlobal += name
         case Some(ps) =>
-          // a single partition expression over source/lang (possibly
-          // wrapped, e.g. normalization) = one task per key value
-          if (!ps.contains(",") && "^\\w*\\(*(source|lang)#\\d+".r.findFirstIn(ps).isDefined)
+          if (lowCardOffense(ps) && !boundedInputWindowAllowlist.contains(name))
             offendersLowCard += s"$name: [$ps]"
       }
     }
     assert(offendersGlobal.isEmpty,
       s"queries planning an unallowlisted single-task WindowExec: ${offendersGlobal.distinct.sorted.mkString(", ")}")
     assert(offendersLowCard.isEmpty,
-      s"windows partitioned solely by source/lang: ${offendersLowCard.distinct.sorted.mkString("; ")}")
+      "windows partitioned without any high-cardinality key (one task per key value at scale): " +
+        offendersLowCard.distinct.sorted.mkString("; "))
+  }
+
+  test("window audit canary: a planted per-query_id rank window IS flagged") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val planted = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), (col("vec_id") % 4).as("query_id"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("vec_id"))))
+    val specs = windowPartitions(planted.queryExecution.executedPlan.toString).flatten
+    assert(specs.nonEmpty, "canary plan lost its WindowExec")
+    assert(specs.forall(lowCardOffense),
+      s"audit failed to flag a query_id-partitioned window: $specs")
+    // and the same extraction does NOT flag the legitimate salted shape
+    assert(!lowCardOffense("source#1, chunk#2"), "chunk-salted window wrongly flagged")
   }
 
   // AQE's skew-join split handles the same hot-key shape q36 salts
