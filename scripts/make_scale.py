@@ -36,6 +36,19 @@ os.makedirs(out, exist_ok=True)
 
 con = duckdb.connect()
 
+# The shard offset is 10M per copy: any source id at or above it would
+# silently collide across shards (merging user histories / doc identities
+# and corrupting the per-shard structure the comments below promise to
+# preserve). Assert instead of colliding.
+SHARD = 10000000
+for t, cols in [('documents', ['doc_id']), ('orders', ['o_orderkey']),
+                ('lineitem', ['l_orderkey']), ('embeddings', ['vec_id']),
+                ('events', ['event_id', 'user_id'])]:
+    for c in cols:
+        mx = con.execute(f"SELECT max({c}) FROM '{src}/{t}.parquet'").fetchone()[0]
+        assert mx is None or mx < SHARD, \
+            f"{t}.{c} max {mx} >= shard offset {SHARD}: copies would collide"
+
 con.execute(f"""
 COPY (
   SELECT doc_id, text, lang, source, n_chars FROM '{src}/documents.parquet'

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{BpeOps, EventOps, MultimodalOps, RelationalOps, RetrievalOps, SimilarityOps, TextOps, WebOps}
+import graft.ops.{BpeOps, EventOps, MultimodalOps, PipelineOps, RelationalOps, RetrievalOps, SimilarityOps, TextOps, WebOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ EventOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries ++ BpeOps.queries ++ WebOps.queries ++ RetrievalOps.queries
+      MultimodalOps.queries ++ BpeOps.queries ++ WebOps.queries ++ RetrievalOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. EVERY query has an exact oracle — there are
@@ -60,5 +61,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
       SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++ BpeOps.oracleSql ++
-      WebOps.oracleSql ++ RetrievalOps.oracleSql
+      WebOps.oracleSql ++ RetrievalOps.oracleSql ++ PipelineOps.oracleSql
 }

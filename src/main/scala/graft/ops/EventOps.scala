@@ -219,7 +219,12 @@ object EventOps {
     // z-scored against the type's residual spread — the STL-lite
     // monitoring shape. Three keyed aggregations chained by broadcast
     // joins (the seasonal frame is |types|×24 rows, the spread frame
-    // |types| rows — both broadcast at ANY scale); no windows.
+    // |types| rows — both broadcast at ANY scale); no windows. The
+    // residual, the spread, and the z-score each round to 6dp BEFORE
+    // the z>3 comparison (the s11/s12/s14 round-before-compare replay
+    // discipline): avg and stddev_samp are order-dependent doubles, so
+    // without the rounding a z landing at the threshold could flip
+    // n_anomalies between engines.
     "q95_seasonal_residuals" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -231,12 +236,12 @@ object EventOps {
         .join(broadcast(seasonal),
           col("event_type") === col("s_type") && hour(col("h")) === col("hod"))
         .select(col("event_type"), col("h"), col("n"),
-          (col("n") - col("seasonal_mean")).as("r"))
+          round(col("n") - col("seasonal_mean"), 6).as("r"))
       val spread = resid.groupBy("event_type")
-        .agg(stddev_samp(col("r")).as("sd"))
+        .agg(round(stddev_samp(col("r")), 6).as("sd"))
       resid.join(broadcast(spread), "event_type")
         .select(col("event_type"),
-          (abs(col("r")) / nullif(col("sd"), lit(0.0))).as("z"))
+          round(abs(col("r")) / nullif(col("sd"), lit(0.0)), 6).as("z"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_hours"),
@@ -578,14 +583,15 @@ object EventOps {
         |  FROM events GROUP BY 1, 2),
         |seasonal AS (SELECT event_type, hour(h) AS hod, avg(n) AS seasonal_mean
         |  FROM hourly GROUP BY 1, 2),
-        |resid AS (SELECT hourly.event_type, hourly.h, hourly.n, hourly.n - s.seasonal_mean AS r
+        |resid AS (SELECT hourly.event_type, hourly.h, hourly.n, round(hourly.n - s.seasonal_mean, 6) AS r
         |  FROM hourly JOIN seasonal s ON s.event_type = hourly.event_type AND s.hod = hour(hourly.h)),
-        |spread AS (SELECT event_type, stddev_samp(r) AS sd FROM resid GROUP BY 1)
-        |SELECT r.event_type, count(*) AS n_hours,
-        |  CAST(sum(CASE WHEN abs(r.r) / nullif(sp.sd, 0) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-        |  round(max(abs(r.r) / nullif(sp.sd, 0)), 4) AS max_z
-        |FROM resid r JOIN spread sp ON sp.event_type = r.event_type
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |spread AS (SELECT event_type, round(stddev_samp(r), 6) AS sd FROM resid GROUP BY 1),
+        |z AS (SELECT r.event_type, round(abs(r.r) / nullif(sp.sd, 0), 6) AS z
+        |  FROM resid r JOIN spread sp ON sp.event_type = r.event_type)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN z > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(max(z), 4) AS max_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_tumbling_hour" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE ts < TIMESTAMP '2024-01-03' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

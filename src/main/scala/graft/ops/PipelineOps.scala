@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** The end-to-end curation PIPELINE — the composition proof that the
+  * operator library works as one data flow, not as isolated queries.
+  *
+  * A training-data recipe runs its curation stages over ONE corpus
+  * read: parse/fingerprint once, then dedup → quality floor →
+  * decontamination → per-source budget → sequence packing, each stage
+  * consuming the previous stage's survivors. `p01_curation_pipeline`
+  * wires the repo's own stage kernels together exactly that way:
+  *
+  *   stage 0  raw        the corpus as read
+  *   stage 1  dedup      exact-dedup keepers (d01: min doc_id per
+  *                       content hash, aggregate — never a hash window)
+  *   stage 2  quality    the d36 Gopher-style floors (wc/mwl/stopword/
+  *                       top-token-share)
+  *   stage 3  decontam   d15's 8-gram overlap against the held-out set
+  *                       (doc_id % 97 == 0), eval members removed too
+  *   stage 4  budget     r06's per-source token budget walked in
+  *                       deterministic md5 order (chunked two-phase
+  *                       prefix sum — never a per-source window)
+  *   stage 5  pack       d13's contiguous 512-token bins per source
+  *
+  * ONE SCAN: the per-doc feature frame (hash, token stats, 8-gram
+  * array) is computed in a single narrow pass over `documents` and
+  * `localCheckpoint`ed — the "materialize the tokenized corpus once"
+  * step every production recipe has. Every stage then reads the
+  * checkpointed RDD: the final plan contains ZERO parquet scans
+  * (PipelineSpec pins this), where the naive composition would re-parse
+  * the corpus ~6 times. At 100 TB the same materialization writes to a
+  * shard store instead of executor memory; the stage dataflow is
+  * unchanged.
+  *
+  * Output: one row per stage — (stage, stage_name, n_docs, n_tokens,
+  * n_bins) — the survivor ledger a curation run reports. The DuckDB
+  * oracle replays all six stages as chained CTEs.
+  */
+object PipelineOps {
+
+  /** d13's packing budget (tokens per training sequence bin). */
+  val PackBudget = 512L
+
+  /** Per-source token budget for the pipeline's stage 4. Larger than
+    * r06's 800 so the walk keeps a meaningful slice of each source
+    * after three upstream filters.
+    */
+  val PipelineTokenBudget = 5000L
+
+  private def tokens(c: Column) = split(lower(trim(c)), "\\s+")
+
+  /** The one-pass per-document feature frame: everything downstream
+    * stages need — content hash, token count, the d36 quality stats
+    * (computed IN ROW with array lambdas: no explode+agg, no shuffle),
+    * and the 8-gram array for decontamination. The single place the
+    * pipeline touches `text`.
+    */
+  def featureFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"), col("source"),
+        md5(col("text")).as("content_hash"),
+        tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"), col("source"), col("content_hash"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").cast("double") /
+          size(col("t")), 4).as("mwl"),
+        size(array_intersect(array_distinct(col("t")), array(lit("the"), lit("a"))))
+          .cast("long").as("n_stop"),
+        round(expr("array_max(transform(array_distinct(t), u -> size(filter(t, x -> x = u))))")
+          .cast("double") / size(col("t")), 4).as("top_share"),
+        when(size(col("t")) >= 8,
+          expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))
+          .otherwise(array().cast("array<string>")).as("g8"))
+
+  /** Runs the six-stage pipeline over an eagerly-materialized feature
+    * frame and returns the per-stage survivor ledger.
+    */
+  def curate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // One corpus pass: the documents table is a single parquet split at
+    // test SFs, so spread the (lambda-heavy) feature projection first.
+    val feat = featureFrame(docs.repartition(spark.sparkContext.defaultParallelism))
+      .localCheckpoint()
+
+    // stage 1 — exact-dedup keepers. The keeper id set is an aggregate
+    // (min per hash): map-side combinable and AQE-skew-splittable where
+    // a window over content_hash would serialize a hot hash's whole
+    // group into one task (the d16 rationale).
+    val keeperIds = feat.groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+    val s1 = feat.join(keeperIds, Seq("doc_id"), "left_semi")
+
+    // stage 2 — d36 quality floors over the keepers.
+    val s2 = s1.filter(
+      col("n_tokens") >= 20 && col("mwl") >= 3.0 && col("mwl") <= 4.5 &&
+        col("n_stop") >= 2 && col("top_share") <= 0.12)
+
+    // stage 3 — decontamination: drop held-out members and any training
+    // doc sharing an 8-gram with them. The eval gram set is tiny and
+    // broadcasts (the d15 shape).
+    val evalGrams = feat.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("g8")).as("g")).distinct()
+    val train = s2.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val contaminated = train
+      .select(col("doc_id"), explode(col("g8")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select("doc_id").distinct()
+    val s3 = train.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 4 — per-source budget in deterministic md5 order: the r06
+    // chunked two-phase prefix sum (md5-prefix chunks are contiguous in
+    // the order key; never a window partitioned by `source` alone).
+    val ordered = s3
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("chunk", substring(col("ord"), 1, 2))
+    val local = ordered.withColumn("local_cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("source", "chunk").orderBy(col("ord"), col("doc_id"))))
+    val totals = ordered.groupBy("source", "chunk").agg(sum(col("n_tokens")).as("ct"))
+    val offsets = totals.alias("a")
+      .join(totals.alias("b"),
+        col("a.source") === col("b.source") && col("b.chunk") < col("a.chunk"), "left")
+      .select(col("a.source").as("source"), col("a.chunk").as("chunk"),
+        col("b.ct").as("prev"))
+      .groupBy("source", "chunk")
+      .agg(coalesce(sum(col("prev")), lit(0L)).as("off"))
+    val s4 = local.join(broadcast(offsets), Seq("source", "chunk"))
+      .withColumn("cum", col("off") + col("local_cum"))
+      .filter(col("cum") <= PipelineTokenBudget)
+      .select("doc_id", "source", "n_tokens")
+
+    // stage 5 — contiguous packing (d13): bins per source in doc_id
+    // order over the budgeted survivors, via the chunked prefix sum.
+    val packed = PrefixOps
+      .partitionedCumSum(s4, "source", Seq("doc_id"), "n_tokens", "pcum")
+      .withColumn("bin_id", floor((col("pcum") - col("n_tokens")) / lit(PackBudget)))
+
+    def ledger(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"), lit(0L).as("n_bins"))
+    val packRow = packed.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      countDistinct(col("source"), col("bin_id")).as("n_bins"))
+      .select(lit(5).as("stage"), lit("pack").as("stage_name"),
+        col("n_docs"), col("n_tokens"), col("n_bins"))
+
+    ledger(0, "raw", feat)
+      .unionByName(ledger(1, "dedup", s1))
+      .unionByName(ledger(2, "quality", s2))
+      .unionByName(ledger(3, "decontam", s3))
+      .unionByName(ledger(4, "budget", s4))
+      .unionByName(packRow)
+      .orderBy("stage")
+  }
+
+  val queries: Map[String, Tables.Q] = Map(
+    "p01_curation_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))))
+
+  val oracleSql: Map[String, String] = Map(
+    // The oracle replays the six stages as chained CTEs — same keeper
+    // rule (min doc_id per text; md5 is injective here so grouping by
+    // text is the same partition), same d36 floors, same 8-gram overlap,
+    // same md5-ordered budget walk, same contiguous bins.
+    "p01_curation_pipeline" ->
+      """WITH f0 AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |f AS (SELECT doc_id, source, text,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t), 4) AS mwl,
+        |    CAST(len(list_intersect(list_distinct(t), ['the', 'a'])) AS BIGINT) AS n_stop,
+        |    round(CAST(list_aggregate(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u))), 'max') AS DOUBLE) / len(t), 4) AS top_share,
+        |    CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+        |         ELSE [] END AS g8
+        |  FROM f0),
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+        |s1 AS (SELECT f.* FROM f JOIN k1 USING (doc_id)),
+        |s2 AS (SELECT * FROM s1 WHERE n_tokens >= 20 AND mwl >= 3.0 AND mwl <= 4.5
+        |       AND n_stop >= 2 AND top_share <= 0.12),
+        |ev AS (SELECT DISTINCT unnest(g8) AS g FROM f WHERE doc_id % 97 = 0),
+        |tr AS (SELECT * FROM s2 WHERE doc_id % 97 <> 0),
+        |contam AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(g8) AS g FROM tr) x JOIN ev USING (g)),
+        |s3 AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |s4 AS (SELECT doc_id, source, n_tokens FROM (
+        |    SELECT s3.*, sum(n_tokens) OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum FROM s3)
+        |  WHERE cum <= 5000),
+        |s5 AS (SELECT source, CAST(floor((pcum - n_tokens) / 512.0) AS BIGINT) AS bin_id, n_tokens FROM (
+        |    SELECT s4.*, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS pcum FROM s4))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_bins FROM f
+        |  UNION ALL SELECT 1, 'dedup', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT), 0 FROM s1
+        |  UNION ALL SELECT 2, 'quality', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT), 0 FROM s2
+        |  UNION ALL SELECT 3, 'decontam', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT), 0 FROM s3
+        |  UNION ALL SELECT 4, 'budget', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT), 0 FROM s4
+        |  UNION ALL SELECT 5, 'pack', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+        |    CAST(count(DISTINCT (source, bin_id)) AS BIGINT) FROM s5
+        |) ORDER BY stage""".stripMargin)
+}

@@ -556,6 +556,10 @@ object SimilarityOps {
     // precedent); the scale path is the centroid-based simplified
     // silhouette (one broadcast of k centroids — the s08/s14 shape).
     // Means are 6dp-rounded before the min/compare (s11/s12 discipline).
+    // Singleton clusters follow the standard convention s = 0 (a vector
+    // with no same-label peer inside the cap has no own-cluster mean):
+    // the LEFT joins keep every capped vector, so n_vectors counts all
+    // of them on any data — no silent drop.
     "s15_silhouette" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
         .select(col("vec_id"), col("label"), col("embedding"))
@@ -569,9 +573,12 @@ object SimilarityOps {
       val own = byCluster.filter(col("li") === col("lj")).select(col("i"), col("m").as("a"))
       val near = byCluster.filter(col("li") =!= col("lj"))
         .groupBy("i").agg(min(col("m")).as("b"))
-      val sil = own.join(near, "i")
-        .withColumn("s", (col("b") - col("a")) / nullif(greatest(col("a"), col("b")), lit(0.0)))
-      emb.select(col("vec_id").as("i"), col("label")).join(sil, "i")
+      emb.select(col("vec_id").as("i"), col("label"))
+        .join(own, Seq("i"), "left")
+        .join(near, Seq("i"), "left")
+        .withColumn("s",
+          when(col("a").isNull || col("b").isNull, lit(0.0))
+            .otherwise((col("b") - col("a")) / nullif(greatest(col("a"), col("b")), lit(0.0))))
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vectors"), round(avg(col("s")), 4).as("avg_silhouette"))
         .orderBy("label")
@@ -828,10 +835,12 @@ object SimilarityOps {
         |m AS (SELECT i, li, lj, round(avg(d), 6) AS m FROM p GROUP BY 1, 2, 3),
         |own AS (SELECT i, m AS a FROM m WHERE li = lj),
         |near AS (SELECT i, min(m) AS b FROM m WHERE li <> lj GROUP BY 1),
-        |s AS (SELECT own.i, (near.b - own.a) / nullif(greatest(own.a, near.b), 0) AS s
-        |      FROM own JOIN near USING (i))
-        |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_vectors, round(avg(s.s), 4) AS avg_silhouette
-        |FROM e JOIN s ON s.i = e.vec_id GROUP BY 1 ORDER BY 1""".stripMargin,
+        |s AS (SELECT e.vec_id AS i, e.label,
+        |      CASE WHEN own.a IS NULL OR near.b IS NULL THEN 0.0
+        |           ELSE (near.b - own.a) / nullif(greatest(own.a, near.b), 0) END AS s
+        |      FROM e LEFT JOIN own ON own.i = e.vec_id LEFT JOIN near ON near.i = e.vec_id)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors, round(avg(s), 4) AS avg_silhouette
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // Simplified-silhouette replay: same rounded per-dim centroid means
     // (the s08 form), same rounded distances and (b-a)/max(a,b).
     "s16_simplified_silhouette" ->

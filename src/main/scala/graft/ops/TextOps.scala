@@ -844,8 +844,8 @@ object TextOps {
     // family, so no SQL engine can recompute them): the OUTPUT carries
     // only the engine-computed floor booleans plus the two exact-pair
     // counts DuckDB genuinely recomputes by brute force — every column
-    // is SF-portable, so this oracle is green at any gate SF (the raw
-    // hit counts remain pinned per-fixture in SimilarityRecallSpec).
+    // is SF-portable, so this oracle is green at any gate SF (the
+    // every-exact-pair-recovered tuned claim is asserted in OpsSpec).
     "x02_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cap = 500L
@@ -2202,9 +2202,9 @@ object TextOps {
     // regression flips one and fails the hash), and both exact-pair
     // counts are genuinely recomputed by brute force — same
     // tolerance-band shape as s03. No SF-dependent literal remains, so
-    // this row is green at ANY gate SF; the fixture-specific raw hit
-    // counts (128 / 183 at sf0.01) are pinned in SimilarityRecallSpec
-    // instead, where fixture-dependence belongs.
+    // this row is green at ANY gate SF; the fixture-specific strong
+    // claim (the tuned run recovers EVERY exact pair inside tcap) is
+    // asserted in OpsSpec instead, where fixture-dependence belongs.
     "x02_minhash_pairs" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
         |  FROM documents WHERE doc_id < 500),
