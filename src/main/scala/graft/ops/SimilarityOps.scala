@@ -391,6 +391,31 @@ object SimilarityOps {
       annSoundness(emb, PqIndex.pqTopK(s, dir, queryId = 0L, k = 10), "approx_cos",
         queryId = 0L, k = 10, topN = 100, recallFloor = 3, scoreIsExact = false)
     }),
+    // Two-stage retrieve-then-RERANK — the production ANN shape at
+    // 100 TB: the compressed-code retriever (s07's PQ/ADC) fetches a
+    // C=50 candidate pool cheaply; only those C full vectors are read
+    // back for an exact-cosine rerank (a broadcast 50-row semi-join +
+    // TakeOrderedAndProject — the s01 cost class, constant in corpus
+    // size). Reranking recovers the accuracy quantization lost: raw
+    // PQ@10 measures 4-9/10 recall (s07, floor 3); the reranked top-10
+    // from the same codebooks' 50-candidate pool measures 9/10 at
+    // sf0.001 and 10/10 at sf0.01 → floor 6, double s07's. Scores are
+    // exact, so n_score_mismatch must be 0 (unlike s07's approximate
+    // ADC scores).
+    "s17_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = PqIndex.pqTopK(s, dir, queryId = 0L, k = 50)
+        .select(col("vec_id").as("cand_id"))
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+      val reranked = emb
+        .join(broadcast(cands), col("vec_id") === col("cand_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+      annSoundness(emb, reranked, "cos_sim",
+        queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+    }),
     // LSH near-dup soundness: every emitted pair re-verified against an
     // independent exact cosine (zero false positives, zero score drift),
     // recall measured inside a CONSTANT-size capped subset (vec_id<500:
@@ -734,6 +759,7 @@ object SimilarityOps {
     "s02_ann_lsh" -> s"$exactCosCte\n$annSoundnessSelect",
     "s04_ivf_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s07_pq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s17_pq_rerank" -> s"$exactCosCte\n$annSoundnessSelect",
     "s03_embed_neardup" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -432,7 +432,19 @@ object TextOps {
       targetSource: String = "src0",
       keepQuantile: Double = 0.8
   ): DataFrame = {
-    val toks = docs
+    // ONE tokenize→hash pass: the (doc, bucket) occurrence counts are
+    // aggregated once and eagerly materialized (localCheckpoint), then
+    // serve BOTH consumers — the bucket-stats build and the per-doc
+    // scoring. The previous form referenced the exploded+md5'd token
+    // stream twice, so Catalyst re-derived the whole scan→explode→md5
+    // pipeline for each consumer (the dominant cost: one md5 per token
+    // OCCURRENCE, twice) and the scoring aggregate shuffled raw token
+    // rows; this form pays the hash pass once and shuffles only
+    // (doc, bucket, count) rows — bounded by docs × min(doc_len,
+    // buckets) at any corpus size. The per-doc mean log-ratio becomes
+    // the count-weighted sum(l*c)/sum(c) — same value, 6dp-rounded in
+    // both engines before the quantile compare.
+    val db = docs
       .select(
         col("doc_id"),
         (col("source") === targetSource).as("tgt"),
@@ -440,19 +452,23 @@ object TextOps {
       .withColumn(
         "bucket",
         expr(s"CAST(conv(substr(md5(CAST(concat('w:', tok) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
-    val bstats = toks.groupBy("bucket").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      .groupBy("doc_id", "tgt", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bstats = db.groupBy("bucket").agg(
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), col("c")).otherwise(0L)).as("cr"))
     val totals = bstats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val ratio = bstats.crossJoin(broadcast(totals)).select(
       col("bucket"),
       (log((col("ct") + 1.0) / (col("nt") + buckets)) -
         log((col("cr") + 1.0) / (col("nr") + buckets))).as("l"))
-    val scored = toks
+    val scored = db
       .where(!col("tgt"))
       .join(broadcast(ratio), "bucket")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg(col("l")), 6).as("dsir_logratio"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("l") * col("c")) / sum(col("c")), 6).as("dsir_logratio"))
     scored
       .crossJoin(broadcast(scored.agg(percentile(col("dsir_logratio"), lit(keepQuantile)).as("c"))))
       .select(
@@ -2634,12 +2650,15 @@ object TextOps {
     "d40_dsir_weights" ->
       """WITH tk AS (SELECT doc_id, source = 'src0' AS tgt,
         |                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
-        |b AS (SELECT doc_id, tgt, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 1024 AS bucket FROM tk),
-        |bs AS (SELECT bucket, count(*) FILTER (WHERE tgt) AS ct, count(*) FILTER (WHERE NOT tgt) AS cr
+        |b AS (SELECT doc_id, tgt, bucket, count(*) AS c FROM (
+        |       SELECT doc_id, tgt, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 1024 AS bucket FROM tk)
+        |      GROUP BY 1, 2, 3),
+        |bs AS (SELECT bucket, coalesce(sum(c) FILTER (WHERE tgt), 0) AS ct,
+        |       coalesce(sum(c) FILTER (WHERE NOT tgt), 0) AS cr
         |       FROM b GROUP BY 1),
         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bs),
         |r AS (SELECT bucket, ln((ct + 1.0) / (nt + 1024)) - ln((cr + 1.0) / (nr + 1024)) AS l FROM bs, tot),
-        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(l), 6) AS dsir_logratio
+        |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, round(sum(l * c) / sum(c), 6) AS dsir_logratio
         |       FROM b JOIN r USING (bucket) WHERE NOT tgt GROUP BY doc_id),
         |cut AS (SELECT quantile_cont(dsir_logratio, 0.8) AS c FROM sc)
         |SELECT doc_id, n_tokens, dsir_logratio, dsir_logratio >= cut.c AS kept

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sources.TrainingShards
+
+/** The streaming CURATION rung: ingest → exact-dedup → quality floor →
+  * training shards, running incrementally — the stream twin of the
+  * batch `d16_corpus_curation` keeper chain landing in the
+  * `graft-shards` container (`p01` is the batch composition; this is
+  * the same head of that pipeline as an unbounded incremental flow).
+  *
+  * A crawl drop-folder is watched as a file stream; each micro-batch's
+  * documents are content-hashed, deduplicated against ALL previously
+  * accepted documents (streaming `dropDuplicates` state — one tiny row
+  * per distinct content hash, the exact cross-batch guarantee batch
+  * reruns get from d01's groupBy), floored on the d16 quality rules,
+  * and appended to a shard directory whose manifest merges per commit —
+  * so a training loader can read a consistent corpus at any point
+  * between batches.
+  *
+  * State posture at scale: dedup state is one (hash) row per DISTINCT
+  * accepted document — the same cardinality the batch keeper aggregate
+  * shuffles, held in the state store instead. On a truly unbounded
+  * crawl, bound it by re-keying to `dropDuplicatesWithinWatermark` on
+  * an ingest-time column (the events twin at [[EventStreams.dedupEvents]]
+  * shows the shape); the synthetic documents table carries no ingest
+  * timestamp, so the unbounded-state exact form is the faithful twin
+  * here and the caveat is this scaladoc.
+  */
+object DocumentStreams {
+
+  /** Schema of the `documents` table (TESTDATA.md). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** File-source stream over a drop-folder of document parquet files.
+    * `maxFilesPerTrigger = 1` makes each dropped file its own
+    * micro-batch (the spec drives exactly this); offsets live in the
+    * checkpoint like the reference's watermark file.
+    */
+  def readDocumentStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** The incremental curation transform: content-hash exact dedup with
+    * cross-batch state plus the d16 quality floors. First arrival wins
+    * the dedup — on a mod-time-ordered drop folder that is the earliest
+    * file's copy, matching the batch keeper's min-doc_id choice when
+    * files arrive in id order.
+    */
+  def curatedDocuments(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("n_tokens", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .dropDuplicates("content_hash")
+      .filter(col("n_tokens") >= 5 && col("n_chars") >= 20)
+
+  /** Wires the curated stream into the `graft-shards` container: every
+    * micro-batch appends its accepted documents as jsonl.gz shards and
+    * merges the manifest in the same commit, so the shard directory is
+    * readable (and consistent) between any two batches.
+    */
+  def curatedShardStream(
+      docs: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      maxDocsPerShard: Long = 100000L
+  ): DataStreamWriter[org.apache.spark.sql.Row] =
+    curatedDocuments(docs)
+      .drop("content_hash", "n_tokens")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TrainingShards.write(batch, outDir, maxDocsPerShard = maxDocsPerShard, mode = "append")
+      }
+}

@@ -47,6 +47,36 @@ class PqRecallSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall@10 regressed: $recall (exact=$exact, pq=$pq)")
   }
 
+  test("s17 rerank recovers what quantization lost: reranked recall strictly beats raw PQ") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val exact = SimilarityOps.cosineTopK(emb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val raw = PqIndex.pqTopK(spark, sfDir, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // the s17 stage-2: exact rerank of the 50-candidate pool
+    val cands = PqIndex.pqTopK(spark, sfDir, queryId = 0L, k = 50)
+      .select(col("vec_id").as("cand_id"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val reranked = emb.join(broadcast(cands), col("vec_id") === col("cand_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("qe")), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val rawRecall = (exact & raw).size
+    val rerankRecall = (exact & reranked).size
+    assert(rerankRecall >= 9, s"reranked recall@10 regressed: $rerankRecall/10 (measured 9)")
+    assert(rerankRecall > rawRecall,
+      s"rerank must beat raw PQ on this corpus: rerank=$rerankRecall raw=$rawRecall")
+    // and the s17 query entry's soundness row is all green
+    val row = graft.SparkEntry.queries("s17_pq_rerank")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_returned")) == 10L)
+    assert(row.getLong(row.fieldIndex("n_score_mismatch")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_outside_topn")) == 0L)
+    assert(row.getBoolean(row.fieldIndex("recall_ok")))
+  }
+
   test("approximate scores correlate with exact cosine on the top ranks") {
     import spark.implicits._
     val emb = Tables.t(spark, sfDir, "embeddings")
