@@ -100,6 +100,25 @@ object IvfIndex {
     cents
   }
 
+  /** Public view of the cell assignment (vec_id, embedding, cluster) —
+    * the composition point other index structures build on (s18 joins
+    * PQ codes against it to score only the probed cells' codes).
+    */
+  def assignments(emb: DataFrame, centroids: Centroids): DataFrame =
+    assign(emb, centroids)
+
+  /** Driver-side probe selection: the `nprobe` cells nearest the query
+    * (k is tiny; the same exact-fold cosine assignment uses, so probe
+    * choice is bit-identical to executor scores).
+    */
+  def probeCells(centroids: Centroids, query: Array[Float], nprobe: Int): Seq[Int] =
+    centroids
+      .map { case (c, v) => (c, cosineLocal(v, query)) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe)
+      .map(_._1)
+      .toSeq
+
   /** Exact search restricted to the query's `nprobe` nearest cells: probe
     * cells are picked on the driver (k tiny), then ONE scan computes
     * assignment + filter + cosine and ends in TakeOrderedAndProject.

@@ -391,6 +391,42 @@ object SimilarityOps {
       annSoundness(emb, PqIndex.pqTopK(s, dir, queryId = 0L, k = 10), "approx_cos",
         queryId = 0L, k = 10, topN = 100, recallFloor = 3, scoreIsExact = false)
     }),
+    // IVF-PQ with exact refine — the composed big-corpus ANN index
+    // (the FAISS IVFPQ+refine deployment shape): the IVF coarse
+    // quantizer (s04) prunes the search to nprobe=4 of 16 cells at
+    // plan time; PQ/ADC codes (s07) score ONLY those cells' vectors —
+    // compressed-domain scanning of nprobe/k of the corpus; the top
+    // C=50 ADC candidates are exactly reranked (s17's refine stage).
+    // At 100 TB this is the shape that works: cells partition the
+    // corpus on disk, codes make the in-cell scan ~64x smaller than
+    // raw vectors, refine touches 50 full vectors. Measured recall@10:
+    // 9/10 at BOTH test SFs (the IVF probe set caps it — s04 measures
+    // the same 9/10 ceiling, so the PQ+refine stages lose nothing) →
+    // floor 6. Exact scores ⇒ n_score_mismatch must be 0.
+    "s18_ivfpq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.train(emb, k = 16, iters = 2)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val probes = IvfIndex.probeCells(cents, qe, nprobe = 4)
+      val cellIds = IvfIndex.assignments(emb, cents)
+        .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+        .select("vec_id")
+      val cb = PqIndex.train(emb)
+      val codes = PqIndex.encode(emb, cb).toDF("vec_id", "codes", "norm")
+        .join(cellIds, "vec_id")
+      val cands = PqIndex.searchAdc(codes, cb, qe, excludeId = 0L, k = 50)
+        .select(col("vec_id").as("cand_id"))
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+      val reranked = emb
+        .join(broadcast(cands), col("vec_id") === col("cand_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+      annSoundness(emb, reranked, "cos_sim",
+        queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+    }),
     // Two-stage retrieve-then-RERANK — the production ANN shape at
     // 100 TB: the compressed-code retriever (s07's PQ/ADC) fetches a
     // C=50 candidate pool cheaply; only those C full vectors are read
@@ -760,6 +796,7 @@ object SimilarityOps {
     "s04_ivf_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s07_pq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s17_pq_rerank" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s18_ivfpq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s03_embed_neardup" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,

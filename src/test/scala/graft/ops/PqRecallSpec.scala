@@ -77,6 +77,25 @@ class PqRecallSpec extends AnyFunSuite {
     assert(row.getBoolean(row.fieldIndex("recall_ok")))
   }
 
+  test("s18 IVF-PQ+refine: recall matches the IVF ceiling; soundness row all green") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val exact = SimilarityOps.cosineTopK(emb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // the composed index must not lose recall versus exact search of
+    // the SAME probed cells (the IVF ceiling)
+    val cents = IvfIndex.train(emb, k = 16, iters = 2)
+    val ivfExact = IvfIndex.search(emb, cents, queryId = 0L, k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val row = graft.SparkEntry.queries("s18_ivfpq_ann")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_returned")) == 10L)
+    assert(row.getLong(row.fieldIndex("n_score_mismatch")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_outside_topn")) == 0L)
+    assert(row.getBoolean(row.fieldIndex("recall_ok")))
+    val ivfCeiling = (exact & ivfExact).size
+    assert(ivfCeiling >= 6, s"IVF probe ceiling collapsed: $ivfCeiling/10")
+  }
+
   test("approximate scores correlate with exact cosine on the top ranks") {
     import spark.implicits._
     val emb = Tables.t(spark, sfDir, "embeddings")

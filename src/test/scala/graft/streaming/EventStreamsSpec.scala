@@ -98,6 +98,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(total == ev.count() - nUsers, "every consecutive pair must be emitted exactly once")
   }
 
+  test("eventTransitionsOrdered: exact event-time parity on an OUT-OF-ORDER cross-batch feed") {
+    import spark.implicits._
+    // Hand-built feed where arrival order ≠ event-time order across a
+    // batch boundary — the case the simple arrival-order variant
+    // miscounts (its parity is a feed-contract property):
+    //   batch 1: A@10:00, B@11:00           (wm after: 10:30)
+    //   batch 2: C@10:40 (OUT OF ORDER), D@12:30   (wm after: 12:00)
+    //   batch 3: E@13:30                    (wm after: 13:00)
+    // Event-time chain: A C B D E. The ordered operator must emit
+    // exactly the transitions among events at or below the final
+    // watermark (13:00): A→C, C→B, B→D — with C sorted BEFORE B even
+    // though it arrived a batch later. Arrival order would have said
+    // A→B, B→C.
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val b1 = Seq((1L, ts(10, 0), 1L, "A", 0.0, "{}"), (1L, ts(11, 0), 2L, "B", 0.0, "{}"))
+    val b2 = Seq((1L, ts(10, 40), 3L, "C", 0.0, "{}"), (1L, ts(12, 30), 4L, "D", 0.0, "{}"))
+    val b3 = Seq((1L, ts(13, 30), 5L, "E", 0.0, "{}"))
+    val feed = Files.createTempDirectory("events-ooo-feed").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (rows, i) =>
+      val scratch = Files.createTempDirectory(s"events-ooo-$i").toString
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(feed, s"b$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 100000L)
+    }
+    val events = EventStreams.readEventStream(spark, feed, maxFilesPerTrigger = 1)
+    val q = EventStreams.eventTransitionsOrdered(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName("ordered_transitions_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ordered_transitions_out")
+      .select("from_type", "to_type").as[(String, String)].collect().toSeq.sorted
+    assert(streamed == Seq(("A", "C"), ("B", "D"), ("C", "B")),
+      s"ordered transitions diverged from the event-time chain: $streamed")
+  }
+
   test("stateful dedup emits at most one row per key") {
     val events = EventStreams.readEventStream(spark, streamDir, maxFilesPerTrigger = 2)
     val q = EventStreams
