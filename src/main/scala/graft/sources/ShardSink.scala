@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions.{col, struct, to_json}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -105,7 +106,8 @@ private[sources] class ShardTable(
   override def name(): String = s"graft-shards($path)"
   override def schema(): StructType = ShardSinkProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val cols = info.schema().fieldNames.toSeq
@@ -125,6 +127,8 @@ private[sources] class ShardTable(
         new Write {
           override def toBatch: BatchWrite =
             new ShardBatchWrite(path, jobToken, maxDocs, maxBytes, t, conf)
+          override def toStreaming: StreamingWrite =
+            new ShardStreamingWrite(path, jobToken, maxDocs, maxBytes, conf)
         }
       }
     }
@@ -168,6 +172,45 @@ private[sources] class ShardBatchWrite(
     messages.collect { case ShardsWritten(s) => s }.flatten
       .foreach(s => fs.delete(new HPath(path, s.file), false))
   }
+}
+
+/** Native Structured Streaming write: each epoch's shards land under an
+  * epoch-scoped token (`{jobToken}-e{epoch}`) so no two epochs — or a
+  * replayed epoch attempt — can collide on shard names, and each epoch
+  * COMMIT merges the manifest exactly like a batch append: the shard
+  * directory is a consistent, loadable corpus between any two epochs.
+  * Epoch re-commit after a driver failure is idempotent: a fresh shard
+  * replaces the same-named prior manifest entry instead of colliding
+  * (the task rewrote the same file), so replays cannot double-count.
+  */
+private[sources] class ShardStreamingWrite(
+    path: String, jobToken: String, maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
+) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ShardStreamingWriterFactory(path, jobToken, maxDocs, maxBytes, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dirPath = new HPath(path)
+    val fs = dirPath.getFileSystem(conf.conf)
+    val fresh = messages.collect { case ShardsWritten(s) => s }.flatten.toSeq
+    val freshNames = fresh.map(_.file).toSet
+    val prior = ShardManifest.readIfExists(fs, dirPath)
+    val all = (prior.filterNot(s => freshNames(s.file)) ++ fresh).sortBy(_.file)
+    ShardManifest.writeAtomic(fs, dirPath, all)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(path).getFileSystem(conf.conf)
+    messages.collect { case ShardsWritten(s) => s }.flatten
+      .foreach(s => fs.delete(new HPath(path, s.file), false))
+  }
+}
+
+private[sources] case class ShardStreamingWriterFactory(
+    path: String, jobToken: String, maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
+) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ShardDataWriter(path, s"$jobToken-e$epochId", partitionId, taskId, maxDocs, maxBytes, conf)
 }
 
 private[sources] case class ShardWriterFactory(

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, lower, md5, size, split, struct, to_json, trim}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
@@ -87,4 +87,31 @@ object DocumentStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         TrainingShards.write(batch, outDir, maxDocsPerShard = maxDocsPerShard, mode = "append")
       }
+
+  /** The same curated stream through the sink's NATIVE streaming write
+    * (`TableCapability.STREAMING_WRITE`): no foreachBatch hook — the
+    * epoch commit itself merges the manifest, shard names are
+    * epoch-scoped so replayed epochs cannot collide, and the directory
+    * is a loadable corpus between any two epochs. Use this form when
+    * no per-batch side logic is needed; [[curatedShardStream]] shows
+    * the foreachBatch hook for when there is (the reference's
+    * watermark-write slot).
+    */
+  def curatedShardStreamNative(
+      docs: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      maxDocsPerShard: Long = 100000L
+  ): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val curated = curatedDocuments(docs).drop("content_hash", "n_tokens")
+    curated
+      .select(to_json(struct(curated.columns.map(col): _*)).as("line"))
+      .writeStream
+      .format("graft-shards")
+      .option("path", outDir)
+      .option("maxDocsPerShard", maxDocsPerShard.toString)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
 }

@@ -69,5 +69,21 @@ class DocumentStreamsSpec extends AnyFunSuite {
     assert(texts(1L) == longA && texts(6L) == fresh)
     // the duplicate survived exactly once across the whole run
     assert(shard.filter(col("text") === longA).count() == 1)
+
+    // same feed through the NATIVE streaming write (no foreachBatch):
+    // epoch commits merge the manifest; the curated corpus is identical
+    val out2 = Files.createTempDirectory("doc-stream-out2").toString
+    val ckpt2 = Files.createTempDirectory("doc-stream-ckpt2").toString
+    val docs2 = DocumentStreams.readDocumentStream(spark, in, maxFilesPerTrigger = 1)
+    val q2 = DocumentStreams.curatedShardStreamNative(docs2, out2, ckpt2).start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val native = TrainingShards.read(spark, out2, Some(batch1.schema))
+    assert(native.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 6L))
+    // epoch-scoped shard names: each data epoch contributed its own shard
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out2, "_MANIFEST.json")), "UTF-8")
+    val epochs = "-e(\\d+)-".r.findAllMatchIn(manifest).map(_.group(1)).toSet
+    assert(epochs.size == 2, s"expected shards from 2 epochs in the manifest: $epochs\n$manifest")
   }
 }
