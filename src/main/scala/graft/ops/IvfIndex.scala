@@ -130,11 +130,7 @@ object IvfIndex {
       .head()
       .getSeq[Float](0)
       .toArray
-    val probes = centroids
-      .map { case (c, v) => (c, cosineLocal(v, qe)) }
-      .sortBy { case (c, s) => (-s, c) }
-      .take(nprobe)
-      .map(c => c._1: Any)
+    val probes = probeCells(centroids, qe, nprobe).map(c => c: Any)
     assign(emb, centroids)
       .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(qe)), 6).as("cos_sim"))
@@ -192,11 +188,7 @@ object IvfIndex {
       excludeId: Option[Long] = None
   ): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
-    val probes = cents
-      .map { case (c, v) => (c, cosineLocal(v, queryVec)) }
-      .sortBy { case (c, s) => (-s, c) }
-      .take(nprobe)
-      .map(c => c._1: Any)
+    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
     val scan = spark.read.parquet(s"$indexDir/assignment")
     val pruned = scan.filter(col("cluster").isin(probes: _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))

@@ -119,19 +119,8 @@ object PipelineOps {
     val ordered = s3
       .withColumn("ord", md5(col("doc_id").cast("string")))
       .withColumn("chunk", substring(col("ord"), 1, 2))
-    val local = ordered.withColumn("local_cum",
-      sum(col("n_tokens")).over(
-        Window.partitionBy("source", "chunk").orderBy(col("ord"), col("doc_id"))))
-    val totals = ordered.groupBy("source", "chunk").agg(sum(col("n_tokens")).as("ct"))
-    val offsets = totals.alias("a")
-      .join(totals.alias("b"),
-        col("a.source") === col("b.source") && col("b.chunk") < col("a.chunk"), "left")
-      .select(col("a.source").as("source"), col("a.chunk").as("chunk"),
-        col("b.ct").as("prev"))
-      .groupBy("source", "chunk")
-      .agg(coalesce(sum(col("prev")), lit(0L)).as("off"))
-    val s4 = local.join(broadcast(offsets), Seq("source", "chunk"))
-      .withColumn("cum", col("off") + col("local_cum"))
+    val s4 = PrefixOps
+      .chunkedCumSum(ordered, "source", "chunk", Seq("ord", "doc_id"), "n_tokens", "cum")
       .filter(col("cum") <= PipelineTokenBudget)
       .select("doc_id", "source", "n_tokens")
 

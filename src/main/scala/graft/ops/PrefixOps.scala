@@ -55,6 +55,39 @@ object PrefixOps {
       .drop("__lo", "__hi")
   }
 
+  /** Core of the two-phase prefix sum over a PRECOMPUTED chunk column
+    * (any column monotone in the order key within each `part` — equal
+    * order keys must share a chunk): local cumsum per (part, chunk),
+    * per-chunk totals self-joined into offsets and broadcast back. The
+    * shared implementation under [[partitionedCumSum]]'s range chunks,
+    * `r06_token_budget_cap`'s md5-prefix chunks, and p01's budget walk
+    * — one place for the subtle offsets join, three chunk geometries.
+    * The chunk column survives in the output (callers drop it).
+    */
+  def chunkedCumSum(
+      df: DataFrame,
+      part: String,
+      chunkCol: String,
+      ord: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    require(ord.nonEmpty, "at least one order column required")
+    val local = df.withColumn("__local",
+      sum(col(valueCol)).over(
+        Window.partitionBy(col(part), col(chunkCol)).orderBy(ord.map(col): _*)))
+    val totals = df.groupBy(part, chunkCol).agg(sum(col(valueCol)).as("__total"))
+    val offsets = totals.alias("a")
+      .join(totals.alias("b"),
+        col(s"a.$part") === col(s"b.$part") && col(s"b.$chunkCol") < col(s"a.$chunkCol"), "left")
+      .select(col(s"a.$part").as(part), col(s"a.$chunkCol").as(chunkCol),
+        col("b.__total").as("__prev"))
+      .groupBy(part, chunkCol)
+      .agg(coalesce(sum(col("__prev")), lit(0L)).as("__offset"))
+    local.join(broadcast(offsets), Seq(part, chunkCol))
+      .withColumn(outCol, col("__offset") + col("__local"))
+      .drop("__local", "__offset")
+  }
+
   /** Running sum of `valueCol` per `part` in `ord` order (inclusive of the
     * current row), as `outCol` — the scale-safe equivalent of
     * `sum(valueCol).over(Window.partitionBy(part).orderBy(ord))`.
@@ -71,20 +104,7 @@ object PrefixOps {
       nChunks: Int = 256): DataFrame = {
     require(ord.nonEmpty, "at least one order column required")
     val chunked = withRangeChunks(df, part, ord.head, "__chunk", nChunks)
-    val local = chunked.withColumn("__local",
-      sum(col(valueCol)).over(
-        Window.partitionBy(col(part), col("__chunk")).orderBy(ord.map(col): _*)))
-    val totals = chunked.groupBy(part, "__chunk").agg(sum(col(valueCol)).as("__total"))
-    val offsets = totals.alias("a")
-      .join(totals.alias("b"),
-        col(s"a.$part") === col(s"b.$part") && col("b.__chunk") < col("a.__chunk"), "left")
-      .select(col(s"a.$part").as(part), col("a.__chunk").as("__chunk"),
-        col("b.__total").as("__prev"))
-      .groupBy(part, "__chunk")
-      .agg(coalesce(sum(col("__prev")), lit(0L)).as("__offset"))
-    local.join(broadcast(offsets), Seq(part, "__chunk"))
-      .withColumn(outCol, col("__offset") + col("__local"))
-      .drop("__chunk", "__local", "__offset")
+    chunkedCumSum(chunked, part, "__chunk", ord, valueCol, outCol).drop("__chunk")
   }
 
   /** Dense 1-based rank of each row per `part` in `ord` order, as

@@ -472,20 +472,8 @@ object RetrievalOps {
         .select(col("source"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
         .withColumn("ord", md5(col("doc_id").cast("string")))
         .withColumn("chunk", substring(col("ord"), 1, 2))
-      val local = base.withColumn("local_cum",
-        sum(col("n_tokens")).over(
-          Window.partitionBy("source", "chunk").orderBy(col("ord"), col("doc_id"))))
-      val totals = base.groupBy("source", "chunk").agg(sum(col("n_tokens")).as("chunk_total"))
-      val offsets = totals.alias("a")
-        .join(totals.alias("b"),
-          col("a.source") === col("b.source") && col("b.chunk") < col("a.chunk"), "left")
-        .select(col("a.source").as("source"), col("a.chunk").as("chunk"),
-          col("b.chunk_total").as("prev_total"))
-        .groupBy("source", "chunk")
-        .agg(coalesce(sum(col("prev_total")), lit(0L)).as("offset"))
-      val walked = local
-        .join(broadcast(offsets), Seq("source", "chunk"))
-        .withColumn("cum_tokens", col("offset") + col("local_cum"))
+      val walked = PrefixOps
+        .chunkedCumSum(base, "source", "chunk", Seq("ord", "doc_id"), "n_tokens", "cum_tokens")
         .withColumn("kept", col("cum_tokens") <= SourceTokenBudget)
       walked
         .groupBy("source")

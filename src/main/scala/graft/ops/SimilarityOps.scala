@@ -291,6 +291,24 @@ object SimilarityOps {
     * class as s01, constant in index size, so the verification itself
     * holds at 100 TB.
     */
+  /** The exact-refine stage shared by s17/s18 (and their pinning
+    * specs): read back ONLY the candidate ids' full vectors (broadcast
+    * candidate semi-join — the candidate set is K-bounded), score the
+    * exact 6dp-rounded cosine against the query vector, and take the
+    * top-k with the vec_id tie-break. TakeOrderedAndProject over a
+    * constant-size frame: the s01 cost class at any corpus size.
+    * `cands` must carry the candidate ids as `cand_id`.
+    */
+  def exactRerank(emb: DataFrame, cands: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    emb
+      .join(broadcast(cands), col("vec_id") === col("cand_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def annSoundness(
       emb: DataFrame,
       ann: DataFrame,
@@ -417,14 +435,7 @@ object SimilarityOps {
         .join(cellIds, "vec_id")
       val cands = PqIndex.searchAdc(codes, cb, qe, excludeId = 0L, k = 50)
         .select(col("vec_id").as("cand_id"))
-      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-      val reranked = emb
-        .join(broadcast(cands), col("vec_id") === col("cand_id"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
-      annSoundness(emb, reranked, "cos_sim",
+      annSoundness(emb, exactRerank(emb, cands, queryId = 0L, k = 10), "cos_sim",
         queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
     }),
     // Two-stage retrieve-then-RERANK — the production ANN shape at
@@ -442,14 +453,7 @@ object SimilarityOps {
       val emb = t(s, dir, "embeddings")
       val cands = PqIndex.pqTopK(s, dir, queryId = 0L, k = 50)
         .select(col("vec_id").as("cand_id"))
-      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-      val reranked = emb
-        .join(broadcast(cands), col("vec_id") === col("cand_id"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
-      annSoundness(emb, reranked, "cos_sim",
+      annSoundness(emb, exactRerank(emb, cands, queryId = 0L, k = 10), "cos_sim",
         queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
     }),
     // LSH near-dup soundness: every emitted pair re-verified against an

@@ -78,7 +78,8 @@ class ShardSinkProvider extends TableProvider with DataSourceRegister {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
     new ShardTable(path, opt("maxdocspershard", "100000").toLong,
-      opt("maxshardbytes", s"${64L << 20}").toLong, conf)
+      opt("maxshardbytes", s"${64L << 20}").toLong,
+      Option(opts.get("jobtoken")).filter(_.nonEmpty), conf)
   }
 }
 
@@ -100,7 +101,8 @@ private[sources] class SerializableHadoopConf(@transient var conf: Configuration
 }
 
 private[sources] class ShardTable(
-    path: String, maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
+    path: String, maxDocs: Long, maxBytes: Long,
+    explicitToken: Option[String], conf: SerializableHadoopConf
 ) extends Table with SupportsWrite {
   require(maxDocs > 0 && maxBytes > 0, s"shard targets must be positive (docs=$maxDocs bytes=$maxBytes)")
   override def name(): String = s"graft-shards($path)"
@@ -117,8 +119,16 @@ private[sources] class ShardTable(
       s"graft-shards 'line' column must be string, got ${info.schema().fields.head.dataType.simpleString}")
     // The query id makes shard names unique ACROSS jobs, so an append
     // can never silently overwrite an earlier job's shard of the same
-    // (partition, task) coordinates.
-    val jobToken = info.queryId().replace("-", "").take(16)
+    // (partition, task) coordinates. A caller may instead pin the token
+    // via option("jobToken", ...) to make a RE-RUN of the same logical
+    // job replace its own earlier shards (manifest entries under
+    // `part-{token}-` are dropped at commit) — the idempotent-replay
+    // hook foreachBatch sinks need, since Spark's queryId changes per
+    // attempt while the caller's batch id does not.
+    val jobToken = explicitToken
+      .map(t => t.replaceAll("[^A-Za-z0-9]", "").take(24))
+      .getOrElse(info.queryId().replace("-", "").take(16))
+    val pinnedToken = explicitToken.isDefined
     new WriteBuilder with SupportsTruncate {
       private var truncateExisting = false
       override def truncate(): WriteBuilder = { truncateExisting = true; this }
@@ -126,7 +136,7 @@ private[sources] class ShardTable(
         val t = truncateExisting
         new Write {
           override def toBatch: BatchWrite =
-            new ShardBatchWrite(path, jobToken, maxDocs, maxBytes, t, conf)
+            new ShardBatchWrite(path, jobToken, pinnedToken, maxDocs, maxBytes, t, conf)
           override def toStreaming: StreamingWrite =
             new ShardStreamingWrite(path, jobToken, maxDocs, maxBytes, conf)
         }
@@ -136,7 +146,7 @@ private[sources] class ShardTable(
 }
 
 private[sources] class ShardBatchWrite(
-    path: String, jobToken: String, maxDocs: Long, maxBytes: Long,
+    path: String, jobToken: String, pinnedToken: Boolean, maxDocs: Long, maxBytes: Long,
     truncateExisting: Boolean, conf: SerializableHadoopConf
 ) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -146,18 +156,29 @@ private[sources] class ShardBatchWrite(
     * the new job's shards merged with the prior manifest's on append,
     * or exactly the new job's on truncate (overwrite) — in which case
     * stale part files are deleted only AFTER the new manifest is live.
+    * Under a caller-pinned token, prior manifest entries bearing the
+    * SAME token are replaced (their files best-effort deleted after the
+    * new manifest is live), so re-running the same logical job is
+    * idempotent even though task ids — and so shard file names — differ
+    * across attempts.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(path).getFileSystem(conf.conf)
     val dirPath = new HPath(path)
     val fresh = messages.collect { case ShardsWritten(s) => s }.flatten.toSeq
-    val prior = if (truncateExisting) Seq.empty else ShardManifest.readIfExists(fs, dirPath)
+    val tokenPrefix = s"part-$jobToken-"
+    val prior0 = if (truncateExisting) Seq.empty else ShardManifest.readIfExists(fs, dirPath)
+    val replaced = if (pinnedToken) prior0.filter(_.file.startsWith(tokenPrefix)) else Seq.empty
+    val prior = prior0.filterNot(replaced.contains)
     val all = (prior ++ fresh).sortBy(_.file)
     require(all.map(_.file).distinct.size == all.size,
       s"shard name collision in ${dirPath}: committed and prior manifests overlap")
     ShardManifest.writeAtomic(fs, dirPath, all)
+    val freshNames = fresh.map(_.file).toSet
+    replaced.filterNot(s => freshNames(s.file))
+      .foreach(s => fs.delete(new HPath(dirPath, s.file), false))
     if (truncateExisting) {
-      val keep = fresh.map(_.file).toSet
+      val keep = freshNames
       fs.listStatus(dirPath).iterator
         .map(_.getPath)
         .filter { p =>
@@ -175,13 +196,17 @@ private[sources] class ShardBatchWrite(
 }
 
 /** Native Structured Streaming write: each epoch's shards land under an
-  * epoch-scoped token (`{jobToken}-e{epoch}`) so no two epochs — or a
-  * replayed epoch attempt — can collide on shard names, and each epoch
-  * COMMIT merges the manifest exactly like a batch append: the shard
-  * directory is a consistent, loadable corpus between any two epochs.
-  * Epoch re-commit after a driver failure is idempotent: a fresh shard
-  * replaces the same-named prior manifest entry instead of colliding
-  * (the task rewrote the same file), so replays cannot double-count.
+  * epoch-scoped token (`{jobToken}-e{epoch}`) so no two epochs can
+  * collide on shard names, and each epoch COMMIT merges the manifest
+  * exactly like a batch append: the shard directory is a consistent,
+  * loadable corpus between any two epochs. Epoch re-commit after a
+  * driver failure is idempotent BY TOKEN, not by file name: a replayed
+  * epoch's tasks get fresh task ids (so fresh file names), and the
+  * commit drops every prior manifest entry under the same
+  * `{jobToken}-e{epoch}` prefix before merging — the replay REPLACES
+  * the epoch's shards instead of double-counting them; the superseded
+  * files are best-effort deleted after the new manifest is live (the
+  * manifest-trusting reader never serves them either way).
   */
 private[sources] class ShardStreamingWrite(
     path: String, jobToken: String, maxDocs: Long, maxBytes: Long, conf: SerializableHadoopConf
@@ -193,10 +218,14 @@ private[sources] class ShardStreamingWrite(
     val dirPath = new HPath(path)
     val fs = dirPath.getFileSystem(conf.conf)
     val fresh = messages.collect { case ShardsWritten(s) => s }.flatten.toSeq
-    val freshNames = fresh.map(_.file).toSet
-    val prior = ShardManifest.readIfExists(fs, dirPath)
-    val all = (prior.filterNot(s => freshNames(s.file)) ++ fresh).sortBy(_.file)
+    val epochPrefix = s"part-$jobToken-e$epochId-"
+    val prior0 = ShardManifest.readIfExists(fs, dirPath)
+    val replaced = prior0.filter(_.file.startsWith(epochPrefix))
+    val all = (prior0.filterNot(replaced.contains) ++ fresh).sortBy(_.file)
     ShardManifest.writeAtomic(fs, dirPath, all)
+    val freshNames = fresh.map(_.file).toSet
+    replaced.filterNot(s => freshNames(s.file))
+      .foreach(s => fs.delete(new HPath(dirPath, s.file), false))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -349,16 +378,22 @@ object TrainingShards {
     * the raw bound is what a training loader's memory budget sees).
     * `mode` is `append` (manifest-merging) by default; pass `overwrite`
     * to truncate the directory to this write's shards at commit.
+    * Pass `jobToken` to make a RE-RUN of the same logical job replace
+    * its own earlier shards at commit instead of appending twice — the
+    * idempotency hook a replayed foreachBatch body needs (derive the
+    * token from the batch id).
     */
   def write(df: DataFrame, dir: String, maxDocsPerShard: Long = 100000L,
-            maxShardBytes: Long = 64L << 20, mode: String = "append"): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+            maxShardBytes: Long = 64L << 20, mode: String = "append",
+            jobToken: Option[String] = None): Unit = {
+    val w = df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
       .write.format("graft-shards")
       .option("path", dir)
       .option("maxDocsPerShard", maxDocsPerShard.toString)
       .option("maxShardBytes", maxShardBytes.toString)
-      .mode(mode)
-      .save()
+    jobToken.foreach(t => w.option("jobToken", t))
+    w.mode(mode).save()
+  }
 
   /** Read a shard directory back as rows, trusting the manifest: exactly
     * the committed, manifest-listed shards are read, so orphans from

@@ -70,7 +70,11 @@ object DocumentStreams {
   /** Wires the curated stream into the `graft-shards` container: every
     * micro-batch appends its accepted documents as jsonl.gz shards and
     * merges the manifest in the same commit, so the shard directory is
-    * readable (and consistent) between any two batches.
+    * readable (and consistent) between any two batches. The batch id
+    * pins the write's job token, so a micro-batch REPLAYED after a
+    * failure (committed to the sink but not yet to the stream
+    * checkpoint) replaces its own earlier shards at commit instead of
+    * appending the same documents twice.
     */
   def curatedShardStream(
       docs: DataFrame,
@@ -84,8 +88,9 @@ object DocumentStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TrainingShards.write(batch, outDir, maxDocsPerShard = maxDocsPerShard, mode = "append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TrainingShards.write(batch, outDir, maxDocsPerShard = maxDocsPerShard,
+          mode = "append", jobToken = Some(f"fb$batchId%06d"))
       }
 
   /** The same curated stream through the sink's NATIVE streaming write

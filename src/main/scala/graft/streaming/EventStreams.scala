@@ -201,9 +201,15 @@ object EventStreams {
           }.filter(_.ts_micros > wmMicros).toSeq // watermark-late rows dropped
           val (next, out) = finalize(userId, PendingEvents(prev.tail, prev.pending ++ incoming), wmMicros)
           state.update(next)
-          // wake this group when the watermark next advances, so the
-          // buffer keeps draining even with no new rows for the user
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          // Wake this group when the watermark next advances, so the
+          // buffer keeps draining even with no new rows for the user —
+          // but ONLY while something is buffered: re-arming a drained
+          // user would time out every user ever seen on every
+          // subsequent batch (O(total users) per batch forever); a
+          // drained user needs no no-data flush, and a new row for
+          // them triggers processing anyway.
+          if (next.pending.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
           out
       }
   }

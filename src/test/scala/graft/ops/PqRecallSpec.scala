@@ -57,12 +57,7 @@ class PqRecallSpec extends AnyFunSuite {
     // the s17 stage-2: exact rerank of the 50-candidate pool
     val cands = PqIndex.pqTopK(spark, sfDir, queryId = 0L, k = 50)
       .select(col("vec_id").as("cand_id"))
-    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-    val reranked = emb.join(broadcast(cands), col("vec_id") === col("cand_id"))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("qe")), 6).as("c"))
-      .orderBy(col("c").desc, col("vec_id")).limit(10)
+    val reranked = SimilarityOps.exactRerank(emb, cands, queryId = 0L, k = 10)
       .select("vec_id").as[Long].collect().toSet
     val rawRecall = (exact & raw).size
     val rerankRecall = (exact & reranked).size

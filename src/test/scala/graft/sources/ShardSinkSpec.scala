@@ -55,6 +55,31 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(rawBytes.forall(_ <= 2048), s"a shard exceeded the byte bound: $rawBytes")
   }
 
+  test("a pinned jobToken makes re-running the same logical write idempotent (replace, not append)") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(100)
+    // first attempt: 2 tasks; replay: 3 tasks — different task ids, so
+    // different shard FILE NAMES (the across-restart reality); only the
+    // shared token can identify the replay
+    TrainingShards.write(docs.repartition(2), out, maxDocsPerShard = 32,
+      jobToken = Some("fb000001"))
+    TrainingShards.write(docs.repartition(3), out, maxDocsPerShard = 32,
+      jobToken = Some("fb000001"))
+    val back = TrainingShards.read(spark, out, Some(docs.schema))
+    assert(back.count() == 100, "a replayed pinned-token write must replace, not double-count")
+    assert(back.select("doc_id").distinct().count() == 100)
+    // superseded first-attempt files are gone from disk, not just the manifest
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    val listed = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
+    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert(onDisk == listed, s"superseded shards left on disk: ${onDisk -- listed}")
+    // a DIFFERENT token still appends
+    TrainingShards.write(docs.repartition(2), out, maxDocsPerShard = 32,
+      jobToken = Some("fb000002"))
+    assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == 200)
+  }
+
   test("append merges the prior manifest: two writes, one manifest accounting for both") {
     val out = freshDir()
     val docs = graft.ops.Tables.t(spark, dir, "documents")
