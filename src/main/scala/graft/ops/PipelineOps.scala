@@ -153,7 +153,50 @@ object PipelineOps {
   }
 
   val queries: Map[String, Tables.Q] = Map(
-    "p01_curation_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))))
+    "p01_curation_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))),
+
+    // CROSS-TABLE hybrid curation — the text×vector composition p01
+    // (single-table) doesn't exercise: documents clear the d36 quality
+    // floors, join to their embedding rows (vec_id = doc_id), and the
+    // SURVIVORS are semantically deduplicated cluster-by-cluster with
+    // s11's SemDeDup kernel at threshold 0.3 (the regime where dedup
+    // fires on this corpus; s11's 0.4 is its own documented setting) —
+    // keep/drop decisions depend on which docs survived the text
+    // stage: PipelineSpec pins that vectors s11 drops full-table are
+    // KEPT here because their offending lower-id neighbor was
+    // quality-floored away, which is exactly why recipes run the
+    // stages composed rather than intersecting standalone outputs.
+    // Shapes: floors are one explode+agg (codegen, map-side
+    // combinable); the join is embedding-keyed; the pairwise kernel is
+    // cluster-scoped (skew = cluster imbalance, the clustering stage's
+    // contract). Output: the per-cluster survivor ledger. DuckDB
+    // replays floors → join → pairwise decisions → ledger as CTEs.
+    "p02_hybrid_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val tokCounts = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      val floors = tokCounts.groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("wc"),
+          round(sum(length(col("tok")) * col("c")).cast("double") / sum(col("c")), 4).as("mwl"),
+          sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"),
+          round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"))
+        .filter(col("wc") >= 20 && col("mwl") >= 3.0 && col("mwl") <= 4.5 &&
+          col("n_stop") >= 2 && col("top_share") <= 0.12)
+        .select(col("doc_id").as("vec_id"), col("wc"))
+      val je = emb.join(floors, "vec_id")
+      SimilarityOps.semDedup(je, clusterCol = "label", threshold = 0.3)
+        .join(je.select(col("vec_id"), col("wc")), "vec_id")
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("wc"))), lit(0L)).as("kept_tokens"))
+        .orderBy("cluster")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     // The oracle replays the six stages as chained CTEs — same keeper
@@ -193,5 +236,34 @@ object PipelineOps {
         |  UNION ALL SELECT 4, 'budget', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT), 0 FROM s4
         |  UNION ALL SELECT 5, 'pack', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
         |    CAST(count(DISTINCT (source, bin_id)) AS BIGINT) FROM s5
-        |) ORDER BY stage""".stripMargin)
+        |) ORDER BY stage""".stripMargin,
+
+    // Replays floors (the d36 CTE) → doc↔embedding join → pairwise
+    // SemDeDup decisions among the survivors → per-cluster ledger.
+    "p02_hybrid_curation" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents)
+        |            GROUP BY doc_id, tok),
+        |fl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS wc,
+        |        round(CAST(sum(len(tok) * c) AS DOUBLE) / sum(c), 4) AS mwl,
+        |        CAST(count(*) FILTER (WHERE tok IN ('the', 'a')) AS BIGINT) AS n_stop,
+        |        round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_share
+        |      FROM tc GROUP BY doc_id),
+        |q AS (SELECT doc_id, wc FROM fl
+        |      WHERE wc >= 20 AND mwl >= 3.0 AND mwl <= 4.5 AND n_stop >= 2 AND top_share <= 0.12),
+        |je AS (SELECT e.vec_id, e.label, e.embedding, q.wc
+        |       FROM embeddings e JOIN q ON q.doc_id = e.vec_id),
+        |p AS (SELECT a.vec_id AS va,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM je a JOIN je b ON a.label = b.label AND a.vec_id > b.vec_id),
+        |m AS (SELECT va, max(cos) AS mx FROM p GROUP BY va),
+        |d AS (SELECT je.vec_id, CAST(je.label AS BIGINT) AS cluster,
+        |        coalesce(m.mx, -1.0) <= 0.3 AS keep, je.wc
+        |      FROM je LEFT JOIN m ON m.va = je.vec_id)
+        |SELECT cluster, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN wc END), 0) AS BIGINT) AS kept_tokens
+        |FROM d GROUP BY cluster ORDER BY cluster""".stripMargin)
 }

@@ -35,6 +35,44 @@ class PipelineSpec extends AnyFunSuite {
       s"too few bins for the packed tokens: $rows")
   }
 
+  test("p02: composition flips SemDeDup decisions — floored-away neighbors un-drop their duplicates") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val docs = Tables.t(spark, sfDir, "documents")
+    // the same floors p02 applies
+    val tc = docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val floored = tc.groupBy("doc_id").agg(
+      sum(col("c")).as("wc"),
+      round(sum(length(col("tok")) * col("c")).cast("double") / sum(col("c")), 4).as("mwl"),
+      sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"),
+      round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"))
+      .filter(col("wc") >= 20 && col("mwl") >= 3.0 && col("mwl") <= 4.5 &&
+        col("n_stop") >= 2 && col("top_share") <= 0.12)
+      .select(col("doc_id").as("vec_id"))
+    val je = emb.join(floored, "vec_id")
+    assert(je.count() < emb.count(), "floors must actually remove candidates")
+    val full = SimilarityOps.semDedup(emb, "label", 0.3)
+      .select(col("vec_id"), col("keep").as("k_full"))
+    val sub = SimilarityOps.semDedup(je, "label", 0.3)
+      .select(col("vec_id"), col("keep").as("k_sub"))
+    val j = full.join(sub, "vec_id").cache()
+    // the dedup stage fires inside the composition...
+    assert(j.filter(!col("k_sub")).count() > 0, "composed dedup dropped nothing — threshold regime drifted")
+    // ...and composition matters: some vector s11 drops full-table is
+    // kept here because its more-similar lower-id neighbor was floored
+    assert(j.filter(!col("k_full") && col("k_sub")).count() > 0,
+      "no decision flipped — the composition is indistinguishable from intersecting standalone outputs")
+    // survivors of the subset can only gain keeps, never lose them
+    assert(j.filter(col("k_full") && !col("k_sub")).count() == 0,
+      "removing candidates can never create a NEW drop (max over a subset cannot grow)")
+    // and the p02 ledger is consistent with the decisions
+    val ledger = PipelineOps.queries("p02_hybrid_curation")(spark, sfDir)
+      .agg(sum("n_docs"), sum("n_kept")).head()
+    assert(ledger.getLong(0) == je.count())
+    assert(ledger.getLong(1) == sub.filter(col("k_sub")).count())
+  }
+
   test("p01: one corpus scan — the feature pass reads parquet once, the stages read the checkpoint") {
     val docs = Tables.t(spark, sfDir, "documents")
     // the feature frame is the single place `text` is touched
