@@ -55,6 +55,39 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(rawBytes.forall(_ <= 2048), s"a shard exceeded the byte bound: $rawBytes")
   }
 
+  test("streaming epoch re-commit replaces the epoch's prior shards by token prefix") {
+    val out = freshDir()
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val w = new ShardStreamingWrite(out, "tok", 100, 1 << 20, conf)
+    def shard(name: String, docs: Long): ShardInfo = {
+      // content irrelevant to commit logic; a real file lets the
+      // best-effort delete be observed
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, name), Array[Byte](1, 2, 3))
+      ShardInfo(name, docs, 3L)
+    }
+    // epoch 1 first attempt (2 tasks), then epoch 2
+    w.commit(1L, Array(ShardsWritten(Seq(
+      shard("part-tok-e1-00000-1.000.jsonl.gz", 10),
+      shard("part-tok-e1-00001-2.000.jsonl.gz", 10)))))
+    w.commit(2L, Array(ShardsWritten(Seq(shard("part-tok-e2-00000-3.000.jsonl.gz", 5)))))
+    // driver restart replays epoch 1 with FRESH task ids (new names)
+    w.commit(1L, Array(ShardsWritten(Seq(
+      shard("part-tok-e1-00000-7.000.jsonl.gz", 10),
+      shard("part-tok-e1-00001-8.000.jsonl.gz", 10)))))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    val files = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
+    assert(files == Set(
+      "part-tok-e1-00000-7.000.jsonl.gz", "part-tok-e1-00001-8.000.jsonl.gz",
+      "part-tok-e2-00000-3.000.jsonl.gz"),
+      s"replayed epoch must replace its own shards and leave other epochs alone: $files")
+    val docTotal = """"docs": (\d+)""".r.findAllMatchIn(manifest).map(_.group(1).toLong).sum
+    assert(docTotal == 25L, s"epoch-1 documents double-counted: $docTotal")
+    // superseded first-attempt files are gone from disk
+    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert(onDisk == files, s"superseded epoch-1 shards left on disk: ${onDisk -- files}")
+  }
+
   test("a pinned jobToken makes re-running the same logical write idempotent (replace, not append)") {
     val out = freshDir()
     val docs = graft.ops.Tables.t(spark, dir, "documents").limit(100)
