@@ -1196,6 +1196,49 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // Columnar-format interop beyond parquet: the documents slice round-
+    // trips through ORC (Spark-native, no extra dependency) and is read
+    // back with a pushed-down predicate — the format a warehouse
+    // migration actually hands an engine. The aggregate runs over the
+    // ORC scan, so the oracle (same aggregate over the parquet source)
+    // proves the format conversion byte-preserves the columns AND the
+    // ORC reader's pushdown path returns exactly the matching rows.
+    // FormatRoundTripSpec pins that the ORC scan really prunes
+    // (PushedFilters non-empty on the second scan).
+    "q98_orc_roundtrip" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+      t(s, dir, "documents").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("lang") === "en" && col("n_chars") >= 50)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("source")
+    }),
+
+    // Text-format interop: the same slice through CSV WITH quoting —
+    // document text contains spaces (and could contain delimiters), so
+    // the writer must quote and the reader must parse quotes + header +
+    // an explicit schema (CSV carries no types). The oracle aggregate
+    // over the parquet source proves the dialect round-trips the values
+    // exactly; a length-preservation column guards the classic
+    // quote-mangling failure mode.
+    "q99_csv_roundtrip" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").option("header", "true").option("quoteAll", "true").csv(tmp)
+      s.read.schema(docs.schema).option("header", "true").csv(tmp)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("text_chars"),
+          sum(col("n_chars")).as("n_chars_sum"))
+        .withColumn("lengths_consistent", col("text_chars") === col("n_chars_sum"))
+        .orderBy("lang")
+    }),
+
     // LATERAL correlated subquery: top-2 orders per customer by price —
     // the per-row table-valued-subquery shape. Catalyst decorrelates the
     // correlated LIMIT into a partitioned rank filter, so the plan is one
@@ -1524,6 +1567,20 @@ object RelationalOps {
       """WITH j AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |SELECT event_type, count(*) AS n, CAST(max(k) AS INT) AS max_k, CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
         |FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The round-trip queries' oracles aggregate the PARQUET source
+    // directly: equality proves the ORC/CSV conversion preserved every
+    // grouped/summed value and the pushdown path returned exactly the
+    // matching rows.
+    "q98_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents WHERE lang = 'en' AND n_chars >= 50
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q99_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS text_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+        |  sum(len(text)) = sum(n_chars) AS lengths_consistent
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q62_lateral_topk" ->
       """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
         |FROM customer c, LATERAL (
