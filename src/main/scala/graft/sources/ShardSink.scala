@@ -419,4 +419,41 @@ object TrainingShards {
       schema.fold(base)(base.schema).json(files: _*)
     }
   }
+
+  /** Compact a shard directory in place: rewrite the manifest-listed
+    * corpus as balanced shards at the given targets, replacing the old
+    * layout atomically (new manifest first, stale shard deletes after —
+    * the existing truncate commit path). The cure for the
+    * MANY-TINY-SHARDS layout an incremental writer accumulates: each
+    * micro-batch/epoch lands one shard per task, so a high-parallelism
+    * stream of small batches produces thousands of KB-sized files a
+    * training loader then pays per-file open/seek costs for. Raw LINES
+    * are shuffled, never parsed — compaction is byte-faithful whatever
+    * the rows hold. The repartition count targets the doc bound
+    * (balanced shards need ≈docs/maxDocsPerShard tasks; the byte bound
+    * still rolls oversized tasks). Single-writer contract: do not
+    * compact concurrently with appends — the manifest overwrite would
+    * drop a racing append's entries.
+    */
+  def compact(spark: SparkSession, dir: String,
+              maxDocsPerShard: Long = 100000L, maxShardBytes: Long = 64L << 20): Unit = {
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new HPath(dirPath, ShardManifest.FileName)),
+      s"no ${ShardManifest.FileName} under $dir — not a committed graft-shards directory")
+    val shards = ShardManifest.readIfExists(fs, dirPath)
+    if (shards.nonEmpty) {
+      val totalDocs = shards.map(_.docs).sum
+      val nParts = math.max(1, math.ceil(totalDocs.toDouble / maxDocsPerShard).toInt)
+      val lines = spark.read.text(shards.map(s => new HPath(dirPath, s.file).toString): _*)
+        .repartition(nParts)
+      lines.select(col("value").as("line"))
+        .write.format("graft-shards")
+        .option("path", dir)
+        .option("maxDocsPerShard", maxDocsPerShard.toString)
+        .option("maxShardBytes", maxShardBytes.toString)
+        .mode("overwrite")
+        .save()
+    }
+  }
 }

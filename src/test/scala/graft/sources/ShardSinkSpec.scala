@@ -55,6 +55,33 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(rawBytes.forall(_ <= 2048), s"a shard exceeded the byte bound: $rawBytes")
   }
 
+  test("compact rewrites a fragmented directory into balanced shards, byte-faithfully") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(200)
+    // fragment: 8-way parallel write with a tiny doc target → many small shards
+    TrainingShards.write(docs.repartition(8), out, maxDocsPerShard = 8)
+    def shardCount() = new java.io.File(out).list().count(_.endsWith(".jsonl.gz"))
+    val fragmented = shardCount()
+    assert(fragmented >= 25, s"fixture not fragmented enough: $fragmented")
+    TrainingShards.compact(spark, out, maxDocsPerShard = 64)
+    val compacted = shardCount()
+    assert(compacted < fragmented / 4, s"compaction barely helped: $fragmented -> $compacted")
+    // the corpus is unchanged row-for-row
+    val back = TrainingShards.read(spark, out, Some(docs.schema))
+    assert(back.count() == 200)
+    val cols = docs.columns.map(col)
+    assert(docs.except(back.select(cols: _*)).count() == 0)
+    assert(back.select(cols: _*).except(docs).count() == 0)
+    // manifest and disk agree; every shard respects the new doc target
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    val listed = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
+    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert(onDisk == listed, s"stale pre-compaction shards survived: ${onDisk -- listed}")
+    val perShard = """"docs": (\d+)""".r.findAllMatchIn(manifest).map(_.group(1).toLong).toSeq
+    assert(perShard.sum == 200 && perShard.forall(_ <= 64), s"doc accounting broke: $perShard")
+  }
+
   test("streaming epoch re-commit replaces the epoch's prior shards by token prefix") {
     val out = freshDir()
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
