@@ -9,11 +9,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.functions.{col, struct, to_json}
+import org.apache.spark.sql.functions.{col, from_json, struct, to_json}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,7 +81,8 @@ class ShardSinkProvider extends TableProvider with DataSourceRegister {
       SparkSession.active.sparkContext.hadoopConfiguration)
     new ShardTable(path, opt("maxdocspershard", "100000").toLong,
       opt("maxshardbytes", s"${64L << 20}").toLong,
-      Option(opts.get("jobtoken")).filter(_.nonEmpty), conf)
+      Option(opts.get("jobtoken")).filter(_.nonEmpty),
+      Option(opts.get("maxfilespertrigger")).filter(_.nonEmpty).map(_.toInt), conf)
   }
 }
 
@@ -102,14 +105,25 @@ private[sources] class SerializableHadoopConf(@transient var conf: Configuration
 
 private[sources] class ShardTable(
     path: String, maxDocs: Long, maxBytes: Long,
-    explicitToken: Option[String], conf: SerializableHadoopConf
-) extends Table with SupportsWrite {
+    explicitToken: Option[String], maxFilesPerTrigger: Option[Int], conf: SerializableHadoopConf
+) extends Table with SupportsWrite with SupportsRead {
   require(maxDocs > 0 && maxBytes > 0, s"shard targets must be positive (docs=$maxDocs bytes=$maxBytes)")
   override def name(): String = s"graft-shards($path)"
   override def schema(): StructType = ShardSinkProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
+
+  /** Streaming read: tail the manifest — see [[ShardMicroBatchStream]]. */
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ShardSinkProvider.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ShardMicroBatchStream(path, maxFilesPerTrigger, conf)
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val cols = info.schema().fieldNames.toSeq
@@ -418,6 +432,20 @@ object TrainingShards {
       val base = spark.read
       schema.fold(base)(base.schema).json(files: _*)
     }
+  }
+
+  /** Tail a shard directory as a STREAM: each micro-batch serves the
+    * shards that entered the manifest since the last batch, parsed back
+    * into typed rows — the training-loader side of the incremental
+    * ingest→curate→shard flow. See [[ShardMicroBatchStream]] for the
+    * offset semantics (consumed-file set) and the
+    * no-concurrent-compaction contract.
+    */
+  def readStream(spark: SparkSession, dir: String, schema: StructType,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-shards").option("path", dir)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.load().select(from_json(col("line"), schema).as("doc")).select("doc.*")
   }
 
   /** Compact a shard directory in place: rewrite the manifest-listed

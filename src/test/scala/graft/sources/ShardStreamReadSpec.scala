@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming read side of the graft-shards container: a tailer
+  * must serve exactly the manifest-committed corpus, resume from its
+  * checkpoint across restarts serving ONLY newly-committed shards, and
+  * respect the per-trigger admission bound.
+  */
+class ShardStreamReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tail → append → resumed tail: each run serves exactly the newly committed documents") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("shard-tail").toString
+    val ckpt = Files.createTempDirectory("shard-tail-ckpt").toString
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    val first = docs.filter(col("doc_id") < 300)
+    val second = docs.filter(col("doc_id") >= 300)
+    TrainingShards.write(first, out, maxDocsPerShard = 64)
+
+    // the memory sink refuses checkpoint recovery; collect through
+    // foreachBatch (which supports it) into a driver-side buffer
+    def drain(): Set[Long] = {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = TrainingShards.readStream(spark, out, docs.schema)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("doc_id").as[Long].collect().foreach(seen.add)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+
+    val firstIds = first.select("doc_id").as[Long].collect().toSet
+    val secondIds = second.select("doc_id").as[Long].collect().toSet
+    assert(drain() == firstIds, "first run must serve the whole committed corpus")
+    // append more docs, then RESUME from the same checkpoint
+    TrainingShards.write(second, out, maxDocsPerShard = 64)
+    assert(drain() == secondIds,
+      "resumed run must serve ONLY the shards committed since the checkpointed offset")
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch; AvailableNow still drains the backlog") {
+    val out = Files.createTempDirectory("shard-tail-bounded").toString
+    val ckpt = Files.createTempDirectory("shard-tail-bounded-ckpt").toString
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    TrainingShards.write(docs.repartition(4), out, maxDocsPerShard = 32) // many shards
+    val nShards = new java.io.File(out).list().count(_.endsWith(".jsonl.gz"))
+    assert(nShards > 4)
+    val q = TrainingShards.readStream(spark, out, docs.schema, maxFilesPerTrigger = Some(2))
+      .writeStream.outputMode("append").format("memory").queryName("tail_bounded")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table("tail_bounded").count() == docs.count(), "backlog not fully drained")
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= (nShards + 1) / 2,
+      s"admission bound ignored: $nShards shards served in ${dataBatches.length} batches")
+  }
+}
