@@ -51,6 +51,20 @@ class ShardStreamReadSpec extends AnyFunSuite {
       "resumed run must serve ONLY the shards committed since the checkpointed offset")
   }
 
+  test("tailing a directory with no manifest yet idles gracefully (loader starts before writer)") {
+    val out = Files.createTempDirectory("shard-tail-empty").toString
+    val ckpt = Files.createTempDirectory("shard-tail-empty-ckpt").toString
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    val q = TrainingShards.readStream(spark, out, docs.schema)
+      .writeStream.outputMode("append").format("memory").queryName("tail_empty")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table("tail_empty").count() == 0)
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch; AvailableNow still drains the backlog") {
     val out = Files.createTempDirectory("shard-tail-bounded").toString
     val ckpt = Files.createTempDirectory("shard-tail-bounded-ckpt").toString
