@@ -79,10 +79,15 @@ class ShardSinkProvider extends TableProvider with DataSourceRegister {
       .getOrElse(throw new IllegalArgumentException("graft-shards requires option 'path'"))
     val conf = new SerializableHadoopConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
+    val maxFiles = Option(opts.get("maxfilespertrigger")).filter(_.nonEmpty).map { v =>
+      val n = scala.util.Try(v.toInt).getOrElse(
+        throw new IllegalArgumentException(s"graft-shards maxFilesPerTrigger must be an int, got '$v'"))
+      require(n > 0, s"graft-shards maxFilesPerTrigger must be positive, got $n")
+      n
+    }
     new ShardTable(path, opt("maxdocspershard", "100000").toLong,
       opt("maxshardbytes", s"${64L << 20}").toLong,
-      Option(opts.get("jobtoken")).filter(_.nonEmpty),
-      Option(opts.get("maxfilespertrigger")).filter(_.nonEmpty).map(_.toInt), conf)
+      Option(opts.get("jobtoken")).filter(_.nonEmpty), maxFiles, conf)
   }
 }
 
@@ -358,6 +363,36 @@ private[sources] object ShardManifest {
     }
   }
 
+  /** Layout generation: bumped by [[TrainingShards.compact]] (which
+    * re-lands consumed rows under new file names). A streaming tailer
+    * records the generation it started under in its offsets and fails
+    * LOUDLY on mismatch — the explicit-file-set offset has no way to
+    * recognize compacted shards as already-consumed, so resuming a
+    * pre-compaction checkpoint would silently re-serve the whole
+    * corpus. Absent file = generation 0.
+    */
+  val GenerationFileName = "_GENERATION"
+
+  def readGeneration(fs: FileSystem, dir: HPath): Long = {
+    val p = new HPath(dir, GenerationFileName)
+    if (!fs.exists(p)) 0L
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, UTF_8).trim.toLong
+    }
+  }
+
+  def bumpGeneration(fs: FileSystem, dir: HPath): Long = {
+    val next = readGeneration(fs, dir) + 1
+    val p = new HPath(dir, GenerationFileName)
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes(UTF_8)) finally out.close()
+    next
+  }
+
   def readIfExists(fs: FileSystem, dir: HPath): Seq[ShardInfo] = {
     val p = new HPath(dir, FileName)
     if (!fs.exists(p)) Seq.empty
@@ -416,13 +451,22 @@ object TrainingShards {
     * directory holds no committed write. Pass `schema` to skip
     * inference (required when the manifest lists zero shards).
     */
-  def read(spark: SparkSession, dir: String, schema: Option[StructType] = None): DataFrame = {
+  /** The manifest gate shared by [[read]] and [[compact]]: resolve the
+    * filesystem, fail loudly on an uncommitted directory, and return
+    * the manifest-listed shards with their absolute paths.
+    */
+  private def committedShards(
+      spark: SparkSession, dir: String): (FileSystem, HPath, Seq[ShardInfo], Seq[String]) = {
     val dirPath = new HPath(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new HPath(dirPath, ShardManifest.FileName)),
       s"no ${ShardManifest.FileName} under $dir — not a committed graft-shards directory")
     val shards = ShardManifest.readIfExists(fs, dirPath)
-    val files = shards.map(s => new HPath(dirPath, s.file).toString)
+    (fs, dirPath, shards, shards.map(s => new HPath(dirPath, s.file).toString))
+  }
+
+  def read(spark: SparkSession, dir: String, schema: Option[StructType] = None): DataFrame = {
+    val (_, _, _, files) = committedShards(spark, dir)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
@@ -438,8 +482,16 @@ object TrainingShards {
     * shards that entered the manifest since the last batch, parsed back
     * into typed rows — the training-loader side of the incremental
     * ingest→curate→shard flow. See [[ShardMicroBatchStream]] for the
-    * offset semantics (consumed-file set) and the
-    * no-concurrent-compaction contract.
+    * offset semantics (consumed-file set + layout generation).
+    *
+    * Delivery contract: exactly-once while the writer runs normally;
+    * AT-LEAST-ONCE across writer crash recovery — a replayed epoch or
+    * pinned-token batch re-lands the SAME rows under fresh file names,
+    * which an explicit-file-set offset must treat as new (the standard
+    * streaming-source posture; dedup downstream on a content key if
+    * the loader needs exactly-once across writer failures). Compaction
+    * invalidates tailer checkpoints entirely and FAILS the tailer
+    * loudly via the generation marker rather than double-serving.
     */
   def readStream(spark: SparkSession, dir: String, schema: StructType,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -461,20 +513,20 @@ object TrainingShards {
     * (balanced shards need ≈docs/maxDocsPerShard tasks; the byte bound
     * still rolls oversized tasks). Single-writer contract: do not
     * compact concurrently with appends — the manifest overwrite would
-    * drop a racing append's entries.
+    * drop a racing append's entries. Compaction also BUMPS the layout
+    * generation marker: every consumed row re-lands under a new file
+    * name, so any live OR checkpointed tailer's consumed-file offset
+    * becomes meaningless — the marker turns what would be a silent
+    * full-corpus re-serve into a loud failure telling the operator to
+    * restart the tailer with a fresh checkpoint.
     */
   def compact(spark: SparkSession, dir: String,
               maxDocsPerShard: Long = 100000L, maxShardBytes: Long = 64L << 20): Unit = {
-    val dirPath = new HPath(dir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new HPath(dirPath, ShardManifest.FileName)),
-      s"no ${ShardManifest.FileName} under $dir — not a committed graft-shards directory")
-    val shards = ShardManifest.readIfExists(fs, dirPath)
+    val (fs, dirPath, shards, files) = committedShards(spark, dir)
     if (shards.nonEmpty) {
       val totalDocs = shards.map(_.docs).sum
       val nParts = math.max(1, math.ceil(totalDocs.toDouble / maxDocsPerShard).toInt)
-      val lines = spark.read.text(shards.map(s => new HPath(dirPath, s.file).toString): _*)
-        .repartition(nParts)
+      val lines = spark.read.text(files: _*).repartition(nParts)
       lines.select(col("value").as("line"))
         .write.format("graft-shards")
         .option("path", dir)
@@ -482,6 +534,7 @@ object TrainingShards {
         .option("maxShardBytes", maxShardBytes.toString)
         .mode("overwrite")
         .save()
+      ShardManifest.bumpGeneration(fs, dirPath)
     }
   }
 }

@@ -18,16 +18,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * micro-batch serves exactly the shards that entered the manifest
   * since the last batch.
   *
-  * **Offset = the consumed shard-file set** (sorted names). The
+  * **Offset = (layout generation, consumed shard-file set)**. The
   * manifest is the container's source of truth for what is committed,
   * and shard names carry no global order (append tokens are random, a
   * sorted prefix is not append-stable), so the offset enumerates the
-  * files themselves. Offset size is O(#shards) — bounded in practice
-  * by [[TrainingShards.compact]], which is also why a live tailer and
-  * a compaction must not run concurrently (compaction re-lands
-  * consumed rows under new file names, which an explicit-set offset
-  * has no way to recognize as replays; same single-writer contract as
-  * the writer side).
+  * files themselves; serialization goes through json4s (proper
+  * escaping — manifests written by other tools may carry any file
+  * name). Offset size is O(#shards) per entry in the checkpoint log —
+  * the cost of honest identity on an unordered container; keep shard
+  * counts sane with the writer's shard targets.
+  *
+  * The GENERATION guards the one operation that silently breaks a
+  * file-set offset: [[TrainingShards.compact]] re-lands every consumed
+  * row under new names, so a tailer resuming a pre-compaction
+  * checkpoint would re-serve the whole corpus as "new" shards. Compact
+  * bumps the marker; the tailer fails LOUDLY on mismatch instead.
+  * Writer crash recovery (epoch / pinned-token replays) re-lands only
+  * the replayed batch's rows — the tailer serves those again:
+  * at-least-once across writer failures, the standard source posture
+  * (dedup downstream on a content key for exactly-once).
   *
   * Admission: `maxFilesPerTrigger` bounds each batch; with
   * `Trigger.AvailableNow` the manifest snapshot is pinned at query
@@ -36,14 +45,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * parallelism equals shards per batch (the writer's shard targets are
   * the task-size knob).
   */
-private[sources] case class ShardFilesOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+private[sources] case class ShardFilesOffset(generation: Long, files: Seq[String]) extends Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("gen" -> generation) ~ ("files" -> files.sorted)))
+  }
 }
 
 private[sources] object ShardFilesOffset {
-  def fromJson(json: String): ShardFilesOffset =
-    ShardFilesOffset("\"([^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq.sorted)
+  import org.json4s._
+  def fromJson(json: String): ShardFilesOffset = {
+    val v = jackson.JsonMethods.parse(json)
+    val gen = v \ "gen" match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => throw new IllegalArgumentException(s"corrupt graft-shards offset gen: $other")
+    }
+    val files = v \ "files" match {
+      case JArray(items) => items.map {
+        case JString(f) => f
+        case other => throw new IllegalArgumentException(s"corrupt graft-shards offset file: $other")
+      }
+      case other => throw new IllegalArgumentException(s"corrupt graft-shards offset: $other")
+    }
+    ShardFilesOffset(gen, files.sorted)
+  }
 }
 
 private[sources] case class ShardFilePartition(path: String) extends InputPartition
@@ -52,10 +80,23 @@ private[sources] class ShardMicroBatchStream(
     dir: String, maxFilesPerTrigger: Option[Int], conf: SerializableHadoopConf
 ) extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private def manifestFiles(): Seq[String] = {
-    val dirPath = new HPath(dir)
-    val fs = dirPath.getFileSystem(conf.conf)
-    ShardManifest.readIfExists(fs, dirPath).map(_.file).sorted
+  private def fs = new HPath(dir).getFileSystem(conf.conf)
+
+  private def manifestFiles(): Seq[String] =
+    ShardManifest.readIfExists(fs, new HPath(dir)).map(_.file).sorted
+
+  private def currentGeneration(): Long = ShardManifest.readGeneration(fs, new HPath(dir))
+
+  /** The loud guard for the silent-re-serve failure mode: a checkpoint
+    * written before a compaction must never resume against the
+    * compacted layout.
+    */
+  private def requireGeneration(offsetGen: Long): Unit = {
+    val now = currentGeneration()
+    require(offsetGen == now,
+      s"graft-shards directory $dir was compacted (layout generation $now, checkpoint has " +
+        s"$offsetGen): the consumed-file offset cannot identify re-landed rows — restart the " +
+        "tailer with a FRESH checkpoint (it will re-serve the full corpus once)")
   }
 
   /** AvailableNow ceiling: the manifest snapshot at query start; shards
@@ -70,25 +111,30 @@ private[sources] class ShardMicroBatchStream(
     pinned = true
   }
 
-  override def initialOffset(): Offset = ShardFilesOffset(Nil)
+  override def initialOffset(): Offset = ShardFilesOffset(currentGeneration(), Nil)
   override def deserializeOffset(json: String): Offset = ShardFilesOffset.fromJson(json)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[ShardFilesOffset].files.toSet
+    val s = start.asInstanceOf[ShardFilesOffset]
+    requireGeneration(s.generation)
+    val seen = s.files.toSet
     val avail = (if (pinned) ceiling else manifestFiles()).filterNot(seen)
     val admitted = maxFilesPerTrigger.fold(avail)(n => avail.take(n))
     if (admitted.isEmpty) start
-    else ShardFilesOffset((seen ++ admitted).toSeq.sorted)
+    else ShardFilesOffset(s.generation, (seen ++ admitted).toSeq.sorted)
   }
 
   override def latestOffset(): Offset =
     throw new IllegalStateException("latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def reportLatestOffset(): Offset = ShardFilesOffset(manifestFiles())
+  override def reportLatestOffset(): Offset =
+    ShardFilesOffset(currentGeneration(), manifestFiles())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[ShardFilesOffset].files.toSet
+    val s = start.asInstanceOf[ShardFilesOffset]
+    requireGeneration(s.generation)
+    val seen = s.files.toSet
     end.asInstanceOf[ShardFilesOffset].files
       .filterNot(seen)
       .map(f => ShardFilePartition(new HPath(new HPath(dir), f).toString): InputPartition)

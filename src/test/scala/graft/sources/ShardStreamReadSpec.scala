@@ -65,6 +65,39 @@ class ShardStreamReadSpec extends AnyFunSuite {
     assert(spark.table("tail_empty").count() == 0)
   }
 
+  test("resuming a pre-compaction checkpoint fails LOUDLY instead of re-serving the corpus") {
+    val out = Files.createTempDirectory("shard-tail-gen").toString
+    val ckpt = Files.createTempDirectory("shard-tail-gen-ckpt").toString
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(100)
+    TrainingShards.write(docs.repartition(4), out, maxDocsPerShard = 16)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      TrainingShards.readStream(spark, out, docs.schema)
+        .writeStream
+        .option("checkpointLocation", ckpt) // memory sink refuses recovery; foreachBatch supports it
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    // compaction re-lands every consumed row under new names
+    TrainingShards.compact(spark, out, maxDocsPerShard = 64)
+    val q2 = run()
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    q2.stop()
+    val msg = Option(failure.getCause).map(_.toString).getOrElse("") + failure.toString
+    assert(msg.contains("compacted") && msg.contains("FRESH checkpoint"),
+      s"expected the generation-mismatch failure, got: $msg")
+  }
+
+  test("offset JSON survives file names with quotes and backslashes (json4s round trip)") {
+    val off = ShardFilesOffset(3L, Seq("""weird "name"\shard.jsonl.gz""", "plain.jsonl.gz"))
+    val back = ShardFilesOffset.fromJson(off.json())
+    assert(back == ShardFilesOffset(3L, off.files.sorted))
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch; AvailableNow still drains the backlog") {
     val out = Files.createTempDirectory("shard-tail-bounded").toString
     val ckpt = Files.createTempDirectory("shard-tail-bounded-ckpt").toString
