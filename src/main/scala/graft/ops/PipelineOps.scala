@@ -33,9 +33,12 @@ import Tables.t
   * step every production recipe has. Every stage then reads the
   * checkpointed RDD: the final plan contains ZERO parquet scans
   * (PipelineSpec pins this), where the naive composition would re-parse
-  * the corpus ~6 times. At 100 TB the same materialization writes to a
-  * shard store instead of executor memory; the stage dataflow is
-  * unchanged.
+  * the corpus ~6 times. Size posture: the checkpoint (dominated by the
+  * ~8x-text 8-gram arrays) is MEMORY_AND_DISK — localCheckpoint's
+  * storage level — so oversized partitions spill rather than OOM; at
+  * 100 TB the same materialization points at a shard store / durable
+  * checkpoint dir instead of executor-local disk, and the stage
+  * dataflow is unchanged.
   *
   * Output: one row per stage — (stage, stage_name, n_docs, n_tokens,
   * n_bins) — the survivor ledger a curation run reports. The DuckDB
