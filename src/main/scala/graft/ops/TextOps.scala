@@ -1858,7 +1858,13 @@ object TextOps {
     // depends on. The rolling hash is the engine-portable md5 family, so
     // DuckDB replays boundaries exactly. Per-doc fan-out on the codegen
     // path; the only shuffle is the keyed per-doc lag window (doc_id is
-    // high-cardinality, so the window partitioning scales).
+    // high-cardinality, so the window partitioning scales). Scale note:
+    // the 10x ratio (4.59x, bench_scale's worst) is the md5-per-window-
+    // position CPU — linear by construction; a cheaper rolling hash
+    // would halve it but break the exact DuckDB boundary replay, and
+    // an in-row lambda variant is WORSE (interpreted CodegenFallback
+    // per position vs the codegen explode path, the documented ~30x
+    // penalty of per-element lambdas).
     "d41_cdc_chunks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wTok = 4
