@@ -409,6 +409,59 @@ object SimilarityOps {
       annSoundness(emb, PqIndex.pqTopK(s, dir, queryId = 0L, k = 10), "approx_cos",
         queryId = 0L, k = 10, topN = 100, recallFloor = 3, scoreIsExact = false)
     }),
+    // Margin-based BITEXT MINING (Artetxe & Schwenk's ratio margin —
+    // the LASER/CCMatrix parallel-corpus shape): two embedding sets
+    // stand in for two languages (A = vec_id<100, B = 100..199); each
+    // A-vector's best B-match is scored by cos(x,y) divided by the
+    // mean of both sides' top-k neighborhood cosines, which normalizes
+    // away hubness (a y close to EVERYTHING scores high raw cosine
+    // against every x; its inflated neighborhood mean cancels that).
+    // The forward best per src plus the mutual-best flag is the
+    // standard mining output. Every per-key top-k here is the minK
+    // bounded heap (NNk means, forward best, backward best) — never a
+    // per-vector rank window; neighborhood means sum the SORTED
+    // K-array in both engines so the float fold is order-identical.
+    // The A×B pair frame is the capped exact demo (the s05 precedent);
+    // at corpus scale the candidate pairs come from an ANN retrieve
+    // (s18) and the margin computes over that bounded candidate set.
+    "s19_bitext_margin" -> ((s, dir) => {
+      import graft.functions.TopKAggregates.minK
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+      val b = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("eb"))
+      val pairs = a.crossJoin(b)
+        .select(col("src_id"), col("tgt_id"),
+          round(cosine_similarity(col("ea"), col("eb")), 6).as("cos"))
+        .localCheckpoint() // consumed by 3 aggregates below
+      def nnMean(key: String, other: String, out: String) = pairs
+        .select(col(key), struct((-col("cos")).as("nc"), col(other), col("cos")).as("r"))
+        .groupBy(key)
+        .agg(minK(col("r"), 4).as("rs"))
+        .select(col(key),
+          round(expr("aggregate(transform(rs, x -> x.cos), 0D, (acc, v) -> acc + v) / size(rs)"), 6)
+            .as(out))
+      val margins = pairs
+        .join(nnMean("src_id", "tgt_id", "avg_nn_src"), "src_id")
+        .join(nnMean("tgt_id", "src_id", "avg_nn_tgt"), "tgt_id")
+        .select(col("src_id"), col("tgt_id"), col("cos"),
+          round(col("cos") / (col("avg_nn_src") / 2 + col("avg_nn_tgt") / 2), 4).as("margin"))
+      def best(key: String, payload: Seq[Column], tiebreak: String) = margins
+        .select(col(key), struct((-col("margin")).as("nm") +: col(tiebreak) +: payload: _*).as("r"))
+        .groupBy(key)
+        .agg(minK(col("r"), 1).as("rs"))
+        .select(col(key), element_at(col("rs"), 1).as("b"))
+      val fwd = best("src_id", Seq(col("cos"), col("margin")), "tgt_id")
+        .select(col("src_id"), col("b.tgt_id").as("tgt_id"),
+          col("b.cos").as("cos_sim"), col("b.margin").as("margin"))
+      val bwd = best("tgt_id", Seq.empty, "src_id")
+        .select(col("tgt_id").as("b_tgt"), col("b.src_id").as("b_src"))
+      fwd.join(bwd, col("tgt_id") === col("b_tgt"), "left")
+        .select(col("src_id"), col("tgt_id"), col("cos_sim"), col("margin"),
+          (col("b_src") === col("src_id")).as("mutual"))
+        .orderBy("src_id")
+    }),
     // IVF-PQ with exact refine — the composed big-corpus ANN index
     // (the FAISS IVFPQ+refine deployment shape): the IVF coarse
     // quantizer (s04) prunes the search to nprobe=4 of 16 cells at
@@ -801,6 +854,29 @@ object SimilarityOps {
     "s07_pq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s17_pq_rerank" -> s"$exactCosCte\n$annSoundnessSelect",
     "s18_ivfpq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Full margin-mining replay: same rounded cosines, neighborhood
+    // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
+    // — the sum order matches Spark's sorted minK array fold), same
+    // ratio margin, same forward/backward bests with identical
+    // tie-breaks.
+    "s19_bitext_margin" ->
+      """WITH a AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings WHERE vec_id < 100),
+        |b AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings WHERE vec_id >= 100 AND vec_id < 200),
+        |p AS (SELECT src_id, tgt_id, round(list_dot_product(ea, eb) /
+        |  (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 6) AS cos FROM a, b),
+        |na AS (SELECT src_id, round(list_aggregate(l, 'sum') / len(l), 6) AS avg_nn_src FROM (
+        |  SELECT src_id, (list(cos ORDER BY cos DESC, tgt_id))[1:4] AS l FROM p GROUP BY src_id)),
+        |nb AS (SELECT tgt_id, round(list_aggregate(l, 'sum') / len(l), 6) AS avg_nn_tgt FROM (
+        |  SELECT tgt_id, (list(cos ORDER BY cos DESC, src_id))[1:4] AS l FROM p GROUP BY tgt_id)),
+        |m AS (SELECT p.src_id, p.tgt_id, p.cos,
+        |  round(p.cos / (na.avg_nn_src / 2 + nb.avg_nn_tgt / 2), 4) AS margin
+        |  FROM p JOIN na USING (src_id) JOIN nb USING (tgt_id)),
+        |fwd AS (SELECT src_id, tgt_id, cos AS cos_sim, margin FROM (
+        |  SELECT m.*, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn FROM m) WHERE rn = 1),
+        |bwd AS (SELECT tgt_id AS b_tgt, src_id AS b_src FROM (
+        |  SELECT m.*, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn FROM m) WHERE rn = 1)
+        |SELECT f.src_id, f.tgt_id, f.cos_sim, f.margin, bwd.b_src = f.src_id AS mutual
+        |FROM fwd f LEFT JOIN bwd ON bwd.b_tgt = f.tgt_id ORDER BY f.src_id""".stripMargin,
     "s03_embed_neardup" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,

