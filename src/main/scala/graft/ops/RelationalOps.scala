@@ -1229,7 +1229,11 @@ object RelationalOps {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
       val docs = t(s, dir, "documents")
       docs.write.mode("overwrite").option("header", "true").option("quoteAll", "true").csv(tmp)
-      s.read.schema(docs.schema).option("header", "true").csv(tmp)
+      // multiLine: the quoteAll writer legally emits embedded newlines
+      // inside quotes, and the default line-split reader would shear such
+      // a record into corrupt rows — the read must speak the full dialect
+      // the writer can produce, not just what today's fixture exercises.
+      s.read.schema(docs.schema).option("header", "true").option("multiLine", "true").csv(tmp)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -85,9 +85,12 @@ class ShardSinkProvider extends TableProvider with DataSourceRegister {
       require(n > 0, s"graft-shards maxFilesPerTrigger must be positive, got $n")
       n
     }
+    // jobToken is deliberately NOT empty-filtered: an explicitly pinned
+    // empty token is a caller error the validator must reject, not a
+    // silent fallback to unpinned-append semantics.
     new ShardTable(path, opt("maxdocspershard", "100000").toLong,
       opt("maxshardbytes", s"${64L << 20}").toLong,
-      Option(opts.get("jobtoken")).filter(_.nonEmpty), maxFiles, conf)
+      Option(opts.get("jobtoken")), maxFiles, conf)
   }
 }
 
@@ -144,8 +147,18 @@ private[sources] class ShardTable(
     // `part-{token}-` are dropped at commit) — the idempotent-replay
     // hook foreachBatch sinks need, since Spark's queryId changes per
     // attempt while the caller's batch id does not.
+    //
+    // Pinned tokens are VALIDATED, never normalized: silently stripping
+    // non-alphanumerics or truncating would let distinct logical jobs
+    // collide on one token ("job-1" vs "job1", or two long tokens
+    // sharing a 24-char prefix), and a collision under replace-on-commit
+    // semantics makes one job's commit silently DELETE the other job's
+    // shards. Rejecting the token keeps "distinct token in ⇒ distinct
+    // replacement scope" a real invariant.
+    explicitToken.foreach(t => require(t.matches("[A-Za-z0-9]{1,24}"),
+      s"jobToken must be 1-24 ASCII alphanumeric characters ([A-Za-z0-9]); got '$t' — " +
+        "distinct tokens must map to distinct shard prefixes, so the sink never normalizes them"))
     val jobToken = explicitToken
-      .map(t => t.replaceAll("[^A-Za-z0-9]", "").take(24))
       .getOrElse(info.queryId().replace("-", "").take(16))
     val pinnedToken = explicitToken.isDefined
     new WriteBuilder with SupportsTruncate {
@@ -519,11 +532,34 @@ object TrainingShards {
     * becomes meaningless — the marker turns what would be a silent
     * full-corpus re-serve into a loud failure telling the operator to
     * restart the tailer with a fresh checkpoint.
+    *
+    * The bump happens BEFORE the overwrite commit, not after: a live
+    * tailer polling `latestOffset` in an after-commit window would see
+    * its own (old) generation next to the re-landed shard names and
+    * silently admit the whole corpus as new — the exact failure the
+    * marker exists to make loud. Bumping first closes that window: any
+    * tailer racing the compaction fails the generation check the moment
+    * the marker lands. The trade is benign: a compaction that crashes
+    * between the bump and the commit leaves the LAYOUT intact but the
+    * generation advanced, so tailers fail loudly over an unchanged
+    * corpus — a spurious restart-with-fresh-checkpoint, never a
+    * double-serve.
     */
   def compact(spark: SparkSession, dir: String,
-              maxDocsPerShard: Long = 100000L, maxShardBytes: Long = 64L << 20): Unit = {
+              maxDocsPerShard: Long = 100000L, maxShardBytes: Long = 64L << 20): Unit =
+    compactWithHook(spark, dir, maxDocsPerShard, maxShardBytes, () => ())
+
+  /** Test seam: `betweenBumpAndCommit` runs after the generation bump
+    * and before the overwrite commit, so specs can drive a tailer poll
+    * inside the exact race window the bump-first ordering closes.
+    */
+  private[sources] def compactWithHook(
+      spark: SparkSession, dir: String, maxDocsPerShard: Long, maxShardBytes: Long,
+      betweenBumpAndCommit: () => Unit): Unit = {
     val (fs, dirPath, shards, files) = committedShards(spark, dir)
     if (shards.nonEmpty) {
+      ShardManifest.bumpGeneration(fs, dirPath)
+      betweenBumpAndCommit()
       val totalDocs = shards.map(_.docs).sum
       val nParts = math.max(1, math.ceil(totalDocs.toDouble / maxDocsPerShard).toInt)
       val lines = spark.read.text(files: _*).repartition(nParts)
@@ -534,7 +570,6 @@ object TrainingShards {
         .option("maxShardBytes", maxShardBytes.toString)
         .mode("overwrite")
         .save()
-      ShardManifest.bumpGeneration(fs, dirPath)
     }
   }
 }

@@ -38,4 +38,28 @@ class FormatRoundTripSpec extends AnyFunSuite {
       .filter(col("text") =!= col("t2")).count()
     assert(diff == 0, "CSV dialect mangled quoted content")
   }
+
+  test("q99 ITSELF (the production query, not a parallel re-implementation) survives " +
+    "newline-bearing document text") {
+    import spark.implicits._
+    // the advisory gap: this spec used to exercise the dialect with its
+    // own multiLine read while the q99 query read without it — green
+    // spec, broken production path. Run the real entry over a fixture
+    // whose text embeds newlines and let its own lengths_consistent
+    // guard judge the round trip.
+    val fixtureDir = java.nio.file.Files.createTempDirectory("csv-newline-docs").toString
+    Seq(
+      (1L, "plain text", "en", "web"),
+      (2L, "line\nbreak inside", "en", "web"),
+      (3L, "two\nbreaks\nhere, with a \"quote\"", "fr", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$fixtureDir/documents.parquet")
+    val out = graft.SparkEntry.queries("q99_csv_roundtrip")(spark, fixtureDir).collect()
+    assert(out.nonEmpty)
+    val rowCount = out.map(_.getAs[Long]("n_docs")).sum
+    assert(rowCount == 3, s"newline text sheared rows apart: ${out.mkString("; ")}")
+    assert(out.forall(_.getAs[Boolean]("lengths_consistent")),
+      s"q99 mangled newline-bearing text: ${out.mkString("; ")}")
+  }
 }

@@ -299,12 +299,39 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val boundedInputWindowAllowlist = Set("r09_histogram_quantiles")
 
-  /** Identifiers referenced by a printed partition spec (`name#123`). */
-  private def partitionKeyNames(ps: String): Set[String] =
-    "([A-Za-z_][A-Za-z0-9_]*)#\\d+".r.findAllMatchIn(ps).map(_.group(1)).toSet
+  /** Top-level comma-split of a printed partition spec (commas inside
+    * parentheses/brackets belong to a wrapping expression, not the
+    * spec). `pmod(doc_id#5, 4)` is ONE expression, not two.
+    */
+  private def topLevelPartitionExprs(ps: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    ps.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  /** A partition expression counts as high-cardinality ONLY when it is a
+    * BARE reference to an allowlisted column (`doc_id#123L`), not when
+    * the column merely appears inside a wrapping expression: a
+    * low-cardinality function of a high-card column — `pmod(doc_id, 4)`,
+    * a cast-and-bucket, a substring — plans the same one-task-per-value
+    * shape the audit bans, whatever identifiers its printed form
+    * mentions.
+    */
+  private val bareColumnRef = "^([A-Za-z_][A-Za-z0-9_]*)#\\d+[A-Za-z]*$".r
 
   private def lowCardOffense(ps: String): Boolean =
-    partitionKeyNames(ps).intersect(highCardWindowKeys).isEmpty
+    !topLevelPartitionExprs(ps).exists {
+      case bareColumnRef(name) => highCardWindowKeys.contains(name)
+      case _ => false
+    }
 
   test("window audit over ALL queries: no single-task window outside the allowlist; " +
     "every window partition spec contains a high-cardinality key") {
@@ -340,6 +367,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"audit failed to flag a query_id-partitioned window: $specs")
     // and the same extraction does NOT flag the legitimate salted shape
     assert(!lowCardOffense("source#1, chunk#2"), "chunk-salted window wrongly flagged")
+  }
+
+  test("window audit canary: a low-card EXPRESSION over a high-card column IS flagged") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // pmod(doc_id, 4) has 4 values — one task per value — even though
+    // the printed spec mentions the allowlisted identifier doc_id.
+    val planted = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(4))).orderBy(col("doc_id"))))
+    val specs = windowPartitions(planted.queryExecution.executedPlan.toString).flatten
+    assert(specs.nonEmpty, "canary plan lost its WindowExec")
+    assert(specs.forall(lowCardOffense),
+      s"audit failed to flag a pmod(doc_id, 4)-partitioned window: $specs")
+    // a bare high-card reference next to an expression still passes —
+    // the bare key is what bounds the per-task group
+    assert(!lowCardOffense("pmod(doc_id#9L, 4), doc_id#9L"), "mixed spec with bare key wrongly flagged")
   }
 
   // AQE's skew-join split handles the same hot-key shape q36 salts

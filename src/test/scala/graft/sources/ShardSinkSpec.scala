@@ -140,6 +140,31 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == 200)
   }
 
+  test("a jobToken the sink would have to normalize is REJECTED, never silently collided") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(10)
+    // each of these normalizes/truncates onto a token another logical
+    // job could legitimately hold — a silent collision would let one
+    // job's commit delete the other's shards under replace-on-commit
+    val collisionProne = Seq(
+      "job-1",                        // strips to "job1"
+      "x" * 25,                       // truncates onto the 24-char prefix
+      "",                             // empty after any normalization
+      "tok with spaces")
+    collisionProne.foreach { tok =>
+      val e = intercept[Exception] {
+        TrainingShards.write(docs, out, maxDocsPerShard = 32, jobToken = Some(tok))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("alphanumeric")),
+        s"token '$tok' was not rejected with the validation message: $e")
+    }
+    // nothing landed: the directory holds no committed write
+    assert(!new java.io.File(out, "_MANIFEST.json").exists(),
+      "a rejected token must not leave a committed manifest")
+  }
+
   test("append merges the prior manifest: two writes, one manifest accounting for both") {
     val out = freshDir()
     val docs = graft.ops.Tables.t(spark, dir, "documents")

@@ -92,6 +92,37 @@ class ShardStreamReadSpec extends AnyFunSuite {
       s"expected the generation-mismatch failure, got: $msg")
   }
 
+  test("a tailer polling INSIDE the compaction window fails the generation check " +
+    "(bump lands before the overwrite commit)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val out = Files.createTempDirectory("shard-tail-race").toString
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(100)
+    TrainingShards.write(docs.repartition(4), out, maxDocsPerShard = 16)
+    val stream = new ShardMicroBatchStream(
+      out, None, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    // a live tailer that has consumed the whole pre-compaction corpus
+    val consumed = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+    assert(consumed.asInstanceOf[ShardFilesOffset].files.nonEmpty)
+    var polledInWindow = false
+    TrainingShards.compactWithHook(spark, out, 64L, 64L << 20, () => {
+      // the race the advisory names: the overwrite commit has NOT
+      // happened yet, but the generation marker must already be live so
+      // this poll fails loudly instead of (after the commit) admitting
+      // every re-landed shard as unseen
+      val e = intercept[IllegalArgumentException] {
+        stream.latestOffset(consumed, ReadLimit.allAvailable())
+      }
+      assert(e.getMessage.contains("compacted"), s"wrong failure in the race window: $e")
+      polledInWindow = true
+    })
+    assert(polledInWindow, "test hook never ran")
+    // and after the commit the same poll still fails the same way
+    val e2 = intercept[IllegalArgumentException] {
+      stream.latestOffset(consumed, ReadLimit.allAvailable())
+    }
+    assert(e2.getMessage.contains("compacted"))
+  }
+
   test("offset JSON survives file names with quotes and backslashes (json4s round trip)") {
     val off = ShardFilesOffset(3L, Seq("""weird "name"\shard.jsonl.gz""", "plain.jsonl.gz"))
     val back = ShardFilesOffset.fromJson(off.json())
