@@ -768,6 +768,80 @@ object TextOps {
         .orderBy("content_hash")
     }),
 
+    // Heavy hitters via a Misra-Gries mergeable summary (custom
+    // TypedImperativeAggregate, functions/MisraGries.scala): pass 1
+    // holds ≤ k counters per source (ObjectHashAggregate — map-side
+    // partial summaries merge under the Agarwal-et-al rule, so the
+    // shuffle moves one ≤k-entry summary per task per source, never the
+    // token stream); pass 2 exact-counts ONLY the ≤ k×sources candidate
+    // tokens (broadcast semi-join prunes the stream before the count,
+    // so the groupBy's key space is candidate-bounded at any corpus
+    // size). The MG guarantee — every token with frequency > n/(k+1)
+    // survives the summary — makes candidates a superset of the true
+    // heavy set, so the exact filter returns exactly the tokens the
+    // full-cardinality groupBy would: same rows, bounded state.
+    // θ = 1/50 (k=49): tokens above 2% of a source's token stream.
+    "d56_heavy_hitters" -> ((s, dir) => {
+      val k = 49
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val cands = toks.groupBy("source")
+        .agg(
+          graft.functions.MisraGries.candidates(col("tok"), k).as("cands"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"), explode(col("cands")).as("tok"))
+      val exact = toks
+        .join(broadcast(cands.select("source", "tok")), Seq("source", "tok"), "left_semi")
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      exact
+        .join(broadcast(cands), Seq("source", "tok"))
+        .where(col("cnt") * (k + 1) > col("n_tokens"))
+        .select(col("source"), col("tok"), col("cnt"), col("n_tokens"))
+        .orderBy("source", "tok")
+    }),
+
+    // Interpolated Kneser-Ney bigram scoring — the other classic LM
+    // smoothing next to d42's Jelinek-Mercer ladder: absolute
+    // discounting (D=0.75) on the bigram estimate, with the discount
+    // mass re-spent on the CONTINUATION probability (how many distinct
+    // contexts a word follows, not how often it occurs) — the
+    // distinction that stops high-count-but-single-context words
+    // ("francisco") from stealing backoff mass. All quantities are
+    // integer count tables derived from one bigram frame: c(a,b);
+    // context totals c(a·) and left fan-out N1+(a·) by grouping on a;
+    // right fan-in N1+(·b) by grouping on b; bigram-type total B as a
+    // broadcast 1-row frame. Every scored position has c(a,b) ≥ 1, so
+    // the discounted term stays positive and no division needs a
+    // guard. Count tables join by key (AQE sizes them); docs under two
+    // tokens have no bigram positions and drop, mirroring d29/d42.
+    "d55_kneser_ney" -> ((s, dir) => {
+      val D = 0.75
+      val toks = t(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("t"))
+      val docBg = toks
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+        .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
+      val bg = docBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ctx = bg.groupBy("a").agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_left"))
+      val cont = bg.groupBy("b").agg(count(lit(1)).as("n1p_right"))
+      val totals = bg.agg(count(lit(1)).as("btypes"))
+      docBg
+        .join(bg, Seq("a", "b"))
+        .join(ctx, "a")
+        .join(cont, "b")
+        .crossJoin(broadcast(totals))
+        .select(
+          col("doc_id"),
+          log(
+            (col("c_ab") - lit(D)) / col("c_a") +
+              lit(D) * col("n1p_left") / col("c_a") * (col("n1p_right") / col("btypes")))
+            .as("logp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_kn_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting (whitespace tokenizer).
     "d02_token_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2211,6 +2285,33 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Exact heavy hitters: DuckDB recomputes the full-cardinality
+    // per-source counts; the engine's MG-candidate path must land on
+    // the identical set (the summary guarantee makes candidates a
+    // superset, the exact verification join trims it).
+    "d56_heavy_hitters" ->
+      """WITH toks AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY 1),
+        |cnt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT c.source, c.tok, c.cnt, t.n_tokens
+        |FROM cnt c JOIN tot t USING (source)
+        |WHERE c.cnt * 50 > t.n_tokens
+        |ORDER BY source, tok""".stripMargin,
+    "d55_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+        |       FROM tok WHERE len(t) >= 2),
+        |dbf AS (SELECT doc_id, s.a AS a, s.b AS b FROM db),
+        |bg AS (SELECT a, b, count(*) AS c_ab FROM dbf GROUP BY 1, 2),
+        |ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1p_left FROM bg GROUP BY 1),
+        |cont AS (SELECT b, count(*) AS n1p_right FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS btypes FROM bg),
+        |lp AS (SELECT d.doc_id,
+        |         ln((bg.c_ab - 0.75) / ctx.c_a + 0.75 * ctx.n1p_left / ctx.c_a * (CAST(cont.n1p_right AS DOUBLE) / tot.btypes)) AS logp
+        |       FROM dbf d JOIN bg ON d.a = bg.a AND d.b = bg.b
+        |       JOIN ctx ON d.a = ctx.a JOIN cont ON d.b = cont.b, tot)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_kn_logprob
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
     "d33_doc_chunking" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(range(0, CAST(greatest(ceil((len(t) - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_idx FROM tok)
