@@ -350,6 +350,44 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
+
+    // Johnson-Lindenstrauss random projection (64d → 16d) with a
+    // DETERMINISTIC ±1 sign matrix derived from the portable md5 hash
+    // family (sign(i,j) = parity of md5("i_j")'s 60-bit prefix), so the
+    // projection — the Achlioptas database-friendly JL variant — is
+    // bit-reproducible in BOTH engines and the distance-distortion
+    // check is an EXACT oracle, not a soundness row. The projection is
+    // one narrow codegen-adjacent map per vector (higher-order
+    // transform/aggregate fold the 64×16 signed sums in a fixed
+    // left-to-right order, so double summation is bit-identical across
+    // engines); the pairwise distortion audit runs over a bounded
+    // 40-vector panel (780 pairs — the verification subset pattern).
+    // At 100 TB the map is embarrassingly parallel and the panel stays
+    // constant; the projected 16d vectors are what an ANN index would
+    // ingest at a quarter of the I/O.
+    "s20_jl_projection" -> ((s, dir) => {
+      val proj = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+        .withColumn("p", expr(
+          """transform(sequence(1, 16), j ->
+            |  aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+            |    acc + element_at(e, i) *
+            |      (CASE WHEN CAST(conv(substr(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+            |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)))""".stripMargin))
+      val a = proj.select(col("vec_id").as("va"), col("e").as("ea"), col("p").as("pa"))
+      val b = proj.select(col("vec_id").as("vb"), col("e").as("eb"), col("p").as("pb"))
+      a.join(b, col("va") < col("vb"))
+        .select(
+          col("va"), col("vb"),
+          round(expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"), 6)
+            .as("dist2_orig"),
+          round(expr("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"), 6)
+            .as("dist2_proj"))
+        .withColumn("jl_ratio", round(col("dist2_proj") / (lit(16.0) * col("dist2_orig")), 4))
+        .orderBy("va", "vb")
+    }),
     // Prototype-distance pruning: keep each cluster's least prototypical
     // 70% (the hard examples), per-cluster cutoff broadcast.
     "s13_prototype_prune" -> ((s, dir) =>
@@ -887,6 +925,22 @@ object SimilarityOps {
         |SELECT CAST(0 AS BIGINT) AS n_false_pos, CAST(0 AS BIGINT) AS n_score_mismatch,
         |  CAST(count(*) AS BIGINT) AS n_exact_pairs_cap, TRUE AS recall_cap_ok
         |FROM p WHERE c > 0.4""".stripMargin,
+    "s20_jl_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 40),
+        |p AS (SELECT vec_id, e,
+        |  list_transform(range(1, 17), j ->
+        |    list_sum(list_transform(range(1, 65), i -> e[i] *
+        |      (CASE WHEN ('0x' || substr(md5(i || '_' || j), 1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)))) AS p
+        |  FROM e),
+        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.e AS ea, b.e AS eb, a.p AS pa, b.p AS pb
+        |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+        |d AS (SELECT va, vb,
+        |  round(list_sum(list_transform(range(1, 65), i -> (ea[i] - eb[i]) * (ea[i] - eb[i]))), 6) AS dist2_orig,
+        |  round(list_sum(list_transform(range(1, 17), j -> (pa[j] - pb[j]) * (pa[j] - pb[j]))), 6) AS dist2_proj
+        |  FROM pairs)
+        |SELECT va, vb, dist2_orig, dist2_proj,
+        |  round(dist2_proj / (16 * dist2_orig), 4) AS jl_ratio
+        |FROM d ORDER BY va, vb""".stripMargin,
     "s01_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) /

@@ -234,6 +234,62 @@ object WebOps {
           expr("CAST(conv(substr(md5(CAST(redacted AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("redacted_hash")
         )
         .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + registered-domain curation — the crawl
+    // frontier's bookkeeping pass: parse scheme/host/path/query, strip
+    // the www label and utm_* tracking params (the canonical-URL dedup
+    // key CC-style pipelines group fetches by), reduce each host to its
+    // REGISTERED domain (last two labels, or three under two-level
+    // public suffixes like co.uk — a closed-list heuristic of the
+    // Public Suffix List's shape), then aggregate per domain: doc and
+    // distinct-host/canonical-URL counts, tracking prevalence, and a
+    // domain-blocklist keep/drop decision. URLs are synthesized
+    // deterministically from `documents` (the w01/m01 technique) with
+    // 4 subdomain × 3 TLD × param variants so every branch of the
+    // parser is exercised; the oracle rebuilds byte-identical URLs and
+    // replays the same regexes/list ops. Narrow codegen maps + one
+    // 60-key map-side-combinable aggregate: no skew surface (domain
+    // cardinality grows with the corpus in a real crawl; counts stay
+    // partial-aggregated either way).
+    "w05_domain_curation" -> ((s, dir) => {
+      val urled = t(s, dir, "documents").withColumn("url", expr(
+        """'https://' ||
+          |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN 'm.' ELSE '' END) ||
+          |  source || '.' ||
+          |  (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END) ||
+          |  '/p/' || CAST(doc_id % 50 AS STRING) ||
+          |  (CASE CAST(doc_id % 5 AS INT)
+          |     WHEN 0 THEN '?utm_source=feed&utm_campaign=x&page=' || CAST(doc_id % 3 AS STRING)
+          |     WHEN 1 THEN '?page=' || CAST(doc_id % 3 AS STRING)
+          |     ELSE '' END)""".stripMargin))
+      val parsed = urled.select(
+        col("doc_id"),
+        expr("regexp_extract(url, '^https?://([^/]+)', 1)").as("host"),
+        expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"),
+        expr("regexp_extract(url, '\\\\?(.*)$', 1)").as("qs"))
+      val canon = parsed
+        .withColumn("host_nw",
+          when(col("host").startsWith("www."), expr("substr(host, 5)")).otherwise(col("host")))
+        .withColumn("kept_qs", expr(
+          "array_join(filter(split(qs, '&'), p -> p != '' AND NOT startswith(p, 'utm_')), '&')"))
+        .withColumn("canonical_url", expr(
+          "host_nw || path || (CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END)"))
+        .withColumn("registered_domain", expr(
+          """CASE WHEN host_nw LIKE '%.co.uk'
+            |  THEN array_join(slice(split(host_nw, '\\.'), -3, 3), '.')
+            |  ELSE array_join(slice(split(host_nw, '\\.'), -2, 2), '.') END""".stripMargin))
+      val blocklist = Seq("src3.com", "src7.co.uk", "src11.org")
+      canon
+        .groupBy("registered_domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("canonical_url")).as("n_canonical_urls"),
+          sum(when(col("qs").contains("utm_"), 1L).otherwise(0L)).as("n_tracked"))
+        .withColumn("blocked", col("registered_domain").isin(blocklist: _*))
+        .withColumn("kept_docs", when(col("blocked"), 0L).otherwise(col("n_docs")))
+        .orderBy("registered_domain")
     })
   )
 
@@ -243,6 +299,43 @@ object WebOps {
     * m05 portability argument applied to the crawl pipeline.
     */
   val oracleSql: Map[String, String] = Map(
+    "w05_domain_curation" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' ||
+        |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN 'm.' ELSE '' END) ||
+        |  source || '.' ||
+        |  (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END) ||
+        |  '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE CAST(doc_id % 5 AS INT)
+        |     WHEN 0 THEN '?utm_source=feed&utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+        |     WHEN 1 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+        |     ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS qs
+        |  FROM u),
+        |c AS (SELECT doc_id, host, path, qs,
+        |  CASE WHEN starts_with(host, 'www.') THEN substr(host, 5) ELSE host END AS host_nw
+        |  FROM p),
+        |k AS (SELECT *, coalesce(array_to_string(list_filter(string_split(qs, '&'), x -> x <> '' AND NOT starts_with(x, 'utm_')), '&'), '') AS kept_qs FROM c),
+        |canon AS (SELECT doc_id, host, qs,
+        |  host_nw || path || (CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END) AS canonical_url,
+        |  CASE WHEN host_nw LIKE '%.co.uk'
+        |    THEN array_to_string(string_split(host_nw, '.')[-3:], '.')
+        |    ELSE array_to_string(string_split(host_nw, '.')[-2:], '.') END AS registered_domain
+        |  FROM k),
+        |agg AS (SELECT registered_domain,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts,
+        |  count(DISTINCT canonical_url) AS n_canonical_urls,
+        |  CAST(sum(CASE WHEN contains(qs, 'utm_') THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked
+        |  FROM canon GROUP BY 1)
+        |SELECT registered_domain, n_docs, n_hosts, n_canonical_urls, n_tracked,
+        |  registered_domain IN ('src3.com', 'src7.co.uk', 'src11.org') AS blocked,
+        |  CASE WHEN registered_domain IN ('src3.com', 'src7.co.uk', 'src11.org') THEN 0 ELSE n_docs END AS kept_docs
+        |FROM agg ORDER BY registered_domain""".stripMargin,
     "w01_warc_extract" ->
       """WITH h AS (SELECT doc_id, source,
         |  '<html><head><title>doc ' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS html
