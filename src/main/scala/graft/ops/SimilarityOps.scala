@@ -351,6 +351,78 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
 
+    // PCA by power iteration — the embedding-whitening primitive:
+    // covariance of a BOUNDED training panel (vec_id < 512, the
+    // IVF/PQ sampleCap pattern — constant work at any corpus size),
+    // 8 power-iteration steps on the collected 64×64 matrix
+    // (k-bounded driver math, the s14-centroid pattern), then ONE
+    // distributed narrow map projecting every vector onto the
+    // principal component. Exact oracle discipline for an iterative
+    // float pipeline: every cross-engine sum folds in a PINNED order
+    // (collect_list sorted by vec_id / list(ORDER BY) in DuckDB;
+    // ascending-index aggregate() folds for the projections), and
+    // every stage boundary rounds 6dp — so the oracle replays the
+    // same 8 iterations as unrolled CTEs bit-identically. Sign is
+    // deterministic (all-positive start vector).
+    "s21_pca_power" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val panel = emb.filter(col("vec_id") < 512)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val n = panel.count() // bounded by the 512-panel cap
+      val ex = panel
+        .select(col("vec_id"), posexplode(col("e")).as(Seq("i0", "v")))
+        .select(col("vec_id"), (col("i0") + 1).as("i"), col("v"))
+      val mu = ex.groupBy("i").agg(
+        round(expr(
+          "aggregate(transform(array_sort(collect_list(named_struct('k', vec_id, 'p', v))), s -> s.p), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          / n, 6).as("m"))
+      val ce = ex.join(mu, "i").select(col("vec_id"), col("i"), (col("v") - col("m")).as("c"))
+      // covariance is symmetric: aggregate only the upper triangle
+      // (j ≥ i, 2080 of 4096 cells) and mirror driver-side — halves the
+      // panel × 64² multiply/shuffle volume, which dominates this query
+      val cov = ce.select(col("vec_id"), col("i"), col("c").as("ca"))
+        .join(ce.select(col("vec_id"), col("i").as("j"), col("c").as("cb")), "vec_id")
+        .where(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(round(expr(
+          "aggregate(transform(array_sort(collect_list(named_struct('k', vec_id, 'p', ca * cb))), s -> s.p), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          / (n - 1), 6).as("cv"))
+      // 64×64 matrix: k-bounded by construction, safe to hold driver-side
+      val cMat = Array.ofDim[Double](64, 64)
+      cov.collect().foreach { r =>
+        val (i, j, c) = (r.getAs[Int]("i") - 1, r.getAs[Int]("j") - 1, r.getAs[Double]("cv"))
+        cMat(i)(j) = c
+        cMat(j)(i) = c
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var v = Array.fill(64)(r6(1.0 / math.sqrt(64.0)))
+      for (_ <- 0 until 8) {
+        val w = Array.tabulate(64) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < 64) { acc += cMat(i)(j) * v(j); j += 1 } // ascending-j fold
+          r6(acc)
+        }
+        var nrm2 = 0.0
+        var i = 0
+        while (i < 64) { nrm2 += w(i) * w(i); i += 1 } // ascending-i fold
+        val nrm = r6(math.sqrt(nrm2))
+        v = w.map(x => r6(x / nrm))
+      }
+      val muArr = mu.orderBy("i").collect().map(_.getAs[Double]("m"))
+      emb
+        .withColumn("mu", typedLit(muArr.toSeq))
+        .withColumn("pc", typedLit(v.toSeq))
+        .select(
+          col("vec_id"),
+          round(expr(
+            """aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+              |  acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(mu, i)) * element_at(pc, i))""".stripMargin), 6)
+            .as("pc1_score"))
+        .orderBy("vec_id")
+    }),
+
     // Johnson-Lindenstrauss random projection (64d → 16d) with a
     // DETERMINISTIC ±1 sign matrix derived from the portable md5 hash
     // family (sign(i,j) = parity of md5("i_j")'s 60-bit prefix), so the
@@ -925,6 +997,38 @@ object SimilarityOps {
         |SELECT CAST(0 AS BIGINT) AS n_false_pos, CAST(0 AS BIGINT) AS n_score_mismatch,
         |  CAST(count(*) AS BIGINT) AS n_exact_pairs_cap, TRUE AS recall_cap_ok
         |FROM p WHERE c > 0.4""".stripMargin,
+    // 8 power iterations unrolled as generated CTE stages (the d18/s12
+    // replay technique); every cross-engine float fold is order-pinned
+    // via list(... ORDER BY ...) and every stage boundary rounds 6dp,
+    // mirroring the engine's driver-side loop exactly. Every stage is
+    // MATERIALIZED: DuckDB inlines plain CTEs, and this chain references
+    // each w-stage twice per level (v_t and its norm) — inlined, the
+    // expansion is 2^8 × the covariance cost.
+    "s21_pca_power" -> {
+      val iters = (1 to 8).map { it =>
+        val pv = s"v${it - 1}"
+        s"""w$it AS MATERIALIZED (SELECT cov.i, round(list_sum(list(cov.cv * $pv.v ORDER BY cov.j)), 6) AS w
+           |  FROM cov JOIN $pv ON cov.j = $pv.i GROUP BY cov.i),
+           |n$it AS MATERIALIZED (SELECT round(sqrt(list_sum(list(w * w ORDER BY i))), 6) AS nrm FROM w$it),
+           |v$it AS MATERIALIZED (SELECT i, round(w / nrm, 6) AS v FROM w$it, n$it)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |panel AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 512),
+         |ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM panel),
+         |mu AS MATERIALIZED (SELECT i, round(list_sum(list(v ORDER BY vec_id)) / (SELECT count(*) FROM panel), 6) AS m
+         |  FROM ex GROUP BY i),
+         |ce AS MATERIALIZED (SELECT ex.vec_id, ex.i, ex.v - mu.m AS c FROM ex JOIN mu ON ex.i = mu.i),
+         |covu AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |  round(list_sum(list(a.c * b.c ORDER BY a.vec_id)) / ((SELECT count(*) FROM panel) - 1), 6) AS cv
+         |  FROM ce a JOIN ce b ON a.vec_id = b.vec_id WHERE b.i >= a.i GROUP BY a.i, b.i),
+         |cov AS MATERIALIZED (SELECT i, j, cv FROM covu
+         |  UNION ALL SELECT j AS i, i AS j, cv FROM covu WHERE i <> j),
+         |v0 AS MATERIALIZED (SELECT CAST(i AS INT) AS i, round(1.0 / sqrt(64), 6) AS v FROM range(1, 65) t(i)),
+         |$iters
+         |SELECT e.vec_id, round(list_sum(list((e.e[mu.i] - mu.m) * v8.v ORDER BY mu.i)), 6) AS pc1_score
+         |FROM e CROSS JOIN mu JOIN v8 ON mu.i = v8.i
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+    },
     "s20_jl_projection" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 40),
         |p AS (SELECT vec_id, e,

@@ -102,6 +102,51 @@ object DocumentStreams {
     * the foreachBatch hook for when there is (the reference's
     * watermark-write slot).
     */
+  /** Streaming heavy hitters: the Misra-Gries summary as CROSS-BATCH
+    * state — one ≤k-entry counter map per source lives in the state
+    * store, each micro-batch folds its tokens into it with the same
+    * update rule the batch aggregate uses
+    * ([[graft.functions.MisraGries.updateMap]]), and every batch emits
+    * the current candidate set with the tokens-seen total. Because the
+    * state is the summary itself, the MG guarantee holds over the
+    * stream's ENTIRE history: any token whose frequency across all
+    * batches so far exceeds n/(k+1) is present — a token can become
+    * heavy cumulatively without ever being heavy within one batch and
+    * still surface. State posture: k counters per source, forever —
+    * bounded regardless of stream length, the whole point of running a
+    * sketch instead of a streaming groupBy(token) whose state grows
+    * with vocabulary.
+    */
+  /** Per-source sketch state: the tokens-seen total (the θ-threshold
+    * n/(k+1) needs it) next to the ≤k MG counters.
+    */
+  case class HeavyHitterState(n: Long, counters: Map[String, Long])
+
+  def streamingHeavyHitters(
+      docs: DataFrame, k: Int = 49): org.apache.spark.sql.Dataset[(String, Long, Seq[String])] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.functions.explode
+    docs
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HeavyHitterState, (String, Long, Seq[String])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, String)], state: GroupState[HeavyHitterState]) =>
+          val prior = state.getOption.getOrElse(HeavyHitterState(0L, Map.empty))
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          prior.counters.foreach { case (t, c) => m.update(t, c) }
+          var n = prior.n
+          rows.foreach { case (_, tok) =>
+            graft.functions.MisraGries.updateMap(m, tok, k)
+            n += 1
+          }
+          state.update(HeavyHitterState(n, m.toMap))
+          Iterator((source, n, m.keysIterator.toSeq.sorted))
+      }
+  }
+
   def curatedShardStreamNative(
       docs: DataFrame,
       outDir: String,

@@ -86,4 +86,67 @@ class DocumentStreamsSpec extends AnyFunSuite {
     val epochs = "-e(\\d+)-".r.findAllMatchIn(manifest).map(_.group(1)).toSet
     assert(epochs.size == 2, s"expected shards from 2 epochs in the manifest: $epochs\n$manifest")
   }
+
+  test("streaming heavy hitters: MG state persists across batches, stays k-bounded, " +
+    "and keeps a heavy token alive through a batch it never appears in") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("hh-stream-in").toString
+    val ckpt = Files.createTempDirectory("hh-stream-ckpt").toString
+    val k = 9
+
+    def doc(id: Long, src: String, text: String) =
+      (id, text, "en", src, text.length.toLong)
+    // srcH batch 1: "persist" 50×, 50 distinct noise tokens (n=100).
+    // srcH batch 2: 100 DISTINCT noise tokens, zero "persist" — after it
+    // the stream total is 200, θ-threshold n/(k+1)=20 < 50, so the MG
+    // guarantee says "persist" must still be in the candidate set even
+    // though this batch never mentioned it (cross-batch state, not a
+    // per-batch sketch). srcQ has its own keyed stream.
+    val b1 = Seq(
+      doc(1L, "srcH", (Seq.fill(50)("persist") ++ (0 until 50).map(i => s"noise$i")).mkString(" ")),
+      doc(2L, "srcQ", (Seq.fill(30)("qheavy") ++ (0 until 20).map(i => s"qn$i")).mkString(" "))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(
+      doc(3L, "srcH", (100 until 200).map(i => s"noise$i").mkString(" "))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.coalesce(1).write.mode("overwrite").parquet(s"$in/f1")
+    b2.coalesce(1).write.mode("overwrite").parquet(s"$in/f2")
+    def stage(src: String, name: String, ts: Long): Unit = {
+      val part = new java.io.File(s"$in/$src").listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+    }
+    stage("f1", "b1.parquet", 1000000000000L)
+    stage("f2", "b2.parquet", 1000000100000L)
+
+    // last emission per (source, batch) collected through foreachBatch
+    val emissions = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Seq[String])]()
+    val docs = DocumentStreams.readDocumentStream(spark, in, maxFilesPerTrigger = 1)
+    val q = DocumentStreams.streamingHeavyHitters(docs, k)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long, Seq[String])], id: Long) =>
+        batch.collect().foreach { case (src, n, cands) => emissions.add((id, src, n, cands)) }
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val all = emissions.asScala.toSeq
+    val srcHFinal = all.filter(_._2 == "srcH").maxBy(_._1)
+    val srcQFinal = all.filter(_._2 == "srcQ").maxBy(_._1)
+    assert(srcHFinal._3 == 200L, s"srcH stream total drifted: $srcHFinal")
+    assert(srcHFinal._4.contains("persist"),
+      s"heavy token lost across an absent batch — state did not persist: $srcHFinal")
+    assert(srcHFinal._4.size <= k, s"candidate set exceeds the k-counter state bound: $srcHFinal")
+    assert(srcQFinal._3 == 50L && srcQFinal._4.contains("qheavy"),
+      s"per-source keyed state leaked or lost: $srcQFinal")
+    // srcQ saw no batch-2 rows: update-mode must not re-emit it in batch 2
+    assert(!all.exists(e => e._2 == "srcQ" && e._1 > all.filter(_._2 == "srcQ").map(_._1).min),
+      s"srcQ re-emitted without new data: $all")
+  }
 }
