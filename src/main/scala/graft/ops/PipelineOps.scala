@@ -154,8 +154,97 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** Per-registered-domain token budget for the p03 web pipeline's
+    * stage 4 (domains hold ~5 docs of ~56 tokens after three upstream
+    * stages; 150 keeps a meaningful 2-3 doc slice of each).
+    */
+  val DomainTokenBudget = 150L
+
+  /** The WEB-side composition (p03): the same one-scan discipline as
+    * [[curate]], but the stages are the round-11 crawl operators —
+    * URL-canonical dedup, domain blocklist, Kneser-Ney quality floor,
+    * per-DOMAIN token budget. One narrow pass computes the URL
+    * canonicalization (the w05 kernel via [[WebOps.urlFrame]]) plus
+    * the token array, localCheckpointed; the KN stage's count tables
+    * are then aggregated from the SURVIVING docs (quality models in
+    * production recipes are fit on the post-dedup corpus — fitting on
+    * the raw corpus would let boilerplate mass skew the LM), and the
+    * budget walk is the r06 chunked two-phase prefix sum keyed on
+    * registered_domain — never a per-domain window.
+    *
+    *   stage 0  raw        the corpus as read
+    *   stage 1  canonical  keep min doc_id per canonical URL (the
+    *                       fetch-dedup a crawl frontier does)
+    *   stage 2  blocklist  drop blocklisted registered domains
+    *   stage 3  kn_floor   interpolated Kneser-Ney avg logprob ≥ -3.4
+    *                       (tables fit on stage-2 survivors)
+    *   stage 4  budget     ≤ 150 tokens per registered domain in
+    *                       deterministic md5 order
+    */
+  def curateWeb(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val feat = WebOps.urlFrame(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(
+        col("doc_id"), col("source"), col("canonical_url"), col("registered_domain"),
+        tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .localCheckpoint()
+
+    // stage 1 — canonical-URL keepers (aggregate min, never a window:
+    // a hot canonical URL — a portal page mirrored across the crawl —
+    // would serialize its whole group into one task)
+    val keepers = feat.groupBy("canonical_url").agg(min(col("doc_id")).as("doc_id"))
+    val s1 = feat.join(keepers, Seq("doc_id"), "left_semi")
+
+    // stage 2 — registered-domain blocklist
+    val s2 = s1.filter(!col("registered_domain").isin(WebOps.DomainBlocklist: _*))
+
+    // stage 3 — Kneser-Ney floor, tables fit on the survivors (d55's
+    // kernel over the checkpointed token arrays — no parquet re-scan)
+    val docBg = s2
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
+      .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
+    val bg = docBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ctx = bg.groupBy("a").agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_left"))
+    val cont = bg.groupBy("b").agg(count(lit(1)).as("n1p_right"))
+    val totals = bg.agg(count(lit(1)).as("btypes"))
+    val kn = docBg
+      .join(bg, Seq("a", "b")).join(ctx, "a").join(cont, "b")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((col("c_ab") - lit(0.75)) / col("c_a") +
+          lit(0.75) * col("n1p_left") / col("c_a") * (col("n1p_right") / col("btypes"))).as("logp"))
+      .groupBy("doc_id").agg(round(avg(col("logp")), 6).as("kn"))
+    val s3 = s2.join(kn.where(col("kn") >= -3.4), Seq("doc_id"), "left_semi")
+
+    // stage 4 — per-domain budget via the chunked two-phase prefix sum
+    val ordered = s3
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("chunk", substring(col("ord"), 1, 2))
+    val s4 = PrefixOps
+      .chunkedCumSum(ordered, "registered_domain", "chunk", Seq("ord", "doc_id"), "n_tokens", "cum")
+      .filter(col("cum") <= DomainTokenBudget)
+
+    def ledger(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+
+    ledger(0, "raw", feat)
+      .unionByName(ledger(1, "canonical", s1))
+      .unionByName(ledger(2, "blocklist", s2))
+      .unionByName(ledger(3, "kn_floor", s3))
+      .unionByName(ledger(4, "budget", s4))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Tables.Q] = Map(
     "p01_curation_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))),
+
+    "p03_web_pipeline" -> ((s, dir) => curateWeb(t(s, dir, "documents"))),
 
     // CROSS-TABLE hybrid curation — the text×vector composition p01
     // (single-table) doesn't exercise: documents clear the d36 quality
@@ -205,6 +294,62 @@ object PipelineOps {
     // rule (min doc_id per text; md5 is injective here so grouping by
     // text is the same partition), same d36 floors, same 8-gram overlap,
     // same md5-ordered budget walk, same contiguous bins.
+    // Replays the five web stages as chained CTEs: same URL synthesis/
+    // canonicalization (the w05 kernel), same min-doc_id keeper per
+    // canonical URL, same blocklist, the d55 Kneser-Ney replay FIT ON
+    // THE STAGE-2 SURVIVORS, same md5-ordered domain budget walk.
+    "p03_web_pipeline" ->
+      """WITH u AS (SELECT doc_id, source, text,
+        |  'https://' ||
+        |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN 'm.' ELSE '' END) ||
+        |  source || '.' ||
+        |  (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END) ||
+        |  '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE CAST(doc_id % 5 AS INT)
+        |     WHEN 0 THEN '?utm_source=feed&utm_campaign=x&page=' || CAST(doc_id % 3 AS VARCHAR)
+        |     WHEN 1 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+        |     ELSE '' END) AS url
+        |  FROM documents),
+        |pp AS (SELECT *, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS qs FROM u),
+        |cc AS (SELECT *, CASE WHEN starts_with(host, 'www.') THEN substr(host, 5) ELSE host END AS host_nw FROM pp),
+        |kk AS (SELECT *, coalesce(array_to_string(list_filter(string_split(qs, '&'), x -> x <> '' AND NOT starts_with(x, 'utm_')), '&'), '') AS kq FROM cc),
+        |f AS (SELECT doc_id, source,
+        |  host_nw || path || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS cu,
+        |  CASE WHEN host_nw LIKE '%.co.uk' THEN array_to_string(string_split(host_nw, '.')[-3:], '.')
+        |       ELSE array_to_string(string_split(host_nw, '.')[-2:], '.') END AS rd,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS t,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM kk),
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY cu),
+        |s1 AS (SELECT f.* FROM f JOIN k1 USING (doc_id)),
+        |s2 AS (SELECT * FROM s1 WHERE rd NOT IN ('src3.com', 'src7.co.uk', 'src11.org')),
+        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s
+        |       FROM s2 WHERE len(t) >= 2),
+        |dbf AS (SELECT doc_id, s.a AS a, s.b AS b FROM db),
+        |bg AS (SELECT a, b, count(*) AS c_ab FROM dbf GROUP BY 1, 2),
+        |ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1p_left FROM bg GROUP BY 1),
+        |cont AS (SELECT b, count(*) AS n1p_right FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS btypes FROM bg),
+        |lp AS (SELECT d.doc_id,
+        |         ln((bg.c_ab - 0.75) / ctx.c_a + 0.75 * ctx.n1p_left / ctx.c_a * (CAST(cont.n1p_right AS DOUBLE) / tot.btypes)) AS logp
+        |       FROM dbf d JOIN bg ON d.a = bg.a AND d.b = bg.b
+        |       JOIN ctx ON d.a = ctx.a JOIN cont ON d.b = cont.b, tot),
+        |kn AS (SELECT doc_id, round(avg(logp), 6) AS kn FROM lp GROUP BY 1),
+        |s3 AS (SELECT s2.* FROM s2 JOIN kn USING (doc_id) WHERE kn.kn >= -3.4),
+        |s4 AS (SELECT * FROM (
+        |    SELECT s3.*, sum(n_tokens) OVER (PARTITION BY rd ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum FROM s3)
+        |  WHERE cum <= 150)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM f
+        |  UNION ALL SELECT 1, 'canonical', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'blocklist', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'kn_floor', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'budget', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4
+        |) ORDER BY stage""".stripMargin,
+
     "p01_curation_pipeline" ->
       """WITH f0 AS (SELECT doc_id, source, text,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),

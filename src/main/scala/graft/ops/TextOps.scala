@@ -801,6 +801,39 @@ object TextOps {
         .orderBy("source", "tok")
     }),
 
+    // Corpus-derived stopword ratio — the quality signal for corpora
+    // with no language resources: the stopword list is DISCOVERED from
+    // the corpus itself (its global heavy hitters — function words are
+    // precisely the tokens above a few percent of the stream), then
+    // each document is scored by its stopword density (Gopher's
+    // stopword floor with a learned list). Composes the d56 machinery
+    // at global scope: one MG pass (single group — 32 map-side partial
+    // summaries merge to ≤ k counters), exact verification over the
+    // broadcast candidates, then the per-doc ratio as one broadcast
+    // join + map-side-combinable count. The token stream never
+    // full-shuffles.
+    "d57_stopword_ratio" -> ((s, dir) => {
+      val k = 49
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val cand = toks
+        .agg(graft.functions.MisraGries.candidates(col("tok"), k).as("cands"),
+          count(lit(1)).as("n_total"))
+        .select(col("n_total"), explode(col("cands")).as("tok"))
+      val exact = toks
+        .join(broadcast(cand.select("tok")), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val stop = exact.join(broadcast(cand), "tok")
+        .where(col("cnt") * (k + 1) > col("n_total"))
+        .select("tok")
+      toks
+        .join(broadcast(stop.withColumn("is_stop", lit(1L))), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(coalesce(col("is_stop"), lit(0L))).as("n_stop"))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Interpolated Kneser-Ney bigram scoring — the other classic LM
     // smoothing next to d42's Jelinek-Mercer ladder: absolute
     // discounting (D=0.75) on the bigram estimate, with the discount
@@ -2297,6 +2330,16 @@ object TextOps {
         |FROM cnt c JOIN tot t USING (source)
         |WHERE c.cnt * 50 > t.n_tokens
         |ORDER BY source, tok""".stripMargin,
+    "d57_stopword_ratio" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |stop AS (SELECT tok FROM cnt, tot WHERE c * 50 > n),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks t LEFT JOIN stop s USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_stop, round(n_stop / n_tokens, 4) AS stop_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "d55_kneser_ney" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(a := t[i], b := t[i + 1]))) AS s

@@ -3,6 +3,7 @@ package graft.ops
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.US_ASCII
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables.t
@@ -28,6 +29,43 @@ object WebOps {
     * popularity cutoff for the same reason).
     */
   val PopularDocThreshold = 10
+
+  /** Registered domains the w05/p03 curation drops wholesale. */
+  val DomainBlocklist = Seq("src3.com", "src7.co.uk", "src11.org")
+
+  /** The URL-canonicalization kernel shared by w05 and the p03 web
+    * pipeline: synthesize the deterministic crawl URL per document (4
+    * subdomain × 3 TLD × query-param variants), parse host/path/query,
+    * strip the www label and utm_* tracking params, and reduce the host
+    * to its registered domain (two-level-suffix heuristic). One narrow
+    * codegen pass; every output column is closed-form recomputable in
+    * the oracle SQL.
+    */
+  def urlFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("url", expr(
+        """'https://' ||
+          |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN 'm.' ELSE '' END) ||
+          |  source || '.' ||
+          |  (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END) ||
+          |  '/p/' || CAST(doc_id % 50 AS STRING) ||
+          |  (CASE CAST(doc_id % 5 AS INT)
+          |     WHEN 0 THEN '?utm_source=feed&utm_campaign=x&page=' || CAST(doc_id % 3 AS STRING)
+          |     WHEN 1 THEN '?page=' || CAST(doc_id % 3 AS STRING)
+          |     ELSE '' END)""".stripMargin))
+      .withColumn("host", expr("regexp_extract(url, '^https?://([^/]+)', 1)"))
+      .withColumn("path", expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)"))
+      .withColumn("qs", expr("regexp_extract(url, '\\\\?(.*)$', 1)"))
+      .withColumn("host_nw",
+        when(col("host").startsWith("www."), expr("substr(host, 5)")).otherwise(col("host")))
+      .withColumn("kept_qs", expr(
+        "array_join(filter(split(qs, '&'), p -> p != '' AND NOT startswith(p, 'utm_')), '&')"))
+      .withColumn("canonical_url", expr(
+        "host_nw || path || (CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END)"))
+      .withColumn("registered_domain", expr(
+        """CASE WHEN host_nw LIKE '%.co.uk'
+          |  THEN array_join(slice(split(host_nw, '\\.'), -3, 3), '.')
+          |  ELSE array_join(slice(split(host_nw, '\\.'), -2, 2), '.') END""".stripMargin))
 
   private def indexOfCrlfCrlf(buf: Array[Byte]): Int = {
     var i = 0
@@ -253,41 +291,14 @@ object WebOps {
     // cardinality grows with the corpus in a real crawl; counts stay
     // partial-aggregated either way).
     "w05_domain_curation" -> ((s, dir) => {
-      val urled = t(s, dir, "documents").withColumn("url", expr(
-        """'https://' ||
-          |  (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' WHEN 2 THEN 'm.' ELSE '' END) ||
-          |  source || '.' ||
-          |  (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END) ||
-          |  '/p/' || CAST(doc_id % 50 AS STRING) ||
-          |  (CASE CAST(doc_id % 5 AS INT)
-          |     WHEN 0 THEN '?utm_source=feed&utm_campaign=x&page=' || CAST(doc_id % 3 AS STRING)
-          |     WHEN 1 THEN '?page=' || CAST(doc_id % 3 AS STRING)
-          |     ELSE '' END)""".stripMargin))
-      val parsed = urled.select(
-        col("doc_id"),
-        expr("regexp_extract(url, '^https?://([^/]+)', 1)").as("host"),
-        expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"),
-        expr("regexp_extract(url, '\\\\?(.*)$', 1)").as("qs"))
-      val canon = parsed
-        .withColumn("host_nw",
-          when(col("host").startsWith("www."), expr("substr(host, 5)")).otherwise(col("host")))
-        .withColumn("kept_qs", expr(
-          "array_join(filter(split(qs, '&'), p -> p != '' AND NOT startswith(p, 'utm_')), '&')"))
-        .withColumn("canonical_url", expr(
-          "host_nw || path || (CASE WHEN kept_qs = '' THEN '' ELSE '?' || kept_qs END)"))
-        .withColumn("registered_domain", expr(
-          """CASE WHEN host_nw LIKE '%.co.uk'
-            |  THEN array_join(slice(split(host_nw, '\\.'), -3, 3), '.')
-            |  ELSE array_join(slice(split(host_nw, '\\.'), -2, 2), '.') END""".stripMargin))
-      val blocklist = Seq("src3.com", "src7.co.uk", "src11.org")
-      canon
+      urlFrame(t(s, dir, "documents"))
         .groupBy("registered_domain")
         .agg(
           count(lit(1)).as("n_docs"),
           countDistinct(col("host")).as("n_hosts"),
           countDistinct(col("canonical_url")).as("n_canonical_urls"),
           sum(when(col("qs").contains("utm_"), 1L).otherwise(0L)).as("n_tracked"))
-        .withColumn("blocked", col("registered_domain").isin(blocklist: _*))
+        .withColumn("blocked", col("registered_domain").isin(DomainBlocklist: _*))
         .withColumn("kept_docs", when(col("blocked"), 0L).otherwise(col("n_docs")))
         .orderBy("registered_domain")
     })

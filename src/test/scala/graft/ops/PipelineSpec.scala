@@ -123,4 +123,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"expected the checkpoint scan in the plan:\n$p")
   }
+
+  test("p03: monotone web-stage chain, blocklisted domains really gone, one corpus scan") {
+    val rows = PipelineOps.queries("p03_web_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getAs[Int]("stage"), r.getAs[String]("stage_name"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(rows.map(_._2).toSeq == Seq("raw", "canonical", "blocklist", "kn_floor", "budget"))
+    // every stage is a filter: doc and token counts monotonically non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew the corpus: $a -> $b")
+    }
+    // each stage genuinely discriminates on this corpus (no vacuous stage)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 < a._3, s"stage ${b._2} dropped nothing — vacuous on this corpus: $a -> $b")
+    }
+    // and the plan reads parquet zero times (stages consume the checkpoint)
+    val p = PipelineOps.queries("p03_web_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"a p03 stage re-scans parquet instead of the checkpointed features:\n$p")
+  }
+
+  test("p03: the budget stage holds the per-domain invariant (≤ 150 tokens per registered domain)") {
+    // replay stages 1-4 directly to inspect the survivor frame
+    val docs = Tables.t(spark, sfDir, "documents")
+    val feat = WebOps.urlFrame(docs)
+      .select(col("doc_id"), col("registered_domain"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(col("text"))), "\\s+").as("t"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("t")).cast("long"))
+    // the query's own ledger says how many tokens survived per run; here
+    // just pin that no registered domain exceeds the budget in a direct
+    // recomputation of the walk
+    val ordered = feat
+      .withColumn("ord", org.apache.spark.sql.functions.md5(col("doc_id").cast("string")))
+      .withColumn("chunk", org.apache.spark.sql.functions.substring(col("ord"), 1, 2))
+    val walked = PrefixOps
+      .chunkedCumSum(ordered, "registered_domain", "chunk", Seq("ord", "doc_id"), "n_tokens", "cum")
+      .filter(col("cum") <= PipelineOps.DomainTokenBudget)
+    val over = walked.groupBy("registered_domain")
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("tot"))
+      .filter(col("tot") > PipelineOps.DomainTokenBudget)
+      .count()
+    assert(over == 0, "a registered domain exceeded its token budget after the walk")
+  }
 }
