@@ -62,6 +62,47 @@ object RetrievalOps {
   private def tok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
 
+  /** RM3 pseudo-relevance-feedback parameters: α weights the original
+    * query against the relevance model; F feedback docs feed the model;
+    * E expansion terms are kept.
+    */
+  val Rm3Alpha = 0.6
+  val Rm3FeedbackDocs = 5
+  val Rm3ExpansionTerms = 5
+
+  /** Per-(query, doc) Okapi BM25 scores (4dp) for a WEIGHTED term
+    * workload `terms` = (query_id, term, weight): contribution =
+    * weight · idf · tf-saturation, summed per doc. The token stream is
+    * semi-joined against the broadcast workload vocabulary before any
+    * aggregation, so index work is O(matching postings) at any corpus
+    * size (the r02 posture; r02 is the weight≡1 special case but keeps
+    * its original inline form so its committed hashes stay untouched —
+    * multiplying by a 1.0 literal is float-exact, the forms agree).
+    */
+  private def bm25WeightedScores(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val vocab = terms.select("term").distinct()
+    // tf feeds BOTH df and the contributions — checkpoint it so each
+    // retrieval pass scans the token stream once, not twice. The frame
+    // is matching-postings-sized (vocab-bounded), the p01 pattern.
+    val tf = tok(docs).join(broadcast(vocab), "term")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    tf.join(broadcast(terms), "term")
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"),
+        (col("weight") * log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+  }
+
   val queries: Map[String, Tables.Q] = Map(
     // Inverted-index build: per-term document frequency, collection
     // frequency, and — for rare terms only — the full sorted posting
@@ -140,6 +181,84 @@ object RetrievalOps {
           struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
         .groupBy("query_id")
         .agg(minK(col("rec"), 10).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // RM3 pseudo-relevance feedback — the classic query-expansion loop
+    // (Lavrenko & Croft relevance models, the Anserini/RM3 default):
+    // retrieve with BM25, treat the top-F docs as pseudo-relevant,
+    // estimate a relevance model P(w|R) = Σ_d w_d·tf(w,d)/|d| over
+    // them (w_d = the doc's normalized BM25 score), keep the top-E
+    // non-query terms, interpolate with the original query (α on the
+    // original terms, (1-α)·P̂ on the expansions), and re-retrieve
+    // with the weighted query. Scale posture: both retrieval passes
+    // semi-join the token stream against a BROADCAST vocabulary before
+    // any aggregation, every per-query top (feedback docs, expansion
+    // terms, final ranking) is a bounded-heap minK — never a rank
+    // window — and the relevance-model estimation touches only the
+    // F×queries feedback docs. Cross-engine float discipline: the
+    // ≤F/≤E-element weight sums fold in pinned (doc_id / term) order
+    // and round 6dp before use, so selection and weighting are
+    // engine-portable; final scores round 4dp before ranking (r02's
+    // rule).
+    "r12_rm3_expansion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qterms = Bm25Queries.toDF("query_id", "query_text")
+        .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+      val base = bm25WeightedScores(docs, qterms.withColumn("weight", lit(1.0)))
+      // The feedback set is F×queries rows BY CONSTRUCTION — collect it
+      // and continue from a literal frame, so the first retrieval pass
+      // executes exactly once (left lazy, the fb frame's whole upstream
+      // DAG would re-run under every reuse below: measured 3× slower).
+      // Same k-bounded-collect pattern as s14's centroids.
+      val fb = base
+        .select(col("query_id"), struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+        .groupBy("query_id").agg(minK(col("rec"), Rm3FeedbackDocs).as("recs"))
+        .select(col("query_id"), explode(col("recs")).as("rec"))
+        .select(col("query_id"), col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .toDF("query_id", "doc_id", "score")
+      val wsum = fb.groupBy("query_id").agg(expr(
+        "aggregate(transform(array_sort(collect_list(named_struct('k', doc_id, 'p', score))), s -> s.p), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("ssum"))
+      val fbw = fb.join(broadcast(wsum), "query_id")
+        .select(col("query_id"), col("doc_id"), round(col("score") / col("ssum"), 6).as("wd"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+      val fbTf = tok(docs)
+        .join(broadcast(fbw.select("doc_id").distinct()), "doc_id")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val pw = fbTf.join(dl, "doc_id").join(broadcast(fbw), "doc_id")
+        .select(col("query_id"), col("term"), col("doc_id"),
+          (col("wd") * col("tf") / col("dl")).as("contrib"))
+        .groupBy("query_id", "term")
+        .agg(round(expr(
+          "aggregate(transform(array_sort(collect_list(named_struct('k', doc_id, 'p', contrib))), s -> s.p), CAST(0 AS DOUBLE), (a, x) -> a + x)"), 6)
+          .as("p"))
+      // E×queries rows by construction: collect so the relevance-model
+      // scan runs once (topE is consumed twice below)
+      val topE = pw.join(qterms, Seq("query_id", "term"), "left_anti")
+        .select(col("query_id"), struct((-col("p")).as("np"), col("term"), col("p")).as("rec"))
+        .groupBy("query_id").agg(minK(col("rec"), Rm3ExpansionTerms).as("recs"))
+        .select(col("query_id"), explode(col("recs")).as("rec"))
+        .select(col("query_id"), col("rec.term").as("term"), col("rec.p").as("p"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        .toDF("query_id", "term", "p")
+      val psum = topE.groupBy("query_id").agg(expr(
+        "aggregate(transform(array_sort(collect_list(named_struct('k', term, 'p', p))), s -> s.p), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("ps"))
+      val expTerms = topE.join(broadcast(psum), "query_id")
+        .select(col("query_id"), col("term"),
+          round(lit(1.0 - Rm3Alpha) * col("p") / col("ps"), 6).as("weight"))
+      val origTerms = qterms
+        .join(broadcast(qterms.groupBy("query_id").agg(count(lit(1)).as("nq"))), "query_id")
+        .select(col("query_id"), col("term"), round(lit(Rm3Alpha) / col("nq"), 6).as("weight"))
+      bm25WeightedScores(docs, origTerms.unionByName(expTerms))
+        .select(col("query_id"), struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+        .groupBy("query_id").agg(minK(col("rec"), 10).as("recs"))
         .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
           col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
@@ -558,6 +677,56 @@ object RetrievalOps {
         |ranked AS (SELECT query_id, doc_id, score,
         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Replays both retrieval passes and the relevance-model estimation
+    // with the engine's float discipline: pinned-order list folds for
+    // the ≤F/≤E weight sums (6dp), plain sums at 4dp for the final
+    // scores. MATERIALIZED throughout — tok/dl are referenced by both
+    // passes and DuckDB inlines plain CTEs.
+    "r12_rm3_expansion" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |qt AS MATERIALIZED (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM documents),
+        |corpus AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf1 AS MATERIALIZED (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft1 AS MATERIALIZED (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+        |base AS MATERIALIZED (SELECT qt.query_id, tf1.doc_id, round(sum(
+        |    1.0 * ln(1.0 + (c.n_docs - dft1.df + 0.5) / (dft1.df + 0.5)) * (tf1.tf * 2.2) /
+        |      (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |  FROM tf1 JOIN qt USING (term) JOIN dft1 USING (term) JOIN dl USING (doc_id), corpus c GROUP BY 1, 2),
+        |fb AS MATERIALIZED (SELECT query_id, doc_id, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM base)
+        |  WHERE rk <= 5),
+        |wsum AS MATERIALIZED (SELECT query_id, list_sum(list(score ORDER BY doc_id)) AS ssum FROM fb GROUP BY 1),
+        |fbw AS MATERIALIZED (SELECT fb.query_id, fb.doc_id, round(fb.score / wsum.ssum, 6) AS wd
+        |  FROM fb JOIN wsum USING (query_id)),
+        |fbtf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM fbw) GROUP BY 1, 2),
+        |pw AS MATERIALIZED (SELECT f.query_id, t.term,
+        |    round(list_sum(list(f.wd * t.tf / dl.dl ORDER BY t.doc_id)), 6) AS p
+        |  FROM fbtf t JOIN dl USING (doc_id) JOIN fbw f USING (doc_id) GROUP BY 1, 2),
+        |tope AS MATERIALIZED (SELECT query_id, term, p FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY p DESC, term) AS rk
+        |    FROM pw WHERE NOT EXISTS (SELECT 1 FROM qt WHERE qt.query_id = pw.query_id AND qt.term = pw.term))
+        |  WHERE rk <= 5),
+        |psum AS MATERIALIZED (SELECT query_id, list_sum(list(p ORDER BY term)) AS ps FROM tope GROUP BY 1),
+        |expt AS MATERIALIZED (SELECT t.query_id, t.term, round((1.0 - 0.6) * t.p / psum.ps, 6) AS weight
+        |  FROM tope t JOIN psum USING (query_id)),
+        |orig AS MATERIALIZED (SELECT qt.query_id, qt.term, round(0.6 / nq.n, 6) AS weight
+        |  FROM qt JOIN (SELECT query_id, count(*) AS n FROM qt GROUP BY 1) nq USING (query_id)),
+        |allt AS MATERIALIZED (SELECT * FROM orig UNION ALL SELECT * FROM expt),
+        |tf2 AS MATERIALIZED (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM allt) GROUP BY 1, 2),
+        |dft2 AS MATERIALIZED (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+        |scored2 AS MATERIALIZED (SELECT w.query_id, tf2.doc_id, round(sum(
+        |    w.weight * ln(1.0 + (c.n_docs - dft2.df + 0.5) / (dft2.df + 0.5)) * (tf2.tf * 2.2) /
+        |      (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |  FROM tf2 JOIN allt w USING (term) JOIN dft2 USING (term) JOIN dl USING (doc_id), corpus c GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scored2)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "r10_rrf_fusion" ->

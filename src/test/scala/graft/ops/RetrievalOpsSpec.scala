@@ -141,4 +141,23 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rows.where(col("total_tokens") > RetrievalOps.SourceTokenBudget
       && col("n_kept") < col("n_docs")).count() > 0)
   }
+
+  test("r12: RM3 expansion is well-formed and genuinely re-ranks at least one query") {
+    def topMap(q: String): Map[Long, Seq[Long]] =
+      graft.SparkEntry.queries(q)(spark, dir)
+        .select("query_id", "rank", "doc_id").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val plain = topMap("r02_bm25_topk")
+    val rm3 = topMap("r12_rm3_expansion")
+    assert(rm3.keySet == plain.keySet, s"query workloads drifted: ${rm3.keySet} vs ${plain.keySet}")
+    rm3.foreach { case (q, docs) =>
+      assert(docs.size == 10, s"query $q returned ${docs.size} docs")
+      assert(docs.distinct.size == docs.size, s"query $q has duplicate docs: $docs")
+    }
+    // the relevance model must actually MOVE something: identical
+    // top-10 lists for every query would mean the expansion is vacuous
+    assert(rm3.exists { case (q, docs) => plain(q) != docs },
+      s"RM3 never changed any ranking vs plain BM25: $rm3")
+  }
 }
