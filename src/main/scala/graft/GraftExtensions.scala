@@ -95,5 +95,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EnvelopeFunctions.parseAesMode(stringLiteral(a(2), "mode"))
       )
     }
+    // Aggregate: Misra-Gries heavy-hitter candidates from pure SQL —
+    // `SELECT graft_heavy_hitter_candidates(tok, 49) FROM ...` plans
+    // the same ≤k-counter ObjectHashAggregate the DataFrame surface
+    // gets via MisraGries.candidates. k must be a foldable int literal
+    // (it is the aggregation buffer's size bound, fixed at plan time).
+    inject(ext, "graft_heavy_hitter_candidates", classOf[MisraGriesItems], 2) { a =>
+      val k = a(1) match {
+        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_heavy_hitter_candidates k must be an int literal (got ${other.sql}): " +
+            "it bounds the aggregation buffer at plan time")
+      }
+      MisraGriesItems(a(0), k).toAggregateExpression()
+    }
   }
 }

@@ -37,6 +37,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy-hitter candidates aggregate callable from SQL text (k-bounded, heavy token present)") {
+    withExtendedSession { s =>
+      // 40 'hot' among 60 singletons: hot is heavy at k=9 (θ=10% of 100)
+      val r = s.sql(
+        """SELECT graft_heavy_hitter_candidates(t.tok, 9) AS cands FROM (
+          |  SELECT CASE WHEN id % 5 < 2 THEN 'hot' ELSE concat('u', id) END AS tok
+          |  FROM range(100)) t
+          |""".stripMargin).head()
+      val cands = r.getSeq[String](0)
+      assert(cands.contains("hot"), s"heavy token missing from SQL aggregate: $cands")
+      assert(cands.size <= 9, s"candidate set exceeds the k bound: $cands")
+      // non-literal k is rejected at plan time, not silently defaulted
+      val e = intercept[Exception] {
+        s.sql("SELECT graft_heavy_hitter_candidates(CAST(id AS STRING), CAST(id AS INT)) FROM range(10)").head()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      assert(msgs(e).contains("int literal"), s"wrong rejection: $e")
+    }
+  }
+
   test("CodecSimplification rule elides decompress(compress(x)) — and ONLY that direction") {
     withExtendedSession { s =>
       // Column input (literals would be constant-folded before the rule
