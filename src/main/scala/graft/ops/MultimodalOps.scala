@@ -370,6 +370,49 @@ object MultimodalOps {
     // islands window partitions by doc_id (high-cardinality), and frames
     // per doc are bounded by doc length. Exact oracle: DuckDB replays
     // frames/peaks/islands from the same ASCII bytes.
+    // Spectral features over REAL decoded audio: each doc's WAV (the
+    // m05 PCM16 mapping) round-trips through WavCodec on the
+    // executors, the first 64 decoded samples form one analysis frame,
+    // and an 8-bin DFT yields the magnitude spectrum — the front end
+    // of every audio-quality / language-ID feature stack. Embarrassingly
+    // parallel narrow map (512 cos/sin per doc), no shuffle. Exact
+    // oracle discipline for transcendentals: both engines evaluate the
+    // SAME expression shapes in the SAME fold order (ascending n; the
+    // phase argument is ((2π·k)·n)/64 left-associated; negation
+    // commutes with correctly-rounded addition so the im fold matches),
+    // samples are descaled by the exact power-of-two 256 so magnitudes
+    // stay ≤ ~4k and the 4dp rounding grain dwarfs the ≤1-ulp libm-vs-
+    // Math.cos divergence.
+    "m09_spectral_features" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.t(s, dir, "documents")
+        .where(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            .map(b => ((b - 64) * 256).toShort)
+          val decoded = WavCodec.parse(WavCodec.encodePcm16(samples, rate)).samples
+          val x = decoded.take(64).map(v => v.toDouble / 256.0)
+          (0 until 8).map { k =>
+            var re = 0.0
+            var im = 0.0
+            var n = 0
+            while (n < 64) {
+              val arg = 2.0 * math.Pi * k * n / 64
+              re += x(n) * math.cos(arg)
+              im += -(x(n) * math.sin(arg))
+              n += 1
+            }
+            (id, k, math.sqrt(re * re + im * im))
+          }
+        }
+        .toDF("doc_id", "bin", "mag_raw")
+      feats
+        .select(col("doc_id"), col("bin"), round(col("mag_raw"), 4).as("mag"))
+        .orderBy("doc_id", "bin")
+    }),
+
     "m08_voiced_segments" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -523,6 +566,16 @@ object MultimodalOps {
         |  CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
         |  CAST(coalesce(s.longest_segment, 0) AS BIGINT) AS longest_segment
         |FROM base b LEFT JOIN seg s USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "m09_spectral_features" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents WHERE strlen(text) >= 64),
+        |frame AS (SELECT doc_id, list_transform(cs[1:64], c -> CAST(ascii(c) - 64 AS DOUBLE)) AS x FROM t),
+        |bins AS (SELECT doc_id, x, unnest(range(0, 8)) AS k FROM frame),
+        |d AS (SELECT doc_id, k,
+        |  list_sum(list_transform(range(1, 65), n -> x[n] * cos(2 * pi() * k * (n - 1) / 64))) AS re,
+        |  list_sum(list_transform(range(1, 65), n -> -(x[n] * sin(2 * pi() * k * (n - 1) / 64)))) AS im
+        |  FROM bins)
+        |SELECT doc_id, CAST(k AS INT) AS bin, round(sqrt(re * re + im * im), 4) AS mag
+        |FROM d ORDER BY doc_id, bin""".stripMargin,
     "m05_wav_features" ->
       """WITH ch AS (SELECT doc_id, ascii(c) - 64 AS v
         |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),

@@ -71,4 +71,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
     // every cluster's keeper is its minimum doc_id => keeper < 8 for full clusters
     assert(rows.forall(r => r.getLong(2) < 8), "a keeper is not the class minimum")
   }
+  test("m09: the DC bin equals |sum of samples| — an independent check of the DFT kernel") {
+    import org.apache.spark.sql.functions._
+    val dc = graft.SparkEntry.queries("m09_spectral_features")(spark, sfDir)
+      .filter(col("bin") === 0)
+      .select("doc_id", "mag").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dc.nonEmpty)
+    // recompute sum(ascii - 64) over the first 64 chars directly
+    val direct = Tables.t(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(substr(text, 1, 64), ''), c -> ascii(c) - 64), 0, (a, v) -> a + v)").as("s"))
+      .collect().map(r => r.getLong(0) -> math.abs(r.getInt(1).toDouble)).toMap
+    assert(direct.keySet == dc.keySet)
+    direct.foreach { case (id, expected) =>
+      assert(math.abs(dc(id) - expected) < 0.01,
+        s"doc $id: DC magnitude ${dc(id)} != |sample sum| $expected")
+    }
+  }
 }
