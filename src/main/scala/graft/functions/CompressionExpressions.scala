@@ -49,10 +49,56 @@ case class ZlibDecompress(child: Expression) extends ZlibExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Zstandard compress/decompress as the same codegen-participating
+  * expression shape — the modern container codec next to the
+  * reference's zlib (training-shard stores and parquet both default to
+  * zstd today). Bytes go through zstd-jni's static JNI entry points
+  * (the library Spark itself ships for parquet/shuffle codecs), so the
+  * expression stays inside WholeStageCodegen with one native call per
+  * row and no per-row object churn beyond the output buffer.
+  */
+case class ZstdCompress(child: Expression) extends ZlibExpression {
+  override def prettyName: String = "graft_zstd_compress"
+
+  override def nullSafeEval(input: Any): Any =
+    com.github.luben.zstd.Zstd.compress(input.asInstanceOf[Array[Byte]], 3)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"com.github.luben.zstd.Zstd.compress($c, 3)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ZstdDecompress(child: Expression) extends ZlibExpression {
+  override def prettyName: String = "graft_zstd_decompress"
+
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+    require(n >= 0 && n <= Int.MaxValue,
+      s"zstd frame does not carry a valid content size: $n")
+    com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    inflate(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"com.github.luben.zstd.Zstd.decompress($c, (int) com.github.luben.zstd.Zstd.getFrameContentSize($c))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object CompressionFunctions {
   def zlib_compress(c: Column): Column =
     ColumnBridge.column(ZlibCompress(ColumnBridge.expression(c)))
 
   def zlib_decompress(c: Column): Column =
     ColumnBridge.column(ZlibDecompress(ColumnBridge.expression(c)))
+
+  def zstd_compress(c: Column): Column =
+    ColumnBridge.column(ZstdCompress(ColumnBridge.expression(c)))
+
+  def zstd_decompress(c: Column): Column =
+    ColumnBridge.column(ZstdDecompress(ColumnBridge.expression(c)))
 }

@@ -1126,6 +1126,30 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The zstd twin of x05 (functions/CompressionExpressions.scala:
+    // ZstdCompress/ZstdDecompress over zstd-jni, the codec Spark itself
+    // ships for parquet/shuffle): byte-exact round trip plus the
+    // single-frame worst-case size bound (zstd's compressBound ≈
+    // n + n/256 + 64 covers incompressible input). Same
+    // soundness-summary oracle shape as x05 — compressed bytes are
+    // engine-side only; the booleans and exact lengths are what DuckDB
+    // pins.
+    "x08_zstd_roundtrip" -> ((s, dir) => {
+      import graft.functions.CompressionFunctions._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("payload"), zstd_compress(col("payload")).as("z"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("orig_bytes"),
+          (zstd_decompress(col("z")) === col("payload")).as("roundtrip_ok"),
+          (length(col("z")).cast("long") <=
+            length(col("payload")).cast("long") + length(col("payload")).cast("long") / 256 + 64)
+            .as("size_bounded_ok")
+        )
+        .orderBy("doc_id")
+    }),
+
     // End-to-end envelope round-trip through the DSv2 object-store sink
     // AND source: compress+encrypt the documents corpus with the codegen/
     // expression pipeline, land it as objects (`graft-objects` BATCH_WRITE),
@@ -2387,6 +2411,10 @@ object TextOps {
     // parity); round-trip identity and the stored-block size bound are
     // engine-computed claims.
     "x05_zlib_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS orig_bytes,
+        |  TRUE AS roundtrip_ok, TRUE AS size_bounded_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x08_zstd_roundtrip" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS orig_bytes,
         |  TRUE AS roundtrip_ok, TRUE AS size_bounded_ok
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -25,6 +25,19 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("zstd round-trips arbitrary byte arrays; size stays within the declared worst-case bound") {
+    val bytesGen = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.choose(0, 10000).map(n => Array.fill[Byte](n)(7)) // repetitive payloads
+    )
+    check(Prop.forAll(bytesGen) { b =>
+      val z = com.github.luben.zstd.Zstd.compress(b, 3)
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(z)
+      val back = com.github.luben.zstd.Zstd.decompress(z, n.toInt)
+      back.sameElements(b) && z.length <= b.length + b.length / 256 + 64
+    })
+  }
+
   test("envelope encrypt/decrypt round-trips arbitrary payloads under both cipher modes") {
     val (pub, priv) = graft.ingest.Envelope.generateKeyPair()
     val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
