@@ -147,6 +147,45 @@ object DocumentStreams {
       }
   }
 
+  /** Streaming per-source token budget — r06's curation cap as an
+    * incremental flow: the state store carries ONE counter per source
+    * (tokens admitted so far, forever bounded state), each micro-batch
+    * walks its documents in doc_id order and admits greedily while the
+    * source's cumulative stays within the budget; later batches resume
+    * from the persisted counter, so the budget holds across the whole
+    * stream, not per batch. A doc that would overflow is skipped and
+    * the walk continues (r06's skip-and-continue rule). Determinism:
+    * the walk order is (batch arrival, doc_id) — arrival order is the
+    * stream's time axis; doc_id breaks ties within a batch (the batch's
+    * rows are buffered and sorted per source — bounded by batch size;
+    * cap batches with maxFilesPerTrigger at scale).
+    *
+    * Emits the ADMITTED docs with their running cumulative.
+    */
+  def streamingTokenBudget(
+      docs: DataFrame, budget: Long): org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var consumed = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_._2).flatMap { case (_, id, nt) =>
+            if (consumed + nt <= budget) {
+              consumed += nt
+              Some((source, id, nt, consumed))
+            } else None
+          }
+          state.update(consumed)
+          admitted.iterator
+      }
+  }
+
   def curatedShardStreamNative(
       docs: DataFrame,
       outDir: String,

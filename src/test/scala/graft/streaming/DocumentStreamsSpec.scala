@@ -149,4 +149,50 @@ class DocumentStreamsSpec extends AnyFunSuite {
     assert(!all.exists(e => e._2 == "srcQ" && e._1 > all.filter(_._2 == "srcQ").map(_._1).min),
       s"srcQ re-emitted without new data: $all")
   }
+
+  test("streaming token budget: the cap holds ACROSS batches; overflow docs are skipped, not queued") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("budget-stream-in").toString
+    val ckpt = Files.createTempDirectory("budget-stream-ckpt").toString
+    def doc(id: Long, src: String, nTokens: Int) = {
+      val text = (0 until nTokens).map(i => s"w$i").mkString(" ")
+      (id, text, "en", src, text.length.toLong)
+    }
+    // budget 100: batch 1 admits 40+50=90; batch 2's doc 3 (20 tokens)
+    // would overflow (90+20>100) and is SKIPPED, doc 4 (10) still fits
+    // exactly (90+10=100) — the r06 skip-and-continue rule across the
+    // batch boundary, provable only if state persisted
+    val b1 = Seq(doc(1L, "srcB", 40), doc(2L, "srcB", 50)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(doc(3L, "srcB", 20), doc(4L, "srcB", 10)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.coalesce(1).write.mode("overwrite").parquet(s"$in/f1")
+    b2.coalesce(1).write.mode("overwrite").parquet(s"$in/f2")
+    def stage(src: String, name: String, ts: Long): Unit = {
+      val part = new java.io.File(s"$in/$src").listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+    }
+    stage("f1", "b1.parquet", 1000000000000L)
+    stage("f2", "b2.parquet", 1000000100000L)
+
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val docs = DocumentStreams.readDocumentStream(spark, in, maxFilesPerTrigger = 1)
+    val q = DocumentStreams.streamingTokenBudget(docs, budget = 100L)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long, Long, Long)], _: Long) =>
+        batch.collect().foreach { case (_, id, nt, cum) => out.add((id, nt, cum)) }
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val admitted = out.asScala.toSeq.sortBy(_._1)
+    assert(admitted.map(_._1) == Seq(1L, 2L, 4L),
+      s"expected docs 1,2,4 admitted (3 skipped as overflow): $admitted")
+    assert(admitted.last == ((4L, 10L, 100L)),
+      s"doc 4 must land exactly at the budget via the PERSISTED counter: $admitted")
+  }
 }
