@@ -801,6 +801,35 @@ object TextOps {
         .orderBy("source", "tok")
     }),
 
+    // Seeded epoch shuffle — the training loader's other half: every
+    // epoch permutes the corpus deterministically (seeded md5 order)
+    // and assigns each doc a (shard, position) slot, so N data-loader
+    // workers can each read one contiguous shard of a fresh global
+    // permutation with zero coordination. The global rank NEVER plans
+    // as a corpus-wide window (one task): the md5 key's first byte
+    // chunks the order space 256 ways and the two-phase chunked prefix
+    // sum stitches chunk offsets — the r06/d13 machinery applied to
+    // ranking. Two epochs emitted; the spec pins that their
+    // permutations genuinely differ while each covers every doc once.
+    "d58_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val perEpoch = Seq(0, 1).map { e =>
+        val keyed = docs
+          .withColumn("epoch", lit(e))
+          .withColumn("ord", md5(concat(lit(s"epoch$e:"), col("doc_id").cast("string"))))
+          .withColumn("chunk", substring(col("ord"), 1, 2))
+          .withColumn("one", lit(1L))
+        graft.ops.PrefixOps
+          .chunkedCumSum(keyed, "epoch", "chunk", Seq("ord", "doc_id"), "one", "position")
+      }
+      perEpoch.reduce(_ unionByName _)
+        .select(
+          col("epoch"), col("doc_id"),
+          expr("(position - 1) DIV 64").as("shard_id"),
+          pmod(col("position") - 1, lit(64L)).as("pos_in_shard"))
+        .orderBy("epoch", "doc_id")
+    }),
+
     // Corpus-derived stopword ratio — the quality signal for corpora
     // with no language resources: the stopword list is DISCOVERED from
     // the corpus itself (its global heavy hitters — function words are
@@ -2354,6 +2383,14 @@ object TextOps {
         |FROM cnt c JOIN tot t USING (source)
         |WHERE c.cnt * 50 > t.n_tokens
         |ORDER BY source, tok""".stripMargin,
+    "d58_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, ep.epoch FROM documents CROSS JOIN (VALUES (0), (1)) ep(epoch)),
+        |r AS (SELECT epoch, doc_id,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY md5('epoch' || epoch || ':' || doc_id), doc_id) AS position
+        |  FROM e)
+        |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+        |  (position - 1) // 64 AS shard_id, (position - 1) % 64 AS pos_in_shard
+        |FROM r ORDER BY epoch, doc_id""".stripMargin,
     "d57_stopword_ratio" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
         |tot AS (SELECT count(*) AS n FROM toks),

@@ -58,4 +58,28 @@ class PrefixOpsSpec extends AnyFunSuite {
     windowLines.foreach(l => assert(l.contains("__chunk"), s"window not chunk-partitioned: $l"))
     assert(p.contains("BroadcastHashJoin"), s"offsets/cuts not broadcast:\n$p")
   }
+  test("d58: each epoch is a complete permutation into balanced shards; epochs genuinely differ") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("d58_epoch_shuffle")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("pos_in_shard")))
+    val n = Tables.t(spark, dir, "documents").count()
+    Seq(0, 1).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      assert(ep.length == n, s"epoch $e does not cover the corpus: ${ep.length} vs $n")
+      // (shard, pos) slots are a bijection onto 0..n-1
+      val slots = ep.map(r => r._3 * 64 + r._4).sorted
+      assert(slots.toSeq == (0L until n).toSeq, s"epoch $e slots are not a permutation")
+      // balanced shards: every shard except possibly the last holds 64
+      val byShard = ep.groupBy(_._3).view.mapValues(_.length).toMap
+      val full = byShard.filter(_._2 == 64).size
+      assert(full >= byShard.size - 1, s"epoch $e shards unbalanced: $byShard")
+    }
+    // the seed changes the permutation: some doc lands in a different slot
+    val e0 = rows.filter(_._1 == 0).map(r => r._2 -> (r._3, r._4)).toMap
+    val e1 = rows.filter(_._1 == 1).map(r => r._2 -> (r._3, r._4)).toMap
+    assert(e0.exists { case (id, slot) => e1(id) != slot },
+      "epoch 0 and epoch 1 produced the identical permutation")
+  }
 }
