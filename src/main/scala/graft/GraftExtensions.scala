@@ -20,6 +20,10 @@ import graft.functions._
 object CodecSimplification extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ZlibDecompress(ZlibCompress(child)) => child
+    // same lossless-identity argument for the zstd pair (x08 +
+    // PropertySpec pin the byte-exact round trip); the reverse
+    // composition stays un-rewritten for the same byte-equality reason
+    case ZstdDecompress(ZstdCompress(child)) => child
     // decrypt∘encrypt is the identity ONLY when the decrypting private key
     // is provably the counterpart of the encrypting public key (checked by
     // deriving the public key from the private's CRT parameters at plan
@@ -45,6 +49,8 @@ object CodecSimplification extends Rule[LogicalPlan] {
   *  - `graft_dot_product(array<float|double>, array<float|double>) -> double`
   *  - `graft_cosine_similarity(array<float|double>, array<float|double>) -> double`
   *  - `graft_zlib_compress(binary) -> binary` / `graft_zlib_decompress(binary) -> binary`
+  *  - `graft_zstd_compress(binary) -> binary` / `graft_zstd_decompress(binary) -> binary`
+  *  - `graft_heavy_hitter_candidates(string, k literal) -> array<string>` (aggregate)
   *  - `graft_envelope_encrypt(binary, pubKeyB64 literal, keyId literal) -> struct`
   *    (key material must be foldable string literals — it is parsed once
   *    at plan time, not per row)
@@ -85,6 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_cosine_similarity", classOf[CosineSimilarity], 2)(a => CosineSimilarity(a(0), a(1)))
     inject(ext, "graft_zlib_compress", classOf[ZlibCompress], 1)(a => ZlibCompress(a(0)))
     inject(ext, "graft_zlib_decompress", classOf[ZlibDecompress], 1)(a => ZlibDecompress(a(0)))
+    inject(ext, "graft_zstd_compress", classOf[ZstdCompress], 1)(a => ZstdCompress(a(0)))
+    inject(ext, "graft_zstd_decompress", classOf[ZstdDecompress], 1)(a => ZstdDecompress(a(0)))
     inject(ext, "graft_envelope_encrypt", classOf[EnvelopeEncryptExpr], 3) { a =>
       EnvelopeEncryptExpr(a(0), stringLiteral(a(1), "pubKeyB64"), stringLiteral(a(2), "keyId"))
     }

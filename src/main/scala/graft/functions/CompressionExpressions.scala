@@ -69,22 +69,31 @@ case class ZstdCompress(child: Expression) extends ZlibExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class ZstdDecompress(child: Expression) extends ZlibExpression {
-  override def prettyName: String = "graft_zstd_decompress"
-
-  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+/** Static entry point shared by BOTH evaluation paths of
+  * [[ZstdDecompress]]: interpreted eval and generated code must agree
+  * on every input, including the bad ones — a frame with no declared
+  * content size (streaming-compressor output, content size -1) or a
+  * >2 GB declaration must fail with THIS message either way, never a
+  * codegen-only NegativeArraySizeException or a silent long→int
+  * truncation.
+  */
+object ZstdCodec {
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
     val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
     require(n >= 0 && n <= Int.MaxValue,
       s"zstd frame does not carry a valid content size: $n")
     com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
   }
+}
+
+case class ZstdDecompress(child: Expression) extends ZlibExpression {
+  override def prettyName: String = "graft_zstd_decompress"
 
   override def nullSafeEval(input: Any): Any =
-    inflate(input.asInstanceOf[Array[Byte]])
+    ZstdCodec.inflate(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"com.github.luben.zstd.Zstd.decompress($c, (int) com.github.luben.zstd.Zstd.getFrameContentSize($c))")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ZstdCodec.inflate($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

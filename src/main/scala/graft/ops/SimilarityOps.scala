@@ -353,11 +353,11 @@ object SimilarityOps {
 
     // Graph-based ANN, the NSW/HNSW shape: a navigable small-world
     // graph over a BOUNDED index panel (256 nodes, each linked to its
-    // M=8 exact nearest neighbors — the panel cap is the same
+    // M=12 exact nearest neighbors — the panel cap is the same
     // constant-work-at-any-scale posture as IVF/PQ training), searched
-    // by greedy best-first expansion with an ef=16 frontier from a
+    // by greedy best-first expansion with an ef=32 frontier from a
     // fixed entry node. Graph build and search state are k-bounded
-    // (panel adjacency = 256×8 ids, broadcast with the panel vectors);
+    // (panel adjacency = 256×12 ids, broadcast with the panel vectors);
     // queries walk the graph in one narrow typed map — no shuffle, no
     // per-query window. Soundness over approximation (the s02/s04
     // discipline): each query row carries the BRUTE-FORCE exact top-1

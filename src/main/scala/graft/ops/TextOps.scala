@@ -785,11 +785,16 @@ object TextOps {
       val k = 49
       val toks = t(s, dir, "documents")
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      // the candidate frame feeds TWO joins below; its upstream is the
+      // full MG token pass, and the two broadcast exchanges differ so
+      // ReuseExchange cannot dedupe — checkpoint the k×sources-bounded
+      // frame so the summary pass runs once (the r12/p01 rule)
       val cands = toks.groupBy("source")
         .agg(
           graft.functions.MisraGries.candidates(col("tok"), k).as("cands"),
           count(lit(1)).as("n_tokens"))
         .select(col("source"), col("n_tokens"), explode(col("cands")).as("tok"))
+        .localCheckpoint()
       val exact = toks
         .join(broadcast(cands.select("source", "tok")), Seq("source", "tok"), "left_semi")
         .groupBy("source", "tok")
@@ -845,10 +850,12 @@ object TextOps {
       val k = 49
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // checkpointed for the same two-consumer reason as d56's cands
       val cand = toks
         .agg(graft.functions.MisraGries.candidates(col("tok"), k).as("cands"),
           count(lit(1)).as("n_total"))
         .select(col("n_total"), explode(col("cands")).as("tok"))
+        .localCheckpoint()
       val exact = toks
         .join(broadcast(cand.select("tok")), Seq("tok"), "left_semi")
         .groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -148,20 +148,28 @@ object DocumentStreams {
   }
 
   /** Streaming per-source token budget — r06's curation cap as an
-    * incremental flow: the state store carries ONE counter per source
-    * (tokens admitted so far, forever bounded state), each micro-batch
-    * walks its documents in doc_id order and admits greedily while the
-    * source's cumulative stays within the budget; later batches resume
-    * from the persisted counter, so the budget holds across the whole
-    * stream, not per batch. A doc that would overflow is skipped and
-    * the walk continues (r06's skip-and-continue rule). Determinism:
-    * the walk order is (batch arrival, doc_id) — arrival order is the
-    * stream's time axis; doc_id breaks ties within a batch (the batch's
-    * rows are buffered and sorted per source — bounded by batch size;
-    * cap batches with maxFilesPerTrigger at scale).
+    * incremental flow: the state store carries one (tokens-admitted,
+    * closed) pair per source (forever bounded state), each micro-batch
+    * walks its documents in doc_id order and admits while the source's
+    * cumulative stays within the budget; later batches resume from the
+    * persisted state, so the budget holds across the whole stream, not
+    * per batch. Semantics MATCH r06's monotone prefix-sum filter
+    * exactly: the first doc whose cumulative would exceed the budget
+    * CLOSES the source — it and everything after it are dropped, even
+    * smaller docs that would individually still fit. (r06's
+    * `cum <= budget` over a monotone running sum is truncation, not
+    * greedy skip-and-continue; matching it means the batch cap over a
+    * backfill and this streaming cap over the live tail select the
+    * SAME documents.) Determinism: the walk order is (batch arrival,
+    * doc_id) — arrival order is the stream's time axis; doc_id breaks
+    * ties within a batch (the batch's rows are buffered and sorted per
+    * source — bounded by batch size; cap batches with
+    * maxFilesPerTrigger at scale).
     *
     * Emits the ADMITTED docs with their running cumulative.
     */
+  case class BudgetState(consumed: Long, closed: Boolean)
+
   def streamingTokenBudget(
       docs: DataFrame, budget: Long): org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
     import docs.sparkSession.implicits._
@@ -171,17 +179,20 @@ object DocumentStreams {
         size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+      .flatMapGroupsWithState[BudgetState, (String, Long, Long, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (source: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
-          var consumed = state.getOption.getOrElse(0L)
+        (source: String, rows: Iterator[(String, Long, Long)], state: GroupState[BudgetState]) =>
+          var st = state.getOption.getOrElse(BudgetState(0L, closed = false))
           val admitted = rows.toSeq.sortBy(_._2).flatMap { case (_, id, nt) =>
-            if (consumed + nt <= budget) {
-              consumed += nt
-              Some((source, id, nt, consumed))
-            } else None
+            if (!st.closed && st.consumed + nt <= budget) {
+              st = st.copy(consumed = st.consumed + nt)
+              Some((source, id, nt, st.consumed))
+            } else {
+              st = st.copy(closed = true)
+              None
+            }
           }
-          state.update(consumed)
+          state.update(st)
           admitted.iterator
       }
   }

@@ -83,6 +83,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val rp = reverse.queryExecution.optimizedPlan.toString
       assert(rp.contains("graft_zlib_compress"), s"outer compress wrongly elided:\n$rp")
       assert(!rp.contains("graft_zlib_decompress"), s"inner round trip not elided:\n$rp")
+
+      // the zstd pair gets the same identity (and the same
+      // one-direction-only restriction)
+      val zstdTrip = s.sql(
+        "SELECT doc_id, graft_zstd_decompress(graft_zstd_compress(CAST(text AS BINARY))) AS v FROM docs_codec"
+      )
+      val zp = zstdTrip.queryExecution.optimizedPlan.toString
+      assert(!zp.contains("graft_zstd"), s"zstd round-trip not elided:\n$zp")
+      assert(zstdTrip.count() == 5)
+      val zstdReverse = s.sql(
+        """SELECT graft_zstd_compress(graft_zstd_decompress(graft_zstd_compress(CAST(text AS BINARY)))) AS v
+          |FROM docs_codec""".stripMargin
+      )
+      val zrp = zstdReverse.queryExecution.optimizedPlan.toString
+      assert(zrp.contains("graft_zstd_compress"), s"outer zstd compress wrongly elided:\n$zrp")
+      assert(!zrp.contains("graft_zstd_decompress"), s"inner zstd round trip not elided:\n$zrp")
       s.catalog.dropTempView("docs_codec")
     }
   }

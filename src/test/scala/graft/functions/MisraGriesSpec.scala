@@ -89,14 +89,31 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
-  test("d56 plans the bounded path: MG ObjectHashAggregate + candidate semi-join before the exact count") {
+  test("d56 plans the bounded path: MG ObjectHashAggregate feeds a checkpointed candidate " +
+    "frame; the exact count is semi-join-pruned and never re-runs the summary pass") {
     val spark = graft.SparkSpec.spark
+    // the MG pass itself plans as an ObjectHashAggregate (checked on the
+    // aggregate's own plan — in d56 it executes once, eagerly, into the
+    // candidate checkpoint)
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, split, trim}
+    val toks = graft.ops.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val mgPlan = toks.groupBy("source")
+      .agg(MisraGries.candidates(col("tok"), 49).as("cands"), count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(mgPlan.contains("misra_gries_items"), s"MG aggregate missing:\n$mgPlan")
+    assert(mgPlan.contains("ObjectHashAggregate"), s"MG must plan as ObjectHashAggregate:\n$mgPlan")
+    // the composed query consumes the candidates from the CHECKPOINT
+    // (two consumers, one summary execution) and prunes the exact count
+    // through a semi-join — the full plan must show the checkpoint scan
+    // and must NOT re-plan the MG aggregation
     val p = graft.SparkEntry.queries("d56_heavy_hitters")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(p.contains("misra_gries_items"), s"MG aggregate missing from the plan:\n$p")
-    assert(p.contains("ObjectHashAggregate"), s"MG must plan as ObjectHashAggregate:\n$p")
     assert(p.contains("LeftSemi"),
       s"exact counting must be candidate-pruned by a semi-join, not full-cardinality:\n$p")
+    assert(p.contains("ExistingRDD"), s"candidates should come from the checkpoint:\n$p")
+    assert(!p.contains("misra_gries_items"),
+      s"the summary pass re-planned downstream of its checkpoint (it would execute twice):\n$p")
   }
 
   test("d56 returns EXACTLY the exact heavy set on a skewed stream (end to end)") {

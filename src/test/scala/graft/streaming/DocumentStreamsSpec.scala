@@ -150,7 +150,8 @@ class DocumentStreamsSpec extends AnyFunSuite {
       s"srcQ re-emitted without new data: $all")
   }
 
-  test("streaming token budget: the cap holds ACROSS batches; overflow docs are skipped, not queued") {
+  test("streaming token budget: the cap holds ACROSS batches with r06's truncation semantics " +
+    "(the first overflow closes the source)") {
     import spark.implicits._
     val in = Files.createTempDirectory("budget-stream-in").toString
     val ckpt = Files.createTempDirectory("budget-stream-ckpt").toString
@@ -159,11 +160,16 @@ class DocumentStreamsSpec extends AnyFunSuite {
       (id, text, "en", src, text.length.toLong)
     }
     // budget 100: batch 1 admits 40+50=90; batch 2's doc 3 (20 tokens)
-    // would overflow (90+20>100) and is SKIPPED, doc 4 (10) still fits
-    // exactly (90+10=100) — the r06 skip-and-continue rule across the
-    // batch boundary, provable only if state persisted
-    val b1 = Seq(doc(1L, "srcB", 40), doc(2L, "srcB", 50)).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val b2 = Seq(doc(3L, "srcB", 20), doc(4L, "srcB", 10)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // would overflow (90+20>100) and CLOSES the source — doc 4 (10)
+    // would individually still fit (90+10=100) but must be dropped,
+    // exactly as r06's monotone cum<=budget filter drops everything
+    // after the first overflow. Provable only if state persisted
+    // across the batch boundary. A second source shows a batch-2
+    // admission still works when its budget is open.
+    val b1 = Seq(doc(1L, "srcB", 40), doc(2L, "srcB", 50), doc(10L, "srcC", 30))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(doc(3L, "srcB", 20), doc(4L, "srcB", 10), doc(11L, "srcC", 40))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
     b1.coalesce(1).write.mode("overwrite").parquet(s"$in/f1")
     b2.coalesce(1).write.mode("overwrite").parquet(s"$in/f2")
     def stage(src: String, name: String, ts: Long): Unit = {
@@ -175,24 +181,25 @@ class DocumentStreamsSpec extends AnyFunSuite {
     stage("f1", "b1.parquet", 1000000000000L)
     stage("f2", "b2.parquet", 1000000100000L)
 
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
     val docs = DocumentStreams.readDocumentStream(spark, in, maxFilesPerTrigger = 1)
     val q = DocumentStreams.streamingTokenBudget(docs, budget = 100L)
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long, Long, Long)], _: Long) =>
-        batch.collect().foreach { case (_, id, nt, cum) => out.add((id, nt, cum)) }
+        batch.collect().foreach(out.add)
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
 
     import scala.jdk.CollectionConverters._
-    val admitted = out.asScala.toSeq.sortBy(_._1)
-    assert(admitted.map(_._1) == Seq(1L, 2L, 4L),
-      s"expected docs 1,2,4 admitted (3 skipped as overflow): $admitted")
-    assert(admitted.last == ((4L, 10L, 100L)),
-      s"doc 4 must land exactly at the budget via the PERSISTED counter: $admitted")
+    val admitted = out.asScala.toSeq.sortBy(_._2)
+    assert(admitted.filter(_._1 == "srcB").map(_._2) == Seq(1L, 2L),
+      s"srcB must truncate at the first overflow (docs 3 AND 4 dropped): $admitted")
+    // srcC stayed open: its batch-2 doc lands via the persisted counter
+    assert(admitted.filter(_._1 == "srcC").map(r => (r._2, r._4)) == Seq((10L, 30L), (11L, 70L)),
+      s"srcC should admit across batches from its persisted cumulative: $admitted")
   }
 }
