@@ -370,6 +370,37 @@ object MultimodalOps {
     // islands window partitions by doc_id (high-cardinality), and frames
     // per doc are bounded by doc length. Exact oracle: DuckDB replays
     // frames/peaks/islands from the same ASCII bytes.
+    // REAL image downsampling: each doc's bytes become a 16×16 grayscale
+    // image, round-trip through the PPM codec on executors, and a 2×
+    // box downsample (the bilinear kernel at exact 2× positions)
+    // produces the 8×8 thumbnail — the resize step of an image-training
+    // pipeline with EXACT pixel math: the 4-pixel box average is integer
+    // floor division, so both engines compute identical bytes and the
+    // thumbnail's portable md5-prefix hash is an exact oracle column
+    // (not a stub decimation like m03). Narrow map, no shuffle.
+    "m10_box_downsample" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.t(s, dir, "documents")
+        .where(length(col("text")) >= 256)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val v = text.take(256).map(_.toInt & 0xff).toArray
+          val img = PpmCodec.encodePixels(16, 16) { (x, y) => val p = v(y * 16 + x); (p, p, p) }
+          val (w, _, px) = PpmCodec.decodePixels(img)
+          def gray(x: Int, y: Int): Int = px((y * w + x) * 3) & 0xff
+          val out = for (r <- 0 until 8; c <- 0 until 8) yield
+            (gray(2 * c, 2 * r) + gray(2 * c + 1, 2 * r) +
+              gray(2 * c, 2 * r + 1) + gray(2 * c + 1, 2 * r + 1)) / 4
+          (id, 8, 8, out.map(_.toLong).sum, out.mkString(","))
+        }
+        .toDF("doc_id", "out_w", "out_h", "pix_sum", "csv")
+      feats.select(
+        col("doc_id"), col("out_w"), col("out_h"), col("pix_sum"),
+        round(col("pix_sum").cast("double") / 64.0, 4).as("mean_v"),
+        expr("CAST(conv(substr(md5(CAST(csv AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("resized_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Spectral features over REAL decoded audio: each doc's WAV (the
     // m05 PCM16 mapping) round-trips through WavCodec on the
     // executors, the first 64 decoded samples form one analysis frame,
@@ -566,6 +597,20 @@ object MultimodalOps {
         |  CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
         |  CAST(coalesce(s.longest_segment, 0) AS BIGINT) AS longest_segment
         |FROM base b LEFT JOIN seg s USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "m10_box_downsample" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents WHERE strlen(text) >= 256),
+        |px AS (SELECT doc_id, list_transform(string_split(t, ''), c -> ascii(c)) AS v FROM d),
+        |cells AS (SELECT doc_id, rr.r, cc.c FROM px CROSS JOIN range(0, 8) rr(r) CROSS JOIN range(0, 8) cc(c)),
+        |o AS (SELECT p.doc_id, ce.r, ce.c,
+        |    (p.v[2 * ce.r * 16 + 2 * ce.c + 1] + p.v[2 * ce.r * 16 + 2 * ce.c + 2] +
+        |     p.v[(2 * ce.r + 1) * 16 + 2 * ce.c + 1] + p.v[(2 * ce.r + 1) * 16 + 2 * ce.c + 2]) // 4 AS val
+        |  FROM px p JOIN cells ce USING (doc_id)),
+        |s AS (SELECT doc_id, CAST(sum(val) AS BIGINT) AS pix_sum,
+        |      string_agg(val, ',' ORDER BY r, c) AS csv FROM o GROUP BY doc_id)
+        |SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h, pix_sum,
+        |  round(pix_sum / 64.0, 4) AS mean_v,
+        |  ('0x' || substr(md5(csv), 1, 15))::BIGINT AS resized_hash
+        |FROM s ORDER BY doc_id""".stripMargin,
     "m09_spectral_features" ->
       """WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents WHERE strlen(text) >= 64),
         |frame AS (SELECT doc_id, list_transform(cs[1:64], c -> CAST(ascii(c) - 64 AS DOUBLE)) AS x FROM t),

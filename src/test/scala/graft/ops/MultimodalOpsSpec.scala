@@ -90,4 +90,21 @@ class MultimodalOpsSpec extends AnyFunSuite {
         s"doc $id: DC magnitude ${dc(id)} != |sample sum| $expected")
     }
   }
+  test("m10: thumbnail conserves total intensity within the floor-division loss bound") {
+    import org.apache.spark.sql.functions._
+    // each output pixel is floor(sum4/4): 4*pix_sum is within [orig_sum - 3*64, orig_sum]
+    val rows = graft.SparkEntry.queries("m10_box_downsample")(spark, sfDir)
+      .select("doc_id", "pix_sum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = Tables.t(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 256)
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(substr(text, 1, 256), ''), c -> ascii(c)), 0L, (a, v) -> a + v)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == orig.keySet)
+    rows.foreach { case (id, ps) =>
+      val o = orig(id)
+      assert(4 * ps <= o && 4 * ps >= o - 3 * 64,
+        s"doc $id: downsample lost more than floor-division allows (4*$ps vs $o)")
+    }
+  }
 }
