@@ -66,13 +66,12 @@ case class MisraGriesItems(
         case None =>
           // classic MG decrement-all: O(k) here, amortized O(1) per
           // item — each decrement spends one unit of count credit that
-          // an earlier increment deposited
-          val dead = mutable.ArrayBuffer.empty[UTF8String]
-          buffer.keysIterator.foreach { key =>
-            val c = buffer(key) - 1
-            if (c == 0L) dead += key else buffer.update(key, c)
-          }
-          dead.foreach(buffer.remove)
+          // an earlier increment deposited. mapValuesInPlace +
+          // filterInPlace rather than updating under keysIterator: the
+          // map's own traversal contract covers these, with no reliance
+          // on iterator stability during mutation.
+          buffer.mapValuesInPlace((_, c) => c - 1)
+          buffer.filterInPlace((_, c) => c > 0L)
       }
     }
     buffer
@@ -91,12 +90,8 @@ case class MisraGriesItems(
       val counts = buffer.values.toArray
       java.util.Arrays.sort(counts)
       val d = counts(counts.length - (k + 1)) // (k+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      buffer.keysIterator.foreach { key =>
-        val c = buffer(key) - d
-        if (c <= 0L) dead += key else buffer.update(key, c)
-      }
-      dead.foreach(buffer.remove)
+      buffer.mapValuesInPlace((_, c) => c - d)
+      buffer.filterInPlace((_, c) => c > 0L)
     }
     buffer
   }
@@ -172,11 +167,7 @@ object MisraGries {
       case Some(c) => m.update(item, c + 1)
       case None if m.size < k => m.update(item, 1L)
       case None =>
-        val dead = mutable.ArrayBuffer.empty[String]
-        m.keysIterator.foreach { key =>
-          val c = m(key) - 1
-          if (c == 0L) dead += key else m.update(key, c)
-        }
-        dead.foreach(m.remove)
+        m.mapValuesInPlace((_, c) => c - 1)
+        m.filterInPlace((_, c) => c > 0L)
     }
 }

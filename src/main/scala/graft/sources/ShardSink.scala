@@ -533,17 +533,29 @@ object TrainingShards {
     * full-corpus re-serve into a loud failure telling the operator to
     * restart the tailer with a fresh checkpoint.
     *
-    * The bump happens BEFORE the overwrite commit, not after: a live
-    * tailer polling `latestOffset` in an after-commit window would see
-    * its own (old) generation next to the re-landed shard names and
-    * silently admit the whole corpus as new — the exact failure the
-    * marker exists to make loud. Bumping first closes that window: any
-    * tailer racing the compaction fails the generation check the moment
-    * the marker lands. The trade is benign: a compaction that crashes
-    * between the bump and the commit leaves the LAYOUT intact but the
-    * generation advanced, so tailers fail loudly over an unchanged
-    * corpus — a spurious restart-with-fresh-checkpoint, never a
-    * double-serve.
+    * The generation is bumped TWICE — once before the overwrite commit
+    * and once after — because each bump closes a different race:
+    *
+    *  - Bump-before: a live tailer that consumed the OLD layout and
+    *    polls `latestOffset` after the commit must not see its own
+    *    (old) generation next to the re-landed shard names — it would
+    *    silently admit the whole corpus as new. The pre-commit bump
+    *    makes that poll fail the moment the marker lands.
+    *  - Bump-after: a FRESH tailer whose `initialOffset` runs inside
+    *    the bump-to-commit window pins the bumped generation while its
+    *    first polls still read the OLD manifest; once the commit lands,
+    *    the pinned generation would match again and every re-landed
+    *    shard would be admitted as unseen on top of the old-layout rows
+    *    already served — a silent double-serve. The post-commit bump
+    *    makes that tailer's next poll fail the generation check.
+    *
+    * Only a tailer whose ENTIRE read window falls strictly between the
+    * two bumps (pins bump-1, reads only post-commit files) dies
+    * spuriously — a restart-with-fresh-checkpoint, never a
+    * double-serve. A compaction that crashes between bump-1 and the
+    * commit leaves the LAYOUT intact but the generation advanced, so
+    * tailers fail loudly over an unchanged corpus — the same benign
+    * trade.
     */
   def compact(spark: SparkSession, dir: String,
               maxDocsPerShard: Long = 100000L, maxShardBytes: Long = 64L << 20): Unit =
@@ -570,6 +582,10 @@ object TrainingShards {
         .option("maxShardBytes", maxShardBytes.toString)
         .mode("overwrite")
         .save()
+      // second bump: invalidates any tailer that pinned the first bump's
+      // generation while still reading the pre-commit manifest (see the
+      // bump-twice contract on compact() above)
+      ShardManifest.bumpGeneration(fs, dirPath)
     }
   }
 }

@@ -23,6 +23,25 @@ class MultimodalOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("documents fixture text is pure ASCII at every SF the gate runs " +
+    "(the m05/m08/m09/m10 oracles' char/byte parity depends on it)") {
+    // The engine paths use JVM char semantics (length() = chars, take(n),
+    // US_ASCII getBytes) while the DuckDB oracles use strlen() (bytes)
+    // and ascii() (codepoints). For ASCII text the two agree exactly; a
+    // non-ASCII character would silently diverge both the row sets
+    // (length filters) and the pixel/sample values. Pin the assumption:
+    // octet_length == length holds only when every char is single-byte
+    // UTF-8 (ASCII), and a max-codepoint check rules out any char ≥ 128.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.t(spark, d, "documents")
+      val nonAscii = docs.where(
+        octet_length(col("text")) =!= length(col("text")) ||
+          array_max(transform(split(col("text"), ""), c => ascii(c))) >= 128)
+      assert(nonAscii.count() == 0L,
+        s"non-ASCII text in $d documents — m05/m08/m09/m10 oracle parity is void")
+    }
+  }
+
   test("entropy flags degenerate payloads") {
     import spark.implicits._
     val assets = Seq(

@@ -123,6 +123,36 @@ class ShardStreamReadSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("compacted"))
   }
 
+  test("a FRESH tailer started INSIDE the compaction window fails loudly after the " +
+    "commit instead of double-serving (generation bumps again after the overwrite)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val out = Files.createTempDirectory("shard-tail-race2").toString
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(100)
+    TrainingShards.write(docs.repartition(4), out, maxDocsPerShard = 16)
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    var windowOffset: Option[org.apache.spark.sql.connector.read.streaming.Offset] = None
+    var windowStream: Option[ShardMicroBatchStream] = None
+    TrainingShards.compactWithHook(spark, out, 64L, 64L << 20, () => {
+      // the advisory's race: a tailer STARTED inside the bump-to-commit
+      // window pins the bumped generation while the manifest still
+      // lists the OLD layout — its first poll consumes the old files
+      // without tripping the single pre-commit bump
+      val s = new ShardMicroBatchStream(out, None, conf)
+      val consumed = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+      assert(consumed.asInstanceOf[ShardFilesOffset].files.nonEmpty,
+        "window tailer should have admitted the pre-commit layout")
+      windowStream = Some(s)
+      windowOffset = Some(consumed)
+    })
+    // after the commit the window tailer's pinned generation must be
+    // stale — without the post-commit bump this poll would silently
+    // admit every re-landed shard as unseen (full-corpus double-serve)
+    val e = intercept[IllegalArgumentException] {
+      windowStream.get.latestOffset(windowOffset.get, ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("compacted"), s"expected loud generation failure, got: $e")
+  }
+
   test("offset JSON survives file names with quotes and backslashes (json4s round trip)") {
     val off = ShardFilesOffset(3L, Seq("""weird "name"\shard.jsonl.gz""", "plain.jsonl.gz"))
     val back = ShardFilesOffset.fromJson(off.json())
