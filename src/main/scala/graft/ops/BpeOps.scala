@@ -141,20 +141,34 @@ object BpeOps {
         // one parquet split: spread the per-word merge replay across tasks
         .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
-        .map { case (id, text) =>
-          val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
-          var nSym = 0L
-          var nTok = 0L
-          var detokOk = true
-          words.foreach { w =>
+        .mapPartitions { rows =>
+          // per-partition word cache (the fastBPE/HuggingFace trick):
+          // BPE encoding of a word is context-free, and token streams are
+          // Zipf-distributed, so almost every word is a repeat — replay
+          // the merges once per DISTINCT word per task, not per position
+          val cache = scala.collection.mutable.HashMap.empty[String, (Long, Long, Boolean)]
+          val cacheCap = 1 << 20 // bound task memory on open-vocab corpora
+          def encode(w: String): (Long, Long, Boolean) = {
             val syms = (w.map(_.toString).toList: Seq[String]) :+ EndOfWord
-            nSym += syms.length
             val toks = applyMerges(syms, merges)
-            nTok += toks.length
-            detokOk &&= toks.mkString("") == w + EndOfWord
+            (syms.length.toLong, toks.length.toLong, toks.mkString("") == w + EndOfWord)
           }
-          val boundsOk = words.length <= nTok && nTok <= nSym
-          (id, words.length.toLong, nSym, detokOk, boundsOk)
+          rows.map { case (id, text) =>
+            val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+            var nSym = 0L
+            var nTok = 0L
+            var detokOk = true
+            words.foreach { w =>
+              val (symLen, tokLen, ok) =
+                if (cache.size < cacheCap) cache.getOrElseUpdate(w, encode(w))
+                else cache.getOrElse(w, encode(w))
+              nSym += symLen
+              nTok += tokLen
+              detokOk &&= ok
+            }
+            val boundsOk = words.length <= nTok && nTok <= nSym
+            (id, words.length.toLong, nSym, detokOk, boundsOk)
+          }
         }
         .toDF("doc_id", "n_words", "n_char_symbols", "detok_ok", "bounds_ok")
         .orderBy("doc_id")

@@ -583,7 +583,11 @@ object TextOps {
   def spanDedup(docs: DataFrame, spanWidth: Int = 8, posCap: Long = 1L << 20): DataFrame = {
     val w = spanWidth
     val docIdCap = Long.MaxValue / posCap // packed key doc_id*posCap+p must not overflow
+    // tokenize ONCE: tok feeds the span builder, the kept-token rebuild,
+    // and the per-doc totals — left lazy, the regex tokenizer re-runs
+    // for each consumer
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("t")).withColumn("n", size(col("t")))
+      .localCheckpoint()
     val tokRows = tok
       .select(col("doc_id"), posexplode(col("t")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
@@ -608,6 +612,12 @@ object TextOps {
         col("doc_id"),
         col("p"),
         md5(concat_ws(" ", slice(col("t"), col("p"), lit(w))).cast("binary")).as("gh"))
+    // First-occurrence selection stays an AGGREGATE (map-side
+    // combinable: a boilerplate span duplicated across the corpus
+    // collapses to one partial per task before the shuffle), never a
+    // window over the skewable span key — the d34 plan pin. Both
+    // consumers of `spans` hash by gh, so ReuseExchange shares one
+    // span-stream shuffle between the agg and the join-back.
     val byGram = spans
       .groupBy("gh")
       .agg(count(lit(1)).as("cnt"), min(packedKey(col("p"))).as("first_key"))
@@ -617,7 +627,11 @@ object TextOps {
       .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("pos"))
       .distinct()
     val kept = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val totals = tokRows.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    // per-doc token totals come straight off the tokenized array — no
+    // second posexplode pass (n >= 1 preserves the old token-stream
+    // semantics: a zero-token doc produced no rows)
+    val totals = tok.where(col("n") >= 1)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"))
     val keptAgg = kept
       .groupBy("doc_id")
       .agg(
@@ -891,6 +905,14 @@ object TextOps {
         .where(size(col("t")) >= 2)
         .select(col("doc_id"), col("t"), expr("explode(sequence(1, size(t) - 1)) AS i"))
         .selectExpr("doc_id", "t[i - 1] AS a", "t[i] AS b")
+      // bg's shuffle exchange is REUSED by ctx/cont/totals and the
+      // final join (ReuseExchange: identical subplans share one
+      // exchange), so the corpus is scanned exactly twice. Two
+      // alternatives MEASURED SLOWER at both SFs: checkpointing a
+      // per-(doc,bigram) count frame (eager materialization barrier +
+      // full position shuffle), and pre-joining the count tables into a
+      // per-type score table (pushes the position stream into a shuffle
+      // join instead of three stacked broadcast probes).
       val bg = docBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       val ctx = bg.groupBy("a").agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_left"))
       val cont = bg.groupBy("b").agg(count(lit(1)).as("n1p_right"))
@@ -2034,8 +2056,7 @@ object TextOps {
     // penalty of per-element lambdas).
     "d41_cdc_chunks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val wTok = 4
-      val div = 16
+      val wTok = 4 // divisor fixed at 16 — encoded as the hex-digit test below
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), col("t"), size(col("t")).as("n"))
@@ -2045,9 +2066,11 @@ object TextOps {
           expr(s"explode(sequence(1, size(t) - ${wTok - 1})) AS i"))
         .select(col("doc_id"), col("n"), (col("i") + (wTok - 1)).as("e"),
           concat_ws(" ", slice(col("t"), col("i"), lit(wTok))).as("win"))
-        .where(
-          expr(s"CAST(conv(substr(md5(CAST(win AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $div") === 0 &&
-            col("e") < col("n"))
+        // value(first 8 hex chars) % 16 == 0 ⟺ the 8th hex char is '0':
+        // same boundary set as the oracle's conv(...) % 16 = 0 replay,
+        // without a conv() string-parse + BIGINT cast per window position
+        .where(substring(md5(col("win").cast("binary")), 8, 1) === lit("0") &&
+          col("e") < col("n"))
         .select(col("doc_id"), col("e"))
       val bounds = wins.unionAll(toks.select(col("doc_id"), col("n").as("e")))
       val byDoc = Window.partitionBy("doc_id").orderBy("e")
