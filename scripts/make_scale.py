@@ -24,14 +24,37 @@ and bounded-top-K operators (r04/r06/r07/r08, d13/d14): a window
 partitioned by source/lang would serialize ~90% of the data into ONE
 task here, while the two-phase/bounded-heap forms must stay ~linear.
 
-Usage: python3 scripts/make_scale.py [src=/root/testdata/sf0.1] [out=/tmp/scale10] [factor=10] [skew]
+A 4th arg `dupskew` instead makes the blow-up DEGENERATELY DUPLICATED:
+every copy is prefixed with a slice of the SAME boilerplate word stream
+(the corpus's first documents, concatenated), sized to ~55% of the
+copy's final length. That fraction is chosen deliberately: at fraction
+q between two same-length docs the true Jaccard is q/(2-q), and a
+boilerplate shingle enters a doc's t=0.5 prefix only when q > 1/2 — so
+q~0.55 lands in the adversarial band (1/2, 2/3) where template
+shingles (df ~ 90% of the corpus at factor 10) DO flood the prefixes
+of every copy, but true pair similarity (~0.38) stays below the 0.5
+join threshold. A FIXED-size boilerplate would miss one side or the
+other: small fractions never reach the prefix (the df-ascending order
+already guards them), large fractions make the copies genuine
+near-dups of each other and the TRUE output quadratic — measuring
+output materialization, which no exact algorithm can avoid, instead of
+candidate pruning. This is the distribution x02's mega-bucket cap and
+d28/d38's prefix+positional filters exist for. Copies keep the first
+45% of their own words (still per-copy shuffled), so total token
+volume matches the default 10x fixture and time ratios between the
+two fixtures compare like for like.
+
+Usage: python3 scripts/make_scale.py [src=/root/testdata/sf0.1] [out=/tmp/scale10] [factor=10] [skew|dupskew]
 """
 import duckdb, os, sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/scale10'
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-skew = len(sys.argv) > 4 and sys.argv[4] == 'skew'
+mode = sys.argv[4] if len(sys.argv) > 4 else ''
+assert mode in ('', 'skew', 'dupskew'), f"unknown mode {mode!r}"
+skew = mode == 'skew'
+dupskew = mode == 'dupskew'
 os.makedirs(out, exist_ok=True)
 
 con = duckdb.connect()
@@ -49,18 +72,35 @@ for t, cols in [('documents', ['doc_id']), ('orders', ['o_orderkey']),
         assert mx is None or mx < SHARD, \
             f"{t}.{c} max {mx} >= shard offset {SHARD}: copies would collide"
 
+boiler_expr = "''"
+if dupskew:
+    # ONE boilerplate word stream for the whole corpus (the first docs'
+    # words, concatenated to a 500-word pool); each copy takes the slice
+    # sized to ceil(1.25 * own_words), i.e. ~55% of its final length
+    boiler = con.execute(f"""
+      SELECT array_to_string(flatten(list(regexp_split_to_array(trim(text), '\\s+') ORDER BY doc_id))[1:500], ' ')
+      FROM (SELECT doc_id, text FROM '{src}/documents.parquet' ORDER BY doc_id LIMIT 5)""").fetchone()[0]
+    bq = boiler.replace("'", "''")
+    # kept own words = ceil(0.45·len) (the FILTER below); boilerplate =
+    # ceil(1.25·kept) of the shared pool, i.e. ~55% of the final copy
+    kept = "count(*) FILTER (WHERE rn <= ceil(0.45 * len))"
+    boiler_expr = ("array_to_string(string_split('" + bq + "', ' ')"
+                   f"[1:least(500, CAST(ceil(1.25 * ({kept})) AS BIGINT))], ' ') || ' '")
+
 con.execute(f"""
 COPY (
   SELECT doc_id, text, lang, source, n_chars FROM '{src}/documents.parquet'
   UNION ALL
   SELECT doc_id + i * 10000000 AS doc_id,
-         string_agg(w, ' ' ORDER BY hash(concat(w, '-', rn, '-', i)), rn) AS text,
+         {boiler_expr if dupskew else "''"} || string_agg(w, ' ' ORDER BY hash(concat(w, '-', rn, '-', i)), rn)
+           {"FILTER (WHERE rn <= ceil(0.45 * len))" if dupskew else ""} AS text,
          {"'en' AS lang, 'src0' AS source" if skew else "any_value(lang) AS lang, any_value(source) AS source"},
          any_value(n_chars) AS n_chars
   FROM (
     SELECT doc_id, lang, source, n_chars,
            unnest(regexp_split_to_array(text, '\\s+')) AS w,
-           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS rn
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS rn,
+           len(regexp_split_to_array(text, '\\s+')) AS len
     FROM '{src}/documents.parquet')
   CROSS JOIN range(1, {factor}) r(i)
   GROUP BY doc_id, i

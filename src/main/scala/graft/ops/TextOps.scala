@@ -708,11 +708,42 @@ object TextOps {
       val prefix = ranked
         .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
         .where(col("df") > 1)
-        .select(col("doc_id"), col("sh"))
+        .select(col("doc_id"), col("sh"), col("df"), col("rk"), col("n"))
+      // Positional filter (PPJoin's second pruning rule, lossless): let
+      // w be the FIRST shared prefix shingle of a pair in the global
+      // (df, sh) order, at ranks (i, j) of the docs' full ordered
+      // shingle sets. Any shared shingle ordered before w would sit at
+      // rank < i and < j — inside BOTH prefixes (hapax removal cannot
+      // hide it: shared shingles have df >= 2) — contradicting w's
+      // minimality. So every common shingle is w or ordered after it:
+      // overlap <= 1 + min(n_a - i, n_b - j), and J >= t needs
+      // overlap >= t/(1+t)·(n_a+n_b).
+      //
+      // Applied in two stages so pruned pairs are never GENERATED, not
+      // just discarded: call a prefix entry EARLY when
+      // rk <= n·(1-t)/(1+t) + 1. If both sides' entries at w are late,
+      // then 1 + min(n_a-i, n_b-j) < 2t/(1+t)·min(n_a,n_b)
+      // <= t/(1+t)·(n_a+n_b) — the filter fails. So every surviving
+      // pair has an EARLY entry at w on at least one side, and the
+      // candidate join can probe the early subset only, with the full
+      // per-pair bound as a join residual. This is what keeps a
+      // boilerplate-heavy corpus linear: a mostly-template doc runs out
+      // of rare shingles, so template shingles (df ~ corpus size) enter
+      // its prefix — but only near its END, always late, so template
+      // buckets never cross-product. Without the split the dupskew
+      // fixture generates 2.3e9 candidate rows (vs 2.1e5 uniform) and
+      // the join runs for minutes; with it the fixture stays linear.
+      val earlyBound = col("n") * ((1 - threshold) / (1 + threshold)) + 1
+      val probe = prefix.where(col("rk") <= earlyBound)
       val cand = prefix.as("a")
-        .join(prefix.as("b"), "sh")
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .join(
+          probe.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+            (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) >=
+              lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = cand

@@ -52,6 +52,37 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  test("positional filter stays lossless on a boilerplate-heavy corpus " +
+    "(template shingles inside prefixes, true similarity below threshold)") {
+    import spark.implicits._
+    // 60 docs, each ~55% one shared template + 45% own words: the
+    // template shingles flood every doc's t=0.5 prefix (the dupskew
+    // fixture's adversarial band) while true pairwise J stays ~0.38 —
+    // the exact case the early/late split + positional bound prune.
+    // The join must still return precisely the brute-force answer.
+    val vocab = "alpha beta gamma delta eps zeta eta theta iota kappa".split(" ")
+    val template = (0 until 24).map(i => vocab(i * 7 % vocab.length)).mkString(" ")
+    val docs = (0L until 60L).map { id =>
+      val rnd = new scala.util.Random(id)
+      val own = (0 until 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (id, s"$template $own")
+    }.toDF("doc_id", "text")
+    val fast = TextOps.setSimilarityJoin(docs, 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tok = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), array_distinct(
+        expr(s"transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))")).as("s"))
+    val slow = tok.as("a")
+      .join(tok.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s"))), 4).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === slow)
+  }
+
   test("plan has no cartesian product or nested-loop join") {
     // materialize=false: the default localCheckpoint would truncate the
     // lineage and hide the join plan under inspection here.
