@@ -697,6 +697,30 @@ object SimilarityOps {
       annSoundness(emb, exactRerank(emb, cands, queryId = 0L, k = 10), "cos_sim",
         queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
     }),
+    // Corpus-scale GRAPH ANN — per-IVF-cell NSW graphs (see
+    // [[NswIndex]]): the coarse quantizer routes the query to nprobe=4
+    // of 16 cells (partition-pruned read of the cluster-partitioned
+    // index — only those cells' bytes are touched), and each probed
+    // cell runs one greedy NSW walk over its materialized graph. This
+    // is s22's walk given s18's scale posture: every vector indexed,
+    // graph build distributed one-task-per-cell via incremental NSW
+    // insertion (O(c·efC·m) per cell, not O(c²)), search cost
+    // independent of corpus size once cells are capped. Scores use the
+    // exact cosine fold ⇒ n_score_mismatch must be 0; measured
+    // recall@10 is 9/10 at both test SFs (the same IVF nprobe ceiling
+    // s04/s18 measure — the walk itself loses nothing; pinned in
+    // GraphAnnSpec) → floor 6, the s18 bar.
+    "s23_ivf_nsw_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-nsw-index").toString
+      val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = NswIndex.searchFrame(s, idxDir, cents, qe, excludeId = 0L,
+        k = 10, nprobe = 4, ef = 48)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 6, scoreIsExact = true)
+    }),
     // Two-stage retrieve-then-RERANK — the production ANN shape at
     // 100 TB: the compressed-code retriever (s07's PQ/ADC) fetches a
     // C=50 candidate pool cheaply; only those C full vectors are read
@@ -1060,6 +1084,7 @@ object SimilarityOps {
     "s07_pq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s17_pq_rerank" -> s"$exactCosCte\n$annSoundnessSelect",
     "s18_ivfpq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s23_ivf_nsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     // Full margin-mining replay: same rounded cosines, neighborhood
     // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
     // — the sum order matches Spark's sorted minK array fold), same

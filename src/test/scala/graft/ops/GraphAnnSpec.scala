@@ -45,4 +45,55 @@ class GraphAnnSpec extends AnyFunSuite {
   test("s22: the walk is deterministic (identical output across runs)") {
     assert(run().toSeq == run().toSeq)
   }
+
+  // ---- s23: per-IVF-cell NSW graphs (the corpus-scale composition) ----
+
+  private def s23Index(dir: String) = {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-spec").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    (emb, idxDir, cents, qe)
+  }
+
+  test("s23: search reads ONLY the probed cells (partition pruning) and " +
+    "recall@10 matches the s18 bar at both test SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val (emb, idxDir, cents, qe) = s23Index(dir)
+      val ann = NswIndex.searchFrame(spark, idxDir, cents, qe, excludeId = 0L,
+        k = 10, nprobe = 4, ef = 48)
+      val plan = ann.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"no partition filter in the index scan:\n$plan")
+      val probes = IvfIndex.probeCells(cents, qe, nprobe = 4).toSet
+      val touched = spark.read.parquet(s"$idxDir/cells")
+        .filter(col("cluster").isin(probes.map(x => x: Any).toSeq: _*))
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(touched.forall { f =>
+        probes.contains("cluster=([0-9]+)".r.findFirstMatchIn(f).get.group(1).toInt)
+      }, "scan touched an unprobed cell")
+      // recall@10 vs the exact corpus-wide top-10 — the IVF probe set is
+      // the ceiling (s04/s18 measure 9/10 here); the walk must not lose more
+      val got = ann.collect().map(_.getLong(0)).toSet
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+      val exact = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("qe")), 6).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size
+      assert(recall >= 9, s"$dir: recall@10 = $recall, below the 9/10 s18 bar")
+    }
+  }
+
+  test("s23: the per-cell graphs have bounded degree (back-link trim) and " +
+    "search is deterministic across runs") {
+    val (_, idxDir, cents, qe) = s23Index("/root/testdata/sf0.001")
+    val deg = spark.read.parquet(s"$idxDir/cells")
+      .select(size(col("nbrs")).as("d")).agg(max(col("d"))).head().getInt(0)
+    assert(deg <= 16, s"degree $deg exceeds the 2m=16 trim cap")
+    def once() = NswIndex.searchFrame(spark, idxDir, cents, qe, excludeId = 0L,
+      k = 10, nprobe = 4, ef = 48).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(once() == once())
+  }
 }
