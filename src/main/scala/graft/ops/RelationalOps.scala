@@ -1218,6 +1218,48 @@ object RelationalOps {
         .orderBy("source")
     }),
 
+    // Row-format interop: the documents slice framed into REAL Avro
+    // object-container segments (deflate codec) by the hand-built
+    // [[graft.sources.AvroCodec]] and parsed back executor-side — the
+    // w01 WARC shape for the format a Kafka/ingest pipeline actually
+    // hands over. Segment key doc_id div 256, so segment count grows
+    // with the corpus (blocks-within-segment are the finer parallel
+    // unit OCF's sync markers exist for); one keyed shuffle, no driver
+    // materialization. Per-record output carries every field plus the
+    // text's md5-prefix hash, so the oracle (same projection over the
+    // parquet source) proves the varint/deflate/sync framing preserves
+    // every byte. Library interop (avro-1.12.1 reads our bytes, we
+    // read its) is pinned in AvroCodecSpec.
+    "q100_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val schema = graft.sources.AvroCodec.FlatSchema("document", Seq(
+        "doc_id" -> "long", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "long"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+        .groupByKey(_._1 / 256)
+        .flatMapGroups { (_, it) =>
+          val recs = it.toSeq.sortBy(_._1)
+          val ocf = graft.sources.AvroCodec.write(
+            schema,
+            recs.iterator.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5)),
+            codec = "deflate", recordsPerBlock = 64)
+          val (sch, rows) = graft.sources.AvroCodec.parse(ocf)
+          require(sch.fields == schema.fields, s"schema did not round-trip: ${sch.fields}")
+          rows.iterator.map { r =>
+            (r(0).asInstanceOf[Long], r(1).asInstanceOf[String], r(2).asInstanceOf[String],
+              r(3).asInstanceOf[String], r(4).asInstanceOf[Long])
+          }
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).as("text_chars"),
+          expr("CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Text-format interop: the same slice through CSV WITH quoting —
     // document text contains spaces (and could contain delimiters), so
     // the writer must quote and the reader must parse quotes + header +
@@ -1580,6 +1622,10 @@ object RelationalOps {
         |  min(doc_id) AS min_doc
         |FROM documents WHERE lang = 'en' AND n_chars >= 50
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q100_avro_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q99_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS text_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
