@@ -93,6 +93,114 @@ object BpeOps {
   def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(syms) { case (s, (l, r)) => mergeSymbols(s, l, r) }
 
+  // ----------------------------------------------- unigram-LM tokenizer
+
+  /** HALF_UP 6dp — the cross-engine stage-boundary rounding grain
+    * (matches both Spark's round() and DuckDB's).
+    */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Viterbi segmentation of one word under piece log-probs: maximize
+    * the summed logp over pieces (length <= 4), scores rounded 6dp at
+    * every DP cell so the oracle's unrolled replay compares equal
+    * doubles; ties prefer the LONGER piece (ORDER BY s DESC, l DESC in
+    * the oracle). Single chars are always in the vocab, so every
+    * prefix is segmentable and no -inf handling is needed.
+    */
+  def viterbiPieces(w: String, lp: scala.collection.Map[String, Double]): Seq[String] = {
+    val n = w.length
+    val best = new Array[Double](n + 1)
+    val bl = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bs = Double.NegativeInfinity
+      var bestL = 0
+      var l = 1
+      while (l <= math.min(4, i)) {
+        lp.get(w.substring(i - l, i)).foreach { x =>
+          val s = r6(best(i - l) + x)
+          if (s > bs || (s == bs && l > bestL)) { bs = s; bestL = l }
+        }
+        l += 1
+      }
+      require(bestL > 0, s"word '$w' position $i unsegmentable — single-char coverage broken")
+      best(i) = bs; bl(i) = bestL
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { val l = bl(pos); out += w.substring(pos - l, pos); pos -= l }
+    out.reverse.toSeq
+  }
+
+  /** Unigram-LM tokenizer induction — the SentencePiece shape (Kudo
+    * 2018), hard-EM/Viterbi variant: seed the vocab with every single
+    * char (coverage floor, never pruned) plus the top `seedMulti`
+    * multi-char substrings (len ≤ 4) by corpus frequency; then each
+    * round runs an E-step (Viterbi-segment every distinct word under
+    * the current piece log-probs — one broadcast of the ≤ ~70-entry
+    * vocab, one narrow map over the word table, one bounded agg) and an
+    * M-step (re-estimate probs from the Viterbi piece counts with +1
+    * smoothing and PRUNE the `prunePerRound` weakest multi-char
+    * pieces). Scale shape mirrors [[learnMerges]]: the corpus collapses
+    * once to the distinct-word frequency table; rounds move only
+    * vocab-bounded rows to the driver. Deterministic: seed and prune
+    * tie-break (count desc, piece asc), DP tie-break (score, then
+    * longer piece), 6dp rounding at every stage boundary — so the
+    * oracle can replay the whole induction as unrolled CTEs (d18's
+    * discipline).
+    *
+    * Returns the final vocab: (piece, last round's raw Viterbi count,
+    * smoothed logp), sorted by piece.
+    */
+  def learnUnigram(
+      words0: DataFrame,
+      rounds: Int = 2,
+      seedMulti: Int = 40,
+      prunePerRound: Int = 8): Seq[(String, Long, Double)] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    val words = words0.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].localCheckpoint()
+    val maxLen = words.map(_._1.length).reduce(math.max)
+    require(maxLen <= 12, s"word length $maxLen exceeds the oracle's 12-stage DP unroll")
+    val pieceFreq = words
+      .flatMap { case (w, f) =>
+        for { i <- 0 until w.length; l <- 1 to 4 if i + l <= w.length }
+          yield (w.substring(i, i + l), f)
+      }
+      .toDF("piece", "f").groupBy("piece").agg(sum("f").as("freq"))
+      .localCheckpoint()
+    val multi0 = pieceFreq.where(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(seedMulti)
+      .as[(String, Long)].collect()
+    val chars0 = pieceFreq.where(length(col("piece")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    var kept: Seq[(String, Long)] = (multi0 ++ chars0).toSeq
+    val total0 = kept.map(_._2).sum.toDouble
+    var vocabLp: Map[String, Double] =
+      kept.map { case (p, c) => p -> r6(math.log(c / total0)) }.toMap
+    var keepMulti = seedMulti
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(vocabLp)
+      val counts = words
+        .flatMap { case (w, f) => viterbiPieces(w, bc.value).map(p => (p, f)) }
+        .toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      keepMulti -= prunePerRound
+      val multis = vocabLp.keysIterator.filter(_.length >= 2)
+        .map(p => (p, counts.getOrElse(p, 0L))).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+      val chars = vocabLp.keysIterator.filter(_.length == 1)
+        .map(p => (p, counts.getOrElse(p, 0L))).toSeq.sortBy(_._1)
+      kept = multis ++ chars
+      val total = kept.map(_._2 + 1L).sum.toDouble // +1 smoothing keeps 0-count chars finite
+      vocabLp = kept.map { case (p, c) => p -> r6(math.log((c + 1L) / total)) }.toMap
+    }
+    kept.map { case (p, c) => (p, c, vocabLp(p)) }.sortBy(_._1)
+  }
+
   /** Distinct-word frequency table of the documents corpus — the single
     * pass over raw text that every subsequent merge round reuses.
     */
@@ -172,6 +280,18 @@ object BpeOps {
         }
         .toDF("doc_id", "n_words", "n_char_symbols", "detok_ok", "bounds_ok")
         .orderBy("doc_id")
+    }),
+
+    // The learned unigram-LM vocab (SentencePiece's model family, next
+    // to d18's BPE): final pieces with their last-round Viterbi counts
+    // and smoothed log-probs. EXACT-oracle by the d18 discipline — the
+    // whole induction (substring seeding, two Viterbi-EM rounds with
+    // the DP unrolled to 12 position stages, count-based pruning, +1-
+    // smoothed re-estimation) replays as generated DuckDB CTEs with
+    // identical tie-breaks and 6dp stage rounding.
+    "d59_unigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      learnUnigram(wordFreqs(s, dir)).toDF("piece", "cnt", "logp").orderBy("piece")
     })
   )
 
@@ -214,8 +334,69 @@ object BpeOps {
     "WITH " + (head ++ stages).mkString(",\n") + "\nSELECT * FROM (\n" + union + "\n) ORDER BY rank"
   }
 
+  /** The d59 oracle: the unigram-LM induction unrolled. Per round, the
+    * Viterbi DP becomes `lmax` position CTEs (b_i = best rounded score
+    * + chosen piece length at position i, tie-break score desc then
+    * longer piece), the backtrace becomes `lmax` chained step CTEs
+    * walking chosen lengths back from each word's end, and the M-step
+    * is the same (count desc, piece) prune + (+1)-smoothed re-score.
+    * Reused big CTEs are AS MATERIALIZED (DuckDB inlines plain CTEs —
+    * the bt/cnt tables are each referenced lmax times).
+    */
+  private def d59OracleSql(rounds: Int, seedMulti: Int, prune: Int, lmax: Int): String = {
+    val head = Seq(
+      """w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, len(word) AS n
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin,
+      s"""cand AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, CAST(sum(freq) AS BIGINT) AS freq
+         |  FROM w, range(1, ${lmax + 1}) r1(i), range(1, 5) r2(l) WHERE i + l - 1 <= n GROUP BY 1)""".stripMargin,
+      s"m0 AS (SELECT piece, freq FROM cand WHERE len(piece) >= 2 ORDER BY freq DESC, piece LIMIT $seedMulti)",
+      "c0 AS (SELECT piece, freq FROM cand WHERE len(piece) = 1)",
+      "k0 AS (SELECT * FROM m0 UNION ALL SELECT * FROM c0)",
+      "v0 AS MATERIALIZED (SELECT piece, round(ln(CAST(freq AS DOUBLE) / (SELECT sum(freq) FROM k0)), 6) AS lp FROM k0)"
+    )
+    val roundStages = (1 to rounds).flatMap { r =>
+      val v = s"v${r - 1}"
+      val b0 = s"b${r}_0 AS (SELECT word, CAST(0 AS DOUBLE) AS s, 0 AS l FROM w)"
+      val dp = (1 to lmax).map { i =>
+        val alts = (1 to math.min(4, i)).map { l =>
+          s"""SELECT w.word, round(b.s + x.lp, 6) AS s, $l AS l
+             |      FROM w JOIN b${r}_${i - l} b USING (word) JOIN $v x ON x.piece = substr(w.word, ${i - l + 1}, $l)
+             |      WHERE w.n >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""b${r}_$i AS (SELECT word, s, l FROM (
+           |  SELECT word, s, l, row_number() OVER (PARTITION BY word ORDER BY s DESC, l DESC) AS rn FROM (
+           |      $alts)) WHERE rn = 1)""".stripMargin
+      }
+      val bt = s"bt$r AS MATERIALIZED (" +
+        (1 to lmax).map(i => s"SELECT word, $i AS i, l FROM b${r}_$i").mkString(" UNION ALL ") + ")"
+      val t0 = s"t${r}_0 AS (SELECT word, freq, n AS pos, CAST(NULL AS VARCHAR) AS piece FROM w)"
+      val ts = (1 to lmax).map { k =>
+        s"""t${r}_$k AS (SELECT t.word, t.freq, t.pos - b.l AS pos,
+           |  substr(t.word, CAST(t.pos - b.l + 1 AS INT), CAST(b.l AS INT)) AS piece
+           |  FROM t${r}_${k - 1} t JOIN bt$r b ON b.word = t.word AND b.i = t.pos WHERE t.pos > 0)""".stripMargin
+      }
+      val cnt = s"cnt$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+        (1 to lmax).map(k => s"SELECT piece, freq FROM t${r}_$k").mkString(" UNION ALL ") +
+        ") GROUP BY piece)"
+      val keepM = seedMulti - r * prune
+      val keep = Seq(
+        s"""km$r AS (SELECT v.piece, coalesce(c.cnt, 0) AS cnt FROM $v v LEFT JOIN cnt$r c USING (piece)
+           |  WHERE len(v.piece) >= 2 ORDER BY cnt DESC, v.piece LIMIT $keepM)""".stripMargin,
+        s"""kc$r AS (SELECT v.piece, coalesce(c.cnt, 0) AS cnt FROM $v v LEFT JOIN cnt$r c USING (piece)
+           |  WHERE len(v.piece) = 1)""".stripMargin,
+        s"k$r AS (SELECT * FROM km$r UNION ALL SELECT * FROM kc$r)",
+        s"v$r AS MATERIALIZED (SELECT piece, cnt, round(ln(CAST(cnt + 1 AS DOUBLE) / (SELECT sum(cnt + 1) FROM k$r)), 6) AS lp FROM k$r)"
+      )
+      Seq(b0) ++ dp ++ Seq(bt, t0) ++ ts ++ Seq(cnt) ++ keep
+    }
+    "WITH " + (head ++ roundStages).mkString(",\n") +
+      s"\nSELECT piece, cnt, lp AS logp FROM v$rounds ORDER BY piece"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "d18_bpe_merges" -> d18OracleSql(8),
+    "d59_unigram_lm" -> d59OracleSql(rounds = 2, seedMulti = 40, prune = 8, lmax = 12),
     // Exact halves recomputed from raw text; assertion halves pinned TRUE
     // (see the d19 comment). Every document in this corpus has at least
     // one word after trim, so the per-word unnest never drops a doc.

@@ -66,4 +66,48 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(a.map(_.getInt(0)) == (0 until a.size))
     assert(a.nonEmpty && a.size <= 8)
   }
+
+  // ------------------------------------------------ unigram-LM (d59)
+
+  test("d59 unigram LM: Viterbi segmentation detokenizes back to every word") {
+    import org.apache.spark.sql.functions._
+    val words = BpeOps.wordFreqs(spark, "/root/testdata/sf0.001")
+    val vocab = BpeOps.learnUnigram(words)
+    val lp = vocab.map { case (p, _, l) => p -> l }.toMap
+    val ws = words.select(col("word")).collect().map(_.getString(0))
+    assert(ws.nonEmpty)
+    ws.foreach { w =>
+      val pieces = BpeOps.viterbiPieces(w, lp)
+      assert(pieces.mkString("") == w, s"'$w' detokenized to '${pieces.mkString("")}'")
+      assert(pieces.forall(lp.contains), s"'$w' used an out-of-vocab piece")
+    }
+  }
+
+  test("d59 unigram LM: vocab shrinks monotonically and single chars are never pruned") {
+    import spark.implicits._
+    val words = Seq(("unigram", 5L), ("union", 3L), ("grammar", 4L), ("ion", 2L))
+      .toDF("word", "freq")
+    val chars = "unigramo".toSet.map((c: Char) => c.toString)
+    for (r <- 0 to 2) {
+      val vocab = BpeOps.learnUnigram(words, rounds = r, seedMulti = 12, prunePerRound = 3)
+      val multis = vocab.collect { case (p, _, _) if p.length >= 2 => p }
+      assert(multis.length == 12 - 3 * r, s"round $r: ${multis.length} multi pieces")
+      val singles = vocab.collect { case (p, _, _) if p.length == 1 => p }.toSet
+      assert(singles == chars, s"round $r: char coverage changed: $singles")
+    }
+  }
+
+  test("d59 unigram LM: segmentation prefers high-probability long pieces " +
+    "and the induction is deterministic") {
+    // 'aaab' dominated by piece 'aaa': the word segments as [aaa, b],
+    // never four singles -- the DP must sum logp and prefer the longer
+    // piece on ties
+    val lp = Map("aaa" -> -0.5, "aa" -> -1.0, "a" -> -2.0, "b" -> -2.0)
+    assert(BpeOps.viterbiPieces("aaab", lp) == Seq("aaa", "b"))
+    // [aa, aa] = -2.0 beats [aaa, a] = -2.5: the DP maximizes the SUM,
+    // not greedy longest-match
+    assert(BpeOps.viterbiPieces("aaaa", lp) == Seq("aa", "aa"))
+    val words = BpeOps.wordFreqs(spark, "/root/testdata/sf0.001")
+    assert(BpeOps.learnUnigram(words) == BpeOps.learnUnigram(words))
+  }
 }
