@@ -1327,6 +1327,61 @@ object TextOps {
     // corpus, so it broadcasts — the scan side streams once with a hash
     // probe, no corpus shuffle; output is per-train-doc shared-gram
     // counts. The standard n-gram-overlap decontamination shape.
+    // SEMANTIC decontamination composed after d15's lexical rung — the
+    // modern benchmark-decontamination stack: d15 catches verbatim
+    // leakage (shared 8-grams with the held-out set), this adds the
+    // embedding side (paraphrased leakage): every corpus vector scores
+    // its max cosine against the HELD-OUT benchmark embeddings
+    // (vec_id % 97 = 0, the same held-out convention as d15, linked to
+    // docs by the p02 doc_id = vec_id identity) and survivors must
+    // clear BOTH arms. Scale shape: the benchmark side is broadcast as
+    // plain arrays (benchmark sets are thousands of rows however large
+    // the corpus) and scored in ONE narrow pass with the exact
+    // expression cosine fold — no shuffle before the per-doc verdict;
+    // the lexical arm is d15's broadcast-semi-join. Oracle: fully exact
+    // (corpus × benchmark is |corpus|·|bench| rounded cosines — DuckDB
+    // replays every pair, no cap needed), composed with d15's own gram
+    // CTEs. τ = 0.35 sits in the fixture's discriminative band
+    // (max-cos p99 ≈ 0.33-0.37, max ≈ 0.40-0.47): both flagged and
+    // clean rows exist at every gate SF.
+    "d60_semantic_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val tau = 0.35
+      val bench = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .orderBy("vec_id").select("embedding").as[Array[Float]].collect()
+      val bb = s.sparkContext.broadcast(bench)
+      val sem = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          var m = -2.0 // max of per-pair ROUNDED cosines, matching the oracle's max(round(...))
+          bb.value.foreach { b =>
+            val c = BigDecimal(NswIndex.cos(v, b))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c > m) m = c
+          }
+          (id, m)
+        }
+        .toDF("vec_id", "bench_max_cos")
+      val grams = ngramRows(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism), width = 8)
+        .withColumnRenamed("gram", "g")
+      val eval8 = grams.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("g")).distinct()
+      val lex = grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(broadcast(eval8), "g")
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("shared_8grams"))
+        .withColumnRenamed("doc_id", "vec_id")
+      sem.join(lex, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("shared_8grams"), lit(0L)).as("shared_8grams"),
+          col("bench_max_cos"),
+          (coalesce(col("shared_8grams"), lit(0L)) >= 1).as("lex_contam"),
+          (col("bench_max_cos") >= tau).as("sem_contam"),
+          (coalesce(col("shared_8grams"), lit(0L)) < 1 && col("bench_max_cos") < tau).as("keep"))
+        .orderBy("vec_id")
+    }),
+
     "d15_contamination" -> ((s, dir) => {
       // One parquet split feeds the [[ngramRows]] expansion, so
       // repartition first.
@@ -2568,6 +2623,24 @@ object TextOps {
         |SELECT lang, CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax, count(*) AS n_vocab,
         |       round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6) AS hapax_ratio
         |FROM freq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d60_semantic_decontam" ->
+      """WITH be AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0),
+        |sm AS (SELECT c.vec_id, max(round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)) AS bench_max_cos
+        |  FROM embeddings c, be b WHERE c.vec_id % 97 <> 0 GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |    THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+        |    ELSE [] END) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |lex AS (SELECT g.doc_id, count(DISTINCT g.gram) AS shared
+        |        FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT s.vec_id, CAST(coalesce(l.shared, 0) AS BIGINT) AS shared_8grams, s.bench_max_cos,
+        |  coalesce(l.shared, 0) >= 1 AS lex_contam, s.bench_max_cos >= 0.35 AS sem_contam,
+        |  coalesce(l.shared, 0) < 1 AND s.bench_max_cos < 0.35 AS keep
+        |FROM sm s LEFT JOIN lex l ON l.doc_id = s.vec_id ORDER BY s.vec_id""".stripMargin,
     "d15_contamination" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8

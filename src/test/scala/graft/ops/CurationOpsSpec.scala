@@ -115,4 +115,34 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(pruned.filter(col("proto_cos") < -1.0 || col("proto_cos") > 1.0).count() == 0)
     } finally pruned.unpersist(blocking = false)
   }
+
+  // ------------------------------------------------------------------ d60
+  test("d60: the lexical arm IS d15 (chaining), both arms discriminate, " +
+    "and keep = neither arm fired") {
+    val d60 = graft.SparkEntry.queries("d60_semantic_decontam")(spark, sfDir).collect()
+    assert(d60.nonEmpty)
+    // chaining after d15: for every doc d15 reports, d60's lexical column
+    // carries the identical shared-8gram count (doc_id = vec_id linkage)
+    val d15 = graft.SparkEntry.queries("d15_contamination")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d60lex = d60.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d15.foreach { case (id, shared) =>
+      d60lex.get(id).foreach(v => assert(v == shared, s"doc $id: d60 lex $v != d15 $shared"))
+    }
+    // a doc d60 covers that d15 does NOT report must show zero overlap
+    d60.foreach { r =>
+      if (!d15.contains(r.getLong(0))) assert(r.getLong(1) == 0L)
+    }
+    // both arms flag something and most rows survive (tau sits in the
+    // discriminative band, not above or below the whole distribution)
+    val lex = d60.count(_.getBoolean(3))
+    val sem = d60.count(_.getBoolean(4))
+    val keep = d60.count(_.getBoolean(5))
+    assert(lex >= 1, "lexical arm flagged nothing")
+    assert(sem >= 1, "semantic arm flagged nothing")
+    assert(keep >= d60.length / 2, s"tau/overlap flags swallowed the corpus: $keep of ${d60.length}")
+    d60.foreach { r =>
+      assert(r.getBoolean(5) == (!r.getBoolean(3) && !r.getBoolean(4)))
+    }
+  }
 }
