@@ -109,13 +109,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // gets via MisraGries.candidates. k must be a foldable int literal
     // (it is the aggregation buffer's size bound, fixed at plan time).
     inject(ext, "graft_heavy_hitter_candidates", classOf[MisraGriesItems], 2) { a =>
-      val k = a(1) match {
-        case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
-        case other => throw new IllegalArgumentException(
-          s"graft_heavy_hitter_candidates k must be an int literal (got ${other.sql}): " +
-            "it bounds the aggregation buffer at plan time")
-      }
-      MisraGriesItems(a(0), k).toAggregateExpression()
+      MisraGriesItems(a(0), intLiteral(a(1), "graft_heavy_hitter_candidates k")).toAggregateExpression()
     }
+    // Aggregates: bounded top-K from pure SQL — the scale-safe
+    // replacement for `row_number() OVER (PARTITION BY lowCardKey)`
+    // rank windows (one task per key value at 100 TB). Plans the same
+    // CollectTopK ObjectHashAggregate the DataFrame surface gets via
+    // TopKAggregates.minK/maxK: ≤ k values of state per group, map-side
+    // combinable. Returns the k extrema as a sorted array (ascending
+    // for min_k, descending for max_k); posexplode recovers dense ranks.
+    inject(ext, "graft_min_k", classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK], 2) { a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        a(0), intLiteral(a(1), "graft_min_k k"), reverse = true).toAggregateExpression()
+    }
+    inject(ext, "graft_max_k", classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK], 2) { a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        a(0), intLiteral(a(1), "graft_max_k k"), reverse = false).toAggregateExpression()
+    }
+  }
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal (got ${other.sql}): " +
+        "it bounds the aggregation buffer at plan time")
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.TrainingShards
+import graft.streaming.DocumentStreams
+
+/** End-to-end STREAMING throughput measurement: drop-folder parquet →
+  * incremental curation (cross-batch content-hash dedup state + quality
+  * floors) → native `graft-shards` streaming write, with a compaction
+  * between the two write phases (exercising the layout-generation
+  * contract under load) and a fresh tailer draining the compacted
+  * corpus at the end. Prints ONE JSON line:
+  * docs/s for the initial load, the incremental (post-compaction
+  * resume) phase, and the tail drain, plus the dedup state store's row
+  * count and memory footprint from the final progress — the numbers
+  * that say whether the streaming rung keeps up with the batch engine
+  * at the 10x fixture (`scripts/make_scale.py`), recorded in
+  * `stream_throughput.json`.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/scale10 sbt "runMain graft.StreamBench"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val total = docs.count()
+    val cut = (total * 8) / 10 // 80% initial load, 20% incremental arrivals
+
+    val drop = Files.createTempDirectory("graft-stream-drop").toString
+    val out = Files.createTempDirectory("graft-stream-shards").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    docs.where(col("doc_id") % 10 < 8).repartition(8).write.mode("append").parquet(drop)
+
+    def runPhase(): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val q = DocumentStreams.curatedShardStreamNative(
+        DocumentStreams.readDocumentStream(spark, drop, maxFilesPerTrigger = 2),
+        out, ckpt).start()
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .lastOption.getOrElse(0L)
+      val stateBytes = q.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .lastOption.getOrElse(0L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      ((System.nanoTime() - t0) / 1e9, rows, stateRows, stateBytes)
+    }
+
+    val (loadSec, loadRows, _, _) = runPhase()
+
+    // compaction between the phases: re-lands every shard under a new
+    // name and double-bumps the layout generation
+    val tC0 = System.nanoTime()
+    TrainingShards.compact(spark, out, maxDocsPerShard = 200000L)
+    val compactSec = (System.nanoTime() - tC0) / 1e9
+
+    // late arrivals resume the SAME checkpoint (dedup state intact)
+    docs.where(col("doc_id") % 10 >= 8).repartition(2).write.mode("append").parquet(drop)
+    val (incSec, incRows, stateRows, stateBytes) = runPhase()
+
+    // fresh tailer drains the compacted corpus
+    val tT0 = System.nanoTime()
+    val tailCkpt = Files.createTempDirectory("graft-stream-tailckpt").toString
+    var tailRows = 0L
+    val tq = TrainingShards.readStream(spark, out, docs.schema)
+      .writeStream
+      .option("checkpointLocation", tailCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        tailRows += b.count()
+      }
+      .start()
+    tq.processAllAvailable(); tq.stop()
+    val tailSec = (System.nanoTime() - tT0) / 1e9
+
+    def r1(x: Double): Double = math.round(x * 10.0) / 10.0
+    println(
+      s"""{"metric":"stream_docs_per_sec","sf":"$sfDir","total_docs":$total,""" +
+      s""""load_rows":$loadRows,"load_sec":${r1(loadSec)},"load_docs_per_sec":${r1(loadRows / loadSec)},""" +
+      s""""compact_sec":${r1(compactSec)},""" +
+      s""""inc_rows":$incRows,"inc_sec":${r1(incSec)},"inc_docs_per_sec":${r1(incRows / incSec)},""" +
+      s""""tail_rows":$tailRows,"tail_sec":${r1(tailSec)},"tail_docs_per_sec":${r1(tailRows / tailSec)},""" +
+      s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes}""")
+    spark.stop()
+  }
+}

@@ -58,6 +58,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_min_k / graft_max_k from SQL: equals the DataFrame surface, plans the " +
+    "bounded ObjectHashAggregate (no window), rejects non-literal k") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.functions._
+      s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .createOrReplaceTempView("orders_topk")
+      val sql = s.sql(
+        """SELECT o_orderstatus, graft_min_k(o_totalprice, 3) AS lo, graft_max_k(o_totalprice, 3) AS hi
+          |FROM orders_topk GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      val plan = sql.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), s"top-K did not plan as ObjectHashAggregate:\n$plan")
+      assert(!plan.contains("Window"), s"top-K planned a window:\n$plan")
+      val df = s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(graft.functions.TopKAggregates.minK(col("o_totalprice"), 3).as("lo"),
+          graft.functions.TopKAggregates.maxK(col("o_totalprice"), 3).as("hi"))
+        .orderBy("o_orderstatus")
+      assert(sql.collect().toSeq == df.collect().toSeq,
+        "SQL surface and DataFrame surface disagree")
+      // ordering contract: lo ascending, hi descending, both k-bounded
+      sql.collect().foreach { r =>
+        val lo = r.getSeq[Double](1); val hi = r.getSeq[Double](2)
+        assert(lo.size <= 3 && hi.size <= 3)
+        assert(lo == lo.sorted, s"min_k not ascending: $lo")
+        assert(hi == hi.sorted.reverse, s"max_k not descending: $hi")
+      }
+      val e = intercept[Exception] {
+        s.sql("SELECT graft_min_k(id, CAST(id AS INT)) FROM range(10)").head()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+      assert(msgs(e).contains("int literal"), s"wrong rejection: $e")
+    }
+  }
+
   test("CodecSimplification rule elides decompress(compress(x)) — and ONLY that direction") {
     withExtendedSession { s =>
       // Column input (literals would be constant-folded before the rule
