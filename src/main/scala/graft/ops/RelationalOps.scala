@@ -1260,6 +1260,48 @@ object RelationalOps {
         .orderBy("doc_id")
     }),
 
+    // Training-loader interop: the documents slice framed into REAL
+    // TFRecord files (masked-CRC32C frames, one tf.train.Example
+    // protobuf per doc) by the hand-built
+    // [[graft.sources.TfRecordCodec]] and parsed back executor-side.
+    // TFRecord has no intra-file split marker (unlike OCF sync /
+    // WARC gzip members), so the parallel unit is the FILE: the same
+    // doc_id-div-256 grouping as q100 makes file count grow with the
+    // corpus, which is exactly how tf.data shards at scale. One keyed
+    // shuffle, no driver materialization; both CRCs verified on every
+    // frame read. Oracle = same projection over the parquet source,
+    // proving frame + protobuf encoding preserve every byte.
+    "q101_tfrecord_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.TfRecordCodec
+      import graft.sources.TfRecordCodec.{I64s, Strs}
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+        .groupByKey(_._1 / 256)
+        .flatMapGroups { (_, it) =>
+          val recs = it.toSeq.sortBy(_._1)
+          val file = TfRecordCodec.writeFrames(recs.iterator.map { r =>
+            TfRecordCodec.encodeExample(Map(
+              "doc_id" -> I64s(Seq(r._1)), "text" -> Strs(Seq(r._2)),
+              "lang" -> Strs(Seq(r._3)), "source" -> Strs(Seq(r._4)),
+              "n_chars" -> I64s(Seq(r._5))))
+          })
+          TfRecordCodec.readFrames(file).iterator.map { payload =>
+            val f = TfRecordCodec.decodeExample(payload)
+            def s1(k: String) = f(k).asInstanceOf[Strs].values.head
+            def l1(k: String) = f(k).asInstanceOf[I64s].values.head
+            (l1("doc_id"), s1("text"), s1("lang"), s1("source"), l1("n_chars"))
+          }
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).as("text_chars"),
+          expr("CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Text-format interop: the same slice through CSV WITH quoting —
     // document text contains spaces (and could contain delimiters), so
     // the writer must quote and the reader must parse quotes + header +
@@ -1623,6 +1665,10 @@ object RelationalOps {
         |FROM documents WHERE lang = 'en' AND n_chars >= 50
         |GROUP BY source ORDER BY source""".stripMargin,
     "q100_avro_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q101_tfrecord_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
