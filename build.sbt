@@ -29,6 +29,9 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // Arrow's netty-backed allocator (q102 Arrow IPC interop) wants
+  // reflective access to direct buffers; spark-submit sets this too.
+  "-Dio.netty.tryReflectionSetAccessible=true",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] on a 128 GiB box: a small heap makes GC dominate the heavy
   // dedup/similarity queries (observed 10x bench noise at 8g).
