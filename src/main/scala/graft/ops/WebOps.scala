@@ -301,8 +301,56 @@ object WebOps {
         .withColumn("blocked", col("registered_domain").isin(DomainBlocklist: _*))
         .withColumn("kept_docs", when(col("blocked"), 0L).otherwise(col("n_docs")))
         .orderBy("registered_domain")
+    }),
+
+    // Multi-pattern literal blocklist scan — real blocklists (badword /
+    // boilerplate-phrase lists) are SUBSTRING semantics, not token
+    // equality (r03's rung): "rt win" below matches inside
+    // "...sort window..." across a word boundary. One Aho–Corasick
+    // automaton pass per document finds every pattern simultaneously —
+    // O(text + matches) per doc however long the list grows, where a
+    // per-pattern contains/replace loop is O(text × patterns); at
+    // 100 TB the automaton (KBs even for 10k-phrase lists) broadcasts
+    // with the task closure and the only shuffle is the P-key
+    // map-side-combinable count agg. Patterns are required border-free
+    // (no proper prefix that is also a suffix, checked loudly) so the
+    // all-occurrences count the automaton produces equals the
+    // non-overlapping count a replace-based SQL oracle computes —
+    // that is what makes the oracle EXACT; bordered-pattern overlap
+    // semantics are pinned separately in AhoCorasickSpec.
+    "w06_pattern_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val pats = BlockPatterns
+      pats.foreach(p => require(!graft.functions.AhoCorasick.hasBorder(p),
+        s"pattern '$p' has a border; replace-based oracle would undercount overlaps"))
+      val ac = graft.functions.AhoCorasick.build(pats)
+      val hits = t(s, dir, "documents")
+        .select(col("text")).as[String]
+        .flatMap { text =>
+          val counts = ac.countMatches(text)
+          counts.iterator.zipWithIndex.collect { case (c, i) if c > 0L => (i, c) }
+        }
+        .toDF("pat_id", "hits")
+        .groupBy("pat_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_hits"))
+      val patFrame = pats.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pat_id", "pattern")
+      patFrame
+        .join(hits, Seq("pat_id"), "left") // patterns with zero hits stay visible
+        .select(
+          col("pattern"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("pattern")
     })
   )
+
+  /** w06's literal pattern list: corpus phrases plus one cross-word
+    * substring and one guaranteed miss; all border-free (enforced in
+    * the query) so automaton counts == replace-based oracle counts.
+    */
+  private val BlockPatterns = Seq(
+    "merge slow", "spark join", "window dup", "fast key",
+    "vector", "customer line", "batch stream", "rt win", "zz-never-hits")
 
   /** All four oracles rebuild the synthesized inputs closed-form in SQL
     * (the string constructions mirror the Scala byte-for-byte) and apply
@@ -310,6 +358,20 @@ object WebOps {
     * m05 portability argument applied to the crawl pipeline.
     */
   val oracleSql: Map[String, String] = Map(
+    // Replace-based occurrence counting is exact here BECAUSE the query
+    // enforces border-free patterns (no self-overlap possible).
+    "w06_pattern_blocklist" ->
+      """WITH pats AS (SELECT * FROM (VALUES
+        |  ('merge slow'), ('spark join'), ('window dup'), ('fast key'),
+        |  ('vector'), ('customer line'), ('batch stream'), ('rt win'),
+        |  ('zz-never-hits')) AS v(pattern)),
+        |h AS (SELECT p.pattern,
+        |  (strlen(d.text) - strlen(replace(d.text, p.pattern, ''))) // strlen(p.pattern) AS hits
+        |  FROM pats p CROSS JOIN documents d)
+        |SELECT pattern,
+        |  CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(hits), 0) AS BIGINT) AS n_hits
+        |FROM h GROUP BY pattern ORDER BY pattern""".stripMargin,
     "w05_domain_curation" ->
       """WITH u AS (SELECT doc_id,
         |  'https://' ||
