@@ -187,6 +187,64 @@ object RetrievalOps {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining — the contrastive-training data-prep rung
+    // (DPR/ANCE recipe): for each training query, retrieve the corpus
+    // with BM25, EXCLUDE the labeled positives (qrels; here the
+    // deterministic doc_id ≡ query_id (mod 50) slice so the oracle can
+    // rebuild them closed-form), and keep the top-k remaining docs —
+    // lexically close but unlabeled, exactly the negatives an
+    // embedding model learns the most from. Each negative carries its
+    // margin below the best-scoring positive (the quantity loss
+    // curricula threshold on). Scale posture inherits r02: the token
+    // stream is semi-joined against the broadcast query vocabulary
+    // before any aggregation, positives are removed by a filter BEFORE
+    // the bounded-heap minK (so the heap fills with eligible docs —
+    // a post-filter would return short lists), and the positive-best
+    // frame is a queries-row broadcast. Scores round 4dp (r02's
+    // cross-engine rule) before ranking and margin arithmetic.
+    "r13_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qterms = Bm25Queries.toDF("query_id", "query_text")
+        .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+      val qvocab = qterms.select("term").distinct()
+      val tf = tok(docs)
+        .join(broadcast(qvocab), "term")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+      val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val scored = tf
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .select(
+          col("query_id"), col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+            .as("c"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("c")), 4).as("score"))
+      val isPositive = pmod(col("doc_id"), lit(50L)) === col("query_id")
+      // best positive score per query (a queries-row frame; 0.0 when no
+      // positive matched any query term)
+      val posBest = scored.filter(isPositive)
+        .groupBy("query_id").agg(max(col("score")).as("pos_best"))
+      scored.filter(!isPositive)
+        .select(col("query_id"),
+          struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 10).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .join(broadcast(posBest), Seq("query_id"), "left")
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.score").as("score"),
+          round(coalesce(col("pos_best"), lit(0.0)) - col("rec.score"), 4).as("margin"))
+        .orderBy("query_id", "rank")
+    }),
+
     // RM3 pseudo-relevance feedback — the classic query-expansion loop
     // (Lavrenko & Croft relevance models, the Anserini/RM3 default):
     // retrieve with BM25, treat the top-F docs as pseudo-relevant,
@@ -679,6 +737,33 @@ object RetrievalOps {
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // r02's scoring pipeline with the qrels slice rebuilt closed-form
+    // (doc_id ≡ query_id mod 50), positives filtered before ranking,
+    // and the margin computed off the same 4dp-rounded scores.
+    "r13_hard_negatives" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id, round(sum(
+        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |pos_best AS (SELECT query_id, max(score) AS pos_best FROM scored
+        |  WHERE doc_id % 50 = query_id GROUP BY 1),
+        |ranked AS (SELECT query_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored WHERE doc_id % 50 <> query_id)
+        |SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(r.rank AS INT) AS rank, r.doc_id, r.score,
+        |  round(coalesce(p.pos_best, 0.0) - r.score, 4) AS margin
+        |FROM ranked r LEFT JOIN pos_best p USING (query_id)
+        |WHERE r.rank <= 10 ORDER BY r.query_id, r.rank""".stripMargin,
     // Replays both retrieval passes and the relevance-model estimation
     // with the engine's float discipline: pinned-order list folds for
     // the ≤F/≤E weight sums (6dp), plain sums at 4dp for the final

