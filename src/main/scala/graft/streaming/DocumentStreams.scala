@@ -197,6 +197,69 @@ object DocumentStreams {
       }
   }
 
+  /** Streaming dedup with BOUNDED state: a Bloom filter per key-space
+    * partition instead of `dropDuplicates`' one-row-per-distinct-hash
+    * state. The exact rung ([[curatedDocuments]]) is the right default;
+    * this is the knob a truly unbounded crawl reaches for when even
+    * one tiny row per distinct document is too much state — the classic
+    * memory/recall trade:
+    *
+    *  - a DUPLICATE is always dropped (Bloom filters have no false
+    *    negatives), so the zero-dups-admitted guarantee is kept;
+    *  - a NOVEL document is wrongly dropped with probability ≤ fpp
+    *    (false positive) — bounded data loss, zero duplication;
+    *  - state per group is the filter's bit array, sized ONCE from
+    *    (expectedItems, fpp) and CONSTANT for the stream's lifetime —
+    *    `state_bytes` is emitted with every row so a monitor (and the
+    *    spec) can see it not growing. Size expectedItems to the
+    *    anticipated distinct count per group or fpp degrades.
+    *
+    * Documents route to one of `groups` state partitions by their
+    * content hash, so every copy of a document — whatever batch it
+    * arrives in — meets the same filter. Uses Spark's own
+    * `util.sketch.BloomFilter` (the q50 sketch) serialized into the
+    * state store. Within a batch the group walks rows in doc_id order
+    * (the budget rung's determinism rule).
+    */
+  case class BloomDedupState(bytes: Array[Byte], admitted: Long)
+
+  def streamingBloomDedup(
+      docs: DataFrame,
+      groups: Int = 8,
+      expectedItems: Long = 100000L,
+      fpp: Double = 0.01): org.apache.spark.sql.Dataset[(Int, Long, Long, Int)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.util.sketch.BloomFilter
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .select(col("content_hash"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey { case (hash, _) => math.floorMod(hash.hashCode, groups) }
+      .flatMapGroupsWithState[BloomDedupState, (Int, Long, Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: Int, rows: Iterator[(String, Long)], state: GroupState[BloomDedupState]) =>
+          val bloom = state.getOption match {
+            case Some(st) => BloomFilter.readFrom(new java.io.ByteArrayInputStream(st.bytes))
+            case None => BloomFilter.create(expectedItems, fpp)
+          }
+          var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (hash, id) =>
+            if (bloom.mightContain(hash)) None
+            else {
+              bloom.put(hash)
+              admitted += 1
+              Some((group, id, admitted, 0)) // state size patched below
+            }
+          }
+          val ser = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(ser)
+          val bytes = ser.toByteArray
+          state.update(BloomDedupState(bytes, admitted))
+          out.map { case (g, id, cum, _) => (g, id, cum, bytes.length) }.iterator
+      }
+  }
+
   def curatedShardStreamNative(
       docs: DataFrame,
       outDir: String,

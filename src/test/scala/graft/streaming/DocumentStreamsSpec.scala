@@ -202,4 +202,59 @@ class DocumentStreamsSpec extends AnyFunSuite {
     assert(admitted.filter(_._1 == "srcC").map(r => (r._2, r._4)) == Seq((10L, 30L), (11L, 70L)),
       s"srcC should admit across batches from its persisted cumulative: $admitted")
   }
+
+  test("bloom dedup: cross-batch duplicate dropped, novel docs admitted, state size constant") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("bloom-in").toString
+    val ckpt = Files.createTempDirectory("bloom-ckpt").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine ten"
+    val tC = "kappa lambda mu nu xi omicron pi rho sigma tau"
+    val tD = "red orange yellow green blue indigo violet"
+    // batch 1: A, in-batch dup of A, B; batch 2: cross-batch dup of A, C, D
+    val b1 = Seq(doc(1L, tA), doc(2L, tA), doc(3L, tB))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(doc(5L, tA), doc(6L, tC), doc(7L, tD))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    b1.coalesce(1).write.mode("overwrite").parquet(s"$in/f1")
+    b2.coalesce(1).write.mode("overwrite").parquet(s"$in/f2")
+    def stage(src: String, name: String, ts: Long): Unit = {
+      val part = new java.io.File(s"$in/$src").listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+    }
+    stage("f1", "b1.parquet", 1000000000000L)
+    stage("f2", "b2.parquet", 1000000100000L)
+
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int, Long)]()
+    val docs = DocumentStreams.readDocumentStream(spark, in, maxFilesPerTrigger = 1)
+    val q = DocumentStreams.streamingBloomDedup(docs, groups = 4, expectedItems = 1000L)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Int, Long, Long, Int)], id: Long) =>
+        batch.collect().foreach(r => out.add((r._1, r._2, r._3, r._4, id)))
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rows = out.asScala.toSeq.sortBy(_._2)
+    // no false negatives: both the in-batch dup (2) and the CROSS-batch
+    // dup (5) are dropped; all four novel docs admitted (fpp ~1e-3 at
+    // this fill, and the hash set is deterministic, so exact equality
+    // is stable)
+    assert(rows.map(_._2) == Seq(1L, 3L, 6L, 7L), s"admitted: $rows")
+    // state is the filter's bit array: same size in every batch it appears
+    val sizes = rows.map(_._4).distinct
+    assert(sizes.size == 1 && sizes.head > 0, s"state sizes must be constant: $rows")
+    // cumulative admitted counts are per-group monotone
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val cums = rs.sortBy(_._2).map(_._3)
+      assert(cums == cums.sorted && cums.distinct == cums, s"group $g cums: $cums")
+    }
+  }
 }
