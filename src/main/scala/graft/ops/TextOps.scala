@@ -1348,7 +1348,13 @@ object TextOps {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val tau = 0.35
-      val bench = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      // The benchmark panel is CAPPED at 64 vectors (vec_id < 97*64):
+      // a real decontamination suite is a fixed eval set, so the
+      // broadcast side must be SF-constant (the s20/s21 bounded-panel
+      // rule) — an uncapped mod-97 slice grows with the corpus and
+      // turns the per-vector max-cosine scan O(N·B) quadratic at the
+      // scale fixture (measured 5.3x at 10x before the cap).
+      val bench = emb.filter(pmod(col("vec_id"), lit(97)) === 0 && col("vec_id") < 97L * 64)
         .orderBy("vec_id").select("embedding").as[Array[Float]].collect()
       val bb = s.sparkContext.broadcast(bench)
       val sem = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
@@ -2624,7 +2630,7 @@ object TextOps {
         |       round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6) AS hapax_ratio
         |FROM freq GROUP BY 1 ORDER BY 1""".stripMargin,
     "d60_semantic_decontam" ->
-      """WITH be AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0),
+      """WITH be AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 6208),
         |sm AS (SELECT c.vec_id, max(round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
         |  (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)) AS bench_max_cos
