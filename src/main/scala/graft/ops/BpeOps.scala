@@ -93,6 +93,110 @@ object BpeOps {
   def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(syms) { case (s, (l, r)) => mergeSymbols(s, l, r) }
 
+  // --------------------------------------------------------- WordPiece
+
+  /** One learned WordPiece merge; score = count(lr)/(count(l)·count(r)),
+    * the likelihood-gain objective that distinguishes WordPiece from
+    * BPE's raw-count argmax (Schuster & Nakajima 2012; the BERT
+    * tokenizer's training rule).
+    */
+  final case class WpMerge(rank: Int, left: String, right: String, pair_count: Long)
+
+  /** Word-initial chars are plain, continuations carry the "##" prefix
+    * (the BERT convention); merging strips the right side's "##" so
+    * "s"+"##p" → "sp" while "##a"+"##r" → "##ar". Single left-to-right
+    * pass like [[mergeSymbols]].
+    */
+  def mergeSymbolsWp(syms: Seq[String], left: String, right: String): Seq[String] = {
+    val merged = left + (if (right.startsWith("##")) right.drop(2) else right)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += merged
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** WordPiece vocabulary induction: [[learnMerges]]' distributed loop
+    * with the likelihood-gain winner — per round ONE extra (tiny,
+    * |symbols|-row) unary-count aggregate joins the pair counts to
+    * score count(lr)/(count(l)·count(r)) in IEEE double (both engines
+    * divide the same exact integers, so the oracle orders identically
+    * without rounding); ties break (score desc, left, right). Same
+    * 100 TB posture: the corpus collapses once to distinct words, each
+    * round moves one winner row to the driver.
+    */
+  def learnWordPiece(words: DataFrame, k: Int): Seq[WpMerge] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] = words
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        (w.zipWithIndex.map { case (c, i) => if (i == 0) c.toString else "##" + c }: Seq[String], f)
+      }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[WpMerge]()
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val pairs = vocab
+        .flatMap { case (syms, f) => syms.sliding(2).collect { case Seq(a, b) => (a, b, f) } }
+        .toDF("left", "right", "f")
+        .groupBy("left", "right").agg(sum("f").as("n"))
+      val units = vocab
+        .flatMap { case (syms, f) => syms.map((_, f)) }
+        .toDF("sym", "f")
+        .groupBy("sym").agg(sum("f").as("m"))
+      val best = pairs
+        .join(units.select(col("sym").as("left"), col("m").as("ml")), "left")
+        .join(units.select(col("sym").as("right"), col("m").as("mr")), "right")
+        .withColumn("sc", col("n").cast("double") / (col("ml").cast("double") * col("mr").cast("double")))
+        .orderBy(col("sc").desc, col("left"), col("right"))
+        .select("left", "right", "n")
+        .head(1)
+      best.headOption match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += WpMerge(round, l, r, n)
+          vocab = vocab.map { case (syms, f) => (mergeSymbolsWp(syms, l, r), f) }.localCheckpoint(false)
+          round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Greedy longest-match-first (maximal munch) WordPiece encoding — the
+    * BERT runtime tokenizer, a DIFFERENT algorithm from training-merge
+    * replay (d19's BPE encode): at each position take the longest vocab
+    * piece that matches (word-initial pieces plain, continuations
+    * "##"-prefixed). With every single char in the vocab it cannot
+    * fail, so no [UNK] handling is needed here.
+    */
+  def wordPieceEncode(w: String, vocab: Set[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      var l = w.length - pos
+      var found: String = null
+      while (found == null && l >= 1) {
+        val cand = (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+        if (vocab(cand)) found = cand else l -= 1
+      }
+      require(found != null, s"'$w' unencodable at $pos — single-char coverage broken")
+      out += found
+      pos += l
+    }
+    out.toSeq
+  }
+
   // ----------------------------------------------- unigram-LM tokenizer
 
   /** HALF_UP 6dp — the cross-engine stage-boundary rounding grain
@@ -282,6 +386,65 @@ object BpeOps {
         .orderBy("doc_id")
     }),
 
+    // WordPiece induction (the BERT training rule) — d18's loop with the
+    // likelihood-gain winner count(lr)/(count(l)·count(r)). EXACT-oracle
+    // by the d18 unroll discipline, plus one unary-count CTE per round;
+    // the score needs no rounding because both engines divide the same
+    // exact integers in IEEE double and ties fall back to the pair.
+    "d61_wordpiece_merges" -> ((s, dir) => {
+      import s.implicits._
+      learnWordPiece(wordFreqs(s, dir), k = 8)
+        .toDF()
+        .select(col("rank"), col("left"), col("right"), col("pair_count"))
+        .orderBy("rank")
+    }),
+
+    // The greedy longest-match-first (maximal munch) encode half — the
+    // BERT runtime algorithm, distinct from d19's merge replay. Vocab =
+    // every corpus char (plain + "##" continuation forms, so encoding
+    // cannot fail) plus the 8 learned d61 pieces, shipped in the task
+    // closure; one narrow pass, d19's per-partition word cache, and the
+    // d19 soundness-summary oracle shape (exact scalars recomputed by
+    // DuckDB + assertion columns pinned literal TRUE: detok_ok is the
+    // ##-stripping round trip, bounds_ok the 1 ≤ pieces ≤ chars rule).
+    "d62_wordpiece_encode" -> ((s, dir) => {
+      import s.implicits._
+      val merges = learnWordPiece(wordFreqs(s, dir), k = 8)
+      val mergedPieces = merges.foldLeft(Set.empty[String]) { (acc, m) =>
+        acc + (m.left + (if (m.right.startsWith("##")) m.right.drop(2) else m.right))
+      }
+      val chars = wordFreqs(s, dir)
+        .select(explode(split(col("word"), "")).as("c")).distinct()
+        .as[String].collect().filter(_.nonEmpty).toSet
+      val vocab = chars ++ chars.map("##" + _) ++ mergedPieces
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val cache = scala.collection.mutable.HashMap.empty[String, (Long, Long, Boolean)]
+          def encode(w: String): (Long, Long, Boolean) = {
+            val pieces = wordPieceEncode(w, vocab)
+            (w.length.toLong, pieces.length.toLong,
+              pieces.map(p => if (p.startsWith("##")) p.drop(2) else p).mkString("") == w)
+          }
+          rows.map { case (id, text) =>
+            val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+            var nChars = 0L
+            var nPieces = 0L
+            var detokOk = true
+            words.foreach { w =>
+              val (cl, pl, ok) = cache.getOrElseUpdate(w, encode(w))
+              nChars += cl; nPieces += pl; detokOk &&= ok
+            }
+            val boundsOk = words.length <= nPieces && nPieces <= nChars
+            (id, words.length.toLong, nChars, detokOk, boundsOk)
+          }
+        }
+        .toDF("doc_id", "n_words", "n_chars", "detok_ok", "bounds_ok")
+        .orderBy("doc_id")
+    }),
+
     // The learned unigram-LM vocab (SentencePiece's model family, next
     // to d18's BPE): final pieces with their last-round Viterbi counts
     // and smoothed log-probs. EXACT-oracle by the d18 discipline — the
@@ -325,6 +488,48 @@ object BpeOps {
         s"b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)",
         s"""v${i + 1} AS (SELECT word, freq,
            |  coalesce(replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' '), s) AS s
+           |  FROM v$i LEFT JOIN b$i b ON true)""".stripMargin
+      )
+    }
+    val union = (0 until k)
+      .map(i => s"SELECT CAST($i AS INT) AS rank, l AS left, r AS right, CAST(n AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    "WITH " + (head ++ stages).mkString(",\n") + "\nSELECT * FROM (\n" + union + "\n) ORDER BY rank"
+  }
+
+  /** The d61 oracle: d18's unroll with the WordPiece scoring — each
+    * round adds a unary-count CTE (u$i) beside the pair counts and the
+    * winner maximizes CAST(n AS DOUBLE)/(m_l·m_r) with (left, right)
+    * tie-break; the v-rewrite strips the right symbol's "##" on merge.
+    * Seed symbols: word-initial char plain, continuations "##"-prefixed
+    * (the BERT convention), double-space sentinels as in d18.
+    */
+  private def d61OracleSql(k: Int): String = {
+    val head = Seq(
+      """w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin,
+      """v0 AS MATERIALIZED (SELECT word, freq,
+        |  '  ' || array_to_string(list_transform(range(1, len(word) + 1),
+        |      i -> CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END), '  ') || '  ' AS s FROM w)""".stripMargin
+    )
+    // Each v$i is referenced three times (u$i, p$i, v${i+1}); DuckDB
+    // inlines plain CTEs, which would compound to 3^k leaf scans —
+    // MATERIALIZED caps every round at one.
+    val stages = (0 until k).flatMap { i =>
+      Seq(
+        s"""u$i AS (SELECT sym, sum(freq) AS m
+           |  FROM (SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM v$i) GROUP BY 1)""".stripMargin,
+        s"""p$i AS (SELECT t[i] AS l, t[i+1] AS r, sum(freq) AS n
+           |  FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM v$i), UNNEST(range(1, len(t))) u(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$i AS (SELECT l, r, n FROM (
+           |  SELECT p.l, p.r, p.n, CAST(p.n AS DOUBLE) / (CAST(ul.m AS DOUBLE) * CAST(ur.m AS DOUBLE)) AS sc
+           |  FROM p$i p JOIN u$i ul ON ul.sym = p.l JOIN u$i ur ON ur.sym = p.r)
+           |  ORDER BY sc DESC, l, r LIMIT 1)""".stripMargin,
+        s"""v${i + 1} AS MATERIALIZED (SELECT word, freq,
+           |  coalesce(replace(s, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || CASE WHEN starts_with(b.r, '##') THEN substr(b.r, 3) ELSE b.r END || ' '), s) AS s
            |  FROM v$i LEFT JOIN b$i b ON true)""".stripMargin
       )
     }
@@ -396,6 +601,18 @@ object BpeOps {
 
   val oracleSql: Map[String, String] = Map(
     "d18_bpe_merges" -> d18OracleSql(8),
+    "d61_wordpiece_merges" -> d61OracleSql(8),
+    // d19's soundness-summary shape: exact halves recomputed from raw
+    // text, assertion halves pinned TRUE (detok round trip, piece-count
+    // bounds); n_chars here is character count, WordPiece has no
+    // end-of-word marker.
+    "d62_wordpiece_encode" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS word
+        |           FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+        |       true AS detok_ok, true AS bounds_ok
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d59_unigram_lm" -> d59OracleSql(rounds = 2, seedMulti = 40, prune = 8, lmax = 12),
     // Exact halves recomputed from raw text; assertion halves pinned TRUE
     // (see the d19 comment). Every document in this corpus has at least

@@ -110,4 +110,40 @@ class BpeOpsSpec extends AnyFunSuite {
     val words = BpeOps.wordFreqs(spark, "/root/testdata/sf0.001")
     assert(BpeOps.learnUnigram(words) == BpeOps.learnUnigram(words))
   }
+
+  test("learnWordPiece: likelihood winner diverges from BPE's count winner (hand-computed)") {
+    import spark.implicits._
+    // ab:4 abc:2 bc:3 → symbols a/##b, a/##b/##c, b/##c.
+    // Round 0: pair counts (a,##b)=6 (##b,##c)=2 (b,##c)=3; unaries
+    // a=6 ##b=6 ##c=5 b=3. Scores 6/36, 2/30, 3/15 → (b,##c) wins at
+    // 0.2 even though BPE's raw-count rule would take (a,##b)=6.
+    // Round 1: (a,##b)=6/36 TIES (##b,##c)=2/12 at exactly 1/6 (IEEE
+    // division is correctly rounded, so both are the same double);
+    // pair tie-break picks "##b" < "a". Round 2: another exact 1/6
+    // tie, right-side tie-break "##b" < "##bc". Round 3: last pair.
+    val words = Seq(("ab", 4L), ("abc", 2L), ("bc", 3L)).toDF("word", "freq")
+    val merges = BpeOps.learnWordPiece(words, k = 8).map(m => (m.left, m.right, m.pair_count))
+    assert(merges == Seq(
+      ("b", "##c", 3L),
+      ("##b", "##c", 2L),
+      ("a", "##b", 4L),
+      ("a", "##bc", 2L)), s"got $merges")
+  }
+
+  test("mergeSymbolsWp strips the continuation prefix: s+##p=sp, ##a+##r=##ar") {
+    assert(BpeOps.mergeSymbolsWp(Seq("s", "##p"), "s", "##p") == Seq("sp"))
+    assert(BpeOps.mergeSymbolsWp(Seq("x", "##a", "##r"), "##a", "##r") == Seq("x", "##ar"))
+  }
+
+  test("wordPieceEncode is maximal munch and round-trips through ## stripping") {
+    val vocab = Set("a", "b", "c", "##a", "##b", "##c", "ab", "##bc", "abc")
+    assert(BpeOps.wordPieceEncode("abc", vocab) == Seq("abc"))
+    // without the whole-word piece, the longest PREFIX wins over a
+    // segmentation with fewer pieces later ("ab"+"##c", not "a"+"##bc")
+    assert(BpeOps.wordPieceEncode("abc", vocab - "abc") == Seq("ab", "##c"))
+    assert(BpeOps.wordPieceEncode("cab", vocab) == Seq("c", "##a", "##b"))
+    // round trip
+    val pieces = BpeOps.wordPieceEncode("cabc", vocab)
+    assert(pieces.map(p => if (p.startsWith("##")) p.drop(2) else p).mkString == "cabc")
+  }
 }
