@@ -158,8 +158,13 @@ private[sources] case class ShardLineReaderFactory(conf: SerializableHadoopConf)
 private[sources] class ShardLineReader(partition: ShardFilePartition, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private val path = new HPath(partition.path)
-  private val in = new BufferedReader(new InputStreamReader(
-    new GZIPInputStream(path.getFileSystem(conf.conf).open(path)), UTF_8))
+  private val in = {
+    val raw = path.getFileSystem(conf.conf).open(path)
+    val decoded =
+      if (path.getName.endsWith(".zst")) new com.github.luben.zstd.ZstdInputStream(raw)
+      else new GZIPInputStream(raw)
+    new BufferedReader(new InputStreamReader(decoded, UTF_8))
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {

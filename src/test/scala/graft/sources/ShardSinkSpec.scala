@@ -85,7 +85,7 @@ class ShardSinkSpec extends AnyFunSuite {
   test("streaming epoch re-commit replaces the epoch's prior shards by token prefix") {
     val out = freshDir()
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val w = new ShardStreamingWrite(out, "tok", 100, 1 << 20, conf)
+    val w = new ShardStreamingWrite(out, "tok", 100, 1 << 20, "gzip", conf)
     def shard(name: String, docs: Long): ShardInfo = {
       // content irrelevant to commit logic; a real file lets the
       // best-effort delete be observed
@@ -241,5 +241,37 @@ class ShardSinkSpec extends AnyFunSuite {
         .write.format("graft-shards").option("path", out).mode("append").save()
     }
     assert(e.getMessage.contains("line"))
+  }
+
+  test("zstd codec: round trip, .zst extension, streaming tail, and codec-preserving compaction") {
+    val out = freshDir()
+    val docs = graft.ops.Tables.t(spark, dir, "documents")
+    TrainingShards.write(docs, out, maxDocsPerShard = 64, codec = "zstd")
+    val names = new java.io.File(out).list().filter(_.startsWith("part-")).toSeq
+    assert(names.nonEmpty && names.forall(_.endsWith(".jsonl.zst")), s"got $names")
+    // batch read (Spark's json reader decodes by extension)
+    val back = TrainingShards.read(spark, out, Some(docs.schema))
+    val cols = docs.columns.map(col)
+    assert(docs.except(back.select(cols: _*)).count() == 0)
+    assert(back.select(cols: _*).except(docs).count() == 0)
+    // streaming tail decodes .zst too (ShardLineReader's extension switch)
+    val ckpt = freshDir()
+    val q = TrainingShards.readStream(spark, out, docs.schema)
+      .writeStream.format("memory").queryName("zsttail")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table("zsttail").count() == docs.count())
+    // compaction preserves the layout's codec
+    TrainingShards.compact(spark, out, maxDocsPerShard = 1000)
+    val compacted = new java.io.File(out).list().filter(_.startsWith("part-")).toSeq
+    assert(compacted.nonEmpty && compacted.forall(_.endsWith(".jsonl.zst")), s"got $compacted")
+    assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == docs.count())
+    // an unknown codec is rejected loudly
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingShards.write(docs, freshDir(), codec = "lz9")
+    }
+    assert(e2.getMessage.contains("codec"))
   }
 }
