@@ -198,6 +198,41 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Search a LIVE index: the batch-built `assignment/` plus everything
+    * [[graft.streaming.IndexStreams]] has streamed into
+    * `stream_assignment/` since. Both layouts carry `cluster` as a
+    * partition column, so the same `cluster IN (probes)` filter prunes
+    * both scans at plan time — a vector ingested by stream costs a
+    * search exactly what a build-time vector costs. Append-only
+    * contract: re-ingesting an existing vec_id yields two candidate
+    * rows (dedup at ingest, not here — the search stays a pure pruned
+    * scan).
+    */
+  def searchIndexLive(
+      spark: SparkSession,
+      indexDir: String,
+      queryVec: Array[Float],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
+    val streamPath = new org.apache.hadoop.fs.Path(s"$indexDir/stream_assignment")
+    val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$indexDir/assignment")
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val scan =
+      if (fs.exists(streamPath))
+        base.unionByName(spark.read.parquet(streamPath.toString)
+          .select(col("vec_id"), col("embedding"), col("cluster")))
+      else base
+    scan
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** End-to-end: train + probe in one call (the `queries` entry shape).
     * The corpus cache lives only for this call: the result is eagerly
     * materialized via localCheckpoint (its blocks are released by the

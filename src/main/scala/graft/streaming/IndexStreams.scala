@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.IvfIndex
+import graft.ops.IvfIndex.Centroids
+
+/** Streaming maintenance of the materialized IVF index (s04's
+  * posture): new embeddings arrive as a stream and are folded into the
+  * index INCREMENTALLY — assign each vector to its nearest centroid
+  * (the k-row sidecar broadcasts with the task closure) and land it in
+  * that cell's partition, so [[IvfIndex]]-style searches keep pruning
+  * to the probed cells with zero re-clustering work per batch.
+  *
+  * Layout: the batch-built `assignment/` stays immutable; streamed rows
+  * land under `stream_assignment/batch=<epoch>/cluster=<c>/`. Both
+  * sides carry `cluster` as a partition column, so one
+  * `cluster IN (probes)` filter prunes BOTH scans at plan time — the
+  * search cost stays nprobe/k of the corpus whether rows arrived by
+  * build or by stream. Epoch REPLAY is idempotent by construction: a
+  * batch overwrites exactly its own `batch=<epoch>` directory, so a
+  * foreachBatch retry re-lands the same rows in the same place instead
+  * of appending twice (the jobToken idea, expressed as a partition).
+  *
+  * Centroids are NOT updated by the stream — that is the documented
+  * contract (the index's geometry is fixed at build time, as in every
+  * production IVF deployment; FAISS included). The emitted per-batch
+  * metric (mean cosine of new vectors to their assigned centroid) is
+  * the drift signal: when it decays, rebuild and re-point.
+  */
+object IndexStreams {
+
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  /** File-source stream over a drop-folder of embedding parquet files. */
+  def readEmbeddingStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** One batch's upsert: assign against the FIXED centroids and
+    * overwrite this batch's own partition directory (idempotent under
+    * replay). Returns (rows landed, mean cosine to assigned centroid —
+    * the drift metric). Exposed separately from the stream wiring so
+    * specs can drive the exact replay case.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, indexDir: String, cents: Centroids): (Long, Double) = {
+    import graft.functions.VectorFunctions.cosine_similarity
+    // max cosine over the k centroid literals = similarity to the
+    // ASSIGNED centroid (assignment is argmax-cosine), shuffle-free
+    val simToAssigned = array_max(array(cents.map { case (_, v) =>
+      cosine_similarity(col("embedding"), array(v.toSeq.map(lit): _*))
+    }.toSeq: _*))
+    val assigned = IvfIndex.assignments(batch.select("vec_id", "embedding"), cents)
+      .withColumn("cos_sim", simToAssigned)
+      .localCheckpoint() // one assignment computation feeds both the write and the metric
+    assigned
+      .drop("cos_sim")
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexDir/stream_assignment/batch=$batchId")
+    val m = assigned.agg(count(lit(1)), avg(col("cos_sim"))).head()
+    (m.getLong(0), Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
+  }
+
+  /** Wire the stream: every micro-batch folds into the index and the
+    * drift metric lands in `indexDir/upsert_log` (batch, rows,
+    * mean_cos) — readable as a table by whoever watches the index.
+    */
+  def streamingIvfUpsert(
+      embStream: DataFrame,
+      indexDir: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = embStream.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, indexDir)
+    embStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (rows, meanCos) = upsertBatch(batch, batchId, indexDir, cents)
+        import spark.implicits._
+        Seq((batchId, rows, meanCos)).toDF("batch", "rows", "mean_cos")
+          .write.mode("append").parquet(s"$indexDir/upsert_log")
+      }
+  }
+}
