@@ -213,7 +213,8 @@ object IvfIndex {
       indexDir: String,
       queryVec: Array[Float],
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      excludeId: Option[Long] = None
   ): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
     val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
@@ -226,8 +227,9 @@ object IvfIndex {
         base.unionByName(spark.read.parquet(streamPath.toString)
           .select(col("vec_id"), col("embedding"), col("cluster")))
       else base
-    scan
-      .filter(col("cluster").isin(probes: _*))
+    val pruned = scan.filter(col("cluster").isin(probes: _*))
+    val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    excluded
       .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

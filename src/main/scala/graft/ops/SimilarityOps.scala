@@ -721,6 +721,42 @@ object SimilarityOps {
       annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
         recallFloor = 6, scoreIsExact = true)
     }),
+    // Streaming IVF upsert (s04's index kept LIVE —
+    // [[graft.streaming.IndexStreams]]): the index is built from 80% of
+    // the corpus; the remaining 20% (query 0's whole neighbourhood
+    // included) arrives as two AvailableNow micro-batches folded in by
+    // `streamingIvfUpsert` — fixed-centroid assignment, each epoch
+    // overwriting its own `batch=<id>` partition (replay-idempotent,
+    // pinned with the live-search plan prune in IndexStreamsSpec).
+    // `searchIndexLive` then scans base + stream_assignment under ONE
+    // `cluster IN (probes)` partition filter, so a stream-ingested
+    // vector costs a search exactly what a build-time vector costs.
+    // Soundness summary (s04 shape); exact scores ⇒ n_score_mismatch
+    // must be 0. Centroids here see only the 80% build slice (query
+    // 0's own neighbourhood is entirely streamed), so the nprobe
+    // ceiling sits lower than s04's full-train: measured recall@10 at
+    // nprobe=6 is 7/10 (sf0.001) and 6/10 (sf0.01) → floor 5.
+    "s24_stream_ivf_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-live").toString
+      val drop = java.nio.file.Files.createTempDirectory("graft-ivf-drop").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      emb.filter(col("vec_id") < 50).coalesce(1)
+        .write.mode("append").parquet(drop)
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100).coalesce(1)
+        .write.mode("append").parquet(drop)
+      val q = IndexStreams.streamingIvfUpsert(
+        IndexStreams.readEmbeddingStream(s, drop), idxDir, ckpt).start()
+      q.processAllAvailable(); q.stop()
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6,
+        excludeId = Some(0L))
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 5, scoreIsExact = true)
+    }),
     // Two-stage retrieve-then-RERANK — the production ANN shape at
     // 100 TB: the compressed-code retriever (s07's PQ/ADC) fetches a
     // C=50 candidate pool cheaply; only those C full vectors are read
@@ -1085,6 +1121,7 @@ object SimilarityOps {
     "s17_pq_rerank" -> s"$exactCosCte\n$annSoundnessSelect",
     "s18_ivfpq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s23_ivf_nsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s24_stream_ivf_upsert" -> s"$exactCosCte\n$annSoundnessSelect",
     // Full margin-mining replay: same rounded cosines, neighborhood
     // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
     // — the sum order matches Spark's sorted minK array fold), same

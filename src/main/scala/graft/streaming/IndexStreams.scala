@@ -71,8 +71,23 @@ object IndexStreams {
     (m.getLong(0), Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
   }
 
+  /** Record one batch's drift metric under its OWN `batch=<id>`
+    * directory (mirroring the data path's layout), so an epoch replay
+    * overwrites the same row instead of appending a duplicate — the
+    * log honors the same idempotency contract as the data.
+    */
+  def logBatchMetric(spark: SparkSession, indexDir: String, batchId: Long, rows: Long, meanCos: Double): Unit = {
+    import spark.implicits._
+    Seq((rows, meanCos)).toDF("rows", "mean_cos")
+      .write.mode("overwrite").parquet(s"$indexDir/upsert_log/batch=$batchId")
+  }
+
+  /** Read the drift log back as a (batch, rows, mean_cos) table. */
+  def readUpsertLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/upsert_log").select("batch", "rows", "mean_cos")
+
   /** Wire the stream: every micro-batch folds into the index and the
-    * drift metric lands in `indexDir/upsert_log` (batch, rows,
+    * drift metric lands in `indexDir/upsert_log/batch=<id>` (rows,
     * mean_cos) — readable as a table by whoever watches the index.
     */
   def streamingIvfUpsert(
@@ -87,9 +102,7 @@ object IndexStreams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (rows, meanCos) = upsertBatch(batch, batchId, indexDir, cents)
-        import spark.implicits._
-        Seq((batchId, rows, meanCos)).toDF("batch", "rows", "mean_cos")
-          .write.mode("append").parquet(s"$indexDir/upsert_log")
+        logBatchMetric(spark, indexDir, batchId, rows, meanCos)
       }
   }
 }

@@ -60,6 +60,20 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(again.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq)
   }
 
+  test("s24 streaming-upsert soundness row is pinned (exact scores, top-100 containment, recall >= 5)") {
+    // IndexStreamsSpec pins the mechanics (prune, replay-idempotency,
+    // drift metric); this pins the END RESULT the oracle hashes: the
+    // live index built 80%-batch/20%-stream answers query 0 with zero
+    // score mismatches, full top-100 containment, and recall@10 over
+    // the floor (measured 7/10 at sf0.001, 6/10 at sf0.01 — the
+    // 80%-train nprobe=6 ceiling; see the s24 entry comment).
+    val row = graft.SparkEntry.queries("s24_stream_ivf_upsert")(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == 10L, s"n_returned ${row.getLong(0)}")
+    assert(row.getLong(1) == 0L, s"n_score_mismatch ${row.getLong(1)}")
+    assert(row.getLong(2) == 0L, s"n_outside_topn ${row.getLong(2)}")
+    assert(row.getBoolean(3), "recall_ok flipped false")
+  }
+
   test("s11 semdedup: one row per vector, drops only above threshold, lowest id per cluster always kept") {
     val rows = graft.SparkEntry.queries("s11_semdedup")(spark, sfDir).collect()
     assert(rows.length == emb.count())
