@@ -139,7 +139,12 @@ object BpeOps {
       .select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
       .map { case (w, f) =>
-        (w.zipWithIndex.map { case (c, i) => if (i == 0) c.toString else "##" + c }: Seq[String], f)
+        // iterate by CODEPOINT, not UTF-16 unit: d62's encode vocab is
+        // built from Spark's codepoint split(word, ''), so the seed
+        // segmentation here must match or non-BMP input would learn
+        // lone-surrogate pieces absent from the encode vocab
+        val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        (cps.zipWithIndex.map { case (c, i) => if (i == 0) c else "##" + c }.toSeq: Seq[String], f)
       }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[WpMerge]()

@@ -56,25 +56,26 @@ object ArrowIpcCodec {
       try {
         val out = new ByteArrayOutputStream()
         val writer = new ArrowFileWriter(vsRoot, null, Channels.newChannel(out))
-        writer.start()
-        rows.grouped(rowsPerBatch).foreach { batch =>
-          vsRoot.allocateNew()
-          batch.zipWithIndex.foreach { case (row, i) =>
-            require(row.length == schema.fields.length,
-              s"row arity ${row.length} != schema arity ${schema.fields.length}")
-            schema.fields.zipWithIndex.foreach {
-              case ((_, "long"), j) =>
-                vsRoot.getVector(j).asInstanceOf[BigIntVector].setSafe(i, row(j).asInstanceOf[Long])
-              case ((_, _), j) =>
-                vsRoot.getVector(j).asInstanceOf[VarCharVector]
-                  .setSafe(i, row(j).asInstanceOf[String].getBytes(UTF_8))
+        try {
+          writer.start()
+          rows.grouped(rowsPerBatch).foreach { batch =>
+            vsRoot.allocateNew()
+            batch.zipWithIndex.foreach { case (row, i) =>
+              require(row.length == schema.fields.length,
+                s"row arity ${row.length} != schema arity ${schema.fields.length}")
+              schema.fields.zipWithIndex.foreach {
+                case ((_, "long"), j) =>
+                  vsRoot.getVector(j).asInstanceOf[BigIntVector].setSafe(i, row(j).asInstanceOf[Long])
+                case ((_, _), j) =>
+                  vsRoot.getVector(j).asInstanceOf[VarCharVector]
+                    .setSafe(i, row(j).asInstanceOf[String].getBytes(UTF_8))
+              }
             }
+            vsRoot.setRowCount(batch.length)
+            writer.writeBatch()
           }
-          vsRoot.setRowCount(batch.length)
-          writer.writeBatch()
-        }
-        writer.end()
-        writer.close()
+          writer.end()
+        } finally writer.close()
         out.toByteArray
       } finally vsRoot.close()
     } finally alloc.close()

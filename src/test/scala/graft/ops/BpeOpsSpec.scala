@@ -135,6 +135,35 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(BpeOps.mergeSymbolsWp(Seq("x", "##a", "##r"), "##a", "##r") == Seq("x", "##ar"))
   }
 
+  test("learnWordPiece seeds by CODEPOINT: non-BMP words learn whole-codepoint pieces " +
+    "that the codepoint-split encode vocab can replay") {
+    import spark.implicits._
+    // U+1F4A1 is a surrogate PAIR in UTF-16; a code-unit seed would emit
+    // two lone-surrogate symbols that split(word,'')'s codepoint vocab
+    // lacks, and encode's length-1 fallback would throw (ADVICE r12)
+    val bulb = new String(Character.toChars(0x1F4A1))
+    val words = Seq((s"$bulb${bulb}x", 3L), (s"x$bulb", 2L)).toDF("word", "freq")
+    val merges = BpeOps.learnWordPiece(words, k = 2)
+    assert(merges.nonEmpty)
+    val pieceChars = merges.flatMap(m => (m.left + m.right).toCharArray)
+    merges.foreach { m =>
+      Seq(m.left, m.right).foreach { s =>
+        val stripped = if (s.startsWith("##")) s.drop(2) else s
+        assert(!Character.isSurrogate(stripped.head) || stripped.length > 1,
+          s"lone surrogate piece '$s' learned from non-BMP input: $merges")
+      }
+    }
+    assert(pieceChars.nonEmpty)
+    // the d62 vocab construction (codepoint singles + merges) replays it
+    val mergedPieces = merges.foldLeft(Set.empty[String]) { (acc, m) =>
+      acc + (m.left + (if (m.right.startsWith("##")) m.right.drop(2) else m.right))
+    }
+    val chars = Set(bulb, "x")
+    val vocab = chars ++ chars.map("##" + _) ++ mergedPieces
+    val pieces = BpeOps.wordPieceEncode(s"$bulb${bulb}x", vocab)
+    assert(pieces.map(p => if (p.startsWith("##")) p.drop(2) else p).mkString == s"$bulb${bulb}x")
+  }
+
   test("wordPieceEncode is maximal munch and round-trips through ## stripping") {
     val vocab = Set("a", "b", "c", "##a", "##b", "##c", "ab", "##bc", "abc")
     assert(BpeOps.wordPieceEncode("abc", vocab) == Seq("abc"))
