@@ -54,6 +54,20 @@ final class AhoCorasick private (
     counts
   }
 
+  /** True as soon as ANY pattern occurs in `text` — the blocklist
+    * drop-filter fast path (early exit, no counts array allocated).
+    */
+  def containsAny(text: String): Boolean = {
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      state = step(state, text.charAt(i))
+      if (outputs(state).length > 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** End positions (exclusive) of every match of every pattern, for
     * span-level consumers (redaction, snippet extraction).
     */

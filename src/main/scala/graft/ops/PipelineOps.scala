@@ -241,10 +241,98 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** p04's DROP list: w06's pattern list minus the bare unigram
+    * "vector" — w06 COUNTS occurrences (any frequency is fine there);
+    * p04 DROPS the document, and a common single word would gate out
+    * 80% of this corpus, leaving the downstream budget stage vacuous.
+    * Real drop-blocklists are multi-word phrases for exactly this
+    * reason.
+    */
+  private[ops] val PhraseDropList = WebOps.BlockPatterns.filterNot(_ == "vector")
+
+  /** Per-source token budget for p04's stage 3 (phrase survivors carry
+    * ~500-1100 tokens per source at the gate SFs; 600 binds on most
+    * sources without emptying any).
+    */
+  val PhraseTokenBudget = 600L
+
+  /** The PHRASE-blocklist composition (p04): w06's Aho–Corasick
+    * automaton as a pipeline STAGE rather than a standalone scan.
+    * r03/p03 block at token/domain equality; real badword and
+    * boilerplate lists are substring semantics ("rt win" must match
+    * inside "...sort window..."), and at curation time the right
+    * granularity is drop-the-document. The automaton builds once on
+    * the driver (KBs even for 10k-phrase lists), ships with the task
+    * closure, and the scan is ONE narrow typed pass over the
+    * checkpointed dedup survivors — early-exit per document, no
+    * shuffle, O(total text) however long the list grows, where a
+    * per-pattern contains() loop would re-scan every document per
+    * pattern. Stage order mirrors production recipes: dedup first (no
+    * point scanning copies), then the content gate, then the budget.
+    *
+    *   stage 0  raw           the corpus as read
+    *   stage 1  dedup         keep min doc_id per content hash
+    *   stage 2  phrase_block  drop docs containing ANY blocklisted
+    *                          phrase (substring, cross-word included)
+    *   stage 3  budget        ≤ 600 tokens per source in
+    *                          deterministic md5 order
+    */
+  def curatePhrases(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ac = graft.functions.AhoCorasick.build(PhraseDropList)
+    val feat = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("content_hash"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+
+    // stage 1 — exact-dedup keepers (aggregate min per hash, the p01
+    // shape); the automaton flag is computed in the SAME narrow pass
+    // that carries the ledger columns, so stages 1+2 cost one scan
+    val keepers = feat.groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
+    val scanned = feat.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("text"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions(_.map { case (id, src, nt, text) =>
+        (id, src, nt, ac.containsAny(text))
+      })
+      .toDF("doc_id", "source", "n_tokens", "blocked")
+      .localCheckpoint()
+
+    // stage 2 — the phrase gate
+    val s2 = scanned.filter(!col("blocked"))
+
+    // stage 3 — per-source budget via the chunked two-phase prefix sum
+    val ordered = s2
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("chunk", substring(col("ord"), 1, 2))
+    val s3 = PrefixOps
+      .chunkedCumSum(ordered, "source", "chunk", Seq("ord", "doc_id"), "n_tokens", "cum")
+      .filter(col("cum") <= PhraseTokenBudget)
+
+    def ledger(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+
+    ledger(0, "raw", feat)
+      .unionByName(ledger(1, "dedup", scanned))
+      .unionByName(ledger(2, "phrase_block", s2))
+      .unionByName(ledger(3, "budget", s3))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Tables.Q] = Map(
     "p01_curation_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))),
 
     "p03_web_pipeline" -> ((s, dir) => curateWeb(t(s, dir, "documents"))),
+
+    "p04_phrase_pipeline" -> ((s, dir) => curatePhrases(t(s, dir, "documents"))),
 
     // CROSS-TABLE hybrid curation — the text×vector composition p01
     // (single-table) doesn't exercise: documents clear the d36 quality
@@ -383,6 +471,31 @@ object PipelineOps {
         |  UNION ALL SELECT 4, 'budget', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT), 0 FROM s4
         |  UNION ALL SELECT 5, 'pack', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
         |    CAST(count(DISTINCT (source, bin_id)) AS BIGINT) FROM s5
+        |) ORDER BY stage""".stripMargin,
+
+    // Dedup → substring phrase gate (contains() over the same literal
+    // list — presence semantics need no border-free argument) → budget
+    // window → the same 4-row ledger.
+    "p04_phrase_pipeline" ->
+      """WITH f AS (SELECT doc_id, source, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+        |s1 AS (SELECT f.* FROM f JOIN k1 USING (doc_id)),
+        |pats AS (SELECT * FROM (VALUES
+        |  ('merge slow'), ('spark join'), ('window dup'), ('fast key'),
+        |  ('customer line'), ('batch stream'), ('rt win'),
+        |  ('zz-never-hits')) AS v(pattern)),
+        |blocked AS (SELECT DISTINCT doc_id FROM s1, pats WHERE contains(s1.text, pats.pattern)),
+        |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+        |s3 AS (SELECT doc_id, source, n_tokens FROM (
+        |    SELECT s2.*, sum(n_tokens) OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum FROM s2)
+        |  WHERE cum <= 600)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM f
+        |  UNION ALL SELECT 1, 'dedup', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'phrase_block', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'budget', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
         |) ORDER BY stage""".stripMargin,
 
     // Replays floors (the d36 CTE) → doc↔embedding join → pairwise

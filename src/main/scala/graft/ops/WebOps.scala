@@ -348,7 +348,7 @@ object WebOps {
     * substring and one guaranteed miss; all border-free (enforced in
     * the query) so automaton counts == replace-based oracle counts.
     */
-  private val BlockPatterns = Seq(
+  private[ops] val BlockPatterns = Seq(
     "merge slow", "spark join", "window dup", "fast key",
     "vector", "customer line", "batch stream", "rt win", "zz-never-hits")
 

@@ -145,6 +145,37 @@ class PipelineSpec extends AnyFunSuite {
       s"a p03 stage re-scans parquet instead of the checkpointed features:\n$p")
   }
 
+  test("p04: phrase gate uses SUBSTRING semantics on the dedup survivors, chain is monotone, one corpus scan") {
+    val rows = PipelineOps.queries("p04_phrase_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getAs[Int]("stage"), r.getAs[String]("stage_name"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(rows.map(_._2).toSeq == Seq("raw", "dedup", "phrase_block", "budget"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} grew the corpus: $a -> $b")
+    }
+    // the two NEW stages must discriminate on this corpus (sf0.001 has
+    // no exact duplicates, so dedup is legitimately a no-op here)
+    assert(rows(2)._3 < rows(1)._3, s"phrase gate dropped nothing: $rows")
+    assert(rows(3)._4 < rows(2)._4, s"budget stage cut nothing: $rows")
+    // the gate's drop set equals an independent contains() recomputation
+    // over the dedup survivors — substring semantics, so "rt win"-style
+    // cross-word patterns count even though no token equals them (the
+    // r03 token rung would pass those docs)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val keep = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+    val blockedExpected = survivors.filter(
+      PipelineOps.PhraseDropList.map(p => col("text").contains(p)).reduce(_ || _)).count()
+    assert(rows(1)._3 - rows(2)._3 == blockedExpected,
+      s"phrase gate dropped ${rows(1)._3 - rows(2)._3}, contains() recomputation says $blockedExpected")
+    assert(blockedExpected > 0, "no doc matched any phrase — the gate is untested on this corpus")
+    // stages read the checkpoint, not parquet
+    val p = PipelineOps.queries("p04_phrase_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"a p04 stage re-scans parquet instead of the checkpointed features:\n$p")
+  }
+
   test("p03: the budget stage holds the per-domain invariant (≤ 150 tokens per registered domain)") {
     // replay stages 1-4 directly to inspect the survivor frame
     val docs = Tables.t(spark, sfDir, "documents")
