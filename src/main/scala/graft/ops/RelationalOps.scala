@@ -1302,10 +1302,14 @@ object RelationalOps {
         .orderBy("doc_id")
     }),
 
-    // Columnar-interchange interop: the documents slice through the
-    // Arrow IPC FILE format (Feather v2) via [[graft.sources
-    // .ArrowIpcCodec]] — the format training loaders and dataframe
-    // libraries mmap, written with the REAL arrow-vector jars Spark
+    // Columnar-interchange interop: the documents slice through BOTH
+    // published Arrow IPC framings via [[graft.sources.ArrowIpcCodec]]
+    // — the FILE format (Feather v2, footer-indexed, what dataframe
+    // libraries mmap) feeds the emitted rows, and the same group is
+    // independently round-tripped through the STREAM format (no
+    // footer, EOS-terminated — the live loader socket hand-off) with a
+    // row-for-row equality gate between the two, so one oracle checks
+    // both framings. Written with the REAL arrow-vector jars Spark
     // ships (bit-compatibility with that ecosystem is the point; the
     // hand-built rungs are q100/q101). Record batches are the
     // intra-file parallel unit (64 rows per batch here so every group
@@ -1325,12 +1329,14 @@ object RelationalOps {
         .groupByKey(_._1 / 256)
         .flatMapGroups { (_, it) =>
           val recs = it.toSeq.sortBy(_._1)
-          val file = ArrowIpcCodec.write(
-            schema,
-            recs.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5)),
-            rowsPerBatch = 64)
+          val cells = recs.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5))
+          val file = ArrowIpcCodec.write(schema, cells, rowsPerBatch = 64)
           val (sch, rows) = ArrowIpcCodec.parse(file)
           require(sch == schema, s"schema did not round-trip: ${sch.fields}")
+          val (schS, rowsS) = ArrowIpcCodec.parseStream(
+            ArrowIpcCodec.writeStream(schema, cells, rowsPerBatch = 64))
+          require(schS == schema && rowsS == rows,
+            "stream framing disagreed with the file framing on identical input")
           rows.iterator.map { r =>
             (r(0).asInstanceOf[Long], r(1).asInstanceOf[String], r(2).asInstanceOf[String],
               r(3).asInstanceOf[String], r(4).asInstanceOf[Long])
