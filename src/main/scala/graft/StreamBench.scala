@@ -73,6 +73,34 @@ object StreamBench {
     docs.where(col("doc_id") % 10 >= 8).repartition(2).write.mode("append").parquet(drop)
     val (incSec, incRows, stateRows, stateBytes) = runPhase()
 
+    // Bloom-dedup rung over the SAME drop folder from a fresh
+    // checkpoint: bounded-state cross-batch dedup (one fixed-size
+    // filter per group vs the exact rung's row-per-distinct-hash) —
+    // the knob an unbounded crawl reaches for. Measured beside the
+    // exact phases so the artifact shows the state-size trade at the
+    // same corpus.
+    val tB0 = System.nanoTime()
+    val bloomCkpt = Files.createTempDirectory("graft-stream-bloomckpt").toString
+    var bloomRows = 0L
+    val bq = DocumentStreams.streamingBloomDedup(
+        DocumentStreams.readDocumentStream(spark, drop, maxFilesPerTrigger = 2))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", bloomCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Int, Long, Long, Int)], _: Long) =>
+        bloomRows += b.count()
+      }
+      .start()
+    bq.processAllAvailable()
+    val bloomStateRows = bq.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .lastOption.getOrElse(0L)
+    val bloomStateBytes = bq.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      .lastOption.getOrElse(0L)
+    val bloomInput = bq.recentProgress.map(_.numInputRows).sum
+    bq.stop()
+    val bloomSec = (System.nanoTime() - tB0) / 1e9
+
     // fresh tailer drains the compacted corpus
     val tT0 = System.nanoTime()
     val tailCkpt = Files.createTempDirectory("graft-stream-tailckpt").toString
@@ -95,7 +123,10 @@ object StreamBench {
       s""""compact_sec":${r1(compactSec)},""" +
       s""""inc_rows":$incRows,"inc_sec":${r1(incSec)},"inc_docs_per_sec":${r1(incRows / incSec)},""" +
       s""""tail_rows":$tailRows,"tail_sec":${r1(tailSec)},"tail_docs_per_sec":${r1(tailRows / tailSec)},""" +
-      s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes}""")
+      s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes,""" +
+      s""""bloom_input_rows":$bloomInput,"bloom_admitted":$bloomRows,"bloom_sec":${r1(bloomSec)},""" +
+      s""""bloom_docs_per_sec":${r1(bloomInput / bloomSec)},""" +
+      s""""bloom_state_rows":$bloomStateRows,"bloom_state_bytes":$bloomStateBytes}""")
     spark.stop()
   }
 }
