@@ -1302,21 +1302,18 @@ object RelationalOps {
         .orderBy("doc_id")
     }),
 
-    // Columnar-interchange interop: the documents slice through BOTH
-    // published Arrow IPC framings via [[graft.sources.ArrowIpcCodec]]
-    // — the FILE format (Feather v2, footer-indexed, what dataframe
-    // libraries mmap) feeds the emitted rows, and the same group is
-    // independently round-tripped through the STREAM format (no
-    // footer, EOS-terminated — the live loader socket hand-off) with a
-    // row-for-row equality gate between the two, so one oracle checks
-    // both framings. Written with the REAL arrow-vector jars Spark
+    // Columnar-interchange interop: the documents slice through the
+    // Arrow IPC FILE format (Feather v2) via [[graft.sources
+    // .ArrowIpcCodec]] — the format training loaders and dataframe
+    // libraries mmap, written with the REAL arrow-vector jars Spark
     // ships (bit-compatibility with that ecosystem is the point; the
     // hand-built rungs are q100/q101). Record batches are the
     // intra-file parallel unit (64 rows per batch here so every group
     // spans several), files the inter-task one — same doc_id-div-256
     // grouping as q100/q101, one keyed shuffle, no driver
     // materialization. Oracle = same projection over the parquet
-    // source.
+    // source. The STREAM framing is q103's rung; cross-framing
+    // equality on identical input is pinned in ArrowIpcCodecSpec.
     "q102_arrow_roundtrip" -> ((s, dir) => {
       import s.implicits._
       import graft.sources.ArrowIpcCodec
@@ -1329,14 +1326,50 @@ object RelationalOps {
         .groupByKey(_._1 / 256)
         .flatMapGroups { (_, it) =>
           val recs = it.toSeq.sortBy(_._1)
-          val cells = recs.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5))
-          val file = ArrowIpcCodec.write(schema, cells, rowsPerBatch = 64)
+          val file = ArrowIpcCodec.write(
+            schema,
+            recs.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5)),
+            rowsPerBatch = 64)
           val (sch, rows) = ArrowIpcCodec.parse(file)
           require(sch == schema, s"schema did not round-trip: ${sch.fields}")
-          val (schS, rowsS) = ArrowIpcCodec.parseStream(
-            ArrowIpcCodec.writeStream(schema, cells, rowsPerBatch = 64))
-          require(schS == schema && rowsS == rows,
-            "stream framing disagreed with the file framing on identical input")
+          rows.iterator.map { r =>
+            (r(0).asInstanceOf[Long], r(1).asInstanceOf[String], r(2).asInstanceOf[String],
+              r(3).asInstanceOf[String], r(4).asInstanceOf[Long])
+          }
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).as("text_chars"),
+          expr("CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // The Arrow IPC STREAM framing (no footer, EOS-terminated — the
+    // socket/pipe hand-off a live training loader reads front-to-back,
+    // pyarrow's RecordBatchStreamReader) as its own round-trip rung:
+    // identical grouping/batching to q102, but the bytes carry the
+    // stream framing end to end, so the oracle proves THAT framing
+    // preserves every value — q102 covers the footer-indexed file
+    // layout, this covers the hand-off layout.
+    "q103_arrow_stream_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.ArrowIpcCodec
+      val schema = ArrowIpcCodec.FlatSchema(Seq(
+        "doc_id" -> "long", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "long"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+        .groupByKey(_._1 / 256)
+        .flatMapGroups { (_, it) =>
+          val recs = it.toSeq.sortBy(_._1)
+          val payload = ArrowIpcCodec.writeStream(
+            schema,
+            recs.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5)),
+            rowsPerBatch = 64)
+          val (sch, rows) = ArrowIpcCodec.parseStream(payload)
+          require(sch == schema, s"schema did not round-trip: ${sch.fields}")
           rows.iterator.map { r =>
             (r(0).asInstanceOf[Long], r(1).asInstanceOf[String], r(2).asInstanceOf[String],
               r(3).asInstanceOf[String], r(4).asInstanceOf[Long])
@@ -1721,6 +1754,10 @@ object RelationalOps {
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q102_arrow_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q103_arrow_stream_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
