@@ -1383,6 +1383,65 @@ object RelationalOps {
         .orderBy("doc_id")
     }),
 
+    // Z-ORDER data layout — the lake-table clustering move (Delta/
+    // Iceberg OPTIMIZE ZORDER): multi-dimensional locality so that
+    // min/max row-group statistics can prune a multi-predicate scan.
+    // The corpus is written twice into range-partitioned files: once
+    // linearly by doc_id (the default arrival order — every file then
+    // spans the FULL range of both query dimensions, so stats prune
+    // nothing), and once by the 32-bit Morton z-value interleaving the
+    // two dimensions' low 16 bits (a pure codegen bit expression — no
+    // UDF). Per-file (min,max) envelopes are then computed for both
+    // layouts and intersected with a fixed quarter-by-quarter box
+    // predicate: the emitted soundness row pins that the z-order
+    // layout leaves STRICTLY fewer stats-candidate files AND no more
+    // than half the file count (the IO the layout saves at 100 TB,
+    // where candidate files = row groups actually read), plus the box
+    // row count itself, which DuckDB genuinely recomputes. Dimension y
+    // is an md5-derived shard key, deliberately uncorrelated with the
+    // linear order so the linear layout cannot prune by accident.
+    "q105_zorder_layout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+          pmod(expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"),
+            lit(1024L)).as("y"))
+      val zBits = (0 until 16).map(b =>
+        s"shiftleft((x >> $b) & 1, ${2 * b + 1}) | shiftleft((y >> $b) & 1, ${2 * b})")
+        .mkString("(", ") | (", ")")
+      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      docs.repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/linear")
+      docs.withColumn("z", expr(zBits))
+        .repartitionByRange(16, col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(s"$base/zorder")
+      // per-file min/max envelopes (what row-group/file stats expose)
+      def candidates(path: String): DataFrame = {
+        val xLo = 100L; val xHi = 300L; val yLo = 256L; val yHi = 511L
+        s.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+            min(col("y")).as("y0"), max(col("y")).as("y1"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(when(!(col("x1") < xLo || col("x0") > xHi || col("y1") < yLo || col("y0") > yHi), 1L)
+              .otherwise(0L)).as("n_candidates"))
+      }
+      val lin = candidates(s"$base/linear")
+        .select(col("n_files").as("files_linear"), col("n_candidates").as("cand_linear"))
+      val zo = candidates(s"$base/zorder")
+        .select(col("n_files").as("files_zorder"), col("n_candidates").as("cand_zorder"))
+      val boxRows = docs
+        .filter(col("x").between(100L, 300L) && col("y").between(256L, 511L))
+        .agg(count(lit(1)).as("box_rows"))
+      lin.crossJoin(zo).crossJoin(boxRows)
+        .select(
+          (col("cand_zorder") < col("cand_linear")).as("zorder_prunes_more"),
+          (col("cand_zorder") * 2 <= col("files_zorder")).as("zorder_prunes_half"),
+          (col("cand_linear") === col("files_linear")).as("linear_prunes_nothing"),
+          col("box_rows"))
+    }),
+
     // Text-format interop: the same slice through CSV WITH quoting —
     // document text contains spaces (and could contain delimiters), so
     // the writer must quote and the reader must parse quotes + header +
@@ -1761,6 +1820,16 @@ object RelationalOps {
       """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Layout soundness (the s04 shape): the three pruning booleans are
+    // engine-computed assertions pinned TRUE — any layout regression
+    // flips one and fails the hash — while box_rows is genuinely
+    // recomputed here from the same md5 shard key and box predicate.
+    "q105_zorder_layout" ->
+      """SELECT TRUE AS zorder_prunes_more, TRUE AS zorder_prunes_half,
+        |  TRUE AS linear_prunes_nothing,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE n_chars BETWEEN 100 AND 300
+        |     AND (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1024) BETWEEN 256 AND 511) AS box_rows""".stripMargin,
     "q99_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS text_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
