@@ -1383,6 +1383,33 @@ object RelationalOps {
         .orderBy("doc_id")
     }),
 
+    // Parquet BLOOM-FILTER point lookup — the storage feature that
+    // covers what q105's min/max stats CANNOT: equality lookups on a
+    // column with no sort locality. The corpus is written ordered by
+    // an md5 shuffle key (so every row group spans the full doc_id
+    // range and stats prune nothing) WITH a parquet bloom filter on
+    // doc_id (`parquet.bloom.filter.enabled#doc_id` — the write-side
+    // option a 100 TB point-lookup table needs; parquet-mr then skips
+    // non-matching row groups at read time, asserted structurally in
+    // FormatRoundTripSpec via the footer's bloom offsets and the
+    // pushed EqualTo). The emitted rows are the point-lookup results
+    // for a fixed id set, which DuckDB recomputes from the source —
+    // proving the blooms' zero-false-negative contract end to end.
+    "q104_bloom_pointlookup" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      t(s, dir, "documents")
+        .orderBy(md5(col("text")))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "100000")
+        .parquet(base)
+      s.read.parquet(base)
+        .filter(col("doc_id").isin(7L, 42L, 137L, 256L, 499L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).as("text_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Z-ORDER data layout — the lake-table clustering move (Delta/
     // Iceberg OPTIMIZE ZORDER): multi-dimensional locality so that
     // min/max row-group statistics can prune a multi-predicate scan.
@@ -1820,6 +1847,10 @@ object RelationalOps {
       """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars,
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q104_bloom_pointlookup" ->
+      """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars
+        |FROM documents WHERE doc_id IN (7, 42, 137, 256, 499)
+        |ORDER BY doc_id""".stripMargin,
     // Layout soundness (the s04 shape): the three pruning booleans are
     // engine-computed assertions pinned TRUE — any layout regression
     // flips one and fails the hash — while box_rows is genuinely

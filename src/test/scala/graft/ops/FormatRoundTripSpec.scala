@@ -20,6 +20,50 @@ class FormatRoundTripSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: []"), s"no filters pushed into the ORC scan:\n$p")
   }
 
+  test("q104: the written footer carries a doc_id bloom filter on every row group " +
+    "and the point lookup pushes its filter") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    // write the same layout the query writes
+    val base = java.nio.file.Files.createTempDirectory("bloom-spec").toString
+    Tables.t(spark, sfDir, "documents")
+      .orderBy(md5(col("text")))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "100000")
+      .parquet(base)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(base).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala
+        assert(blocks.nonEmpty)
+        blocks.foreach { b =>
+          val cols = b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+          val docCol = cols("doc_id")
+          assert(docCol.getBloomFilterOffset > 0,
+            s"row group in ${f.getName} has no bloom filter for doc_id")
+          // and the bloom really answers membership: present id hits,
+          // absent id (beyond the corpus) misses with high probability
+          val bloom = rd.getBloomFilterDataReader(b).readBloomFilter(docCol)
+          assert(bloom != null)
+          val present = spark.read.parquet(f.getAbsolutePath)
+            .select(col("doc_id")).limit(1).collect()(0).getLong(0)
+          assert(bloom.findHash(bloom.hash(present)), "bloom missed a PRESENT id (false negative)")
+        }
+      } finally rd.close()
+    }
+    // the production query's scan pushes the In filter
+    val p = graft.SparkEntry.queries("q104_bloom_pointlookup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(doc_id") || p.contains("PushedFilters: [EqualTo(doc_id"),
+      s"point lookup not pushed into the parquet scan:\n$p")
+  }
+
   test("q99 dialect: delimiter, quote, and newline characters survive the CSV round trip") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("csv-edge").toString
