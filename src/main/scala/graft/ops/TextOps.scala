@@ -2071,43 +2071,6 @@ object TextOps {
         .orderBy("lang")
     }),
 
-    // Deterministic WEIGHTED RESERVOIR SAMPLE per language stratum —
-    // the Efraimidis–Spirakis A-ES scheme: each document draws
-    // priority ln(u)/w with u a 60-bit md5-derived uniform in (0,1]
-    // and weight w = n_chars (longer docs proportionally likelier),
-    // and each stratum keeps its k=5 highest-priority documents. At
-    // 100 TB this is THE bounded-state sampler: the priority is a pure
-    // per-row projection with NO RNG state (the hash IS the
-    // randomness, so task retries and reruns draw the identical
-    // sample — the property streaming re-execution needs), and the
-    // per-stratum top-k is the minK bounded heap: map-side
-    // combinable, mergeable across partitions, never a rank window
-    // over the stratum. Priorities are 9dp-rounded BEFORE the heap so
-    // both engines order bit-identical values (the d42/d55 precedent
-    // pins ln() parity; distinct md5 draws make a .5-boundary
-    // collision vanishing).
-    "d63_weighted_reservoir" -> ((s, dir) => {
-      import graft.functions.TopKAggregates.minK
-      val k = 5
-      val pri = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-            .as("v"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(log((col("v") + 1).cast("double") / lit(1152921504606846976.0)) /
-            col("n_chars"), 9).as("priority"))
-      pri
-        .select(col("lang"),
-          struct((-col("priority")).as("np"), col("doc_id"), col("priority"), col("n_chars")).as("r"))
-        .groupBy("lang")
-        .agg(minK(col("r"), k).as("rs"))
-        .select(col("lang"), posexplode(col("rs")).as(Seq("pos", "r")))
-        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
-          col("r.doc_id").as("doc_id"), col("r.priority").as("priority"),
-          col("r.n_chars").as("n_chars"))
-        .orderBy("lang", "rank")
-    }),
-
     // Train/test split-leakage audit: assign every doc a deterministic
     // hash split (md5-prefix % 10 — engine-portable), then surface every
     // NEAR-DUP pair (exact set-similarity join, the d28 kernel) that
@@ -3086,17 +3049,6 @@ object TextOps {
         |  wc >= 20 AS wc_ok, mwl >= 3.0 AND mwl <= 4.5 AS mwl_ok, n_stop >= 2 AS stop_ok, top_share <= 0.12 AS rep_ok,
         |  (wc >= 20 AND mwl >= 3.0 AND mwl <= 4.5 AND n_stop >= 2 AND top_share <= 0.12) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
-    // A-ES replay: identical 60-bit md5 uniforms, identical ln()/w
-    // priorities rounded 9dp, same top-5 per stratum (rank window here
-    // is oracle-side only; the engine uses the minK bounded heap).
-    "d63_weighted_reservoir" ->
-      """WITH p AS (SELECT doc_id, lang, n_chars,
-        |  round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1) / 1152921504606846976.0)
-        |        / n_chars, 9) AS priority
-        |  FROM documents),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rank FROM p)
-        |SELECT lang, CAST(rank AS INT) AS rank, doc_id, priority, n_chars
-        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     // Temperature-mix replay: same 6dp share rounding before the pow,
     // same 4dp rounding after it.
     "d37_temperature_mix" ->
