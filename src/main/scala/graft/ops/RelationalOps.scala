@@ -1383,6 +1383,35 @@ object RelationalOps {
         .orderBy("doc_id")
     }),
 
+    // CONTENT-ADDRESSED CORPUS MANIFEST — the integrity/diff primitive
+    // a replicated 100 TB corpus needs: leaves are md5(text); leaves
+    // bucket by their first hex char into 16 shard digests
+    // (md5 of the bucket's SORTED leaf concatenation — canonical, so
+    // the digest is invariant to ingest order and partitioning), and
+    // the corpus root hashes the bucket digests in bucket order. Two
+    // mirrors compare roots in O(1); a mismatch narrows to the
+    // differing buckets, then to leaves — log-style drill-down with
+    // only the 16-row manifest exchanged. Shapes: one scan, bucket is
+    // a high-cardinality-safe group key (16 here, 4096 via a wider
+    // prefix at scale — the knob bounds per-bucket concat size), the
+    // root folds 16 bounded rows. Everything is md5 over hex strings,
+    // so DuckDB replays the whole tree bit-for-bit.
+    "q106_corpus_manifest" -> ((s, dir) => {
+      val leaves = t(s, dir, "documents")
+        .select(md5(col("text")).as("h"))
+        .select(substring(col("h"), 1, 1).as("bucket"), col("h"))
+      val buckets = leaves
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(expr("CAST(array_join(array_sort(collect_list(h)), '') AS BINARY)")).as("digest"))
+      val root = buckets
+        .select(struct(col("bucket"), col("digest")).as("bd"))
+        .agg(md5(expr(
+          "CAST(array_join(transform(array_sort(collect_list(bd)), x -> x.digest), '') AS BINARY)"))
+          .as("corpus_root"))
+      buckets.crossJoin(broadcast(root)).orderBy("bucket")
+    }),
+
     // Parquet BLOOM-FILTER point lookup — the storage feature that
     // covers what q105's min/max stats CANNOT: equality lookups on a
     // column with no sort locality. The corpus is written ordered by
@@ -1851,6 +1880,16 @@ object RelationalOps {
       """SELECT doc_id, lang, source, n_chars, CAST(strlen(text) AS INT) AS text_chars
         |FROM documents WHERE doc_id IN (7, 42, 137, 256, 499)
         |ORDER BY doc_id""".stripMargin,
+    // The identical two-level hash tree: same sorted-concat bucket
+    // digests, same bucket-ordered root.
+    "q106_corpus_manifest" ->
+      """WITH l AS (SELECT substr(md5(text), 1, 1) AS bucket, md5(text) AS h FROM documents),
+        |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |        md5(string_agg(h, '' ORDER BY h)) AS digest
+        |      FROM l GROUP BY bucket),
+        |r AS (SELECT md5(string_agg(digest, '' ORDER BY bucket)) AS corpus_root FROM b)
+        |SELECT b.bucket, b.n_docs, b.digest, r.corpus_root
+        |FROM b, r ORDER BY b.bucket""".stripMargin,
     // Layout soundness (the s04 shape): the three pruning booleans are
     // engine-computed assertions pinned TRUE — any layout regression
     // flips one and fails the hash — while box_rows is genuinely
