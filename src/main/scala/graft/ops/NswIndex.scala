@@ -56,6 +56,18 @@ object NswIndex {
       adj: scala.collection.Map[Long, Array[Long]],
       entries: Seq[Long],
       q: Array[Float],
+      ef: Int): List[(Double, Long)] =
+    greedySearchFn(vecs, id => adj.getOrElse(id, Array.empty[Long]), entries, q, ef)
+
+  /** The walk against a neighbour FUNCTION instead of a materialized
+    * map, so the layered build can walk one layer of a composite
+    * adjacency without copying it per insertion.
+    */
+  private[ops] def greedySearchFn(
+      vecs: scala.collection.Map[Long, Array[Float]],
+      adjOf: Long => Array[Long],
+      entries: Seq[Long],
+      q: Array[Float],
       ef: Int): List[(Double, Long)] = {
     val visited = scala.collection.mutable.Set[Long](entries: _*)
     val seeds = entries.map(id => (cos(q, vecs(id)), id)).sortBy(t => (-t._1, t._2))
@@ -68,7 +80,7 @@ object NswIndex {
       val floor = if (best.size < ef) -2.0 else best.map(_._1).min
       if (cScore < floor && best.size >= ef) continue = false
       else {
-        adj.getOrElse(cId, Array.empty[Long]).foreach { nId =>
+        adjOf(cId).foreach { nId =>
           if (!visited(nId)) {
             visited += nId
             val sc = cos(q, vecs(nId))
@@ -178,6 +190,182 @@ object NswIndex {
         val adj = rows.map(r => r._2 -> r._4.toArray).toMap
         val entry = rows.iterator.map(_._2).min
         greedySearch(vecs, adj, Seq(entry), bq.value, ef)
+          .filter(_._2 != excludeId)
+          .sortBy(t => (-t._1, t._2)).take(k)
+          .iterator.map { case (s, id) => (id, s) }
+      }
+      .toDF("vec_id", "cos_raw")
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // Layered (hierarchical) variant — HNSW's layer hierarchy (Malkov &
+  // Yashunin, TPAMI 2018) on the same per-IVF-cell distributed build.
+  // Upper layers hold a geometrically-thinning subset of each cell's
+  // nodes (P(level >= l) = 8^-l, i.e. mL = 1/ln 8); search enters at
+  // the cell's highest layer and greedily descends with ef=1, paying
+  // O(log c) routing hops before the layer-0 ef-frontier walk — the
+  // win over the flat walk once a cell outgrows what one frontier can
+  // cross cheaply. Everything stays deterministic: the level is a
+  // splitmix64 HASH of vec_id (no RNG — same vector, same level, every
+  // run and every cluster layout), insertion order is vec_id asc, and
+  // all tie-breaks are (score desc, vec_id asc) like the flat build.
+  // ------------------------------------------------------------------
+
+  /** splitmix64 finalizer — the standard public-domain mix (Steele et
+    * al., "Fast Splittable Pseudorandom Number Generators", OOPSLA'14).
+    */
+  private[ops] def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic HNSW level: trailing zeros of the hashed id, three
+    * bits per level => P(level >= l) = 8^-l (the mL = 1/ln M draw for
+    * M = 8, with the hash standing in for the RNG). The `| 1L << 62`
+    * guard bounds tz for the (hash == 0) pathology.
+    */
+  private[ops] def levelOf(id: Long, maxLevel: Int): Int =
+    math.min(maxLevel, java.lang.Long.numberOfTrailingZeros(splitmix64(id) | (1L << 62)) / 3)
+
+  /** Incremental LAYERED insertion over one cell's members (sorted by
+    * vec_id). Returns per-node (level, per-layer adjacency for layers
+    * 0..level). Algorithm 1 of the HNSW paper with the simple
+    * neighbour selection: descend ef=1 from the entry to the node's
+    * top layer, then an efC search + m links per layer on the way to
+    * 0; back-links trim to m above layer 0 and 2m at layer 0.
+    */
+  private[ops] def buildCellGraphLayered(
+      members: Array[(Long, Array[Float])],
+      m: Int,
+      efC: Int,
+      maxLevel: Int): scala.collection.Map[Long, (Int, Array[Array[Long]])] = {
+    val vecs = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+    val levels = scala.collection.mutable.HashMap.empty[Long, Int]
+    val adj = scala.collection.mutable.HashMap.empty[(Long, Int), scala.collection.mutable.ArrayBuffer[Long]]
+    var entry = -1L
+    var maxL = -1
+    def nbrAt(lc: Int): Long => Array[Long] =
+      id => adj.get((id, lc)).map(_.toArray).getOrElse(Array.empty[Long])
+    def trim(id: Long, lc: Int, cap: Int): Unit = {
+      val nb = adj((id, lc))
+      if (nb.length > cap) {
+        val v = vecs(id)
+        val kept = nb.toArray.map(o => (cos(v, vecs(o)), o))
+          .sortBy(t => (-t._1, t._2)).take(cap).map(_._2)
+        nb.clear(); nb ++= kept
+      }
+    }
+    members.foreach { case (id, v) =>
+      val l = levelOf(id, maxLevel)
+      vecs(id) = v
+      levels(id) = l
+      (0 to l).foreach(lc => adj((id, lc)) = scala.collection.mutable.ArrayBuffer.empty[Long])
+      if (entry == -1L) { entry = id; maxL = l }
+      else {
+        var ep = entry
+        var lc = maxL
+        while (lc > l) { // routing descent: ef=1 greedy per layer
+          ep = greedySearchFn(vecs, nbrAt(lc), Seq(ep), v, ef = 1).head._2
+          lc -= 1
+        }
+        while (lc >= 0) { // linking layers: efC search, m links
+          val found = greedySearchFn(vecs, nbrAt(lc), Seq(ep), v, efC)
+          val links = found.take(m).map(_._2)
+          adj((id, lc)) ++= links
+          links.foreach { o =>
+            adj((o, lc)) += id
+            trim(o, lc, if (lc == 0) 2 * m else m)
+          }
+          ep = found.head._2
+          lc -= 1
+        }
+        if (l > maxL) { maxL = l; entry = id } // strictly-greater: deterministic
+      }
+    }
+    members.iterator.map { case (id, _) =>
+      val l = levels(id)
+      id -> (l, Array.tabulate(l + 1)(lc => adj((id, lc)).toArray.sorted))
+    }.toMap
+  }
+
+  /** Layered twin of [[build]]: per-cell HNSW graphs, one task per
+    * cell, materialized `(vec_id, embedding, level, layers)` parquet
+    * partitioned by cluster — `layers(l)` is the node's layer-l
+    * adjacency. The coarse quantizer and the on-disk partition-pruned
+    * layout are identical to the flat index's; only the in-cell graph
+    * gains the hierarchy.
+    */
+  def buildLayered(emb: DataFrame, indexDir: String, k: Int, iters: Int, m: Int,
+      efC: Int, maxLevel: Int = 6): Centroids = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = IvfIndex.train(emb, k, iters)
+    IvfIndex.assignments(emb, cents)
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.map { case (_, id, e) => (id, e.map(_.toFloat).toArray) }
+          .toArray.sortBy(_._1)
+        val graph = buildCellGraphLayered(members, m, efC, maxLevel)
+        members.iterator.map { case (id, v) =>
+          val (lvl, layers) = graph(id)
+          (id, v.toSeq, lvl, layers.map(_.toSeq).toSeq, cell)
+        }
+      }
+      .toDF("vec_id", "embedding", "level", "layers", "cluster")
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexDir/cells")
+    cents
+  }
+
+  /** Layered search: partition-pruned read of the probed cells, then
+    * per cell the HNSW descent — enter at the cell's top node, ef=1
+    * greedy routing down to layer 1, ef-frontier walk at layer 0 —
+    * and a global top-k. Same output contract as [[searchFrame]]
+    * (exact cosine scores, rounded; total order on ties).
+    */
+  def searchFrameLayered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int): DataFrame = {
+    import spark.implicits._
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val bq = spark.sparkContext.broadcast(q)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("level"), col("layers"))
+      .as[(Int, Long, Seq[Float], Int, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val layers = rows.map(r => r._2 -> r._5.map(_.toArray).toArray).toMap
+        def nbrAt(lc: Int): Long => Array[Long] =
+          id => { val ls = layers(id); if (lc < ls.length) ls(lc) else Array.empty[Long] }
+        // entry: highest-level node, lowest id on ties — matches the
+        // build's strictly-greater entry update given id-asc insertion
+        val maxL = rows.iterator.map(_._4).max
+        var ep = rows.iterator.filter(_._4 == maxL).map(_._2).min
+        var lc = maxL
+        while (lc > 0) {
+          ep = greedySearchFn(vecs, nbrAt(lc), Seq(ep), bq.value, ef = 1).head._2
+          lc -= 1
+        }
+        greedySearchFn(vecs, nbrAt(0), Seq(ep), bq.value, ef)
           .filter(_._2 != excludeId)
           .sortBy(t => (-t._1, t._2)).take(k)
           .iterator.map { case (s, id) => (id, s) }

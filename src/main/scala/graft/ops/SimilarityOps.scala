@@ -721,6 +721,28 @@ object SimilarityOps {
       annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
         recallFloor = 6, scoreIsExact = true)
     }),
+    // HIERARCHICAL per-cell graphs — s23 with HNSW's layer hierarchy
+    // inside each IVF cell ([[NswIndex.buildLayered]]): upper layers
+    // hold a geometrically-thinning node subset (P(level>=l) = 8^-l,
+    // level a deterministic HASH of vec_id, no RNG), search enters at
+    // the cell's top layer and pays O(log c) ef=1 routing hops before
+    // the layer-0 frontier walk. Same coarse-quantizer routing, same
+    // cluster-partitioned pruned read, same exact cosine fold (⇒
+    // n_score_mismatch must be 0); measured recall@10 is 9/10 at both
+    // test SFs — identical to s23's flat walk (the IVF nprobe ceiling;
+    // the hierarchy changes routing cost, not what layer 0 can reach)
+    // → floor 6, the s18 bar.
+    "s25_hnsw_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-hnsw-index").toString
+      val cents = NswIndex.buildLayered(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = NswIndex.searchFrameLayered(s, idxDir, cents, qe, excludeId = 0L,
+        k = 10, nprobe = 4, ef = 48)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 6, scoreIsExact = true)
+    }),
     // Streaming IVF upsert (s04's index kept LIVE —
     // [[graft.streaming.IndexStreams]]): the index is built from 80% of
     // the corpus; the remaining 20% (query 0's whole neighbourhood
@@ -1122,6 +1144,7 @@ object SimilarityOps {
     "s18_ivfpq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s23_ivf_nsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s24_stream_ivf_upsert" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s25_hnsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     // Full margin-mining replay: same rounded cosines, neighborhood
     // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
     // — the sum order matches Spark's sorted minK array fold), same

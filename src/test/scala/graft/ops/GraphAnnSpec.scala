@@ -96,4 +96,66 @@ class GraphAnnSpec extends AnyFunSuite {
       k = 10, nprobe = 4, ef = 48).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(once() == once())
   }
+
+  // ---- s25: HNSW layer hierarchy inside each cell ----
+
+  private def s25Index(dir: String) = {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("hnsw-spec").toString
+    val cents = NswIndex.buildLayered(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    (emb, idxDir, cents, qe)
+  }
+
+  test("s25: the layered graph respects the hierarchy invariants — " +
+    "hash-determined levels, layer-l links only to level>=l nodes, degree caps") {
+    val (_, idxDir, _, _) = s25Index(sfDir)
+    val rows = spark.read.parquet(s"$idxDir/cells")
+      .select("vec_id", "level", "layers").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("level"),
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("layers")))
+    // level is exactly the splitmix64 hash draw — no RNG anywhere
+    rows.foreach { case (id, lvl, layers) =>
+      assert(lvl == NswIndex.levelOf(id, 6), s"node $id: stored level $lvl != hash level")
+      assert(layers.length == lvl + 1, s"node $id: ${layers.length} layers for level $lvl")
+    }
+    val levelById = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (id, _, layers) =>
+      layers.zipWithIndex.foreach { case (nbrs, lc) =>
+        // a layer-l edge may only point at a node that EXISTS at layer l
+        nbrs.foreach(o => assert(levelById(o) >= lc,
+          s"node $id links to $o at layer $lc but its level is ${levelById(o)}"))
+        val cap = if (lc == 0) 16 else 8
+        assert(nbrs.length <= cap, s"node $id layer $lc degree ${nbrs.length} > $cap")
+      }
+    }
+    // the hierarchy thins geometrically: upper layers must be a small
+    // minority (P(level>=1) = 1/8; 500 nodes => ~62 expected)
+    val upper = rows.count(_._2 >= 1)
+    assert(upper > 0 && upper < rows.length / 4,
+      s"$upper of ${rows.length} nodes above layer 0 — not a thinning hierarchy")
+  }
+
+  test("s25: layered search is partition-pruned, deterministic, and clears " +
+    "the s23 recall bar at both test SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val (emb, idxDir, cents, qe) = s25Index(dir)
+      def once() = NswIndex.searchFrameLayered(spark, idxDir, cents, qe,
+        excludeId = 0L, k = 10, nprobe = 4, ef = 48)
+      val ann = once()
+      val plan = ann.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"no partition filter in the index scan:\n$plan")
+      assert(once().collect().toSeq == once().collect().toSeq)
+      val got = ann.collect().map(_.getLong(0)).toSet
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+      val exact = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("qe")), 6).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size
+      assert(recall >= 9, s"$dir: recall@10 = $recall, below the 9/10 s23/s18 bar")
+    }
+  }
 }
