@@ -46,17 +46,26 @@ object StreamBench {
     val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
     docs.where(col("doc_id") % 10 < 8).repartition(8).write.mode("append").parquet(drop)
 
+    // ONE extraction of the progress summary (input rows + final state
+    // size) shared by every phase — recentProgress semantics (e.g. its
+    // retention cap undercounting numInputRows sums on very long runs)
+    // must change in one place, not per phase.
+    def progressSummary(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Long) = {
+      val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .lastOption.getOrElse(0L)
+      val stateBytes = q.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .lastOption.getOrElse(0L)
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      (rows, stateRows, stateBytes)
+    }
+
     def runPhase(): (Double, Long, Long, Long) = {
       val t0 = System.nanoTime()
       val q = DocumentStreams.curatedShardStreamNative(
         DocumentStreams.readDocumentStream(spark, drop, maxFilesPerTrigger = 2),
         out, ckpt).start()
       q.processAllAvailable()
-      val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
-        .lastOption.getOrElse(0L)
-      val stateBytes = q.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
-        .lastOption.getOrElse(0L)
-      val rows = q.recentProgress.map(_.numInputRows).sum
+      val (rows, stateRows, stateBytes) = progressSummary(q)
       q.stop()
       ((System.nanoTime() - t0) / 1e9, rows, stateRows, stateBytes)
     }
@@ -93,11 +102,7 @@ object StreamBench {
       }
       .start()
     bq.processAllAvailable()
-    val bloomStateRows = bq.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
-      .lastOption.getOrElse(0L)
-    val bloomStateBytes = bq.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
-      .lastOption.getOrElse(0L)
-    val bloomInput = bq.recentProgress.map(_.numInputRows).sum
+    val (bloomInput, bloomStateRows, bloomStateBytes) = progressSummary(bq)
     bq.stop()
     val bloomSec = (System.nanoTime() - tB0) / 1e9
 

@@ -69,31 +69,40 @@ object NswIndex {
       entries: Seq[Long],
       q: Array[Float],
       ef: Int): List[(Double, Long)] = {
+    // Ordered sets under the SAME total order the old list-sort used
+    // ((score desc, id asc) — distinct ids, so it's total), replacing
+    // an O(F log F) full-list re-sort per admitted neighbor with
+    // O(log F) insert/remove: the walk is the inner loop of every
+    // build insertion and every probed-cell search, and the layered
+    // build runs it once per node per layer.
+    val bestFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
     val visited = scala.collection.mutable.Set[Long](entries: _*)
-    val seeds = entries.map(id => (cos(q, vecs(id)), id)).sortBy(t => (-t._1, t._2))
-    var frontier = seeds.toList
-    var best = seeds.toList
+    val frontier = scala.collection.mutable.TreeSet.empty[(Double, Long)](bestFirst)
+    val best = scala.collection.mutable.TreeSet.empty[(Double, Long)](bestFirst)
+    entries.foreach { id => val s = (cos(q, vecs(id)), id); frontier.add(s); best.add(s) }
     var continue = true
     while (continue && frontier.nonEmpty) {
-      val (cScore, cId) = frontier.head
-      frontier = frontier.tail
-      val floor = if (best.size < ef) -2.0 else best.map(_._1).min
-      if (cScore < floor && best.size >= ef) continue = false
+      val c = frontier.head
+      frontier.remove(c)
+      val floor = if (best.size < ef) -2.0 else best.last._1 // last = worst kept
+      if (c._1 < floor && best.size >= ef) continue = false
       else {
-        adjOf(cId).foreach { nId =>
+        adjOf(c._2).foreach { nId =>
           if (!visited(nId)) {
             visited += nId
             val sc = cos(q, vecs(nId))
-            val worst = if (best.size < ef) -2.0 else best.map(_._1).min
+            val worst = if (best.size < ef) -2.0 else best.last._1
             if (sc > worst || best.size < ef) {
-              frontier = ((sc, nId) :: frontier).sortBy(t => (-t._1, t._2))
-              best = ((sc, nId) :: best).sortBy(t => (-t._1, t._2)).take(ef)
+              frontier.add((sc, nId))
+              best.add((sc, nId))
+              while (best.size > ef) best.remove(best.last)
             }
           }
         }
       }
     }
-    best
+    best.toList
   }
 
   /** Incremental NSW build over one cell's members (already sorted by

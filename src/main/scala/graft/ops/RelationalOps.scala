@@ -1400,10 +1400,14 @@ object RelationalOps {
       val leaves = t(s, dir, "documents")
         .select(md5(col("text")).as("h"))
         .select(substring(col("h"), 1, 1).as("bucket"), col("h"))
+      // checkpointed: the bucket digests feed BOTH the 16-row output and
+      // the root fold — without it the corpus scan + collect_list agg
+      // runs twice (the p04/ivfTopK multi-consumer pattern)
       val buckets = leaves
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           md5(expr("CAST(array_join(array_sort(collect_list(h)), '') AS BINARY)")).as("digest"))
+        .localCheckpoint()
       val root = buckets
         .select(struct(col("bucket"), col("digest")).as("bd"))
         .agg(md5(expr(
@@ -1471,9 +1475,14 @@ object RelationalOps {
         .repartitionByRange(16, col("z"))
         .drop("z")
         .write.mode("overwrite").parquet(s"$base/zorder")
+      // ONE set of query-box bounds for both the envelope test and the
+      // box row count (duplicated literals here and in `boxRows` could
+      // silently desynchronize the pinned pruning booleans from the row
+      // count that justifies them; the DuckDB oracle's copy is pinned by
+      // the box_rows value check)
+      val (xLo, xHi, yLo, yHi) = (100L, 300L, 256L, 511L)
       // per-file min/max envelopes (what row-group/file stats expose)
       def candidates(path: String): DataFrame = {
-        val xLo = 100L; val xHi = 300L; val yLo = 256L; val yHi = 511L
         s.read.parquet(path)
           .groupBy(input_file_name().as("f"))
           .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
@@ -1488,7 +1497,7 @@ object RelationalOps {
       val zo = candidates(s"$base/zorder")
         .select(col("n_files").as("files_zorder"), col("n_candidates").as("cand_zorder"))
       val boxRows = docs
-        .filter(col("x").between(100L, 300L) && col("y").between(256L, 511L))
+        .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
         .agg(count(lit(1)).as("box_rows"))
       lin.crossJoin(zo).crossJoin(boxRows)
         .select(
