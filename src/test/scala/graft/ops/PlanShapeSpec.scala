@@ -157,6 +157,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q106: the root fold reuses the CHECKPOINTED bucket digests — no second corpus scan — " +
+    "and the emitted root is exactly md5 over the bucket-ordered digest concat") {
+    val df = graft.SparkEntry.queries("q106_corpus_manifest")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"),
+      s"the manifest result re-scans parquet (both legs must read the checkpoint):\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val concat = rows.sortBy(_.getAs[String]("bucket"))
+      .map(_.getAs[String]("digest")).mkString("")
+    val root = java.security.MessageDigest.getInstance("MD5")
+      .digest(concat.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.forall(_.getAs[String]("corpus_root") == root),
+      s"corpus_root does not equal the recomputed digest-tree root $root")
+  }
+
   test("d42: trigram LM count tables join by key with no cartesian and no window") {
     val p = plan("d42_trigram_logprob")
     assert(!p.contains("CartesianProduct"), p)
