@@ -405,6 +405,128 @@ object TextOps {
       expr("CAST(conv(substr(md5(CAST(concat('b:', CAST(id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000")
         .as("wt"))
 
+  /** Distributed TRAINING for the hashed-feature quality classifier —
+    * the step the d39/d40 family assumes has already happened
+    * (DCLM/fastText-style model filtering first DISTILLS an expensive
+    * quality judgment into a cheap linear classifier trained ON the
+    * corpus; reference capability surface: quality scoring over
+    * ingested text). Full-batch logistic-regression gradient descent;
+    * the label distilled here is a LEXICON rule — y = doc uses 'slow'
+    * more than 'fast' — chosen because the fixture admits nothing
+    * else: the 20 synthetic sources share one uniform 31-word
+    * vocabulary (a domain label is pure noise — measured: training on
+    * source==src0 lands exactly at the majority-class base rate), and
+    * a length gate is inexpressible for a no-bias linear model and
+    * ill-conditioned with one (measured: both degenerate to
+    * all-one-class). The lexicon rule is scale-free and linear, so the
+    * spec can pin the strongest possible claim: GD RECOVERS the
+    * generating lexicon — w['slow' bucket] strongly positive,
+    * w['fast' bucket] strongly negative, every other weight small.
+    * Features are the same 'w:'-salted md5 unigram buckets as d39/d40
+    * (plus a standard intercept feature) — swap the label column for
+    * any judge's verdict without touching the loop.
+    *
+    * Exact-oracle discipline for iterative training — FIXED-POINT
+    * weights: weights live in integer micro-logits, so z = Σ c·w and
+    * the gradient Σ e·c are INTEGER sums (order-independent, exact in
+    * both engines — no pinned-fold machinery needed); the only float
+    * per iteration is the logistic, computed on a bit-identical double
+    * and 6dp-rounded (the d39 precedent), then re-quantized to an
+    * integer micro-error. The learning step divides by a POWER OF TWO
+    * (g divided by a power of two is exact in binary floating point) and floor(x+0.5)
+    * rounds identically everywhere. The DuckDB oracle replays all
+    * `iters` iterations as unrolled CTEs and must reproduce every
+    * weight bit-for-bit.
+    *
+    * 100 TB posture: the (doc, bucket, count) frame is built once and
+    * checkpointed; each iteration is ONE doc-keyed aggregate (z), a
+    * broadcast of the O(docs)-bounded error frame, and ONE
+    * bucket-keyed aggregate (the gradient — map-side combinable,
+    * O(buckets) rows collected); weights are an O(buckets) literal
+    * broadcast back. That is the data-parallel training shape: the
+    * corpus is never moved, only gradients are.
+    */
+  def logregTrain(
+      docs: DataFrame,
+      buckets: Int = 256,
+      iters: Int = 3,
+      lrDiv: Double = 2097152.0
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(iters == 3, "output schema (w1, w2, w3) is pinned to 3 unrolled iterations")
+    val labeled = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("y",
+        (size(filter(col("toks"), t => t === "slow")) >
+          size(filter(col("toks"), t => t === "fast"))).cast("int"))
+    // bucket `buckets` (one past the hash range) is the standard
+    // INTERCEPT feature: constant c=1 per doc (near-zero for this
+    // scale-free label, load-bearing for any thresholded one).
+    val db = labeled
+      .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substr(md5(CAST(concat('w:', tok) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .union(labeled.select(col("doc_id"), col("y"),
+        lit(buckets.toLong).as("bucket"), lit(1L).as("c")))
+      .localCheckpoint() // feeds z + gradient every iteration, built once
+    // EXACT integer class balancing: positive errors scale by n_neg,
+    // negative errors by n_pos — each class contributes the same total
+    // gradient mass (a truncated n_neg/n_pos ratio leaves a prior
+    // drift that measurably swamps 3 full-batch steps; the src0 domain
+    // experiment at 19:1 degenerated to the base rate outright). The
+    // multipliers are corpus counts, so the quantized errors stay
+    // integer-exact and the oracle replays the same derivation.
+    val Array(nPosL, nNegL) = labeled
+      .agg(sum(col("y").cast("long")), sum((lit(1L) - col("y"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    // per-doc integer micro-error under the CURRENT weights: the one
+    // float (the logistic) is 6dp-rounded then re-quantized to micro
+    // units (positive-class errors scaled by the integer `posw`), so
+    // everything that crosses a shuffle is integer-exact
+    def errFrame(w: Array[Long]): DataFrame = db
+      .withColumn("wm", element_at(typedLit(w.toSeq), col("bucket").cast("int") + 1))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("c") * col("wm")).as("z"))
+      .select(col("doc_id"),
+        (expr("CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)") *
+          when(col("y") === 1, lit(nNegL)).otherwise(lit(nPosL))).as("e"))
+    val nw = buckets + 1 // hash buckets + the intercept
+    val w = Array.fill(nw)(0L)
+    val hist = Array.ofDim[Long](iters, nw)
+    for (t <- 0 until iters) {
+      val grads = db.join(broadcast(errFrame(w)), "doc_id")
+        .groupBy("bucket")
+        .agg(sum(col("e") * col("c")).as("g"))
+        .collect().map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Long]("g")).toMap
+      var j = 0
+      while (j < nw) {
+        // g/2^k is exact in doubles; floor(x+0.5) is the engine-portable round
+        w(j) -= math.floor(grads.getOrElse(j, 0L) / lrDiv + 0.5).toLong
+        hist(t)(j) = w(j)
+        j += 1
+      }
+    }
+    val metrics = db
+      .withColumn("wm", element_at(typedLit(w.toSeq), col("bucket").cast("int") + 1))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("c") * col("wm")).as("z"))
+      .select(col("y"), expr("round(1.0/(1.0+exp(-(z/1000000.0))), 6)").as("p"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(when((col("p") >= 0.5).cast("int") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("y") === 1 && col("p") >= 0.5, 1L).otherwise(0L)).as("n_pos_correct"))
+      .select(col("n_docs"), col("n_pos"), col("n_correct"), col("n_pos_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4).as("train_acc"))
+    (0 until nw).map(j => (j.toLong, hist(0)(j), hist(1)(j), hist(2)(j)))
+      .toDF("bucket", "w1", "w2", "w3")
+      .crossJoin(broadcast(metrics))
+      .orderBy("bucket")
+  }
+
   // ------------------------------------------------ DSIR importance weights
   /** DSIR-style importance weights for target-domain resampling (Xie et
     * al. 2023, "Data Selection for Language Models via Importance
@@ -1163,6 +1285,13 @@ object TextOps {
     // against the src0 target domain, top-20% of the raw pool kept.
     "d40_dsir_weights" -> ((s, dir) =>
       dsirWeights(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // TRAINING the d39-shape classifier on the cluster (full-batch
+    // logistic-regression GD, fixed-point weights — see [[logregTrain]]):
+    // 3 unrolled iterations, every weight integer-exact, the DuckDB
+    // oracle re-derives the whole descent from the raw corpus.
+    "d64_logreg_train" -> ((s, dir) =>
+      logregTrain(t(s, dir, "documents"))),
 
     // BPE-ish tokenization: subword-flavored regex segmentation (letters /
     // digits / punctuation runs with optional leading space), the second
@@ -3018,6 +3147,45 @@ object TextOps {
         |cut AS (SELECT quantile_cont(dsir_logratio, 0.8) AS c FROM sc)
         |SELECT doc_id, n_tokens, dsir_logratio, dsir_logratio >= cut.c AS kept
         |FROM sc, cut ORDER BY doc_id""".stripMargin,
+    // Logistic-regression training replay: the full 3-iteration descent
+    // re-derived from the raw corpus — same 'w:'-salted buckets, integer
+    // micro-logit weights (all cross-engine sums integer-exact), the
+    // logistic 6dp-rounded then re-quantized, power-of-two learning step
+    // via floor(g/2^21 + 0.5). Weights must match bit-for-bit.
+    "d64_logreg_train" -> {
+      def iter(t: Int): String =
+        s"""z$t AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w${t - 1} USING (bucket) GROUP BY 1, 2),
+           |e$t AS (SELECT doc_id, CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)
+           |               * (CASE WHEN y = 1 THEN pw.n_neg ELSE pw.n_pos END) AS e FROM z$t, pw),
+           |g$t AS (SELECT bucket, CAST(sum(e * c) AS BIGINT) AS g FROM db JOIN e$t USING (doc_id) GROUP BY 1),
+           |w$t AS (SELECT bk.bucket, w${t - 1}.wm - CAST(floor(coalesce(g$t.g, 0)/2097152.0 + 0.5) AS BIGINT) AS wm
+           |        FROM bk JOIN w${t - 1} USING (bucket) LEFT JOIN g$t USING (bucket))""".stripMargin
+      s"""WITH tk0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+         |dy AS (SELECT doc_id, CAST(count(*) FILTER (WHERE tok = 'slow') > count(*) FILTER (WHERE tok = 'fast') AS INT) AS y
+         |       FROM tk0 GROUP BY 1),
+         |tk AS (SELECT tk0.doc_id, dy.y, tk0.tok FROM tk0 JOIN dy USING (doc_id)),
+         |db AS (SELECT doc_id, y, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
+         |       FROM tk GROUP BY 1, 2, 3
+         |       UNION ALL SELECT doc_id, y, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM dy),
+         |bk AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(257)),
+         |pw AS (SELECT CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos,
+         |              CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n_neg FROM dy),
+         |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wm FROM bk),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |zf AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w3 USING (bucket) GROUP BY 1, 2),
+         |pf AS (SELECT y, round(1.0/(1.0+exp(-(z/1000000.0))), 6) AS p FROM zf),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+         |             CAST(count(*) FILTER (WHERE CAST(p >= 0.5 AS INT) = y) AS BIGINT) AS n_correct,
+         |             CAST(count(*) FILTER (WHERE y = 1 AND p >= 0.5) AS BIGINT) AS n_pos_correct FROM pf)
+         |SELECT bk.bucket, w1.wm AS w1, w2.wm AS w2, w3.wm AS w3,
+         |       m.n_docs, m.n_pos, m.n_correct, m.n_pos_correct,
+         |       round(CAST(m.n_correct AS DOUBLE) / m.n_docs, 4) AS train_acc
+         |FROM bk JOIN w1 USING (bucket) JOIN w2 USING (bucket) JOIN w3 USING (bucket), m
+         |ORDER BY bk.bucket""".stripMargin
+    },
+
     // Split-leakage replay: d28's exact all-pairs jaccard + the portable
     // md5-prefix split assignment.
     "d38_split_leakage" ->

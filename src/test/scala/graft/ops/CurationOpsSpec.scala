@@ -145,4 +145,47 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(r.getBoolean(5) == (!r.getBoolean(3) && !r.getBoolean(4)))
     }
   }
+
+  // ------------------------------------------------------------------ d64
+  // Buckets of the generating lexicon under the 'w:'-salted md5 family:
+  // md5("w:slow") % 256 = 28, md5("w:fast") % 256 = 193 (no vocab
+  // collision on this fixture's 31-word vocabulary).
+  private val slowBucket = 28L
+  private val fastBucket = 193L
+
+  test("d64: gradient descent RECOVERS the generating lexicon at both gate SFs — " +
+    "w[slow] strongly positive, w[fast] strongly negative, dominating every other bucket") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = TextOps.logregTrain(Tables.t(spark, dir, "documents")).collect()
+      val w3 = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("w3")).toMap
+      val othersMax = w3.collect {
+        case (b, w) if b != slowBucket && b != fastBucket => math.abs(w)
+      }.max
+      assert(w3(slowBucket) > 0, s"$dir: w[slow] = ${w3(slowBucket)} not positive")
+      assert(w3(fastBucket) < 0, s"$dir: w[fast] = ${w3(fastBucket)} not negative")
+      assert(w3(slowBucket) >= 2 * othersMax && -w3(fastBucket) >= 2 * othersMax,
+        s"$dir: lexicon weights (${w3(slowBucket)}, ${w3(fastBucket)}) do not dominate " +
+          s"the noise buckets (max |w| = $othersMax)")
+    }
+  }
+
+  test("d64: training moves balanced accuracy well past chance at both gate SFs " +
+    "and the loop is deterministic") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = TextOps.logregTrain(Tables.t(spark, dir, "documents")).collect()
+      val h = r.head
+      val (nDocs, nPos) = (h.getAs[Long]("n_docs"), h.getAs[Long]("n_pos"))
+      val (nCorrect, nPosCorrect) = (h.getAs[Long]("n_correct"), h.getAs[Long]("n_pos_correct"))
+      val posRecall = nPosCorrect.toDouble / nPos
+      val negRecall = (nCorrect - nPosCorrect).toDouble / (nDocs - nPos)
+      val balanced = (posRecall + negRecall) / 2
+      // class-balanced GD optimizes balanced error: plain accuracy can sit
+      // below the majority base rate while balanced accuracy is far above
+      // the 0.5 chance line (measured: 0.64 at sf0.001, 0.82 at sf0.01)
+      assert(balanced >= 0.6, s"$dir: balanced accuracy $balanced below the 0.6 floor")
+    }
+    def once() = TextOps.logregTrain(Tables.t(spark, sfDir, "documents"))
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("w3"))).toSeq
+    assert(once() == once(), "training is not deterministic across runs")
+  }
 }
