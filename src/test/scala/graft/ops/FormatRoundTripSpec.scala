@@ -64,6 +64,30 @@ class FormatRoundTripSpec extends AnyFunSuite {
       s"point lookup not pushed into the parquet scan:\n$p")
   }
 
+  test("q105 Morton kernel: the bit-interleave expression matches a reference " +
+    "interleave on known values and is monotone-local (same 16x16 tile => close z)") {
+    import spark.implicits._
+    // the exact expression q105 builds (low 16 bits of x and y interleaved,
+    // x in odd positions, y in even)
+    val zBits = (0 until 16).map(b =>
+      s"shiftleft((x >> $b) & 1, ${2 * b + 1}) | shiftleft((y >> $b) & 1, ${2 * b})")
+      .mkString("(", ") | (", ")")
+    def refZ(x: Long, y: Long): Long =
+      (0 until 16).map(b => (((x >> b) & 1L) << (2 * b + 1)) | (((y >> b) & 1L) << (2 * b))).reduce(_ | _)
+    val cases = Seq((0L, 0L), (5L, 3L), (1L, 0L), (0L, 1L), (65535L, 65535L), (1023L, 512L))
+    val got = cases.toDF("x", "y").withColumn("z", expr(zBits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == refZ(x, y), s"z($x, $y) = $z, reference ${refZ(x, y)}")
+    }
+    // spot the locality property the layout relies on: interleaving maps a
+    // 16x16 tile into one contiguous 256-value z range
+    assert(refZ(5L, 3L) == 39L)
+    for (x <- 16L until 32L; y <- 48L until 64L)
+      assert(refZ(x, y) >= refZ(16L, 48L) && refZ(x, y) < refZ(16L, 48L) + 256,
+        s"($x, $y) escapes its 16x16 tile's z range")
+  }
+
   test("q99 dialect: delimiter, quote, and newline characters survive the CSV round trip") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("csv-edge").toString
