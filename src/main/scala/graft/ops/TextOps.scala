@@ -455,11 +455,16 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     require(iters == 3, "output schema (w1, w2, w3) is pinned to 3 unrolled iterations")
+    // checkpointed: three consumers (token explode, intercept rows, the
+    // class counts) would otherwise each re-run the scan + tokenize +
+    // label lambdas — the q106 multi-consumer lesson
     val labeled = docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("y",
         (size(filter(col("toks"), t => t === "slow")) >
           size(filter(col("toks"), t => t === "fast"))).cast("int"))
+      .select(col("doc_id"), col("y"), col("toks"))
+      .localCheckpoint()
     // bucket `buckets` (one past the hash range) is the standard
     // INTERCEPT feature: constant c=1 per doc (near-zero for this
     // scale-free label, load-bearing for any thresholded one).
