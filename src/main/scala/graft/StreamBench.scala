@@ -90,7 +90,10 @@ object StreamBench {
     // same corpus.
     val tB0 = System.nanoTime()
     val bloomCkpt = Files.createTempDirectory("graft-stream-bloomckpt").toString
-    var bloomRows = 0L
+    // foreachBatch runs on the stream-execution thread; the adder makes
+    // the cross-thread accumulation explicit rather than leaning on
+    // processAllAvailable's lock for the happens-before edge
+    val bloomRows = new java.util.concurrent.atomic.LongAdder
     val bq = DocumentStreams.streamingBloomDedup(
         DocumentStreams.readDocumentStream(spark, drop, maxFilesPerTrigger = 2))
       .writeStream
@@ -98,7 +101,7 @@ object StreamBench {
       .option("checkpointLocation", bloomCkpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: org.apache.spark.sql.Dataset[(Int, Long, Long, Int)], _: Long) =>
-        bloomRows += b.count()
+        bloomRows.add(b.count())
       }
       .start()
     bq.processAllAvailable()
@@ -109,13 +112,13 @@ object StreamBench {
     // fresh tailer drains the compacted corpus
     val tT0 = System.nanoTime()
     val tailCkpt = Files.createTempDirectory("graft-stream-tailckpt").toString
-    var tailRows = 0L
+    val tailRows = new java.util.concurrent.atomic.LongAdder
     val tq = TrainingShards.readStream(spark, out, docs.schema)
       .writeStream
       .option("checkpointLocation", tailCkpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        tailRows += b.count()
+        tailRows.add(b.count())
       }
       .start()
     tq.processAllAvailable(); tq.stop()
@@ -127,9 +130,9 @@ object StreamBench {
       s""""load_rows":$loadRows,"load_sec":${r1(loadSec)},"load_docs_per_sec":${r1(loadRows / loadSec)},""" +
       s""""compact_sec":${r1(compactSec)},""" +
       s""""inc_rows":$incRows,"inc_sec":${r1(incSec)},"inc_docs_per_sec":${r1(incRows / incSec)},""" +
-      s""""tail_rows":$tailRows,"tail_sec":${r1(tailSec)},"tail_docs_per_sec":${r1(tailRows / tailSec)},""" +
+      s""""tail_rows":${tailRows.sum()},"tail_sec":${r1(tailSec)},"tail_docs_per_sec":${r1(tailRows.sum() / tailSec)},""" +
       s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes,""" +
-      s""""bloom_input_rows":$bloomInput,"bloom_admitted":$bloomRows,"bloom_sec":${r1(bloomSec)},""" +
+      s""""bloom_input_rows":$bloomInput,"bloom_admitted":${bloomRows.sum()},"bloom_sec":${r1(bloomSec)},""" +
       s""""bloom_docs_per_sec":${r1(bloomInput / bloomSec)},""" +
       s""""bloom_state_rows":$bloomStateRows,"bloom_state_bytes":$bloomStateBytes}""")
     spark.stop()

@@ -327,8 +327,44 @@ object PipelineOps {
       .orderBy("stage")
   }
 
+  /** p05 — the CLOSED train→apply loop (DCLM / fastText "model-based
+    * filtering": distill a quality judgment into a cheap linear
+    * classifier on a LABELED slice, then filter the whole corpus with
+    * it). d64 is the train half and d39's weight seam is the apply
+    * half; this stage composes them:
+    *
+    *   stage 1  fit    [[TextOps.logregFit]] on the even-doc_id half —
+    *                   the labeled slice (swap the predicate for any
+    *                   labeling harness / judge output)
+    *   stage 2  apply  the trained (buckets+1) micro-logit vector ships
+    *                   as an O(buckets) plan literal into
+    *                   [[TextOps.logregScore]] over the FULL corpus —
+    *                   including the held-out odd half — keep = rounded
+    *                   score ≥ 0.5
+    *
+    * The DuckDB oracle replays BOTH halves end-to-end: the full
+    * 3-iteration descent on the slice (d64's unrolled CTEs with the
+    * train predicate), then the apply pass under w3 — every score must
+    * match to 6dp and every keep decision bit-for-bit.
+    * ModelCurationSpec proves the kept set genuinely depends on the
+    * TRAINED weights (a perturbed-weights control selects a different
+    * set) and that held-out balanced accuracy clears the floor.
+    *
+    * 100 TB posture: training never moves the corpus (d64's O(buckets)
+    * gradient collects); apply is one narrow tokenize + one doc-keyed
+    * aggregate with a literal weight table — no join, no second pass.
+    */
+  def modelCurate(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    val (_, hist) = TextOps.logregFit(docs.filter(col("doc_id") % 2 === 0), buckets)
+    TextOps.logregScore(docs, hist.last, buckets)
+      .withColumn("in_train", col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables.Q] = Map(
     "p01_curation_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))),
+
+    "p05_model_curation" -> ((s, dir) => modelCurate(t(s, dir, "documents"))),
 
     "p03_web_pipeline" -> ((s, dir) => curateWeb(t(s, dir, "documents"))),
 
@@ -378,6 +414,46 @@ object PipelineOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Train→apply replay: d64's full 3-iteration descent re-derived on
+    // the even-doc_id TRAIN slice (same integer micro-logit discipline,
+    // same power-of-two step), then the apply pass over the FULL corpus
+    // under w3 — scores 6dp-exact, keep decisions bit-for-bit.
+    "p05_model_curation" -> {
+      def iter(t: Int): String =
+        s"""z$t AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w${t - 1} USING (bucket) GROUP BY 1, 2),
+           |e$t AS (SELECT doc_id, CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)
+           |               * (CASE WHEN y = 1 THEN pw.n_neg ELSE pw.n_pos END) AS e FROM z$t, pw),
+           |g$t AS (SELECT bucket, CAST(sum(e * c) AS BIGINT) AS g FROM db JOIN e$t USING (doc_id) GROUP BY 1),
+           |w$t AS (SELECT bk.bucket, w${t - 1}.wm - CAST(floor(coalesce(g$t.g, 0)/2097152.0 + 0.5) AS BIGINT) AS wm
+           |        FROM bk JOIN w${t - 1} USING (bucket) LEFT JOIN g$t USING (bucket))""".stripMargin
+      s"""WITH tk0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |             FROM documents WHERE doc_id % 2 = 0),
+         |dy AS (SELECT doc_id, CAST(count(*) FILTER (WHERE tok = 'slow') > count(*) FILTER (WHERE tok = 'fast') AS INT) AS y
+         |       FROM tk0 GROUP BY 1),
+         |tk AS (SELECT tk0.doc_id, dy.y, tk0.tok FROM tk0 JOIN dy USING (doc_id)),
+         |db AS (SELECT doc_id, y, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
+         |       FROM tk GROUP BY 1, 2, 3
+         |       UNION ALL SELECT doc_id, y, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM dy),
+         |bk AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(257)),
+         |pw AS (SELECT CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos,
+         |              CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n_neg FROM dy),
+         |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wm FROM bk),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |atk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+         |adb AS (SELECT doc_id, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
+         |        FROM atk GROUP BY 1, 2
+         |        UNION ALL SELECT doc_id, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+         |sz AS (SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS z,
+         |              CAST(coalesce(sum(c) FILTER (WHERE bucket < 256), 0) AS BIGINT) AS n_tokens
+         |       FROM adb JOIN w3 USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(1.0/(1.0+exp(-(z/1000000.0))), 6) AS score,
+         |       round(1.0/(1.0+exp(-(z/1000000.0))), 6) >= 0.5 AS keep,
+         |       doc_id % 2 = 0 AS in_train
+         |FROM sz ORDER BY doc_id""".stripMargin
+    },
+
     // The oracle replays the six stages as chained CTEs — same keeper
     // rule (min doc_id per text; md5 is injective here so grouping by
     // text is the same partition), same d36 floors, same 8-gram overlap,

@@ -1429,7 +1429,10 @@ object RelationalOps {
     // for a fixed id set, which DuckDB recomputes from the source —
     // proving the blooms' zero-false-negative contract end to end.
     "q104_bloom_pointlookup" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      // stable overwrite-mode path (the q99 idiom): repeated suite/bench
+      // invocations reuse one directory instead of accumulating a fresh
+      // corpus copy per run
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_rt"
       t(s, dir, "documents")
         .orderBy(md5(col("text")))
         .write.mode("overwrite")
@@ -1468,7 +1471,8 @@ object RelationalOps {
       val zBits = (0 until 16).map(b =>
         s"shiftleft((x >> $b) & 1, ${2 * b + 1}) | shiftleft((y >> $b) & 1, ${2 * b})")
         .mkString("(", ") | (", ")")
-      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      // stable overwrite-mode path (the q99 idiom) — no per-run dir leak
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_rt"
       docs.repartitionByRange(16, col("doc_id"))
         .write.mode("overwrite").parquet(s"$base/linear")
       docs.withColumn("z", expr(zBits))

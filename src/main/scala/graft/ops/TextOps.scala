@@ -455,6 +455,45 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     require(iters == 3, "output schema (w1, w2, w3) is pinned to 3 unrolled iterations")
+    val (db, hist) = logregFit(docs, buckets, iters, lrDiv)
+    val nw = buckets + 1
+    val w = hist.last
+    val metrics = db
+      .withColumn("wm", element_at(typedLit(w.toSeq), col("bucket").cast("int") + 1))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("c") * col("wm")).as("z"))
+      .select(col("y"), expr("round(1.0/(1.0+exp(-(z/1000000.0))), 6)").as("p"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(when((col("p") >= 0.5).cast("int") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("y") === 1 && col("p") >= 0.5, 1L).otherwise(0L)).as("n_pos_correct"))
+      .select(col("n_docs"), col("n_pos"), col("n_correct"), col("n_pos_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4).as("train_acc"))
+    (0 until nw).map(j => (j.toLong, hist(0)(j), hist(1)(j), hist(2)(j)))
+      .toDF("bucket", "w1", "w2", "w3")
+      .crossJoin(broadcast(metrics))
+      .orderBy("bucket")
+  }
+
+  /** The descent loop behind [[logregTrain]], exposed so a pipeline can
+    * TRAIN on one slice and APPLY the weights elsewhere (the p05
+    * train→filter composition). Returns the checkpointed
+    * (doc_id, y, bucket, c) feature frame and the per-iteration weight
+    * snapshots (integer micro-logits, length buckets+1, intercept last).
+    */
+  def logregFit(
+      docs: DataFrame,
+      buckets: Int = 256,
+      iters: Int = 3,
+      lrDiv: Double = 2097152.0
+  ): (DataFrame, Array[Array[Long]]) = {
+    // the exact-replay contract REQUIRES a power of two: g/lrDiv is then
+    // exact in binary floating point, so floor(x+0.5) rounds the same
+    // value in both engines (the oracle's literal derives from this one)
+    require(lrDiv > 0 && lrDiv == lrDiv.toLong.toDouble &&
+      java.lang.Long.bitCount(lrDiv.toLong) == 1,
+      s"lrDiv must be a positive power of two for bit-exact oracle replay, got $lrDiv")
     // checkpointed: three consumers (token explode, intercept rows, the
     // class counts) would otherwise each re-run the scan + tokenize +
     // label lambdas — the q106 multi-consumer lesson
@@ -514,22 +553,42 @@ object TextOps {
         j += 1
       }
     }
-    val metrics = db
-      .withColumn("wm", element_at(typedLit(w.toSeq), col("bucket").cast("int") + 1))
-      .groupBy("doc_id", "y")
-      .agg(sum(col("c") * col("wm")).as("z"))
-      .select(col("y"), expr("round(1.0/(1.0+exp(-(z/1000000.0))), 6)").as("p"))
+    (db, hist)
+  }
+
+  /** Score documents with a TRAINED micro-logit weight vector (length
+    * buckets+1, intercept last) — the APPLY half of the DCLM/fastText
+    * train-then-filter loop that [[logregFit]] is the train half of.
+    * Same 'w:'-salted md5 buckets as training; z = Σ c·w is an exact
+    * integer sum; the one logistic sees a bit-identical double and is
+    * 6dp-rounded; keep compares the ROUNDED score so both engines
+    * decide from the same value.
+    *
+    * 100 TB posture: the weight vector is an O(buckets) plan literal —
+    * one narrow tokenize, one doc-keyed aggregate with map-side
+    * combine, no join, no second corpus pass.
+    */
+  def logregScore(docs: DataFrame, weights: Array[Long], buckets: Int = 256): DataFrame = {
+    require(weights.length == buckets + 1, "weights = hash buckets + trailing intercept")
+    val toks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val db = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substr(md5(CAST(concat('w:', tok) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .union(toks.select(col("doc_id"), lit(buckets.toLong).as("bucket"), lit(1L).as("c")))
+    db
+      .withColumn("wm", element_at(typedLit(weights.toSeq), col("bucket").cast("int") + 1))
+      .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("y")).cast("long").as("n_pos"),
-        sum(when((col("p") >= 0.5).cast("int") === col("y"), 1L).otherwise(0L)).as("n_correct"),
-        sum(when(col("y") === 1 && col("p") >= 0.5, 1L).otherwise(0L)).as("n_pos_correct"))
-      .select(col("n_docs"), col("n_pos"), col("n_correct"), col("n_pos_correct"),
-        round(col("n_correct").cast("double") / col("n_docs"), 4).as("train_acc"))
-    (0 until nw).map(j => (j.toLong, hist(0)(j), hist(1)(j), hist(2)(j)))
-      .toDF("bucket", "w1", "w2", "w3")
-      .crossJoin(broadcast(metrics))
-      .orderBy("bucket")
+        sum(col("c") * col("wm")).as("z"),
+        sum(when(col("bucket") < buckets, col("c")).otherwise(0L)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("round(1.0/(1.0+exp(-(z/1000000.0))), 6)").as("score"))
+      .withColumn("keep", col("score") >= 0.5)
   }
 
   // ------------------------------------------------ DSIR importance weights

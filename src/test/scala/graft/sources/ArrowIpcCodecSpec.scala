@@ -52,6 +52,16 @@ class ArrowIpcCodecSpec extends AnyFunSuite {
     assert(bytes.length < write(schema, rows, rowsPerBatch = 1000).length)
   }
 
+  test("cross-framing equality: file-parsed rows == stream-parsed rows on identical input") {
+    // the q102 comment's claim, asserted directly: both framings carry
+    // the SAME logical content — only the bracket differs
+    val rows: Seq[Seq[Any]] = (0 until 1500).map(i => Seq(i.toLong, s"doc-$i-${"z" * (i % 11)}"))
+    val file = parse(write(schema, rows, rowsPerBatch = 512))
+    val stream = parseStream(writeStream(schema, rows, rowsPerBatch = 512))
+    assert(file._1 === stream._1)
+    assert(file._2 === stream._2)
+  }
+
   test("STREAM framing: unicode/empty strings survive; file bytes are rejected loudly") {
     val rows: Seq[Seq[Any]] = Seq(Seq(1L, ""), Seq(2L, "héllo — ∑"), Seq(3L, "a\nb c"))
     assert(parseStream(writeStream(schema, rows))._2 === rows)
