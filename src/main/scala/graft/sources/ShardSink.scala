@@ -423,16 +423,47 @@ private[sources] object ShardManifest {
 
   def readIfExists(fs: FileSystem, dir: HPath): Seq[ShardInfo] = {
     val p = new HPath(dir, FileName)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, buf)
-      finally in.close()
-      parse(new String(buf, UTF_8))
-    }
+    if (!fs.exists(p)) Seq.empty else readFile(fs, p)
   }
+
+  private def readFile(fs: FileSystem, p: HPath): Seq[ShardInfo] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf)
+    finally in.close()
+    parse(new String(buf, UTF_8))
+  }
+
+  /** Generation-stamped manifest SNAPSHOTS: [[TrainingShards.compact]]
+    * archives the outgoing layout's manifest as `_MANIFEST.g<gen>.json`
+    * before it bumps the generation, so [[TrainingShards.vacuum]] can
+    * tell a crash-orphaned file that the last layout still REFERENCED
+    * (an in-flight tailer may be mid-batch on it — retain) from one no
+    * manifest within the retention window names (delete). Zero-padded
+    * so lexicographic file order equals generation order.
+    */
+  def archiveName(gen: Long): String = f"_MANIFEST.g$gen%019d.json"
+
+  def archiveCurrent(fs: FileSystem, dir: HPath, gen: Long): Unit = {
+    val shards = readIfExists(fs, dir)
+    val tmp = new HPath(dir, archiveName(gen) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(render(shards).getBytes(UTF_8)) finally out.close()
+    val dest = new HPath(dir, archiveName(gen))
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not archive $dest")
+  }
+
+  /** Archived snapshot names under `dir`, oldest first. */
+  def listArchives(fs: FileSystem, dir: HPath): Seq[String] =
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_MANIFEST.g") && n.endsWith(".json"))
+      .toSeq.sorted
+
+  def readArchive(fs: FileSystem, dir: HPath, name: String): Seq[ShardInfo] =
+    readFile(fs, new HPath(dir, name))
 
   def writeAtomic(fs: FileSystem, dir: HPath, shards: Seq[ShardInfo]): Unit = {
     fs.mkdirs(dir)
@@ -459,11 +490,32 @@ object TrainingShards {
     * its own earlier shards at commit instead of appending twice — the
     * idempotency hook a replayed foreachBatch body needs (derive the
     * token from the batch id).
+    *
+    * `zOrderBy`: cluster rows by the Morton z-order of the named
+    * columns before serialization ([[LakeLayout]] — the same layout
+    * option as the parquet writer, applied to the shard container):
+    * each shard then holds a tight multi-dimensional slice of the
+    * corpus, so a training loader selecting on those fields can skip
+    * whole shards by their content range instead of decompressing
+    * everything. Costs one count job (to size the range partitioning to
+    * the shard doc target) plus the range shuffle.
     */
   def write(df: DataFrame, dir: String, maxDocsPerShard: Long = 100000L,
             maxShardBytes: Long = 64L << 20, mode: String = "append",
-            jobToken: Option[String] = None, codec: String = "gzip"): Unit = {
-    val w = df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+            jobToken: Option[String] = None, codec: String = "gzip",
+            zOrderBy: Seq[String] = Nil, zOrderBitsPerDim: Int = 8): Unit = {
+    val clustered =
+      if (zOrderBy.isEmpty) df
+      else {
+        val zc = "__graft_z"
+        require(!df.columns.contains(zc), s"column name $zc is reserved by the z-order writer")
+        val nParts = math.max(1, math.ceil(df.count().toDouble / maxDocsPerShard).toInt)
+        df.withColumn(zc, LakeLayout.zorderColumn(df, zOrderBy, zOrderBitsPerDim))
+          .repartitionByRange(nParts, col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc)
+      }
+    val w = clustered.select(to_json(struct(df.columns.map(col): _*)).as("line"))
       .write.format("graft-shards")
       .option("path", dir)
       .option("maxDocsPerShard", maxDocsPerShard.toString)
@@ -586,6 +638,12 @@ object TrainingShards {
       betweenBumpAndCommit: () => Unit): Unit = {
     val (fs, dirPath, shards, files) = committedShards(spark, dir)
     if (shards.nonEmpty) {
+      // snapshot the OUTGOING layout's manifest under its generation
+      // before anything changes: vacuum's retention window is defined
+      // over these snapshots, and the crash cases (delete lost a race,
+      // compaction died mid-commit) leave exactly the files this
+      // snapshot names on disk
+      ShardManifest.archiveCurrent(fs, dirPath, ShardManifest.readGeneration(fs, dirPath))
       ShardManifest.bumpGeneration(fs, dirPath)
       betweenBumpAndCommit()
       val totalDocs = shards.map(_.docs).sum
@@ -607,5 +665,63 @@ object TrainingShards {
       // bump-twice contract on compact() above)
       ShardManifest.bumpGeneration(fs, dirPath)
     }
+  }
+
+  /** Garbage-collect crash-orphaned shard files: every `part-*` data
+    * file under `dir` that no manifest inside the retention window
+    * references is deleted, and snapshots older than the window go with
+    * it. Orphans accumulate from exactly the crash cases the commit
+    * protocol tolerates by design — an abort whose best-effort delete
+    * lost a race, a [[compact]] or pinned-token replace that died after
+    * publishing its manifest but before deleting the superseded files —
+    * and nothing else ever removes them, so a long-lived incremental
+    * directory leaks disk without a vacuum.
+    *
+    * `retainGenerations = n` keeps the files referenced by the LIVE
+    * manifest plus the last `n − 1` archived layout snapshots (written
+    * by [[compact]] just before each generation bump):
+    *
+    *  - `n = 2` (the default) is the safe operating point: a tailer
+    *    mid-batch on the pre-compaction layout can still finish reading
+    *    its planned files; its NEXT offset poll fails loudly on the
+    *    generation marker either way (the [[ShardMicroBatchStream]]
+    *    contract). Nothing a tailer could be holding is deleted.
+    *  - `n = 1` reclaims everything but the live layout: a straggling
+    *    tailer's read then fails with FileNotFound — LOUD, never a
+    *    silent wrong answer, because the manifest-trusting batch reader
+    *    and the generation-checked tailer both refuse superseded state
+    *    rather than serving it.
+    *
+    * Single-admin contract (same as [[compact]]): do not vacuum
+    * concurrently with a WRITER — an uncommitted task's rolling shard
+    * is on disk but in no manifest yet, which is indistinguishable from
+    * an orphan. Concurrent READERS are what the retention window is
+    * for. Returns the deleted data-file names.
+    */
+  def vacuum(spark: SparkSession, dir: String, retainGenerations: Int = 2): Seq[String] = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1 (the live layout is never vacuumable), got $retainGenerations")
+    val (fs, dirPath, live, _) = committedShards(spark, dir)
+    val archives = ShardManifest.listArchives(fs, dirPath)
+    val keptArchives = archives.takeRight(retainGenerations - 1)
+    val referenced: Set[String] =
+      live.map(_.file).toSet ++
+        keptArchives.flatMap(a => ShardManifest.readArchive(fs, dirPath, a).map(_.file))
+    val orphans = fs.listStatus(dirPath).iterator
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("part-") &&
+          (n.endsWith(".jsonl.gz") || n.endsWith(".jsonl.zst")) &&
+          !referenced(n)
+      }
+      .toSeq
+    orphans.foreach(p => fs.delete(p, false))
+    // expired snapshots describe layouts whose files are now gone —
+    // keeping them would let a LATER vacuum resurrect a stale
+    // "referenced" set that protects nothing
+    archives.dropRight(retainGenerations - 1)
+      .foreach(a => fs.delete(new HPath(dirPath, a), false))
+    orphans.map(_.getName)
   }
 }
