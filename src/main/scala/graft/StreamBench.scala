@@ -124,6 +124,50 @@ object StreamBench {
     tq.processAllAvailable(); tq.stop()
     val tailSec = (System.nanoTime() - tT0) / 1e9
 
+    // ---- FULL LOOP: ingest → curate → shard → tail → index upsert,
+    // writer and tailer live CONCURRENTLY over fresh state — the whole
+    // streaming story as one measured pipeline. The index GEOMETRY is
+    // bootstrapped before the clock starts (IvfIndex.bootstrap on a 2%
+    // sample's hashed embeddings — index builds are batch events in
+    // production too); every data vector then reaches the index through
+    // the stream: drop-folder docs are curated and landed as shards by
+    // the native streaming write, a manifest tailer runs CONCURRENTLY
+    // (default trigger) and each tailed batch is featurized
+    // (DocumentStreams.hashedEmbeddings) and folded into the live IVF
+    // index by IndexStreams.upsertBatch. docs/s is curated docs through
+    // the WHOLE loop (drop to index-landed), not per stage.
+    val loopDrop = Files.createTempDirectory("graft-loop-drop").toString
+    val loopOut = Files.createTempDirectory("graft-loop-shards").toString
+    val loopCkpt = Files.createTempDirectory("graft-loop-ckpt").toString
+    val loopTailCkpt = Files.createTempDirectory("graft-loop-tailckpt").toString
+    val loopIdx = Files.createTempDirectory("graft-loop-idx").toString
+    docs.repartition(10).write.mode("append").parquet(loopDrop)
+    val bootEmb = DocumentStreams.hashedEmbeddings(
+      docs.where(col("doc_id") % 50 === 0), dim = 16)
+    val loopCents = graft.ops.IvfIndex.bootstrap(bootEmb, loopIdx, k = 16, iters = 2)
+    val upserted = new java.util.concurrent.atomic.LongAdder
+    val upsertBatches = new java.util.concurrent.atomic.LongAdder
+    val tL0 = System.nanoTime()
+    val wq = DocumentStreams.curatedShardStreamNative(
+      DocumentStreams.readDocumentStream(spark, loopDrop, maxFilesPerTrigger = 2),
+      loopOut, loopCkpt).start()
+    val uq = TrainingShards.readStream(spark, loopOut, docs.schema)
+      .writeStream
+      .option("checkpointLocation", loopTailCkpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val emb = DocumentStreams.hashedEmbeddings(b, dim = 16)
+        val (rows, _) = graft.streaming.IndexStreams.upsertBatch(emb, batchId, loopIdx, loopCents)
+        upserted.add(rows)
+        upsertBatches.add(1)
+      }
+      .start()
+    wq.processAllAvailable() // all drops curated + sharded
+    uq.processAllAvailable() // tailer drains what the writer landed
+    val loopSec = (System.nanoTime() - tL0) / 1e9
+    val (loopCurated, loopStateRows, loopStateBytes) = progressSummary(wq)
+    wq.stop(); uq.stop()
+    val idxRows = spark.read.parquet(s"$loopIdx/stream_assignment").count()
+
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     println(
       s"""{"metric":"stream_docs_per_sec","sf":"$sfDir","total_docs":$total,""" +
@@ -134,7 +178,11 @@ object StreamBench {
       s""""dedup_state_rows":$stateRows,"dedup_state_bytes":$stateBytes,""" +
       s""""bloom_input_rows":$bloomInput,"bloom_admitted":${bloomRows.sum()},"bloom_sec":${r1(bloomSec)},""" +
       s""""bloom_docs_per_sec":${r1(bloomInput / bloomSec)},""" +
-      s""""bloom_state_rows":$bloomStateRows,"bloom_state_bytes":$bloomStateBytes}""")
+      s""""bloom_state_rows":$bloomStateRows,"bloom_state_bytes":$bloomStateBytes,""" +
+      s""""loop_curated":$loopCurated,"loop_indexed":${upserted.sum()},""" +
+      s""""loop_index_rows":$idxRows,"loop_batches":${upsertBatches.sum()},""" +
+      s""""loop_sec":${r1(loopSec)},"loop_docs_per_sec":${r1(upserted.sum() / loopSec)},""" +
+      s""""loop_dedup_state_rows":$loopStateRows,"loop_dedup_state_bytes":$loopStateBytes}""")
     spark.stop()
   }
 }

@@ -157,7 +157,12 @@ object IvfIndex {
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexDir/assignment")
-    val spark = emb.sparkSession
+    saveCentroids(emb.sparkSession, cents, indexDir)
+    cents
+  }
+
+  /** Persist the k-row centroid sidecar. */
+  def saveCentroids(spark: SparkSession, cents: Centroids, indexDir: String): Unit = {
     import spark.implicits._
     cents.toSeq
       .map { case (c, v) => (c, v.toSeq) }
@@ -166,6 +171,23 @@ object IvfIndex {
       .write
       .mode("overwrite")
       .parquet(s"$indexDir/centroids")
+  }
+
+  /** Persist index GEOMETRY only: train the coarse quantizer on a
+    * bootstrap sample and write the centroid sidecar plus an EMPTY
+    * (schema-carrying, unpartitioned) base assignment — the starting
+    * state of a STREAM-FED index, where every data vector reaches the
+    * cells through [[graft.streaming.IndexStreams]] upserts rather
+    * than a batch build. [[searchIndexLive]] reads this base + the
+    * streamed partitions under one probe filter unchanged.
+    */
+  def bootstrap(sample: DataFrame, indexDir: String, k: Int, iters: Int): Centroids = {
+    val cents = train(sample, k, iters)
+    assign(sample, cents).limit(0).coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$indexDir/assignment")
+    saveCentroids(sample.sparkSession, cents, indexDir)
     cents
   }
 

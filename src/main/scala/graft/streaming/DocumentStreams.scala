@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lower, md5, size, split, struct, to_json, trim}
+import org.apache.spark.sql.functions.{col, collect_list, count, explode, expr, lit, lower, map_from_entries, md5, pmod, size, split, struct, to_json, trim, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
@@ -258,6 +258,32 @@ object DocumentStreams {
           state.update(BloomDedupState(bytes, admitted))
           out.map { case (g, id, cum, _) => (g, id, cum, bytes.length) }.iterator
       }
+  }
+
+  /** Deterministic hashed bag-of-words featurizer: token `t` adds 1 to
+    * bucket `xxhash64(t) mod dim`, yielding a `dim`-wide float vector
+    * per document — the doc→vector seam of the streaming index loop
+    * (ingest → curate → shard → tail → upsert). It is a STAND-IN with
+    * the real pipeline shape: one narrow explode + two map-side-
+    * combinable aggregates, no UDF, byte-stable across runs (the
+    * multimodal-stub posture — production swaps in a learned encoder
+    * behind the same (doc_id, text) ⇒ (vec_id, embedding) contract,
+    * and nothing downstream changes). Cosine over these vectors is
+    * lexical similarity, which is exactly what the loop's drift metric
+    * wants to watch move.
+    */
+  def hashedEmbeddings(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 2, s"embedding dim must be >= 2, got $dim")
+    docs
+      .select(col("doc_id").as("vec_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("vec_id"), pmod(xxhash64(col("tok")), lit(dim.toLong)).cast("int").as("b"))
+      .agg(count(lit(1)).cast("float").as("c"))
+      .groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(m, i), CAST(0.0 AS FLOAT)))")
+          .as("embedding"))
   }
 
   def curatedShardStreamNative(
