@@ -486,7 +486,8 @@ object TextOps {
       docs: DataFrame,
       buckets: Int = 256,
       iters: Int = 3,
-      lrDiv: Double = 2097152.0
+      lrDiv: Double = 2097152.0,
+      initW: Option[Array[Long]] = None
   ): (DataFrame, Array[Array[Long]]) = {
     // the exact-replay contract REQUIRES a power of two: g/lrDiv is then
     // exact in binary floating point, so floor(x+0.5) rounds the same
@@ -538,7 +539,14 @@ object TextOps {
         (expr("CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)") *
           when(col("y") === 1, lit(nNegL)).otherwise(lit(nPosL))).as("e"))
     val nw = buckets + 1 // hash buckets + the intercept
-    val w = Array.fill(nw)(0L)
+    // warm start ([[graft.streaming.ModelStreams]]'s refresh loop):
+    // CONTINUE the descent from previously published weights instead of
+    // zero. The default (None) keeps logregTrain/p05's from-zero
+    // descent — and their bit-exact oracles — untouched.
+    val w = initW.map { iw =>
+      require(iw.length == nw, s"initW length ${iw.length} != buckets+1 = $nw")
+      iw.clone()
+    }.getOrElse(Array.fill(nw)(0L))
     val hist = Array.ofDim[Long](iters, nw)
     for (t <- 0 until iters) {
       val grads = db.join(broadcast(errFrame(w)), "doc_id")
