@@ -179,7 +179,7 @@ object StreamBench {
       s""""bloom_input_rows":$bloomInput,"bloom_admitted":${bloomRows.sum()},"bloom_sec":${r1(bloomSec)},""" +
       s""""bloom_docs_per_sec":${r1(bloomInput / bloomSec)},""" +
       s""""bloom_state_rows":$bloomStateRows,"bloom_state_bytes":$bloomStateBytes,""" +
-      s""""loop_curated":$loopCurated,"loop_indexed":${upserted.sum()},""" +
+      s""""loop_input_rows":$loopCurated,"loop_indexed":${upserted.sum()},""" +
       s""""loop_index_rows":$idxRows,"loop_batches":${upsertBatches.sum()},""" +
       s""""loop_sec":${r1(loopSec)},"loop_docs_per_sec":${r1(upserted.sum() / loopSec)},""" +
       s""""loop_dedup_state_rows":$loopStateRows,"loop_dedup_state_bytes":$loopStateBytes}""")
