@@ -366,6 +366,45 @@ object PipelineOps {
 
     "p05_model_curation" -> ((s, dir) => modelCurate(t(s, dir, "documents"))),
 
+    // p06 — p05's train→filter loop taken ONLINE, driven as a REAL
+    // stream ([[graft.streaming.ModelStreams.weightRefreshStream]]):
+    // the labeled corpus arrives as two micro-batches (even doc_ids,
+    // then odd — the s24 two-file drop-folder pattern), batch 1
+    // CONTINUES the descent from the version batch 0 published (warm
+    // start via logregFit's initW), each version lands
+    // overwrite-idempotent under weights/batch=<id>, and the curation
+    // scorer broadcasts the LATEST published vector over the full
+    // corpus. The DuckDB oracle replays the entire history — SIX
+    // descent iterations in two warm-started phases, then the apply
+    // pass — bit-for-bit (integer micro-logits, 6dp logistic,
+    // power-of-two step). n_versions carries the REAL published-version
+    // count (a directory listing, not an assumption) for the oracle to
+    // pin at 2. 100 TB posture: refresh cost per batch is O(batch) +
+    // O(buckets) gradient collects regardless of corpus history, and
+    // the scorer's weight table stays an O(buckets) plan literal.
+    "p06_stream_weight_refresh" -> ((s, dir) => {
+      import graft.streaming.ModelStreams
+      val docs = t(s, dir, "documents")
+      val drop = java.nio.file.Files.createTempDirectory("graft-p06-drop").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-p06-ckpt").toString
+      val modelDir = java.nio.file.Files.createTempDirectory("graft-p06-model").toString
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(drop)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(drop)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(drop)
+      val q = ModelStreams.weightRefreshStream(stream, modelDir, ckpt).start()
+      q.processAllAvailable(); q.stop()
+      val fs = new org.apache.hadoop.fs.Path(modelDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nVersions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$modelDir/weights"))
+        .count(_.getPath.getName.startsWith("batch="))
+      val w = ModelStreams.latestWeights(s, modelDir).get._2
+      TextOps.logregScore(docs, w)
+        .withColumn("from_batch", (col("doc_id") % 2).cast("int"))
+        .withColumn("n_versions", lit(nVersions.toLong))
+        .orderBy("doc_id")
+    }),
+
     "p03_web_pipeline" -> ((s, dir) => curateWeb(t(s, dir, "documents"))),
 
     "p04_phrase_pipeline" -> ((s, dir) => curatePhrases(t(s, dir, "documents"))),
@@ -451,6 +490,57 @@ object PipelineOps {
          |SELECT doc_id, n_tokens, round(1.0/(1.0+exp(-(z/1000000.0))), 6) AS score,
          |       round(1.0/(1.0+exp(-(z/1000000.0))), 6) >= 0.5 AS keep,
          |       doc_id % 2 = 0 AS in_train
+         |FROM sz ORDER BY doc_id""".stripMargin
+    },
+
+    // Full ONLINE-training replay: phase A = d64's 3-iteration descent
+    // on the even-doc_id batch from zero; phase B = 3 MORE iterations
+    // on the odd batch warm-started from phase A's final weights
+    // (wb0 := wa3 — exactly ModelStreams' strictly-below-id version
+    // read); apply over the full corpus under wb3. Same integer
+    // micro-logit discipline throughout, so all six steps and every
+    // score replay bit-for-bit.
+    "p06_stream_weight_refresh" -> {
+      def iterP(sfx: String, t: Int): String =
+        s"""z$sfx$t AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db$sfx JOIN w$sfx${t - 1} USING (bucket) GROUP BY 1, 2),
+           |e$sfx$t AS (SELECT doc_id, CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)
+           |               * (CASE WHEN y = 1 THEN pw$sfx.n_neg ELSE pw$sfx.n_pos END) AS e FROM z$sfx$t, pw$sfx),
+           |g$sfx$t AS (SELECT bucket, CAST(sum(e * c) AS BIGINT) AS g FROM db$sfx JOIN e$sfx$t USING (doc_id) GROUP BY 1),
+           |w$sfx$t AS (SELECT bk.bucket, w$sfx${t - 1}.wm - CAST(floor(coalesce(g$sfx$t.g, 0)/2097152.0 + 0.5) AS BIGINT) AS wm
+           |        FROM bk JOIN w$sfx${t - 1} USING (bucket) LEFT JOIN g$sfx$t USING (bucket))""".stripMargin
+      def phaseTables(sfx: String, predicate: String): String =
+        s"""tk${sfx}0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+           |             FROM documents WHERE $predicate),
+           |dy$sfx AS (SELECT doc_id, CAST(count(*) FILTER (WHERE tok = 'slow') > count(*) FILTER (WHERE tok = 'fast') AS INT) AS y
+           |       FROM tk${sfx}0 GROUP BY 1),
+           |tk$sfx AS (SELECT tk${sfx}0.doc_id, dy$sfx.y, tk${sfx}0.tok FROM tk${sfx}0 JOIN dy$sfx USING (doc_id)),
+           |db$sfx AS (SELECT doc_id, y, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
+           |       FROM tk$sfx GROUP BY 1, 2, 3
+           |       UNION ALL SELECT doc_id, y, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM dy$sfx),
+           |pw$sfx AS (SELECT CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos,
+           |              CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n_neg FROM dy$sfx)""".stripMargin
+      s"""WITH bk AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(257)),
+         |${phaseTables("a", "doc_id % 2 = 0")},
+         |wa0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wm FROM bk),
+         |${iterP("a", 1)},
+         |${iterP("a", 2)},
+         |${iterP("a", 3)},
+         |${phaseTables("b", "doc_id % 2 = 1")},
+         |wb0 AS (SELECT bucket, wm FROM wa3),
+         |${iterP("b", 1)},
+         |${iterP("b", 2)},
+         |${iterP("b", 3)},
+         |atk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+         |adb AS (SELECT doc_id, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
+         |        FROM atk GROUP BY 1, 2
+         |        UNION ALL SELECT doc_id, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+         |sz AS (SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS z,
+         |              CAST(coalesce(sum(c) FILTER (WHERE bucket < 256), 0) AS BIGINT) AS n_tokens
+         |       FROM adb JOIN wb3 USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(1.0/(1.0+exp(-(z/1000000.0))), 6) AS score,
+         |       round(1.0/(1.0+exp(-(z/1000000.0))), 6) >= 0.5 AS keep,
+         |       CAST(doc_id % 2 AS INT) AS from_batch,
+         |       CAST(2 AS BIGINT) AS n_versions
          |FROM sz ORDER BY doc_id""".stripMargin
     },
 

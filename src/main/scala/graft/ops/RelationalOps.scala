@@ -1511,6 +1511,58 @@ object RelationalOps {
           col("box_rows"))
     }),
 
+    // Z-ORDER WRITER — q105's pruning measurement driven through the
+    // PRODUCTION write path ([[graft.sources.LakeLayout
+    // .writeParquetZOrdered]]: equi-width quantization over
+    // driver-collected min/max, d-dim Morton interleave, range
+    // partition + in-file sort, helper column dropped) instead of
+    // q105's inline demonstration expression. Same dimensions, same
+    // quarter-by-quarter box; the soundness row pins the same three
+    // layout facts plus ROW CONSERVATION (n_rows read back from the
+    // written table — the writer may only move rows, never change
+    // their count), which DuckDB genuinely recomputes along with
+    // box_rows. At the 10x fixture the same writer leaves 5/16
+    // candidate files vs the linear layout's 16/16
+    // (bench_scale.json `zorder_writer_10x`).
+    "q107_zorder_write" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+          pmod(expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"),
+            lit(1024L)).as("y"))
+      // stable overwrite-mode path (the q99 idiom) — no per-run dir leak
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_writer_rt"
+      docs.repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/linear")
+      graft.sources.LakeLayout.writeParquetZOrdered(
+        docs, Seq("x", "y"), s"$base/zorder", numFiles = 16)
+      val (xLo, xHi, yLo, yHi) = (100L, 300L, 256L, 511L)
+      def candidates(path: String): DataFrame = {
+        s.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+            min(col("y")).as("y0"), max(col("y")).as("y1"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(when(!(col("x1") < xLo || col("x0") > xHi || col("y1") < yLo || col("y0") > yHi), 1L)
+              .otherwise(0L)).as("n_candidates"))
+      }
+      val lin = candidates(s"$base/linear")
+        .select(col("n_files").as("files_linear"), col("n_candidates").as("cand_linear"))
+      val zo = candidates(s"$base/zorder")
+        .select(col("n_files").as("files_zorder"), col("n_candidates").as("cand_zorder"))
+      val conservation = s.read.parquet(s"$base/zorder")
+        .agg(count(lit(1)).as("n_rows"))
+      val boxRows = docs
+        .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+        .agg(count(lit(1)).as("box_rows"))
+      lin.crossJoin(zo).crossJoin(boxRows).crossJoin(conservation)
+        .select(
+          (col("cand_zorder") < col("cand_linear")).as("zorder_prunes_more"),
+          (col("cand_zorder") * 2 <= col("files_zorder")).as("zorder_prunes_half"),
+          (col("cand_linear") === col("files_linear")).as("linear_prunes_nothing"),
+          col("box_rows"), col("n_rows"))
+    }),
+
     // Text-format interop: the same slice through CSV WITH quoting —
     // document text contains spaces (and could contain delimiters), so
     // the writer must quote and the reader must parse quotes + header +
@@ -1913,6 +1965,13 @@ object RelationalOps {
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
         |   WHERE n_chars BETWEEN 100 AND 300
         |     AND (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1024) BETWEEN 256 AND 511) AS box_rows""".stripMargin,
+    "q107_zorder_write" ->
+      """SELECT TRUE AS zorder_prunes_more, TRUE AS zorder_prunes_half,
+        |  TRUE AS linear_prunes_nothing,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE n_chars BETWEEN 100 AND 300
+        |     AND (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1024) BETWEEN 256 AND 511) AS box_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows""".stripMargin,
     "q99_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS text_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
