@@ -57,10 +57,8 @@ object LakeLayout {
     */
   def zorderColumn(df: DataFrame, zCols: Seq[String], bitsPerDim: Int): Column = {
     require(zCols.nonEmpty, "zorderBy needs at least one column")
-    val stats = df.agg(
-      zCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).head,
-      zCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*
-    ).head()
+    val aggs = zCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = (1L << bitsPerDim).toDouble
     val quantized = zCols.zipWithIndex.map { case (c, i) =>
       if (stats.isNullAt(2 * i)) lit(0L) // all-null column: no ordering signal

@@ -108,6 +108,27 @@ class GraphAnnSpec extends AnyFunSuite {
     (emb, idxDir, cents, qe)
   }
 
+  test("s25: selectHeuristic keeps the diversity rule — a candidate inside a kept " +
+    "neighbour's clique is pruned while slots remain, degree tops up from pruned") {
+    // base at origin-ish; a tight clique near (1,0) and a distinct
+    // region near (0,1): simple 2-nearest would take both clique
+    // members and never link the second region
+    val vecs = Map[Long, Array[Float]](
+      1L -> Array(1f, 0f), 2L -> Array(0.999f, 0.01f), 3L -> Array(0f, 1f))
+    val base = Array(0.8f, 0.3f)
+    def s(id: Long) = NswIndex.cos(base, vecs(id))
+    val cands = Seq(1L, 2L, 3L).map(id => (s(id), id)).sortBy(t => (-t._1, t._2))
+    val picked = NswIndex.selectHeuristic(base, cands, vecs, m = 2)
+    assert(picked.contains(3L),
+      s"diversity rule must keep one edge per region, got $picked (clique-only would strand routing)")
+    assert(picked.length == 2, s"degree must stay m: $picked")
+    // with m = 3 the pruned clique member tops the list back up
+    val all = NswIndex.selectHeuristic(base, cands, vecs, m = 3)
+    assert(all.toSet == Set(1L, 2L, 3L), s"keepPruned must restore degree, got $all")
+    // deterministic
+    assert(picked == NswIndex.selectHeuristic(base, cands, vecs, m = 2))
+  }
+
   test("s25: the layered graph respects the hierarchy invariants — " +
     "hash-determined levels, layer-l links only to level>=l nodes, degree caps") {
     val (_, idxDir, _, _) = s25Index(sfDir)
