@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.NswIndex
+
+/** Measures what [[graft.ops.NswIndex.searchFrameMany]] exists for: a
+  * Q-query panel served as ONE batched job (union of probed cells read
+  * once, one walk per routed (cell, query), per-query minK top-k)
+  * versus Q sequential single-query [[NswIndex.searchFrame]] calls
+  * against the SAME prebuilt index — the serving amortization, isolated
+  * from index-build cost (the build happens once, outside both timed
+  * paths). Also re-asserts at fixture scale what GraphAnnSpec pins at
+  * sf0.001: the batch results are bit-identical per query to the
+  * single-query calls.
+  *
+  * Single-harness discipline: run batch and single from the same JVM
+  * invocation, 1 warmup + `Reps` timed reps each, report mins. One JSON
+  * line to stdout.
+  */
+object ScaleBatch {
+  private val K = 10
+  private val NProbe = 4
+  private val Ef = 48
+  private val Reps = 2
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nVectors = emb.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-batch").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+      .as[(Long, Array[Float])].collect().toMap
+
+    def runBatch(): Map[Long, Seq[(Long, Double)]] =
+      NswIndex.searchFrameMany(spark, idxDir, cents, panel, K, NProbe, Ef)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq)
+        .toMap
+
+    def runSingles(): Map[Long, Seq[(Long, Double)]] =
+      panel.keys.toSeq.sorted.map { qid =>
+        qid -> NswIndex.searchFrame(spark, idxDir, cents, panel(qid), qid, K, NProbe, Ef)
+          .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      }.toMap
+
+    def time[A](f: () => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f()
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+
+    // warmup (also the equality check), then timed reps
+    val warmBatch = runBatch()
+    val warmSingle = runSingles()
+    require(warmBatch == warmSingle,
+      s"batch != singles at $sfDir: ${warmBatch.keySet.filter(q => warmBatch(q) != warmSingle(q))}")
+    val batchSecs = (1 to Reps).map(_ => time(() => runBatch())._1)
+    val singleSecs = (1 to Reps).map(_ => time(() => runSingles())._1)
+    val b = batchSecs.min
+    val s = singleSecs.min
+    println(
+      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true}""")
+    spark.stop()
+  }
+
+  private def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+}

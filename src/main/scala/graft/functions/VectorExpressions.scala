@@ -138,6 +138,61 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Weighted byte-sum for SQ8 asymmetric scoring: sum_i w_i * (code_i &
+  * 0xFF) over min(len) — `code` is the uint8-quantized vector stored as
+  * BINARY (1 byte/dim), `w` the query-side per-dim weights (q_d *
+  * scale_d, built once per query on the driver). The whole approximate
+  * dot product against a quantized corpus is then `C + sq8_dot(code,
+  * w)` with C = sum_d q_d * vmin_d — one fused byte loop inside
+  * WholeStageCodegen, reading a quarter of float32's bytes. The same
+  * null/order discipline as the float kernels: strict sequential fold,
+  * bit-identical between interpreted and codegen paths.
+  */
+case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_sq8_dot"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<double>), got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val w = b.asInstanceOf[ArrayData]
+    val n = math.min(code.length, w.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!w.isNullAt(i)) acc += w.getDouble(i) * (code(i) & 0xFF)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.length, $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$b.isNullAt($i)) $acc += $b.getDouble($i) * (double) ($a[$i] & 0xFF);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the vector kernels. */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -145,4 +200,7 @@ object VectorFunctions {
 
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sq8_dot(code: Column, weights: Column): Column =
+    ColumnBridge.column(Sq8Dot(ColumnBridge.expression(code), ColumnBridge.expression(weights)))
 }

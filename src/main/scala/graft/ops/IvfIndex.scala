@@ -103,9 +103,15 @@ object IvfIndex {
   /** Public view of the cell assignment (vec_id, embedding, cluster) —
     * the composition point other index structures build on (s18 joins
     * PQ codes against it to score only the probed cells' codes).
+    * `extraCols` carries additional attribute columns (e.g. a metadata
+    * column a filtered index stores beside each vector) through the
+    * NARROW assignment projection — no join, the attribute rides the
+    * same row from the source scan into the cell write.
     */
-  def assignments(emb: DataFrame, centroids: Centroids): DataFrame =
-    assign(emb, centroids)
+  def assignments(emb: DataFrame, centroids: Centroids,
+      extraCols: Seq[String] = Nil): DataFrame =
+    emb.select(Seq(col("vec_id"), col("embedding")) ++ extraCols.map(col) :+
+      nearestCluster(centroids).as("cluster"): _*)
 
   /** Driver-side probe selection: the `nprobe` cells nearest the query
     * (k is tiny; the same exact-fold cosine assignment uses, so probe

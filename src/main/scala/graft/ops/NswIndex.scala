@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-scale graph ANN: one navigable-small-world graph PER IVF CELL,
@@ -105,6 +105,58 @@ object NswIndex {
     best.toList
   }
 
+  /** Filtered variant of the walk (the filtered-HNSW / ACORN shape):
+    * the frontier ROUTES over every node — connectivity must not see
+    * the predicate, or the graph fragments into per-attribute islands —
+    * while the result set collects ONLY nodes `keep` admits. The floor
+    * that terminates the walk is the worst KEPT score, so a sparse
+    * predicate keeps the frontier open longer; in the degenerate case
+    * (fewer than `ef` kept nodes reachable) the walk visits the whole
+    * component — O(cell), the documented worst case, which is exactly
+    * why [[searchFramePrefiltered]] exists for selective predicates.
+    * Determinism discipline matches [[greedySearchFn]].
+    */
+  private[ops] def greedySearchFilteredFn(
+      vecs: scala.collection.Map[Long, Array[Float]],
+      adjOf: Long => Array[Long],
+      entries: Seq[Long],
+      q: Array[Float],
+      ef: Int,
+      keep: Long => Boolean): List[(Double, Long)] = {
+    val bestFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    val visited = scala.collection.mutable.Set[Long](entries: _*)
+    val frontier = scala.collection.mutable.TreeSet.empty[(Double, Long)](bestFirst)
+    val best = scala.collection.mutable.TreeSet.empty[(Double, Long)](bestFirst)
+    entries.foreach { id =>
+      val s = (cos(q, vecs(id)), id)
+      frontier.add(s)
+      if (keep(id)) best.add(s)
+    }
+    var continue = true
+    while (continue && frontier.nonEmpty) {
+      val c = frontier.head
+      frontier.remove(c)
+      if (best.size >= ef && c._1 < best.last._1) continue = false
+      else {
+        adjOf(c._2).foreach { nId =>
+          if (!visited(nId)) {
+            visited += nId
+            val sc = cos(q, vecs(nId))
+            if (best.size < ef || sc > best.last._1) {
+              frontier.add((sc, nId))
+              if (keep(nId)) {
+                best.add((sc, nId))
+                while (best.size > ef) best.remove(best.last)
+              }
+            }
+          }
+        }
+      }
+    }
+    best.toList
+  }
+
   /** Incremental NSW build over one cell's members (already sorted by
     * vec_id). Returns the adjacency.
     */
@@ -147,23 +199,35 @@ object NswIndex {
     * cluster at `indexDir/cells`, so search reads only probed cells'
     * bytes. Returns the centroids for probe routing.
     */
-  def build(emb: DataFrame, indexDir: String, k: Int, iters: Int, m: Int, efC: Int): Centroids = {
+  def build(emb: DataFrame, indexDir: String, k: Int, iters: Int, m: Int, efC: Int,
+      metaCol: Option[String] = None): Centroids = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = IvfIndex.train(emb, k, iters)
-    IvfIndex.assignments(emb, cents)
-      .select(col("cluster"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Float])]
+    val assigned = metaCol match {
+      // the attribute rides the narrow assignment projection (no join)
+      // and lands IN the cell files, so filtered search needs no side
+      // lookup — FAISS/ACORN-style "metadata stored with the vector"
+      case Some(c) => IvfIndex.assignments(emb, cents, extraCols = Seq(c))
+        .select(col("cluster"), col("vec_id"), col("embedding"),
+          col(c).cast("long").as("meta"))
+      case None => IvfIndex.assignments(emb, cents)
+        .select(col("cluster"), col("vec_id"), col("embedding"), lit(0L).as("meta"))
+    }
+    assigned
+      .as[(Int, Long, Seq[Float], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
-        val members = it.map { case (_, id, e) => (id, e.map(_.toFloat).toArray) }
-          .toArray.sortBy(_._1)
+        val rows = it.toArray
+        val members = rows.map { case (_, id, e, _) => (id, e.map(_.toFloat).toArray) }
+          .sortBy(_._1)
+        val meta = rows.iterator.map(r => r._2 -> r._4).toMap
         val adj = buildCellGraph(members, m, efC)
         members.iterator.map { case (id, v) =>
-          (id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq.sorted, cell)
+          (id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq.sorted, meta(id), cell)
         }
       }
-      .toDF("vec_id", "embedding", "nbrs", "cluster")
+      .toDF("vec_id", "embedding", "nbrs", "meta", "cluster")
       .write
       .mode("overwrite")
       .partitionBy("cluster")
@@ -205,6 +269,160 @@ object NswIndex {
       }
       .toDF("vec_id", "cos_raw")
       .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** BATCHED multi-query search — the SERVING shape at 100 TB: a panel
+    * of Q queries is routed on the driver (Q × k centroid cosines,
+    * tiny), the UNION of all probed cells is read ONCE under a single
+    * partition-pruning `cluster IN (...)` filter, each loaded cell
+    * graph is walked once per query routed to it, and every query's
+    * global top-k comes from a bounded-heap `minK` aggregate — NEVER a
+    * window partitioned by the (low-cardinality) query id, which would
+    * serialize into one task per query. Cost vs Q single-query calls:
+    * the index bytes are read once instead of up to Q times (shared
+    * cells coalesce), and the per-walk work is unchanged — the batch
+    * amortizes IO, not graph traversal. Tie-breaks and scores are
+    * bit-identical to [[searchFrame]] (same walk, same rounded-cosine
+    * total order), so the per-query results equal Q independent calls.
+    */
+  def searchFrameMany(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      ef: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchFrameMany needs at least one query")
+    val routing: Map[Int, Seq[Long]] = queries.toSeq
+      .flatMap { case (qid, qv) => IvfIndex.probeCells(cents, qv, nprobe).map(c => c -> qid) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cellsUnion = routing.keys.toSeq.sorted
+    val bq = spark.sparkContext.broadcast(queries)
+    val br = spark.sparkContext.broadcast(routing)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("nbrs"))
+      .as[(Int, Long, Seq[Float], Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val adj = rows.map(r => r._2 -> r._4.toArray).toMap
+        val entry = rows.iterator.map(_._2).min
+        br.value.getOrElse(cell, Nil).iterator.flatMap { qid =>
+          greedySearch(vecs, adj, Seq(entry), bq.value(qid), ef)
+            .filter(_._2 != qid) // a query never returns itself
+            .sortBy(t => (-t._1, t._2)).take(k)
+            .map { case (sc, id) => (qid, id, sc) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_raw")
+      .select(col("query_id"),
+        struct((-round(col("cos_raw"), 6)).as("nc"), col("vec_id"),
+          round(col("cos_raw"), 6).as("cos_sim")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Filtered (metadata-predicate) search — vector search under an
+  // attribute constraint, the canonical SERVING feature ("nearest docs
+  // WHERE lang = 'en'"). Two strategies with opposite cost profiles,
+  // the dispatch production systems (FAISS IDSelector, ACORN, filtered
+  // DiskANN) make on predicate selectivity:
+  //   - in-walk ([[searchFrameFiltered]]): the graph routes over ALL
+  //     nodes, results collect only matching ones — near-normal cost
+  //     when the predicate keeps most nodes, degrades toward a full
+  //     cell visit as it sharpens;
+  //   - pre-filter ([[searchFramePrefiltered]]): the predicate is
+  //     PUSHED INTO the parquet scan of the probed cells (the plan
+  //     shows PushedFilters on `meta` beside the cluster partition
+  //     prune) and the survivors are scored exactly — cost
+  //     proportional to the MATCHING rows, the right shape when the
+  //     predicate is selective, and exact-within-probes so its scores
+  //     carry the full soundness oracle.
+  // Both require the index built with `metaCol` so the attribute lives
+  // in the cell files (no search-time join).
+  // ------------------------------------------------------------------
+
+  /** In-walk filtered search: partition-pruned read of the probed
+    * cells, one FILTERED greedy walk per cell
+    * ([[greedySearchFilteredFn]] — routing sees every node, results
+    * only `allowMeta` survivors), global top-k under [[searchFrame]]'s
+    * rounded-cosine total order.
+    */
+  def searchFrameFiltered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      allowMeta: Long => Boolean): DataFrame = {
+    import spark.implicits._
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val bq = spark.sparkContext.broadcast(q)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("nbrs"), col("meta"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val adj = rows.map(r => r._2 -> r._4.toArray).toMap
+        val metas = rows.map(r => r._2 -> r._5).toMap
+        val entry = rows.iterator.map(_._2).min
+        greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
+          Seq(entry), bq.value, ef,
+          keep = id => id != excludeId && allowMeta(metas(id)))
+          .sortBy(t => (-t._1, t._2)).take(k)
+          .iterator.map { case (s, id) => (id, s) }
+      }
+      .toDF("vec_id", "cos_raw")
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Pre-filter strategy: the metadata predicate goes INTO the parquet
+    * scan (PushedFilters — only matching row groups / rows surface)
+    * under the same cluster partition prune, and every survivor is
+    * scored exactly; TakeOrderedAndProject ends the plan. No graph
+    * walk: cost tracks the predicate's match count, so this wins when
+    * the predicate is selective — and the result is EXACT within the
+    * probed cells (the walk can only ever equal it, never beat it).
+    */
+  def searchFramePrefiltered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      metaPred: Column): DataFrame = {
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val qLit = array(q.toSeq.map(lit): _*)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .filter(metaPred && col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), qLit), 6)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

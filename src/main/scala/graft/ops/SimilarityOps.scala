@@ -348,6 +348,54 @@ object SimilarityOps {
     stats.crossJoin(scalars)
   }
 
+  /** Per-query twin of [[annSoundness]] for a BATCHED result frame
+    * (`query_id, rank, vec_id, cos_sim`): one soundness row per panel
+    * query. The per-query exact top-k / top-N sets come from bounded
+    * `minK` heap aggregates — the panel's query id is low-cardinality,
+    * so a window partitioned by it would serialize one task per query
+    * (and trip the plan audit).
+    */
+  def annSoundnessMany(
+      emb: DataFrame,
+      ann: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      topN: Int,
+      recallFloor: Int): DataFrame = {
+    import graft.functions.TopKAggregates.minK
+    val qs = emb.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_similarity(col("embedding"), col("qe")), 6).as("exact_cos"))
+      .localCheckpoint() // feeds the join, top-k, and top-N — one computation
+    val rec = struct((-col("exact_cos")).as("nc"), col("vec_id"))
+    val topKDf = exact.groupBy("query_id").agg(minK(rec, k).as("rs"))
+      .select(col("query_id"), explode(col("rs")).as("r"))
+      .select(col("query_id"), col("r.vec_id").as("k_id"), (-col("r.nc")).as("k_cos"))
+    val topNIds = exact.groupBy("query_id").agg(minK(rec, topN).as("rs"))
+      .select(col("query_id"), explode(col("rs")).as("r"))
+      .select(col("query_id").as("nq"), col("r.vec_id").as("n_id"))
+    val stats = ann
+      .select(col("query_id"), col("vec_id"), col("cos_sim").as("claimed"))
+      .join(exact, Seq("query_id", "vec_id"))
+      .join(broadcast(topNIds),
+        col("query_id") === col("nq") && col("vec_id") === col("n_id"), "left")
+      .drop("nq")
+      .join(broadcast(topKDf.select(col("query_id").as("kq"), col("k_id"))),
+        col("query_id") === col("kq") && col("vec_id") === col("k_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(when(col("claimed") =!= col("exact_cos"), 1L).otherwise(0L)).as("n_score_mismatch"),
+        sum(when(col("n_id").isNull, 1L).otherwise(0L)).as("n_outside_topn"),
+        (sum(when(col("k_id").isNotNull, 1L).otherwise(0L)) >= recallFloor).as("recall_ok"))
+    val scalars = topKDf.groupBy("query_id")
+      .agg(max(col("k_cos")).as("exact_best_cos"), min(col("k_cos")).as("exact_cos_at_k"))
+    stats.join(broadcast(scalars), "query_id").orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
 
@@ -743,6 +791,95 @@ object SimilarityOps {
       annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
         recallFloor = 6, scoreIsExact = true)
     }),
+    // BATCHED multi-query ANN — the SERVING shape
+    // ([[NswIndex.searchFrameMany]]): a 16-query panel routed on the
+    // driver, the UNION of every query's nprobe=4 probe cells read
+    // ONCE under a single partition-pruning filter (vs 16 separate
+    // scans for 16 single-query calls — the batch amortizes index IO,
+    // not walk work), one greedy walk per (cell, routed query), and
+    // per-query global top-10 via the bounded minK heap (a window
+    // partitioned by the 16-value query id would serialize one task
+    // per query and trip the plan audit). Per-query soundness rows
+    // (the s22 multi-row shape with s04's columns): exact scores ⇒
+    // n_score_mismatch must be 0 for every query; measured per-query
+    // recall@10 equals ScaleRecall's flat column (identical build +
+    // walk), worst panel query 6/10 at sf0.01 and 5/10 at sf0.001 —
+    // the IVF nprobe ceiling per query — → floor 5.
+    "s26_ann_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-nsw-batch").toString
+      val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val ann = NswIndex.searchFrameMany(s, idxDir, cents, panel,
+        k = 10, nprobe = 4, ef = 48)
+      annSoundnessMany(emb, ann, panel.keys.toSeq, k = 10, topN = 100, recallFloor = 5)
+    }),
+
+    // FILTERED ANN — vector search under a metadata predicate
+    // ("nearest WHERE label = 3"), the canonical serving constraint.
+    // The label rides the index build into the cell files
+    // ([[NswIndex.build]] metaCol — no search-time join), and the two
+    // production strategies answer the same query against ONE index,
+    // each in its selectivity regime (the FAISS-IDSelector/ACORN
+    // dispatch): 'prefilter' pushes the predicate into the parquet
+    // scan over ALL cells (PushedFilters; exact over only the ~10%
+    // matching rows — the SELECTIVE shape, because a selective
+    // predicate scatters the filtered top-k into cells
+    // query-similarity probing never picks: measured probe ceiling
+    // 5/10 at nprobe=8 and 6/10 even at nprobe=12 on the sf0.001
+    // 43-row filter set) and 'inwalk' keeps nprobe=12 probing and
+    // routes the graph over every node while collecting matches
+    // ([[NswIndex.greedySearchFilteredFn]] — the PERMISSIVE shape,
+    // paying the ceiling: floor 6 = the measured sf0.001 figure,
+    // 10/10 at sf0.01). One soundness row per strategy vs the exact
+    // filtered corpus: both strategies' scores exact ⇒ zero
+    // mismatches; top-25 containment; 'prefilter' recall is 10/10 BY
+    // CONSTRUCTION (it is the exact filtered top-k) — floor 10.
+    "s27_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-nsw-filt").toString
+      val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
+        metaCol = Some("label"))
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      // the soundness helper reads BOTH the query row and the candidate
+      // set from this frame: candidates are the label-3 rows, and vec 0
+      // rides along ONLY as the query vector (the helper excludes it
+      // from candidates; its own label is irrelevant to the predicate)
+      val embF = emb.filter(col("label") === 3 || col("vec_id") === 0L)
+      val pre = NswIndex.searchFramePrefiltered(s, idxDir, cents, qe, excludeId = 0L,
+        k = 10, nprobe = 16, metaPred = col("meta") === 3L)
+      val walk = NswIndex.searchFrameFiltered(s, idxDir, cents, qe, excludeId = 0L,
+        k = 10, nprobe = 12, ef = 48, allowMeta = _ == 3L)
+      annSoundness(embF, pre, "cos_sim", queryId = 0L, k = 10, topN = 25,
+        recallFloor = 10, scoreIsExact = true).withColumn("strategy", lit("prefilter"))
+        .unionByName(
+          annSoundness(embF, walk, "cos_sim", queryId = 0L, k = 10, topN = 25,
+            recallFloor = 6, scoreIsExact = true).withColumn("strategy", lit("inwalk")))
+        .orderBy("strategy")
+    }),
+
+    // SQ8 scalar-quantized search ([[Sq8Index]]): per-dimension affine
+    // uint8 codes (4x fewer vector bytes), candidates ranked by the
+    // codegen byte-sum kernel ([[graft.functions.Sq8Dot]]), top-50
+    // rerank against full precision ⇒ exact output scores. Soundness
+    // row vs the full-corpus exact top-k: zero mismatches, top-100
+    // containment, recall floor 9 (measured 10/10 at both gate SFs —
+    // SQ8 distortion is ~scale/2 per dim, far inside the top-10
+    // margins; the floor leaves one slot of headroom).
+    "s28_sq8_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = Sq8Index.train(emb)
+      val codes = Sq8Index.encode(emb, p).toDF("vec_id", "code", "rnorm")
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = Sq8Index.search(codes, emb, p, qe, excludeId = 0L, k = 10, rerank = 50)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 9, scoreIsExact = true)
+    }),
+
     // Streaming IVF upsert (s04's index kept LIVE —
     // [[graft.streaming.IndexStreams]]): the index is built from 80% of
     // the corpus; the remaining 20% (query 0's whole neighbourhood
@@ -1145,6 +1282,41 @@ object SimilarityOps {
     "s23_ivf_nsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s24_stream_ivf_upsert" -> s"$exactCosCte\n$annSoundnessSelect",
     "s25_hnsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s28_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Exact side restricted to the FILTERED corpus (label = 3); one
+    // soundness row per strategy, the assertion columns literal (both
+    // strategies return exact scores ⇒ zero mismatches), the exact
+    // top-10 scalars genuinely recomputed over the filtered rows.
+    "s27_ann_filtered" ->
+      """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
+        |  FROM embeddings e, embeddings q WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.label = 3),
+        |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
+        |SELECT s.strategy, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
+        |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k
+        |FROM (VALUES ('inwalk'), ('prefilter')) AS s(strategy) ORDER BY s.strategy""".stripMargin,
+    // Per-query soundness for the batched panel: the exact side is the
+    // 16-query generalization of exactCosCte (same 6dp cosine kernel);
+    // the walk's assertion columns are literals per query, the exact
+    // top-10 scalars are genuinely recomputed per query.
+    "s26_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 16),
+        |ex AS (SELECT q.query_id, e.vec_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |rk AS (SELECT query_id, vec_id, exact_cos,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY exact_cos DESC, vec_id) AS r FROM ex)
+        |SELECT query_id, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  max(exact_cos) FILTER (WHERE r <= 10) AS exact_best_cos,
+        |  min(exact_cos) FILTER (WHERE r <= 10) AS exact_cos_at_k
+        |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin,
     // Full margin-mining replay: same rounded cosines, neighborhood
     // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
     // — the sum order matches Spark's sorted minK array fold), same

@@ -158,6 +158,112 @@ class GraphAnnSpec extends AnyFunSuite {
       s"$upper of ${rows.length} nodes above layer 0 — not a thinning hierarchy")
   }
 
+  // ---- s26: batched multi-query search over one index ----
+
+  test("s26: batched search equals Q independent single-query walks bit-for-bit, " +
+    "reads the index in ONE pruned scan, and is deterministic") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-batch-spec").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def once() = NswIndex.searchFrameMany(spark, idxDir, cents, panel,
+      k = 10, nprobe = 4, ef = 48)
+    val batch = once()
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter in the index scan:\n$plan")
+    // the whole point of the batch: ONE scan of the index serves all 8
+    // queries — a plan with one scan per query would re-read shared cells
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"batch plan must contain exactly one index scan:\n$plan")
+    val rows = batch.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    // bit-identical to Q independent searchFrame calls (same walk, same
+    // rounded-cosine total order) — the batch amortizes IO, nothing else
+    panel.keys.toSeq.sorted.foreach { qid =>
+      val single = NswIndex.searchFrame(spark, idxDir, cents, panel(qid),
+        excludeId = qid, k = 10, nprobe = 4, ef = 48)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got == single, s"query $qid: batch != single\nbatch:  $got\nsingle: $single")
+    }
+    assert(once().collect().toSeq == batch.collect().toSeq, "batch walk must be deterministic")
+  }
+
+  // ---- s27: metadata-filtered search (prefilter + in-walk) ----
+
+  test("s27: the prefilter strategy pushes the meta predicate into the parquet scan " +
+    "and equals an independent brute force over the filtered probed cells") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-filt-spec").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
+      metaCol = Some("label"))
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    val pre = NswIndex.searchFramePrefiltered(spark, idxDir, cents, qe, excludeId = 0L,
+      k = 10, nprobe = 8, metaPred = col("meta") === 3L)
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no cluster partition prune:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*meta".r.findFirstIn(plan).isDefined,
+      s"meta predicate not pushed to the scan:\n$plan")
+    // independent brute force: exact cosine over label-3 vectors whose
+    // ASSIGNED cell is probed (same centroids, driver-side routing)
+    val probes = IvfIndex.probeCells(cents, qe, nprobe = 8).toSet
+    val expect = IvfIndex.assignments(emb, cents, extraCols = Seq("label"))
+      .filter(col("label") === 3 && col("vec_id") =!= 0L)
+      .filter(col("cluster").isin(probes.map(x => x: Any).toSeq: _*))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_similarity(
+          col("embedding"), array(qe.toSeq.map(lit): _*)), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = pre.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"prefilter != brute force over filtered probes\ngot:    $got\nexpect: $expect")
+  }
+
+  test("s27: the in-walk strategy returns only allowed nodes, never beats the " +
+    "prefilter optimum, clears the 9/10 floor against it, and routing survives " +
+    "a predicate sparser than ef") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-filt-spec2").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
+      metaCol = Some("label"))
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    def walk(allow: Long => Boolean) = NswIndex.searchFrameFiltered(spark, idxDir, cents,
+      qe, excludeId = 0L, k = 10, nprobe = 8, ef = 48, allowMeta = allow)
+    val got = walk(_ == 3L).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(got.forall(t => labels(t._1) == 3), s"in-walk returned a non-matching node: $got")
+    val exactWithinProbes = NswIndex.searchFramePrefiltered(spark, idxDir, cents, qe,
+      excludeId = 0L, k = 10, nprobe = 8, metaPred = col("meta") === 3L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the walk can only equal the exact-within-probes optimum, never beat it
+    assert(got.head._2 <= exactWithinProbes.head._2 + 1e-12)
+    val recall = got.map(_._1).toSet.intersect(exactWithinProbes.map(_._1).toSet).size
+    assert(recall >= 9, s"in-walk recall@10 vs exact-within-probes = $recall")
+    assert(walk(_ == 3L).collect().toSeq == walk(_ == 3L).collect().toSeq,
+      "filtered walk must be deterministic")
+    // sparser-than-ef completeness: ~3 allowed nodes per probed cell is
+    // far under ef=48, so the kept-floor never engages and the walk
+    // visits each cell's whole component — every reachable allowed node
+    // must surface (a walk whose frontier were gated on KEPT scores
+    // only would strand in disallowed regions and miss some)
+    val allAllowedInProbes = {
+      val probes = IvfIndex.probeCells(cents, qe, nprobe = 8).toSet
+      IvfIndex.assignments(emb, cents, extraCols = Seq("label"))
+        .filter(col("label") === 3 && col("vec_id") =!= 0L)
+        .filter(col("cluster").isin(probes.map(x => x: Any).toSeq: _*))
+        .count()
+    }
+    assert(got.size == math.min(10L, allAllowedInProbes),
+      s"walk returned ${got.size} of min(10, $allAllowedInProbes) reachable allowed nodes")
+    // the empty predicate returns an empty frame, not an error
+    assert(walk(_ => false).count() == 0)
+  }
+
   test("s25: layered search is partition-pruned, deterministic, and clears " +
     "the s23 recall bar at both test SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

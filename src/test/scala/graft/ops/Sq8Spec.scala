@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization (s28): the affine code round-trips within
+  * its scale/2-per-dimension bound, the codegen byte-sum kernel agrees
+  * with its interpreted twin bit-for-bit, the on-disk index is the
+  * promised fraction of float32, the candidate pass reads CODES (not
+  * embeddings), and search recall against the exact kernel holds.
+  */
+class Sq8Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val emb = Tables.t(spark, sfDir, "embeddings")
+  private lazy val params = Sq8Index.train(emb)
+
+  test("reconstruction error is within scale/2 per dimension (+ float slack)") {
+    import spark.implicits._
+    val p = params
+    val rows = emb.select("embedding").as[Seq[Float]].collect()
+    rows.foreach { e =>
+      e.indices.foreach { d =>
+        val c =
+          if (p.scale(d) == 0.0) 0
+          else math.max(0, math.min(255, math.round((e(d) - p.vmin(d)) / p.scale(d)).toInt))
+        val rec = p.vmin(d) + c * p.scale(d)
+        val bound = p.scale(d) / 2 + 1e-6
+        assert(math.abs(rec - e(d)) <= bound,
+          s"dim $d: |${rec} - ${e(d)}| > $bound (scale ${p.scale(d)})")
+      }
+    }
+  }
+
+  test("a constant dimension (scale 0) reconstructs exactly") {
+    val p = Sq8Index.Params(vmin = Array(3.5, 0.0), scale = Array(0.0, 0.1))
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.5f, 0.25f))).toDF("vec_id", "embedding")
+    val (_, code, rnorm) = Sq8Index.encode(df, p).head()
+    assert(code(0) == 0.toByte)
+    val rec1 = p.vmin(1) + (code(1) & 0xFF) * p.scale(1)
+    assert(math.abs(rnorm - math.sqrt(3.5 * 3.5 + rec1 * rec1)) < 1e-12)
+  }
+
+  test("Sq8Dot: interpreted eval equals the codegen path (whole-stage on)") {
+    import spark.implicits._
+    val code = Array[Byte](0, 127, -128, -1) // unsigned: 0, 127, 128, 255
+    val w = Seq(0.5, -1.25, 2.0, 0.125)
+    val expected = w(0) * 0 + w(1) * 127 + w(2) * 128 + w(3) * 255
+    // interpreted: direct eval on the expression
+    val interp = graft.functions.Sq8Dot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(code,
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(w,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null).asInstanceOf[Double]
+    assert(interp == expected)
+    // codegen: through a DataFrame with whole-stage codegen enabled
+    val viaDf = Seq(Tuple1(code)).toDF("c")
+      .select(graft.functions.VectorFunctions.sq8_dot(col("c"),
+        array(w.map(lit): _*)).as("d"))
+      .head().getDouble(0)
+    assert(viaDf == expected && viaDf == interp)
+  }
+
+  test("the materialized code index is at most half the float32 index bytes " +
+    "and the candidate pass reads codes, not embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8-size").toString
+    Sq8Index.encode(emb, params).toDF("vec_id", "code", "rnorm")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/floats")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val cb = bytes(s"$dir/codes")
+    val fb = bytes(s"$dir/floats")
+    assert(cb > 0 && fb > 0)
+    assert(cb.toDouble / fb <= 0.5, s"codes $cb vs floats $fb — ratio ${cb.toDouble / fb}")
+    // candidate pass over the materialized index: the scan schema has
+    // code/rnorm and NO embedding column
+    import spark.implicits._
+    val codes = spark.read.parquet(s"$dir/codes")
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    val ann = Sq8Index.search(codes, emb, params, qe, excludeId = 0L, k = 10, rerank = 50)
+    // the codes scan's ReadSchema has code+rnorm and NO embedding (the
+    // rerank join's embedding scan is a separate line)
+    val plan = ann.queryExecution.executedPlan.toString
+    val codeScanLine = plan.split("\n").find(_.contains("code:binary"))
+    assert(codeScanLine.isDefined, s"no code scan in the plan:\n$plan")
+    assert(!codeScanLine.get.contains("embedding"),
+      s"candidate scan reads embeddings:\n${codeScanLine.get}")
+  }
+
+  test("search: exact output scores, 10/10 recall vs the exact kernel on this " +
+    "corpus, deterministic across runs") {
+    import spark.implicits._
+    val codes = Sq8Index.encode(emb, params).toDF("vec_id", "code", "rnorm")
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    def once() = Sq8Index.search(codes, emb, params, qe, excludeId = 0L, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = once()
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val exact = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("qe")), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1).toSet == exact.map(_._1).toSet,
+      s"SQ8+rerank must recover the exact top-10 here\ngot:   $got\nexact: $exact")
+    got.foreach { case (id, c) =>
+      assert(exact.toMap.apply(id) == c, s"claimed score for $id is not exact")
+    }
+    assert(once() == got, "search must be deterministic")
+  }
+}
