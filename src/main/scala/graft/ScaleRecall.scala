@@ -81,6 +81,18 @@ object ScaleRecall {
         .orderBy(col("s").desc, col("vec_id"))
         .limit(K))
 
+    // IVF+SQ8 (s29): same centroids (shared deterministic train), codes
+    // quantized by the corpus-trained scalar quantizer, rerank=50. Its
+    // recall question at scale is DIFFERENT from the walks': cells keep
+    // growing, so does the byte distortion push an exact-within-probes
+    // top-10 item below the fixed rerank horizon?
+    val sqParams = graft.ops.Sq8Index.train(emb)
+    val sqDir = java.nio.file.Files.createTempDirectory("graft-recall-sq8").toString
+    graft.ops.Sq8Index.buildIvf(emb, sqDir, sqParams, kCells = 16, iters = 2)
+    // the rerank horizon is the SQ8 knob that must scale with cell size
+    // (measured: fixed 50 loses 1 recall point on 3/16 queries at 30x)
+    val sqRerank = sys.env.getOrElse("SPARK_GRAFT_SQ8_RERANK", "50").toInt
+
     val rows = QueryIds.map { qid =>
       val qe = queryVecs(qid)
       val truth = exactTopK(qid, qe, emb)
@@ -90,23 +102,28 @@ object ScaleRecall {
           .select("vec_id", "embedding"))
       val flat = ids(NswIndex.searchFrame(spark, flatDir, cents, qe, qid, K, NProbe, Ef))
       val layered = ids(NswIndex.searchFrameLayered(spark, layeredDir, cents, qe, qid, K, NProbe, Ef))
-      (qid, (truth & flat).size, (truth & layered).size, (truth & ceiling).size)
+      val sq8 = ids(graft.ops.Sq8Index.searchIvf(spark, sqDir, cents, emb, sqParams,
+        qe, qid, K, NProbe, rerank = sqRerank))
+      (qid, (truth & flat).size, (truth & layered).size, (truth & ceiling).size,
+        (truth & sq8).size)
     }
 
-    def stats(f: ((Long, Int, Int, Int)) => Int): (Double, Int) = {
+    def stats(f: ((Long, Int, Int, Int, Int)) => Int): (Double, Int) = {
       val xs = rows.map(f)
       (math.round(xs.sum.toDouble / xs.length * 100.0) / 100.0, xs.min)
     }
     val (fMean, fMin) = stats(_._2)
     val (lMean, lMin) = stats(_._3)
     val (cMean, cMin) = stats(_._4)
-    def arr(f: ((Long, Int, Int, Int)) => Int): String = rows.map(f).mkString("[", ",", "]")
+    val (qMean, qMin) = stats(_._5)
+    def arr(f: ((Long, Int, Int, Int, Int)) => Int): String = rows.map(f).mkString("[", ",", "]")
     println(
       s"""{"sf":"$sfDir","n_vectors":$nVectors,"k":$K,"nprobe":$NProbe,"ef":$Ef,""" +
       s""""recall_at10":{"flat":{"mean":$fMean,"min":$fMin},""" +
       s""""layered":{"mean":$lMean,"min":$lMin},""" +
-      s""""ivf_ceiling":{"mean":$cMean,"min":$cMin}},""" +
-      s""""per_query":{"flat":${arr(_._2)},"layered":${arr(_._3)},"ivf_ceiling":${arr(_._4)}}}""")
+      s""""ivf_ceiling":{"mean":$cMean,"min":$cMin},""" +
+      s""""ivf_sq8_rerank$sqRerank":{"mean":$qMean,"min":$qMin}},""" +
+      s""""per_query":{"flat":${arr(_._2)},"layered":${arr(_._3)},"ivf_ceiling":${arr(_._4)},"ivf_sq8_rerank$sqRerank":${arr(_._5)}}}""")
     spark.stop()
   }
 }

@@ -880,6 +880,30 @@ object SimilarityOps {
         recallFloor = 9, scoreIsExact = true)
     }),
 
+    // IVF+SQ8 — the COMPOSED production config (FAISS "IVF16,SQ8"):
+    // coarse cells prune which PARTITIONS the scan reads (nprobe/k of
+    // the files), SQ8 shrinks what each read costs (1 byte/dim, the
+    // [[graft.functions.Sq8Dot]] byte-sum kernel), and the top-50
+    // rerank restores exact scores — at 100 TB the two savings
+    // MULTIPLY: nprobe/k of the corpus at a quarter of the bytes,
+    // floats only for 50 survivors. Soundness vs the full exact
+    // corpus: zero mismatches (rerank is exact), floor 8 — the
+    // nprobe=4 probe ceiling is 9/10 here (s23's bar) and SQ8's
+    // candidate ranking held all 9 at both gate SFs; one slot of
+    // headroom for the quantizer.
+    "s29_ivfsq8_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = Sq8Index.train(emb)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+      val cents = Sq8Index.buildIvf(emb, idxDir, p, kCells = 16, iters = 2)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = Sq8Index.searchIvf(s, idxDir, cents, emb, p, qe, excludeId = 0L,
+        k = 10, nprobe = 4, rerank = 50)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 8, scoreIsExact = true)
+    }),
+
     // Streaming IVF upsert (s04's index kept LIVE —
     // [[graft.streaming.IndexStreams]]): the index is built from 80% of
     // the corpus; the remaining 20% (query 0's whole neighbourhood
@@ -1283,6 +1307,7 @@ object SimilarityOps {
     "s24_stream_ivf_upsert" -> s"$exactCosCte\n$annSoundnessSelect",
     "s25_hnsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s28_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s29_ivfsq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     // Exact side restricted to the FILTERED corpus (label = 3); one
     // soundness row per strategy, the assertion columns literal (both
     // strategies return exact scores ⇒ zero mismatches), the exact

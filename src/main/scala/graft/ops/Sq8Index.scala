@@ -58,6 +58,27 @@ object Sq8Index {
     Params(vmin, vmin.indices.map(d => (vmax(d) - vmin(d)) / 255.0).toArray)
   }
 
+  /** The per-vector affine quantization: (code bytes, reconstructed
+    * norm). One implementation shared by the flat and IVF encoders so
+    * their codes are bit-identical for the same quantizer.
+    */
+  private def encodeOne(e: Seq[Float], vmin: Array[Double], scale: Array[Double]): (Array[Byte], Double) = {
+    val n = math.min(e.length, vmin.length)
+    val code = new Array[Byte](n)
+    var rn = 0.0
+    var d = 0
+    while (d < n) {
+      val c =
+        if (scale(d) == 0.0) 0
+        else math.max(0, math.min(255, math.round((e(d) - vmin(d)) / scale(d)).toInt))
+      code(d) = c.toByte
+      val rec = vmin(d) + c * scale(d)
+      rn += rec * rec
+      d += 1
+    }
+    (code, math.sqrt(rn))
+  }
+
   /** Shuffle-free encode: `(vec_id, code BINARY, rnorm)` where rnorm =
     * |x̂| (the RECONSTRUCTED norm, so approximate cosines use the same
     * vector the scorer implicitly dots against — storing |x| instead
@@ -69,21 +90,60 @@ object Sq8Index {
     val scale = p.scale
     emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].map {
       case (id, e) =>
-        val n = math.min(e.length, vmin.length)
-        val code = new Array[Byte](n)
-        var rn = 0.0
-        var d = 0
-        while (d < n) {
-          val c =
-            if (scale(d) == 0.0) 0
-            else math.max(0, math.min(255, math.round((e(d) - vmin(d)) / scale(d)).toInt))
-          code(d) = c.toByte
-          val rec = vmin(d) + c * scale(d)
-          rn += rec * rec
-          d += 1
-        }
-        (id, code, math.sqrt(rn))
+        val (code, rn) = encodeOne(e, vmin, scale)
+        (id, code, rn)
     }
+  }
+
+  /** The shared approximate-cosine candidate pass over any codes frame
+    * (`vec_id, code, rnorm`): (C + sq8_dot(code, w)) / (|q|·rnorm),
+    * top-`rerank` under the total order. Factored so the flat scan and
+    * the IVF-pruned scan rank with the SAME kernel.
+    */
+  private def approxCandidates(
+      codes: DataFrame,
+      p: Params,
+      q: Array[Float],
+      excludeId: Long,
+      rerank: Int): DataFrame = {
+    val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d))
+    val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
+    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val wLit = array(w.map(lit): _*)
+    codes
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        when(col("rnorm") === 0.0, 0.0)
+          .otherwise((lit(c0) + sq8_dot(col("code"), wLit)) / (lit(qn) * col("rnorm")))
+          .as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank)
+  }
+
+  /** Exact rerank of a candidate frame against full-precision
+    * embeddings (broadcast the k-scale candidate ids into the float
+    * scan). RANKS at full precision, REPORTS at 6dp: ordering by the
+    * rounded score silently swaps members of a rounded tie at the k
+    * boundary (measured at the 30x fixture — two candidates 7e-7
+    * apart, truth's #10 lost to the lower vec_id), so the cut must not
+    * lose rank resolution to display rounding. Oracle-safe by
+    * construction: whichever member of a rounded boundary tie is
+    * chosen, its ROUNDED score — the only thing the soundness scalars
+    * see — is identical.
+    */
+  private def rerankExact(
+      cands: DataFrame,
+      emb: DataFrame,
+      q: Array[Float],
+      k: Int): DataFrame = {
+    val qLit = array(q.toSeq.map(lit): _*)
+    emb
+      .join(broadcast(cands.select("vec_id")), "vec_id")
+      .select(col("vec_id"), cosine_similarity(col("embedding"), qLit).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
   }
 
   /** Byte-scan candidates + exact rerank: the SQ8 pass ranks every code
@@ -103,24 +163,69 @@ object Sq8Index {
       k: Int,
       rerank: Int): DataFrame = {
     require(rerank >= k, "rerank pool must cover k")
-    val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d))
-    val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
-    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
-    val wLit = array(w.map(lit): _*)
-    val cands = codes
-      .filter(col("vec_id") =!= excludeId)
-      .select(col("vec_id"),
-        when(col("rnorm") === 0.0, 0.0)
-          .otherwise((lit(c0) + sq8_dot(col("code"), wLit)) / (lit(qn) * col("rnorm")))
-          .as("approx_cos"))
-      .orderBy(col("approx_cos").desc, col("vec_id"))
-      .limit(rerank)
-    val qLit = array(q.toSeq.map(lit): _*)
-    emb
-      .join(broadcast(cands.select("vec_id")), "vec_id")
-      .select(col("vec_id"),
-        round(cosine_similarity(col("embedding"), qLit), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+    rerankExact(approxCandidates(codes, p, q, excludeId, rerank), emb, q, k)
+  }
+
+  // ---- IVF + SQ8: the composed production config ---------------------
+  //
+  // FAISS's "IVF<k>,SQ8": the coarse quantizer prunes which PARTITIONS
+  // are read (nprobe/k of the files), SQ8 shrinks what each read costs
+  // (1 byte/dim), rerank restores exact scores. At 100 TB the two
+  // multiply: a search touches nprobe/k of the corpus at a quarter of
+  // the bytes, and full-precision floats are read only for the
+  // `rerank` survivors.
+
+  /** Train-assign-encode-materialize in ONE narrow pass: `(vec_id,
+    * code, rnorm)` parquet PARTITIONED BY cluster at `indexDir/cells`,
+    * plus the centroid sidecar. Codes are bit-identical to the flat
+    * [[encode]] for the same quantizer (shared kernel).
+    */
+  def buildIvf(
+      emb: DataFrame,
+      indexDir: String,
+      p: Params,
+      kCells: Int,
+      iters: Int): IvfIndex.Centroids = {
+    import emb.sparkSession.implicits._
+    val cents = IvfIndex.train(emb, kCells, iters)
+    val vmin = p.vmin
+    val scale = p.scale
+    IvfIndex.assignments(emb, cents)
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .map { case (cl, id, e) =>
+        val (code, rn) = encodeOne(e, vmin, scale)
+        (id, code, rn, cl)
+      }
+      .toDF("vec_id", "code", "rnorm", "cluster")
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexDir/cells")
+    IvfIndex.saveCentroids(emb.sparkSession, cents, indexDir)
+    cents
+  }
+
+  /** Partition-pruned byte scan + exact rerank: probe cells picked on
+    * the driver, the code scan reads ONLY those partitions
+    * (PartitionFilters) and ONLY code columns (never floats), the
+    * same [[approxCandidates]] kernel ranks, [[rerankExact]] finishes.
+    */
+  def searchIvf(
+      spark: SparkSession,
+      indexDir: String,
+      cents: IvfIndex.Centroids,
+      emb: DataFrame,
+      p: Params,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank pool must cover k")
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val pruned = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+    rerankExact(approxCandidates(pruned, p, q, excludeId, rerank), emb, q, k)
   }
 }

@@ -94,6 +94,30 @@ class Sq8Spec extends AnyFunSuite {
       s"candidate scan reads embeddings:\n${codeScanLine.get}")
   }
 
+  test("IVF+SQ8: the code scan is partition-pruned AND reads only code columns, " +
+    "the reranked result equals exact search within the probed cells, deterministic") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfsq8-spec").toString
+    val cents = Sq8Index.buildIvf(emb, idxDir, params, kCells = 16, iters = 2)
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    def once() = Sq8Index.searchIvf(spark, idxDir, cents, emb, params, qe,
+      excludeId = 0L, k = 10, nprobe = 4, rerank = 50)
+    val ann = once()
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition prune on the code scan:\n$plan")
+    val codeScanLine = plan.split("\n").find(_.contains("code:binary"))
+    assert(codeScanLine.isDefined && !codeScanLine.get.contains("embedding"),
+      s"code scan must not read floats:\n${codeScanLine.getOrElse("<missing>")}")
+    // rerank=50 over ~125 probed rows: the SQ8 candidate pool covers the
+    // exact-within-probes top-10, so the final result EQUALS exact IVF
+    // search (same centroids — buildIvf and IvfIndex.search share train)
+    val got = ann.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactIvf = IvfIndex.search(emb, cents, queryId = 0L, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exactIvf, s"IVF+SQ8+rerank drifted from exact-within-probes\ngot:   $got\nexact: $exactIvf")
+    assert(once().collect().toSeq == ann.collect().toSeq, "searchIvf must be deterministic")
+  }
+
   test("search: exact output scores, 10/10 recall vs the exact kernel on this " +
     "corpus, deterministic across runs") {
     import spark.implicits._
