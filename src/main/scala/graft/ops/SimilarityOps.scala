@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product}
 import Tables.{t, Q}
@@ -396,6 +396,28 @@ object SimilarityOps {
     stats.join(broadcast(scalars), "query_id").orderBy("query_id")
   }
 
+  /** Run an index-building query against scratch temp dirs, MATERIALIZE
+    * its (tiny) result frame, and delete the scratch before returning —
+    * repeated suite/bench invocations must not accumulate index copies
+    * on disk (the q104/q105 temp-dir advisory applied to the index
+    * family). localCheckpoint(eager) is safe here: every result is a
+    * bounded soundness frame (1-16 rows), and eager materialization
+    * moves no measured work — the caller acts on the frame immediately
+    * either way.
+    */
+  private def withScratchDirs(s: SparkSession, prefixes: String*)(
+      body: Seq[String] => DataFrame): DataFrame = {
+    val dirs = prefixes.map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    try body(dirs).localCheckpoint(true)
+    finally {
+      val conf = s.sparkContext.hadoopConfiguration
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_cosine_topk" -> ((s, dir) => cosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)),
 
@@ -758,10 +780,9 @@ object SimilarityOps {
     // recall@10 is 9/10 at both test SFs (the same IVF nprobe ceiling
     // s04/s18 measure — the walk itself loses nothing; pinned in
     // GraphAnnSpec) → floor 6, the s18 bar.
-    "s23_ivf_nsw_ann" -> ((s, dir) => {
+    "s23_ivf_nsw_ann" -> ((s, dir) => withScratchDirs(s, "graft-nsw-index") { case Seq(idxDir) =>
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-nsw-index").toString
       val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
       val ann = NswIndex.searchFrame(s, idxDir, cents, qe, excludeId = 0L,
@@ -780,10 +801,9 @@ object SimilarityOps {
     // test SFs — identical to s23's flat walk (the IVF nprobe ceiling;
     // the hierarchy changes routing cost, not what layer 0 can reach)
     // → floor 6, the s18 bar.
-    "s25_hnsw_ann" -> ((s, dir) => {
+    "s25_hnsw_ann" -> ((s, dir) => withScratchDirs(s, "graft-hnsw-index") { case Seq(idxDir) =>
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-hnsw-index").toString
       val cents = NswIndex.buildLayered(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
       val ann = NswIndex.searchFrameLayered(s, idxDir, cents, qe, excludeId = 0L,
@@ -805,10 +825,9 @@ object SimilarityOps {
     // recall@10 equals ScaleRecall's flat column (identical build +
     // walk), worst panel query 6/10 at sf0.01 and 5/10 at sf0.001 —
     // the IVF nprobe ceiling per query — → floor 5.
-    "s26_ann_batch" -> ((s, dir) => {
+    "s26_ann_batch" -> ((s, dir) => withScratchDirs(s, "graft-nsw-batch") { case Seq(idxDir) =>
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-nsw-batch").toString
       val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
       val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
@@ -837,10 +856,9 @@ object SimilarityOps {
     // filtered corpus: both strategies' scores exact ⇒ zero
     // mismatches; top-25 containment; 'prefilter' recall is 10/10 BY
     // CONSTRUCTION (it is the exact filtered top-k) — floor 10.
-    "s27_ann_filtered" -> ((s, dir) => {
+    "s27_ann_filtered" -> ((s, dir) => withScratchDirs(s, "graft-nsw-filt") { case Seq(idxDir) =>
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-nsw-filt").toString
       val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
         metaCol = Some("label"))
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
@@ -891,11 +909,10 @@ object SimilarityOps {
     // nprobe=4 probe ceiling is 9/10 here (s23's bar) and SQ8's
     // candidate ranking held all 9 at both gate SFs; one slot of
     // headroom for the quantizer.
-    "s29_ivfsq8_ann" -> ((s, dir) => {
+    "s29_ivfsq8_ann" -> ((s, dir) => withScratchDirs(s, "graft-ivfsq8") { case Seq(idxDir) =>
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val p = Sq8Index.train(emb)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
       val cents = Sq8Index.buildIvf(emb, idxDir, p, kCells = 16, iters = 2)
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
       val ann = Sq8Index.searchIvf(s, idxDir, cents, emb, p, qe, excludeId = 0L,
@@ -919,13 +936,11 @@ object SimilarityOps {
     // 0's own neighbourhood is entirely streamed), so the nprobe
     // ceiling sits lower than s04's full-train: measured recall@10 at
     // nprobe=6 is 7/10 (sf0.001) and 6/10 (sf0.01) → floor 5.
-    "s24_stream_ivf_upsert" -> ((s, dir) => {
+    "s24_stream_ivf_upsert" -> ((s, dir) => withScratchDirs(s,
+      "graft-ivf-live", "graft-ivf-drop", "graft-ivf-ckpt") { case Seq(idxDir, drop, ckpt) =>
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-live").toString
-      val drop = java.nio.file.Files.createTempDirectory("graft-ivf-drop").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
       IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
       emb.filter(col("vec_id") < 50).coalesce(1)
         .write.mode("append").parquet(drop)
