@@ -921,6 +921,28 @@ object SimilarityOps {
         recallFloor = 8, scoreIsExact = true)
     }),
 
+    // BATCHED SQ8 — the byte-scan twin of s26's batched walk
+    // ([[Sq8Index.searchMany]]): ONE pass over the codes evaluates all
+    // 16 queries' weighted byte-sums (16 fused Sq8Dot columns stacked
+    // row-wise — the score-a-panel-in-one-matrix-pass shape), per-query
+    // rerank pools via bounded minK heaps, one broadcast of the pooled
+    // ids into the float scan, each candidate scored exactly against
+    // its query's vector from a map literal. Per-query soundness rows:
+    // exact 6dp scores ⇒ zero mismatches; recall floor 9 — the flat
+    // byte scan covers the WHOLE corpus (no probe ceiling; measured
+    // 10/10 on every panel query at both gate SFs), one slot of
+    // headroom for the quantizer's candidate ranking.
+    "s30_sq8_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = Sq8Index.train(emb)
+      val codes = Sq8Index.encode(emb, p).toDF("vec_id", "code", "rnorm")
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val ann = Sq8Index.searchMany(codes, emb, p, panel, k = 10, rerank = 50)
+      annSoundnessMany(emb, ann, panel.keys.toSeq, k = 10, topN = 100, recallFloor = 9)
+    }),
+
     // Streaming IVF upsert (s04's index kept LIVE —
     // [[graft.streaming.IndexStreams]]): the index is built from 80% of
     // the corpus; the remaining 20% (query 0's whole neighbourhood
@@ -1242,6 +1264,22 @@ object SimilarityOps {
       |  FROM embeddings e, embeddings q WHERE q.vec_id = 0 AND e.vec_id <> 0),
       |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)""".stripMargin
 
+  private val batchSoundnessSql =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 16),
+      |ex AS (SELECT q.query_id, e.vec_id,
+      |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+      |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |   sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |rk AS (SELECT query_id, vec_id, exact_cos,
+      |       row_number() OVER (PARTITION BY query_id ORDER BY exact_cos DESC, vec_id) AS r FROM ex)
+      |SELECT query_id, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+      |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+      |  max(exact_cos) FILTER (WHERE r <= 10) AS exact_best_cos,
+      |  min(exact_cos) FILTER (WHERE r <= 10) AS exact_cos_at_k
+      |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin
+
   private val annSoundnessSelect =
     """SELECT CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
       |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
@@ -1338,25 +1376,13 @@ object SimilarityOps {
         |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
         |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k
         |FROM (VALUES ('inwalk'), ('prefilter')) AS s(strategy) ORDER BY s.strategy""".stripMargin,
-    // Per-query soundness for the batched panel: the exact side is the
-    // 16-query generalization of exactCosCte (same 6dp cosine kernel);
-    // the walk's assertion columns are literals per query, the exact
-    // top-10 scalars are genuinely recomputed per query.
-    "s26_ann_batch" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-        |           FROM embeddings WHERE vec_id < 16),
-        |ex AS (SELECT q.query_id, e.vec_id,
-        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
-        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |   sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_cos
-        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-        |rk AS (SELECT query_id, vec_id, exact_cos,
-        |       row_number() OVER (PARTITION BY query_id ORDER BY exact_cos DESC, vec_id) AS r FROM ex)
-        |SELECT query_id, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
-        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
-        |  max(exact_cos) FILTER (WHERE r <= 10) AS exact_best_cos,
-        |  min(exact_cos) FILTER (WHERE r <= 10) AS exact_cos_at_k
-        |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // Per-query soundness for the batched panels (s26 walk, s30 byte
+    // scan — same 16-query contract): the exact side is the 16-query
+    // generalization of exactCosCte (same 6dp cosine kernel); the
+    // assertion columns are literals per query, the exact top-10
+    // scalars are genuinely recomputed per query.
+    "s26_ann_batch" -> batchSoundnessSql,
+    "s30_sq8_batch" -> batchSoundnessSql,
     // Full margin-mining replay: same rounded cosines, neighborhood
     // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
     // — the sum order matches Spark's sorted minK array fold), same

@@ -166,6 +166,64 @@ object Sq8Index {
     rerankExact(approxCandidates(codes, p, q, excludeId, rerank), emb, q, k)
   }
 
+  /** BATCHED multi-query SQ8 search — the byte-scan twin of
+    * [[NswIndex.searchFrameMany]]: ONE pass over the codes evaluates
+    * every query's weighted byte-sum (Q fused [[graft.functions.Sq8Dot]]
+    * columns stacked row-wise — the "score a panel against the corpus
+    * in one matrix pass" shape), per-query `rerank` candidate pools
+    * come from bounded minK heaps (never a window over the
+    * low-cardinality query id), and ONE broadcast of the pooled ids
+    * reads full-precision floats for the exact rerank, each row scored
+    * against its query's vector via a map literal. Cost vs Q single
+    * calls: the code bytes are read ONCE instead of Q times, and the
+    * candidate float reads stay O(Q·rerank). Ranks at full precision,
+    * reports at 6dp (the [[rerankExact]] discipline); a query never
+    * returns itself. Output matches [[NswIndex.searchFrameMany]]:
+    * `(query_id, rank, vec_id, cos_sim)`.
+    */
+  def searchMany(
+      codes: DataFrame,
+      emb: DataFrame,
+      p: Params,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      rerank: Int): DataFrame = {
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchMany needs at least one query")
+    require(rerank >= k, "rerank pool must cover k")
+    val perQuery = queries.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d))
+      val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      struct(lit(qid).as("query_id"),
+        when(col("rnorm") === 0.0, 0.0)
+          .otherwise((lit(c0) + sq8_dot(col("code"), array(w.map(lit): _*))) /
+            (lit(qn) * col("rnorm")))
+          .as("approx_cos"))
+    }
+    val pooled = codes
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
+      .select(col("vec_id"), col("qa.query_id").as("query_id"), col("qa.approx_cos").as("approx_cos"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(minK(struct((-col("approx_cos")).as("na"), col("vec_id")), rerank).as("pool"))
+      .select(col("query_id"), explode(col("pool")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
+    val qLit = typedLit(queries.map { case (qid, q) => qid -> q.toSeq })
+    emb
+      .join(broadcast(pooled), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), element_at(qLit, col("query_id"))).as("raw"))
+      .select(col("query_id"),
+        struct((-col("raw")).as("nr"), col("vec_id"), col("raw")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), round(col("rec.raw"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- IVF + SQ8: the composed production config ---------------------
   //
   // FAISS's "IVF<k>,SQ8": the coarse quantizer prunes which PARTITIONS

@@ -118,6 +118,26 @@ class Sq8Spec extends AnyFunSuite {
     assert(once().collect().toSeq == ann.collect().toSeq, "searchIvf must be deterministic")
   }
 
+  test("batched searchMany equals Q independent single-query searches per query " +
+    "and is deterministic") {
+    import spark.implicits._
+    val codes = Sq8Index.encode(emb, params).toDF("vec_id", "code", "rnorm")
+    val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def once() = Sq8Index.searchMany(codes, emb, params, panel, k = 10, rerank = 50)
+    val rows = once().collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    panel.keys.toSeq.sorted.foreach { qid =>
+      val single = Sq8Index.search(codes, emb, params, panel(qid), excludeId = qid,
+        k = 10, rerank = 50)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got == single, s"query $qid: batch != single\nbatch:  $got\nsingle: $single")
+    }
+    assert(once().collect().toSeq == once().collect().toSeq, "searchMany must be deterministic")
+  }
+
   test("search: exact output scores, 10/10 recall vs the exact kernel on this " +
     "corpus, deterministic across runs") {
     import spark.implicits._
