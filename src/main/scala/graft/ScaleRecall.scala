@@ -54,15 +54,19 @@ object ScaleRecall {
     import spark.implicits._
     import graft.functions.VectorFunctions.cosine_similarity
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    val embFull = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val emb = embFull.select("vec_id", "embedding")
     val nVectors = emb.count()
 
     val flatDir = java.nio.file.Files.createTempDirectory("graft-recall-flat").toString
     val layeredDir = java.nio.file.Files.createTempDirectory("graft-recall-hnsw").toString
     // identical train params + deterministic k-means => identical centroids,
     // so the ceiling column applies to both indexes
-    val cents = NswIndex.build(emb, flatDir, k = 16, iters = 2, m = 8, efC = 32)
+    // metaCol rides along so the SAME flat index also serves the
+    // filtered-search measurement (searchFrame ignores the meta column)
+    val cents = NswIndex.build(embFull, flatDir, k = 16, iters = 2, m = 8, efC = 32,
+      metaCol = Some("label"))
     NswIndex.buildLayered(emb, layeredDir, k = 16, iters = 2, m = 8, efC = 32)
 
     // one pass over the corpus per query for ground truth; the panel is
@@ -70,7 +74,8 @@ object ScaleRecall {
     val queryVecs: Map[Long, Array[Float]] = emb
       .filter(col("vec_id").isin(QueryIds.map(x => x: Any): _*))
       .as[(Long, Array[Float])].collect().toMap
-    val assignments = IvfIndex.assignments(emb, cents).localCheckpoint()
+    val assignments = IvfIndex.assignments(embFull, cents, extraCols = Seq("label"))
+      .localCheckpoint()
 
     def ids(df: DataFrame): Set[Long] = df.select("vec_id").as[Long].collect().toSet
 
@@ -93,6 +98,15 @@ object ScaleRecall {
     // (measured: fixed 50 loses 1 recall point on 3/16 queries at 30x)
     val sqRerank = sys.env.getOrElse("SPARK_GRAFT_SQ8_RERANK", "50").toInt
 
+    // Filtered search (s27's in-walk strategy, its own parameters:
+    // nprobe=12, label predicate = 3): ground truth is the exact
+    // FILTERED top-10, and the filtered probe CEILING (exact among
+    // label-3 rows in the probed cells) isolates what the quantizer
+    // loses under a predicate — the s27 comment's scatter effect,
+    // measured here at fixture scale.
+    val FiltNProbe = 12
+    val FiltLabel = 3
+
     val rows = QueryIds.map { qid =>
       val qe = queryVecs(qid)
       val truth = exactTopK(qid, qe, emb)
@@ -104,26 +118,48 @@ object ScaleRecall {
       val layered = ids(NswIndex.searchFrameLayered(spark, layeredDir, cents, qe, qid, K, NProbe, Ef))
       val sq8 = ids(graft.ops.Sq8Index.searchIvf(spark, sqDir, cents, emb, sqParams,
         qe, qid, K, NProbe, rerank = sqRerank))
-      (qid, (truth & flat).size, (truth & layered).size, (truth & ceiling).size,
-        (truth & sq8).size)
+      val truthF = exactTopK(qid, qe,
+        embFull.filter(col("label") === FiltLabel).select("vec_id", "embedding"))
+      val probesF = IvfIndex.probeCells(cents, qe, FiltNProbe)
+      val ceilingF = exactTopK(qid, qe,
+        assignments.filter(col("label") === FiltLabel &&
+          col("cluster").isin(probesF.map(x => x: Any): _*))
+          .select("vec_id", "embedding"))
+      val walkF = ids(NswIndex.searchFrameFiltered(spark, flatDir, cents, qe, qid,
+        K, FiltNProbe, Ef, allowMeta = _ == FiltLabel.toLong))
+      // the PERMISSIVE regime (label != 3, ~90% pass — in-walk's home
+      // turf): navigation barely sees the predicate, recall should
+      // track the unfiltered walk's
+      val truthP = exactTopK(qid, qe,
+        embFull.filter(col("label") =!= FiltLabel).select("vec_id", "embedding"))
+      val probesP = IvfIndex.probeCells(cents, qe, NProbe)
+      val ceilingP = exactTopK(qid, qe,
+        assignments.filter(col("label") =!= FiltLabel &&
+          col("cluster").isin(probesP.map(x => x: Any): _*))
+          .select("vec_id", "embedding"))
+      val walkP = ids(NswIndex.searchFrameFiltered(spark, flatDir, cents, qe, qid,
+        K, NProbe, Ef, allowMeta = _ != FiltLabel.toLong))
+      Seq((truth & flat).size, (truth & layered).size, (truth & ceiling).size,
+        (truth & sq8).size, (truthF & ceilingF).size, (truthF & walkF).size,
+        (truthP & ceilingP).size, (truthP & walkP).size)
     }
 
-    def stats(f: ((Long, Int, Int, Int, Int)) => Int): (Double, Int) = {
-      val xs = rows.map(f)
+    def stats(i: Int): (Double, Int) = {
+      val xs = rows.map(_(i))
       (math.round(xs.sum.toDouble / xs.length * 100.0) / 100.0, xs.min)
     }
-    val (fMean, fMin) = stats(_._2)
-    val (lMean, lMin) = stats(_._3)
-    val (cMean, cMin) = stats(_._4)
-    val (qMean, qMin) = stats(_._5)
-    def arr(f: ((Long, Int, Int, Int, Int)) => Int): String = rows.map(f).mkString("[", ",", "]")
+    def arr(i: Int): String = rows.map(_(i)).mkString("[", ",", "]")
+    val names = Seq("flat", "layered", "ivf_ceiling", s"ivf_sq8_rerank$sqRerank",
+      s"filtered_ceiling_np$FiltNProbe", s"filtered_inwalk_np$FiltNProbe",
+      s"permissive_ceiling_np$NProbe", s"permissive_inwalk_np$NProbe")
+    val summary = names.zipWithIndex.map { case (n, i) =>
+      val (m, lo) = stats(i)
+      s""""$n":{"mean":$m,"min":$lo}"""
+    }.mkString(",")
+    val perQuery = names.zipWithIndex.map { case (n, i) => s""""$n":${arr(i)}""" }.mkString(",")
     println(
       s"""{"sf":"$sfDir","n_vectors":$nVectors,"k":$K,"nprobe":$NProbe,"ef":$Ef,""" +
-      s""""recall_at10":{"flat":{"mean":$fMean,"min":$fMin},""" +
-      s""""layered":{"mean":$lMean,"min":$lMin},""" +
-      s""""ivf_ceiling":{"mean":$cMean,"min":$cMin},""" +
-      s""""ivf_sq8_rerank$sqRerank":{"mean":$qMean,"min":$qMin}},""" +
-      s""""per_query":{"flat":${arr(_._2)},"layered":${arr(_._3)},"ivf_ceiling":${arr(_._4)},"ivf_sq8_rerank$sqRerank":${arr(_._5)}}}""")
+      s""""recall_at10":{$summary},"per_query":{$perQuery}}""")
     spark.stop()
   }
 }

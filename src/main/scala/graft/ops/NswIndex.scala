@@ -112,9 +112,20 @@ object NswIndex {
     * that terminates the walk is the worst KEPT score, so a sparse
     * predicate keeps the frontier open longer; in the degenerate case
     * (fewer than `ef` kept nodes reachable) the walk visits the whole
-    * component — O(cell), the documented worst case, which is exactly
-    * why [[searchFramePrefiltered]] exists for selective predicates.
-    * Determinism discipline matches [[greedySearchFn]].
+    * component — O(cell).
+    *
+    * REGIME BOUNDARY (measured, `bench_scale.json` `filtered_recall`):
+    * under a PERMISSIVE predicate (~90% pass) this walk equals its
+    * probe ceiling at every fixture through 30× — its home turf. Under
+    * a SELECTIVE predicate (~10%) it holds at gate scale but STRANDS
+    * as cells grow (recall@10 min 2/10 at 30× while the ceiling holds
+    * 10/10): once `best` fills from one allowed clique, the kept-floor
+    * termination fires before navigation crosses DISALLOWED bridge
+    * regions to better allowed cliques — a navigation loss, not a cost
+    * effect. That regime belongs to [[searchFramePrefiltered]] (exact
+    * over the matching rows under a pushed predicate), which is the
+    * s27 dispatch's whole point. Determinism discipline matches
+    * [[greedySearchFn]].
     */
   private[ops] def greedySearchFilteredFn(
       vecs: scala.collection.Map[Long, Array[Float]],
