@@ -229,10 +229,18 @@ object NswIndex {
       .as[(Int, Long, Seq[Float], Long)]
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>
-        val rows = it.toArray
-        val members = rows.map { case (_, id, e, _) => (id, e.map(_.toFloat).toArray) }
-          .sortBy(_._1)
-        val meta = rows.iterator.map(r => r._2 -> r._4).toMap
+        // ONE streaming pass over the iterator — never retain the boxed
+        // input tuples beside the float arrays (at the 10^7-vector cell
+        // design point a second full copy is the difference between
+        // fitting and OOM); the meta map and graph share the SAME
+        // array instances members holds
+        val membersBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val meta = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { case (_, id, e, mv) =>
+          membersBuf += ((id, e.map(_.toFloat).toArray))
+          meta(id) = mv
+        }
+        val members = membersBuf.sortInPlaceBy(_._1).toArray
         val adj = buildCellGraph(members, m, efC)
         members.iterator.map { case (id, v) =>
           (id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq.sorted, meta(id), cell)
@@ -243,7 +251,29 @@ object NswIndex {
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexDir/cells")
+    // marker the filtered searches REQUIRE: without it an index built
+    // metaCol-less (meta = 0 everywhere) would answer metadata
+    // predicates with silently-wrong (usually empty) results
+    metaCol.foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
+      val fs = p.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     cents
+  }
+
+  /** Fails loudly when `indexDir` was not built with `metaCol` — the
+    * meta column then holds the 0L placeholder for every row and a
+    * metadata predicate would return silently-wrong results.
+    */
+  private def requireMetaIndex(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$indexDir was built without metaCol — filtered search over its placeholder " +
+        "meta column would be silently wrong; rebuild with NswIndex.build(..., metaCol = Some(...))")
   }
 
   /** Lazy search frame (for plan inspection): filter to the `nprobe`
@@ -305,7 +335,8 @@ object NswIndex {
       queries: Map[Long, Array[Float]],
       k: Int,
       nprobe: Int,
-      ef: Int): DataFrame = {
+      ef: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     import graft.functions.TopKAggregates.minK
     require(queries.nonEmpty, "searchFrameMany needs at least one query")
@@ -328,7 +359,10 @@ object NswIndex {
         val entry = rows.iterator.map(_._2).min
         br.value.getOrElse(cell, Nil).iterator.flatMap { qid =>
           greedySearch(vecs, adj, Seq(entry), bq.value(qid), ef)
-            .filter(_._2 != qid) // a query never returns itself
+            // self-exclusion assumes panel keys ARE corpus vec_ids;
+            // pass excludeSelf=false for an out-of-corpus panel whose
+            // arbitrary keys could collide with unrelated corpus ids
+            .filter(c => !excludeSelf || c._2 != qid)
             .sortBy(t => (-t._1, t._2)).take(k)
             .map { case (sc, id) => (qid, id, sc) }
         }
@@ -383,6 +417,7 @@ object NswIndex {
       ef: Int,
       allowMeta: Long => Boolean): DataFrame = {
     import spark.implicits._
+    requireMetaIndex(spark, indexDir)
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
     spark.read.parquet(s"$indexDir/cells")
@@ -426,6 +461,7 @@ object NswIndex {
       k: Int,
       nprobe: Int,
       metaPred: Column): DataFrame = {
+    requireMetaIndex(spark, indexDir)
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val qLit = array(q.toSeq.map(lit): _*)
     spark.read.parquet(s"$indexDir/cells")

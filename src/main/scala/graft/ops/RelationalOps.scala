@@ -23,6 +23,18 @@ import Tables.{t, Q}
   */
 object RelationalOps {
 
+  /** Stable overwrite-mode scratch path for round-trip queries, KEYED BY
+    * the input dir so two SFs (or two concurrent JVMs on different
+    * fixtures) never share a directory: repeated invocations on one
+    * fixture reuse one path (no per-run dir leak), while a different
+    * fixture gets its own — an overwrite from a bigger corpus can never
+    * be read back by a smaller one's query.
+    */
+  private def rtPath(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_rt_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
+
   val queries: Map[String, Q] = Map(
     // Flagship: the ingest-manifest shape — per-day/type file counts past a
     // watermark (the reference's day-batch view, audit_data_ingest.py:49-51).
@@ -1206,7 +1218,7 @@ object RelationalOps {
     // FormatRoundTripSpec pins that the ORC scan really prunes
     // (PushedFilters non-empty on the second scan).
     "q98_orc_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+      val tmp = rtPath("orc", dir)
       t(s, dir, "documents").write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .filter(col("lang") === "en" && col("n_chars") >= 50)
@@ -1432,7 +1444,7 @@ object RelationalOps {
       // stable overwrite-mode path (the q99 idiom): repeated suite/bench
       // invocations reuse one directory instead of accumulating a fresh
       // corpus copy per run
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_rt"
+      val base = rtPath("bloom", dir)
       t(s, dir, "documents")
         .orderBy(md5(col("text")))
         .write.mode("overwrite")
@@ -1472,7 +1484,7 @@ object RelationalOps {
         s"shiftleft((x >> $b) & 1, ${2 * b + 1}) | shiftleft((y >> $b) & 1, ${2 * b})")
         .mkString("(", ") | (", ")")
       // stable overwrite-mode path (the q99 idiom) — no per-run dir leak
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_rt"
+      val base = rtPath("zorder", dir)
       docs.repartitionByRange(16, col("doc_id"))
         .write.mode("overwrite").parquet(s"$base/linear")
       docs.withColumn("z", expr(zBits))
@@ -1530,7 +1542,7 @@ object RelationalOps {
           pmod(expr("CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"),
             lit(1024L)).as("y"))
       // stable overwrite-mode path (the q99 idiom) — no per-run dir leak
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_writer_rt"
+      val base = rtPath("zorder_writer", dir)
       docs.repartitionByRange(16, col("doc_id"))
         .write.mode("overwrite").parquet(s"$base/linear")
       graft.sources.LakeLayout.writeParquetZOrdered(
@@ -1571,7 +1583,7 @@ object RelationalOps {
     // exactly; a length-preservation column guards the classic
     // quote-mangling failure mode.
     "q99_csv_roundtrip" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+      val tmp = rtPath("csv", dir)
       val docs = t(s, dir, "documents")
       docs.write.mode("overwrite").option("header", "true").option("quoteAll", "true").csv(tmp)
       // multiLine: the quoteAll writer legally emits embedded newlines

@@ -405,17 +405,32 @@ object SimilarityOps {
     * moves no measured work — the caller acts on the frame immediately
     * either way.
     */
+  /** Plan-audit hook: the eager checkpoint above collapses a wrapped
+    * query's executed plan to an ExistingRDD scan, which would BLIND
+    * PlanShapeSpec's window audit to anything inside these queries.
+    * When a test sets this flag the wrapped queries return their LAZY
+    * frames (real plans, no checkpoint, no deletion); the scratch dirs
+    * queue up in [[scratchKeepLazyDirs]] for the test to clean.
+    * Production and gate paths never set it.
+    */
+  @volatile private[ops] var scratchKeepLazy: Boolean = false
+  private[ops] val scratchKeepLazyDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private def withScratchDirs(s: SparkSession, prefixes: String*)(
       body: Seq[String] => DataFrame): DataFrame = {
     val dirs = prefixes.map(p => java.nio.file.Files.createTempDirectory(p).toString)
-    try body(dirs).localCheckpoint(true)
-    finally {
-      val conf = s.sparkContext.hadoopConfiguration
-      dirs.foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).delete(p, true)
+    if (scratchKeepLazy) {
+      dirs.foreach(scratchKeepLazyDirs.add)
+      body(dirs)
+    } else
+      try body(dirs).localCheckpoint(true)
+      finally {
+        val conf = s.sparkContext.hadoopConfiguration
+        dirs.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
       }
-    }
   }
 
   val queries: Map[String, Q] = Map(

@@ -106,6 +106,8 @@ object Sq8Index {
       q: Array[Float],
       excludeId: Long,
       rerank: Int): DataFrame = {
+    require(q.length == p.dim,
+      s"query dim ${q.length} != trained quantizer dim ${p.dim}")
     val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d))
     val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
     val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
@@ -187,10 +189,13 @@ object Sq8Index {
       p: Params,
       queries: Map[Long, Array[Float]],
       k: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.TopKAggregates.minK
     require(queries.nonEmpty, "searchMany needs at least one query")
     require(rerank >= k, "rerank pool must cover k")
+    queries.foreach { case (qid, q) => require(q.length == p.dim,
+      s"query $qid dim ${q.length} != trained quantizer dim ${p.dim}") }
     val perQuery = queries.toSeq.sortBy(_._1).map { case (qid, q) =>
       val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d))
       val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
@@ -201,10 +206,14 @@ object Sq8Index {
             (lit(qn) * col("rnorm")))
           .as("approx_cos"))
     }
-    val pooled = codes
+    val scored = codes
       .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
       .select(col("vec_id"), col("qa.query_id").as("query_id"), col("qa.approx_cos").as("approx_cos"))
-      .filter(col("vec_id") =!= col("query_id"))
+    // self-exclusion assumes panel keys ARE corpus vec_ids (the query
+    // row should not return itself); pass excludeSelf=false for an
+    // out-of-corpus panel whose arbitrary keys could collide with
+    // unrelated corpus ids
+    val pooled = (if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id")) else scored)
       .groupBy("query_id")
       .agg(minK(struct((-col("approx_cos")).as("na"), col("vec_id")), rerank).as("pool"))
       .select(col("query_id"), explode(col("pool")).as("c"))
@@ -218,9 +227,16 @@ object Sq8Index {
         struct((-col("raw")).as("nr"), col("vec_id"), col("raw")).as("rec"))
       .groupBy("query_id")
       .agg(minK(col("rec"), k).as("recs"))
+      // SELECTION was by raw score (the rerankExact discipline); rank
+      // assignment re-sorts the k kept rows into the single-query OUTPUT
+      // order (rounded desc, vec_id asc) so the batch is row-identical
+      // to Q independent [[search]] calls even at rounded boundary ties
+      .select(col("query_id"), array_sort(expr(
+        "transform(recs, r -> struct(-round(r.raw, 6) AS nc, r.vec_id AS vec_id, round(r.raw, 6) AS cos_sim))"))
+        .as("recs"))
       .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("rec.vec_id").as("vec_id"), round(col("rec.raw"), 6).as("cos_sim"))
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 

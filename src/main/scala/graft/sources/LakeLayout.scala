@@ -59,18 +59,34 @@ object LakeLayout {
     require(zCols.nonEmpty, "zorderBy needs at least one column")
     val aggs = zCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = zCols.indices.map { i =>
+      if (stats.isNullAt(2 * i)) None
+      else Some((stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
+    }
+    zorderColumnFromBounds(zCols, bitsPerDim, bounds)
+  }
+
+  /** Pure quantize-and-interleave against PRECOMPUTED per-column
+    * (min, max) bounds — no aggregation job, so a caller that already
+    * aggregates over `df` (e.g. the shard writer's row count) can fold
+    * the bounds into ITS job and pay one corpus pass instead of two.
+    * `None` marks an all-null column (no ordering signal).
+    */
+  def zorderColumnFromBounds(
+      zCols: Seq[String], bitsPerDim: Int,
+      bounds: Seq[Option[(Double, Double)]]): Column = {
+    require(zCols.nonEmpty, "zorderBy needs at least one column")
+    require(zCols.length == bounds.length, "one (min, max) bound per z column")
     val buckets = (1L << bitsPerDim).toDouble
-    val quantized = zCols.zipWithIndex.map { case (c, i) =>
-      if (stats.isNullAt(2 * i)) lit(0L) // all-null column: no ordering signal
-      else {
-        val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+    val quantized = zCols.zip(bounds).map {
+      case (_, None) => lit(0L) // all-null column: no ordering signal
+      case (c, Some((lo, hi))) =>
         if (hi <= lo) lit(0L) // constant column drops out of the ordering
         else least(
           lit((1L << bitsPerDim) - 1),
           coalesce(
             floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(buckets)).cast("long"),
             lit(0L)))
-      }
     }
     zvalue(quantized, bitsPerDim)
   }

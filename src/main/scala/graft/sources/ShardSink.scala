@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.functions.{col, from_json, struct, to_json}
+import org.apache.spark.sql.functions.{col, count, from_json, lit, max, min, struct, to_json}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -509,8 +509,19 @@ object TrainingShards {
       else {
         val zc = "__graft_z"
         require(!df.columns.contains(zc), s"column name $zc is reserved by the z-order writer")
-        val nParts = math.max(1, math.ceil(df.count().toDouble / maxDocsPerShard).toInt)
-        df.withColumn(zc, LakeLayout.zorderColumn(df, zOrderBy, zOrderBitsPerDim))
+        // ONE aggregation pays for both the range-partition sizing (row
+        // count) and the quantizer bounds (per-dim min/max) — an
+        // unpersisted streaming batch frame must not be recomputed once
+        // per statistic
+        val aggs = count(lit(1L)) +:
+          zOrderBy.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        val nParts = math.max(1, math.ceil(stats.getLong(0).toDouble / maxDocsPerShard).toInt)
+        val bounds = zOrderBy.indices.map { i =>
+          if (stats.isNullAt(1 + 2 * i)) None
+          else Some((stats.getDouble(1 + 2 * i), stats.getDouble(2 + 2 * i)))
+        }
+        df.withColumn(zc, LakeLayout.zorderColumnFromBounds(zOrderBy, zOrderBitsPerDim, bounds))
           .repartitionByRange(nParts, col(zc))
           .sortWithinPartitions(zc)
           .drop(zc)

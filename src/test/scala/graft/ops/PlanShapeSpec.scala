@@ -353,14 +353,29 @@ class PlanShapeSpec extends AnyFunSuite {
     "every window partition spec contains a high-cardinality key") {
     val offendersGlobal = scala.collection.mutable.ArrayBuffer.empty[String]
     val offendersLowCard = scala.collection.mutable.ArrayBuffer.empty[String]
-    graft.SparkEntry.queries.foreach { case (name, fn) =>
-      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-      windowPartitions(p).foreach {
-        case None =>
-          if (!unpartitionedWindowAllowlist.contains(name)) offendersGlobal += name
-        case Some(ps) =>
-          if (lowCardOffense(ps) && !boundedInputWindowAllowlist.contains(name))
-            offendersLowCard += s"$name: [$ps]"
+    // keepLazy: the scratch-index queries normally return an eagerly
+    // checkpointed frame whose plan is just an ExistingRDD scan — the
+    // audit must see their REAL plans, so the hook disables the
+    // checkpoint (and the scratch cleanup, done below) for this loop
+    SimilarityOps.scratchKeepLazy = true
+    try {
+      graft.SparkEntry.queries.foreach { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        windowPartitions(p).foreach {
+          case None =>
+            if (!unpartitionedWindowAllowlist.contains(name)) offendersGlobal += name
+          case Some(ps) =>
+            if (lowCardOffense(ps) && !boundedInputWindowAllowlist.contains(name))
+              offendersLowCard += s"$name: [$ps]"
+        }
+      }
+    } finally {
+      SimilarityOps.scratchKeepLazy = false
+      var d = SimilarityOps.scratchKeepLazyDirs.poll()
+      while (d != null) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        d = SimilarityOps.scratchKeepLazyDirs.poll()
       }
     }
     assert(offendersGlobal.isEmpty,
