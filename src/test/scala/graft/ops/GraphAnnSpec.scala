@@ -264,6 +264,22 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(walk(_ => false).count() == 0)
   }
 
+  test("s27: filtered search fails LOUDLY against an index built without metaCol") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-nometa-spec").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32) // no metaCol
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    val e1 = intercept[IllegalArgumentException] {
+      NswIndex.searchFrameFiltered(spark, idxDir, cents, qe, 0L, 10, 8, 48, _ == 3L)
+    }
+    assert(e1.getMessage.contains("metaCol"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      NswIndex.searchFramePrefiltered(spark, idxDir, cents, qe, 0L, 10, 8, col("meta") === 3L)
+    }
+    assert(e2.getMessage.contains("metaCol"), e2.getMessage)
+  }
+
   test("s25: layered search is partition-pruned, deterministic, and clears " +
     "the s23 recall bar at both test SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

@@ -118,6 +118,16 @@ class Sq8Spec extends AnyFunSuite {
     assert(once().collect().toSeq == ann.collect().toSeq, "searchIvf must be deterministic")
   }
 
+  test("a query whose dimension differs from the trained quantizer's fails loudly") {
+    import spark.implicits._
+    val codes = Sq8Index.encode(emb, params).toDF("vec_id", "code", "rnorm")
+    val short = Array.fill(params.dim / 2)(0.5f)
+    val e = intercept[IllegalArgumentException] {
+      Sq8Index.search(codes, emb, params, short, excludeId = 0L, k = 10, rerank = 50)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("batched searchMany equals Q independent single-query searches per query " +
     "and is deterministic") {
     import spark.implicits._
