@@ -253,27 +253,55 @@ object NswIndex {
       .parquet(s"$indexDir/cells")
     // marker the filtered searches REQUIRE: without it an index built
     // metaCol-less (meta = 0 everywhere) would answer metadata
-    // predicates with silently-wrong (usually empty) results
-    metaCol.foreach { c =>
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
-      val fs = p.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    // predicates with silently-wrong (usually empty) results. A
+    // metaCol-less rebuild DELETES any stale marker — the cells
+    // overwrite already replaced the data, and a surviving marker from
+    // a previous meta-built index would let filtered search run against
+    // the all-zero placeholder, the silent-wrong mode the marker exists
+    // to prevent.
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
+    val fs = markerPath.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    metaCol match {
+      case Some(c) =>
+        val out = fs.create(markerPath, true)
+        try out.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      case None =>
+        if (fs.exists(markerPath)) fs.delete(markerPath, false)
     }
     cents
   }
 
   /** Fails loudly when `indexDir` was not built with `metaCol` — the
     * meta column then holds the 0L placeholder for every row and a
-    * metadata predicate would return silently-wrong results.
+    * metadata predicate would return silently-wrong results. When the
+    * caller states which source column it expects the predicate to run
+    * against (`expectCol`), the marker's RECORDED column is read back
+    * and must match — an index built with metaCol=Some("label") must
+    * not silently serve a predicate the caller intended for "lang".
     */
-  private def requireMetaIndex(spark: SparkSession, indexDir: String): Unit = {
+  private def requireMetaIndex(spark: SparkSession, indexDir: String,
+      expectCol: Option[String] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"$indexDir was built without metaCol — filtered search over its placeholder " +
         "meta column would be silently wrong; rebuild with NswIndex.build(..., metaCol = Some(...))")
+    expectCol.foreach { want =>
+      val in = fs.open(p)
+      val recorded =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      require(recorded == want,
+        s"$indexDir was built with metaCol='$recorded' but this search's predicate " +
+          s"targets '$want' — the meta bytes in the cell files encode a different " +
+          "attribute; rebuild the index with the intended metaCol")
+    }
   }
 
   /** Lazy search frame (for plan inspection): filter to the `nprobe`
@@ -415,9 +443,10 @@ object NswIndex {
       k: Int,
       nprobe: Int,
       ef: Int,
-      allowMeta: Long => Boolean): DataFrame = {
+      allowMeta: Long => Boolean,
+      expectMetaCol: Option[String] = None): DataFrame = {
     import spark.implicits._
-    requireMetaIndex(spark, indexDir)
+    requireMetaIndex(spark, indexDir, expectMetaCol)
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
     spark.read.parquet(s"$indexDir/cells")
@@ -460,8 +489,9 @@ object NswIndex {
       excludeId: Long,
       k: Int,
       nprobe: Int,
-      metaPred: Column): DataFrame = {
-    requireMetaIndex(spark, indexDir)
+      metaPred: Column,
+      expectMetaCol: Option[String] = None): DataFrame = {
+    requireMetaIndex(spark, indexDir, expectMetaCol)
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val qLit = array(q.toSeq.map(lit): _*)
     spark.read.parquet(s"$indexDir/cells")

@@ -30,9 +30,16 @@ object RelationalOps {
     * fixture gets its own — an overwrite from a bigger corpus can never
     * be read back by a smaller one's query.
     */
-  private def rtPath(tag: String, dir: String): String =
+  private def rtPath(tag: String, dir: String): String = {
+    // full md5 of the path, not String.hashCode: a 32-bit hash collision
+    // between two fixture paths would let one corpus's overwrite be read
+    // back by the other's round-trip query — the exact contamination this
+    // keying exists to rule out
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_rt_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      md.map(b => f"$b%02x").mkString
+  }
 
 
   val queries: Map[String, Q] = Map(

@@ -883,9 +883,9 @@ object SimilarityOps {
       // from candidates; its own label is irrelevant to the predicate)
       val embF = emb.filter(col("label") === 3 || col("vec_id") === 0L)
       val pre = NswIndex.searchFramePrefiltered(s, idxDir, cents, qe, excludeId = 0L,
-        k = 10, nprobe = 16, metaPred = col("meta") === 3L)
+        k = 10, nprobe = 16, metaPred = col("meta") === 3L, expectMetaCol = Some("label"))
       val walk = NswIndex.searchFrameFiltered(s, idxDir, cents, qe, excludeId = 0L,
-        k = 10, nprobe = 12, ef = 48, allowMeta = _ == 3L)
+        k = 10, nprobe = 12, ef = 48, allowMeta = _ == 3L, expectMetaCol = Some("label"))
       annSoundness(embF, pre, "cos_sim", queryId = 0L, k = 10, topN = 25,
         recallFloor = 10, scoreIsExact = true).withColumn("strategy", lit("prefilter"))
         .unionByName(

@@ -203,12 +203,23 @@ private[sources] class ShardBatchWrite(
     val dirPath = new HPath(path)
     val fresh = messages.collect { case ShardsWritten(s) => s }.flatten.toSeq
     val tokenPrefix = s"part-$jobToken-"
-    val prior0 = if (truncateExisting) Seq.empty else ShardManifest.readIfExists(fs, dirPath)
+    val priorLive = ShardManifest.readIfExists(fs, dirPath)
+    val prior0 = if (truncateExisting) Seq.empty else priorLive
     val replaced = if (pinnedToken) prior0.filter(_.file.startsWith(tokenPrefix)) else Seq.empty
     val prior = prior0.filterNot(replaced.contains)
     val all = (prior ++ fresh).sortBy(_.file)
     require(all.map(_.file).distinct.size == all.size,
       s"shard name collision in ${dirPath}: committed and prior manifests overlap")
+    // EVERY superseding commit — truncate AND pinned-token replace, not
+    // just compaction — snapshots the outgoing manifest before the new
+    // one goes live: vacuum's retain>=2 window is defined over these
+    // snapshots, and a crash between the manifest publish and the
+    // superseded-file deletes below leaves exactly the files this
+    // snapshot names on disk. Without it, a truncate or pinned-replay
+    // crash would orphan files no snapshot protects, and vacuum at
+    // retain>=2 would delete them out from under a mid-batch tailer.
+    if ((truncateExisting && priorLive.nonEmpty) || replaced.nonEmpty)
+      ShardManifest.archiveCurrent(fs, dirPath, ShardManifest.readGeneration(fs, dirPath))
     ShardManifest.writeAtomic(fs, dirPath, all)
     val freshNames = fresh.map(_.file).toSet
     replaced.filterNot(s => freshNames(s.file))
@@ -261,6 +272,12 @@ private[sources] class ShardStreamingWrite(
     val prior0 = ShardManifest.readIfExists(fs, dirPath)
     val replaced = prior0.filter(_.file.startsWith(epochPrefix))
     val all = (prior0.filterNot(replaced.contains) ++ fresh).sortBy(_.file)
+    // an epoch REPLAY supersedes the crashed attempt's committed shards —
+    // snapshot the outgoing manifest so vacuum's retention window
+    // protects them like any other superseded layout (normal epochs have
+    // no prior entries under their prefix and archive nothing)
+    if (replaced.nonEmpty)
+      ShardManifest.archiveCurrent(fs, dirPath, ShardManifest.readGeneration(fs, dirPath))
     ShardManifest.writeAtomic(fs, dirPath, all)
     val freshNames = fresh.map(_.file).toSet
     replaced.filterNot(s => freshNames(s.file))
@@ -435,13 +452,18 @@ private[sources] object ShardManifest {
     parse(new String(buf, UTF_8))
   }
 
-  /** Generation-stamped manifest SNAPSHOTS: [[TrainingShards.compact]]
-    * archives the outgoing layout's manifest as `_MANIFEST.g<gen>.json`
-    * before it bumps the generation, so [[TrainingShards.vacuum]] can
-    * tell a crash-orphaned file that the last layout still REFERENCED
-    * (an in-flight tailer may be mid-batch on it — retain) from one no
-    * manifest within the retention window names (delete). Zero-padded
-    * so lexicographic file order equals generation order.
+  /** Generation-stamped manifest SNAPSHOTS: every SUPERSEDING commit —
+    * compaction's overwrite, a caller truncate, a pinned-token replace,
+    * a replayed streaming epoch — archives the outgoing layout's
+    * manifest as `_MANIFEST.g<gen>.json` just before publishing the new
+    * one, so [[TrainingShards.vacuum]] can tell a crash-orphaned file
+    * the previous layout still REFERENCED (an in-flight tailer may be
+    * mid-batch on it — retain) from one no manifest within the
+    * retention window names (delete). Zero-padded so lexicographic file
+    * order equals generation order; supersedes at the SAME generation
+    * (truncates/replays never bump it) overwrite one snapshot, so the
+    * window protects the most recently superseded layout per
+    * generation.
     */
   def archiveName(gen: Long): String = f"_MANIFEST.g$gen%019d.json"
 
@@ -649,12 +671,11 @@ object TrainingShards {
       betweenBumpAndCommit: () => Unit): Unit = {
     val (fs, dirPath, shards, files) = committedShards(spark, dir)
     if (shards.nonEmpty) {
-      // snapshot the OUTGOING layout's manifest under its generation
-      // before anything changes: vacuum's retention window is defined
-      // over these snapshots, and the crash cases (delete lost a race,
-      // compaction died mid-commit) leave exactly the files this
-      // snapshot names on disk
-      ShardManifest.archiveCurrent(fs, dirPath, ShardManifest.readGeneration(fs, dirPath))
+      // the outgoing layout's manifest snapshot (vacuum's retention
+      // unit) is written by the OVERWRITE COMMIT itself, at the exact
+      // moment the old layout is superseded — see ShardBatchWrite.commit;
+      // a compaction that crashes before that commit leaves the old
+      // layout LIVE, protected by the live manifest, no snapshot needed
       ShardManifest.bumpGeneration(fs, dirPath)
       betweenBumpAndCommit()
       val totalDocs = shards.map(_.docs).sum
@@ -689,8 +710,10 @@ object TrainingShards {
     * directory leaks disk without a vacuum.
     *
     * `retainGenerations = n` keeps the files referenced by the LIVE
-    * manifest plus the last `n − 1` archived layout snapshots (written
-    * by [[compact]] just before each generation bump):
+    * manifest plus the last `n − 1` archived layout snapshots — written
+    * by EVERY superseding commit (compaction, truncate, pinned-token
+    * replace, epoch replay) at the moment it replaces a layout, so the
+    * guarantee below covers all of them, not just compaction:
     *
     *  - `n = 2` (the default) is the safe operating point: a tailer
     *    mid-batch on the pre-compaction layout can still finish reading

@@ -280,6 +280,42 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("metaCol"), e2.getMessage)
   }
 
+  test("s27: a metaCol-less rebuild DELETES a stale meta marker, and a search " +
+    "expecting a different source column than the marker records fails loudly") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-stale-marker").toString
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+
+    // build WITH metaCol, then rebuild WITHOUT into the same directory:
+    // the stale marker must not survive to vouch for the all-zero
+    // placeholder meta the rebuild wrote
+    NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32, metaCol = Some("label"))
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val e1 = intercept[IllegalArgumentException] {
+      NswIndex.searchFramePrefiltered(spark, idxDir, cents, qe, 0L, 10, 8, col("meta") === 3L)
+    }
+    assert(e1.getMessage.contains("metaCol"), e1.getMessage)
+
+    // build with metaCol="label" but search declaring it expects "lang":
+    // the marker's recorded column must be validated, not just existence
+    val cents2 = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
+      metaCol = Some("label"))
+    val e2 = intercept[IllegalArgumentException] {
+      NswIndex.searchFramePrefiltered(spark, idxDir, cents2, qe, 0L, 10, 8,
+        col("meta") === 3L, expectMetaCol = Some("lang"))
+    }
+    assert(e2.getMessage.contains("lang") && e2.getMessage.contains("label"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      NswIndex.searchFrameFiltered(spark, idxDir, cents2, qe, 0L, 10, 8, 48, _ == 3L,
+        expectMetaCol = Some("lang"))
+    }
+    assert(e3.getMessage.contains("label"), e3.getMessage)
+    // the matching declaration passes
+    assert(NswIndex.searchFramePrefiltered(spark, idxDir, cents2, qe, 0L, 10, 8,
+      col("meta") === 3L, expectMetaCol = Some("label")).count() > 0)
+  }
+
   test("s25: layered search is partition-pruned, deterministic, and clears " +
     "the s23 recall bar at both test SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

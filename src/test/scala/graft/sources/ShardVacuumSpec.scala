@@ -80,13 +80,16 @@ class ShardVacuumSpec extends AnyFunSuite {
     val out = freshDir()
     val docs = graft.ops.Tables.t(spark, dir, "documents").limit(100)
     TrainingShards.write(docs, out, maxDocsPerShard = 16)
-    TrainingShards.compact(spark, out, maxDocsPerShard = 32)  // archives g0
-    TrainingShards.compact(spark, out, maxDocsPerShard = 64)  // archives g2
+    // the overwrite COMMIT archives the outgoing layout, which runs
+    // after compaction's first generation bump: snapshots land at the
+    // post-bump generations g1 and g3
+    TrainingShards.compact(spark, out, maxDocsPerShard = 32)  // archives g1
+    TrainingShards.compact(spark, out, maxDocsPerShard = 64)  // archives g3
     def snapshots() = new java.io.File(out).list()
       .filter(n => n.startsWith("_MANIFEST.g") && n.endsWith(".json")).toSeq.sorted
     assert(snapshots().size == 2, s"expected two archived layouts, got ${snapshots()}")
     TrainingShards.vacuum(spark, out, retainGenerations = 2)
-    assert(snapshots() == Seq(ShardManifest.archiveName(2L)),
+    assert(snapshots() == Seq(ShardManifest.archiveName(3L)),
       s"retain=2 keeps only the newest snapshot, got ${snapshots()}")
     TrainingShards.vacuum(spark, out, retainGenerations = 1)
     assert(snapshots().isEmpty, "retain=1 keeps no snapshots")
@@ -94,5 +97,40 @@ class ShardVacuumSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TrainingShards.vacuum(spark, out, retainGenerations = 0)
     }
+  }
+
+  test("truncate and pinned-token replace snapshot what they supersede: " +
+    "a crash-orphaned superseded file survives vacuum at retain=2") {
+    val docs = graft.ops.Tables.t(spark, dir, "documents").limit(64)
+
+    // truncate: the overwrite commit archives the outgoing manifest, so
+    // a superseded file whose delete crashed is still snapshot-protected
+    val out1 = freshDir()
+    TrainingShards.write(docs, out1, maxDocsPerShard = 8)
+    val oldFile = partFiles(out1).head
+    val oldBytes = Files.readAllBytes(Paths.get(out1, oldFile))
+    TrainingShards.write(docs, out1, maxDocsPerShard = 32, mode = "overwrite")
+    assert(!partFiles(out1).contains(oldFile), "overwrite should have superseded it")
+    Files.write(Paths.get(out1, oldFile), oldBytes) // the crashed delete's survivor
+    assert(TrainingShards.vacuum(spark, out1, retainGenerations = 2).isEmpty,
+      "retain=2 must keep truncate-superseded files for in-flight tailers")
+    assert(Files.exists(Paths.get(out1, oldFile)))
+    assert(TrainingShards.vacuum(spark, out1, retainGenerations = 1) == Seq(oldFile),
+      "retain=1 reclaims the superseded layout")
+
+    // pinned-token replace: a replayed job's commit archives the layout
+    // holding its previous attempt's shards before replacing them
+    val out2 = freshDir()
+    TrainingShards.write(docs, out2, maxDocsPerShard = 8, jobToken = Some("batch7"))
+    val attempt1 = partFiles(out2)
+    val survivor = attempt1.head
+    val survivorBytes = Files.readAllBytes(Paths.get(out2, survivor))
+    TrainingShards.write(docs, out2, maxDocsPerShard = 32, jobToken = Some("batch7"))
+    assert(!partFiles(out2).contains(survivor), "replay should have replaced attempt 1's shards")
+    Files.write(Paths.get(out2, survivor), survivorBytes)
+    assert(TrainingShards.vacuum(spark, out2, retainGenerations = 2).isEmpty,
+      "retain=2 must keep replace-superseded files for in-flight tailers")
+    assert(TrainingShards.vacuum(spark, out2, retainGenerations = 1) == Seq(survivor))
+    assert(TrainingShards.read(spark, out2, Some(docs.schema)).count() == 64)
   }
 }
