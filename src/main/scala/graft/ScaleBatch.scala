@@ -73,8 +73,52 @@ object ScaleBatch {
     val singleSecs = (1 to Reps).map(_ => time(() => runSingles())._1)
     val b = batchSecs.min
     val s = singleSecs.min
+
+    // ---- filtered × batched (s31): the same amortization question under
+    // a predicate, one meta-built index, both dispatch regimes ----
+    val embL = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val idxDirF = java.nio.file.Files.createTempDirectory("graft-fbatch").toString
+    val centsF = NswIndex.build(embL, idxDirF, k = 16, iters = 2, m = 8, efC = 32,
+      metaCol = Some("label"))
+
+    def collectBatch(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq)
+        .toMap
+    def collectSingle(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+
+    // selective regime (label = 3): pushed prefilter, all cells probed
+    def runPreBatch() = collectBatch(NswIndex.searchFrameManyPrefiltered(
+      spark, idxDirF, centsF, panel, K, nprobe = 16,
+      metaPred = col("meta") === 3L, expectMetaCol = Some("label")))
+    def runPreSingles() = panel.keys.toSeq.sorted.map { qid =>
+      qid -> collectSingle(NswIndex.searchFramePrefiltered(spark, idxDirF, centsF,
+        panel(qid), qid, K, nprobe = 16, metaPred = col("meta") === 3L,
+        expectMetaCol = Some("label")))
+    }.toMap
+    // permissive regime (label != 3): filtered walks over shared graphs
+    def runWalkBatch() = collectBatch(NswIndex.searchFrameManyFiltered(
+      spark, idxDirF, centsF, panel, K, NProbe, Ef,
+      allowMeta = _ != 3L, expectMetaCol = Some("label")))
+    def runWalkSingles() = panel.keys.toSeq.sorted.map { qid =>
+      qid -> collectSingle(NswIndex.searchFrameFiltered(spark, idxDirF, centsF,
+        panel(qid), qid, K, NProbe, Ef, allowMeta = _ != 3L,
+        expectMetaCol = Some("label")))
+    }.toMap
+
+    require(runPreBatch() == runPreSingles(), s"prefilter batch != singles at $sfDir")
+    require(runWalkBatch() == runWalkSingles(), s"in-walk batch != singles at $sfDir")
+    val preB = (1 to Reps).map(_ => time(() => runPreBatch())._1).min
+    val preS = (1 to Reps).map(_ => time(() => runPreSingles())._1).min
+    val wB = (1 to Reps).map(_ => time(() => runWalkBatch())._1).min
+    val wS = (1 to Reps).map(_ => time(() => runWalkSingles())._1).min
+
     println(
-      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true}""")
+      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true}""")
     spark.stop()
   }
 

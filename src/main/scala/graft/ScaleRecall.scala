@@ -98,6 +98,44 @@ object ScaleRecall {
     // (measured: fixed 50 loses 1 recall point on 3/16 queries at 30x)
     val sqRerank = sys.env.getOrElse("SPARK_GRAFT_SQ8_RERANK", "50").toInt
 
+    // HNSW over SQ8 (s32): graphs over codes — same cell/graph params as
+    // the float walk, vector payload quantized. The scale question: does
+    // the quantized-geometry walk lose recall the float walk keeps?
+    val hnswSqDir = java.nio.file.Files.createTempDirectory("graft-recall-hnswsq8").toString
+    graft.ops.Sq8Index.buildHnsw(emb, hnswSqDir, sqParams, kCells = 16, iters = 2,
+      m = 8, efC = 32)
+
+    // Byte-IO of one probed cell read, walk vs walk: sum the parquet
+    // column-chunk bytes each walk's ReadSchema touches (footer
+    // metadata — the honest columnar-IO number, not file size). The
+    // float walk reads (vec_id, embedding, nbrs); the quantized walk
+    // (vec_id, code, rnorm, nbrs).
+    def columnBytes(dir: String, cols: Set[String]): Long = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/cells")
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try {
+            rdr.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                if (cols.contains(c.getPath.toDotString.split("\\.").head))
+                  total += c.getTotalSize
+              }
+            }
+          } finally rdr.close()
+        }
+      }
+      total
+    }
+    val floatWalkBytes = columnBytes(flatDir, Set("vec_id", "embedding", "nbrs"))
+    val sq8WalkBytes = columnBytes(hnswSqDir, Set("vec_id", "code", "rnorm", "nbrs"))
+
     // Filtered search (s27's in-walk strategy, its own parameters:
     // nprobe=12, label predicate = 3): ground truth is the exact
     // FILTERED top-10, and the filtered probe CEILING (exact among
@@ -118,6 +156,8 @@ object ScaleRecall {
       val layered = ids(NswIndex.searchFrameLayered(spark, layeredDir, cents, qe, qid, K, NProbe, Ef))
       val sq8 = ids(graft.ops.Sq8Index.searchIvf(spark, sqDir, cents, emb, sqParams,
         qe, qid, K, NProbe, rerank = sqRerank))
+      val hnswSq8 = ids(graft.ops.Sq8Index.searchHnsw(spark, hnswSqDir, cents, emb,
+        sqParams, qe, qid, K, NProbe, Ef, rerank = sqRerank))
       val truthF = exactTopK(qid, qe,
         embFull.filter(col("label") === FiltLabel).select("vec_id", "embedding"))
       val probesF = IvfIndex.probeCells(cents, qe, FiltNProbe)
@@ -140,7 +180,8 @@ object ScaleRecall {
       val walkP = ids(NswIndex.searchFrameFiltered(spark, flatDir, cents, qe, qid,
         K, NProbe, Ef, allowMeta = _ != FiltLabel.toLong))
       Seq((truth & flat).size, (truth & layered).size, (truth & ceiling).size,
-        (truth & sq8).size, (truthF & ceilingF).size, (truthF & walkF).size,
+        (truth & sq8).size, (truth & hnswSq8).size,
+        (truthF & ceilingF).size, (truthF & walkF).size,
         (truthP & ceilingP).size, (truthP & walkP).size)
     }
 
@@ -150,6 +191,7 @@ object ScaleRecall {
     }
     def arr(i: Int): String = rows.map(_(i)).mkString("[", ",", "]")
     val names = Seq("flat", "layered", "ivf_ceiling", s"ivf_sq8_rerank$sqRerank",
+      s"hnsw_sq8_rerank$sqRerank",
       s"filtered_ceiling_np$FiltNProbe", s"filtered_inwalk_np$FiltNProbe",
       s"permissive_ceiling_np$NProbe", s"permissive_inwalk_np$NProbe")
     val summary = names.zipWithIndex.map { case (n, i) =>
@@ -159,7 +201,9 @@ object ScaleRecall {
     val perQuery = names.zipWithIndex.map { case (n, i) => s""""$n":${arr(i)}""" }.mkString(",")
     println(
       s"""{"sf":"$sfDir","n_vectors":$nVectors,"k":$K,"nprobe":$NProbe,"ef":$Ef,""" +
-      s""""recall_at10":{$summary},"per_query":{$perQuery}}""")
+      s""""recall_at10":{$summary},"per_query":{$perQuery},""" +
+      s""""walk_read_bytes":{"float":$floatWalkBytes,"sq8":$sq8WalkBytes,""" +
+      s""""reduction":${math.round(floatWalkBytes.toDouble / sq8WalkBytes * 100.0) / 100.0}}}""")
     spark.stop()
   }
 }

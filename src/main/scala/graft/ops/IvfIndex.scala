@@ -246,21 +246,205 @@ object IvfIndex {
   ): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
     val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
-    val streamPath = new org.apache.hadoop.fs.Path(s"$indexDir/stream_assignment")
-    val fs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(s"$indexDir/assignment")
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // "exists" must mean "has at least one batch partition": vacuum can
+    // leave the parent dir behind empty, and reading it would fail
+    // schema inference
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("batch="))
+    }
+    val st = readLiveState(spark, indexDir)
+    // base rows carry batch = -1: ANY tombstone outranks them under the
+    // last-writer-wins merge below
+    val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+      .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
+    val streamPath = s"$indexDir/stream_assignment"
     val scan =
-      if (fs.exists(streamPath))
-        base.unionByName(spark.read.parquet(streamPath.toString)
-          .select(col("vec_id"), col("embedding"), col("cluster")))
+      if (exists(streamPath))
+        base.unionByName(spark.read.parquet(streamPath)
+          // compaction already folded batches <= consumedThrough into the
+          // base — reading them again would double-serve; `batch` is a
+          // partition column, so this is directory-level pruning
+          .filter(col("batch") > st.consumedThrough)
+          .select(col("vec_id"), col("embedding"), col("cluster"), col("batch")))
       else base
     val pruned = scan.filter(col("cluster").isin(probes: _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
-    excluded
+    // merge-on-read tombstones, LAST WRITER WINS by epoch: a row is
+    // dead iff some tombstone batch at-or-after it names its id (base
+    // rows die to any tombstone; a re-upsert in a LATER batch than the
+    // delete resurfaces). The tombstone side aggregates to one row per
+    // deleted id and broadcasts — k-scale, never corpus-scale — so the
+    // anti-join adds no shuffle and the partition prune above is
+    // untouched.
+    val tombPath = s"$indexDir/tombstones"
+    val withTombs =
+      if (exists(tombPath)) {
+        val tombs = spark.read.parquet(tombPath)
+          .filter(col("batch") > st.consumedThrough)
+          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
+        excluded.join(broadcast(tombs), Seq("vec_id"), "left")
+          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
+      } else excluded
+    withTombs
       .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ---- live-index lifecycle: tombstones, generations, compaction -----
+  //
+  // A 100 TB corpus CHURNS: documents get removed (takedowns, dedup
+  // verdicts, curation demotions) while the serving index keeps
+  // answering. Deletes ride the same batch=<epoch> partition channel as
+  // upserts ([[graft.streaming.IndexStreams.tombstoneBatch]]), searches
+  // apply them merge-on-read (above), and compaction folds base +
+  // streamed upserts − tombstones into a NEW base generation so the
+  // merge debt never grows unboundedly. The generation/retention
+  // machinery mirrors graft-shards' ([[graft.sources.TrainingShards
+  // .vacuum]]): a marker names the live generation, superseded
+  // generations stay on disk until [[vacuumLiveIndex]] reclaims them
+  // under a retention count, and every step is replay-idempotent
+  // (deterministic recompute + atomic marker publish).
+
+  /** Live-index marker state: which base generation serves, and the
+    * highest stream/tombstone batch id folded into it. Generation 0 is
+    * the original `assignment/` dir (what [[build]]/[[bootstrap]]
+    * write); compactions produce `assignment_g<n>`.
+    */
+  final case class LiveState(gen: Long, consumedThrough: Long)
+
+  private[graft] def liveBaseDir(indexDir: String, gen: Long): String =
+    if (gen == 0L) s"$indexDir/assignment" else s"$indexDir/assignment_g$gen"
+
+  private val LiveStateFile = "_LIVE_STATE"
+
+  def readLiveState(spark: SparkSession, indexDir: String): LiveState = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$LiveStateFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) LiveState(0L, -1L)
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val parts = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+      require(parts.length == 2,
+        s"corrupt $LiveStateFile under $indexDir: '${new String(buf)}' — refusing to guess")
+      LiveState(parts(0).toLong, parts(1).toLong)
+    }
+  }
+
+  private def publishLiveState(spark: SparkSession, indexDir: String, st: LiveState): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(s"$indexDir/$LiveStateFile")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$LiveStateFile.tmp")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"${st.gen} ${st.consumedThrough}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not publish $dest")
+  }
+
+  /** Fold the live view into a fresh base generation: current base +
+    * unconsumed stream batches, tombstones applied, RE-UPSERT
+    * DUPLICATES RESOLVED (one row per vec_id, the latest batch wins —
+    * compaction is where the append-only upsert contract's duplicates
+    * retire). Writes `assignment_g<gen+1>` partitioned by cluster, then
+    * atomically publishes the marker; the consumed batch dirs and the
+    * old generation stay on disk for in-flight readers until
+    * [[vacuumLiveIndex]]. Crash-safe: before the marker publish nothing
+    * references the new dir (readers stay consistent on the old state);
+    * a replay recomputes the identical merge (deterministic inputs,
+    * overwrite mode) and re-publishes the same marker.
+    */
+  def compactLiveIndex(spark: SparkSession, indexDir: String): LiveState = {
+    val st = readLiveState(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def batchIds(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    }
+    val pending = (batchIds(s"$indexDir/stream_assignment") ++
+      batchIds(s"$indexDir/tombstones")).filter(_ > st.consumedThrough)
+    if (pending.isEmpty) return st
+    val through = pending.max
+    val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+      .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
+    val stream = {
+      val p = s"$indexDir/stream_assignment"
+      if (batchIds(p).nonEmpty)
+        base.unionByName(spark.read.parquet(p)
+          .filter(col("batch") > st.consumedThrough && col("batch") <= through)
+          .select(col("vec_id"), col("embedding"), col("cluster"), col("batch")))
+      else base
+    }
+    val tombPath = s"$indexDir/tombstones"
+    val afterTombs =
+      if (batchIds(tombPath).nonEmpty) {
+        val tombs = spark.read.parquet(tombPath)
+          .filter(col("batch") > st.consumedThrough && col("batch") <= through)
+          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
+        stream.join(broadcast(tombs), Seq("vec_id"), "left")
+          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
+          .drop("tomb_batch")
+      } else stream
+    // one row per vec_id, latest epoch wins; struct ordering compares
+    // batch first, so cluster/embedding only break (impossible) ties —
+    // deterministic either way
+    afterTombs
+      .groupBy("vec_id")
+      .agg(max(struct(col("batch"), col("cluster"), col("embedding"))).as("r"))
+      .select(col("vec_id"), col("r.embedding").as("embedding"), col("r.cluster").as("cluster"))
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(liveBaseDir(indexDir, st.gen + 1))
+    val next = LiveState(st.gen + 1, through)
+    publishLiveState(spark, indexDir, next)
+    next
+  }
+
+  /** Reclaim superseded live-index state: base generations older than
+    * the retention window and stream/tombstone batch dirs the live
+    * generation already folded in. `retainGenerations = 2` (default)
+    * keeps the previous generation for in-flight readers — the
+    * [[graft.sources.TrainingShards.vacuum]] operating point; `1`
+    * keeps only the live one (a straggling reader fails loudly on the
+    * missing path, never reads wrong data). Returns deleted dir names.
+    * Single-admin contract: not concurrent with compaction or writers.
+    */
+  def vacuumLiveIndex(spark: SparkSession, indexDir: String, retainGenerations: Int = 2): Seq[String] = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1 (the live generation is never vacuumable), got $retainGenerations")
+    val st = readLiveState(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val genFloor = st.gen - (retainGenerations - 1)
+    (0L until genFloor).foreach { g =>
+      val p = new org.apache.hadoop.fs.Path(liveBaseDir(indexDir, g))
+      if (fs.exists(p)) { fs.delete(p, true); deleted += p.getName }
+    }
+    Seq("stream_assignment", "tombstones").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      if (fs.exists(p)) {
+        fs.listStatus(p).foreach { s0 =>
+          val n = s0.getPath.getName
+          if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= st.consumedThrough) {
+            fs.delete(s0.getPath, true)
+            deleted += s"$sub/$n"
+          }
+        }
+      }
+    }
+    deleted.toSeq
   }
 
   /** End-to-end: train + probe in one call (the `queries` entry shape).

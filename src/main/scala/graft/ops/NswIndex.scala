@@ -68,6 +68,19 @@ object NswIndex {
       adjOf: Long => Array[Long],
       entries: Seq[Long],
       q: Array[Float],
+      ef: Int): List[(Double, Long)] =
+    greedySearchScored(id => cos(q, vecs(id)), adjOf, entries, ef)
+
+  /** The walk against a SCORE FUNCTION — the float walk scores
+    * cos(q, vecs(id)); the SQ8 walk ([[Sq8Index.searchHnsw]]) scores
+    * the asymmetric weighted byte-sum against quantized codes without
+    * ever touching floats. Same frontier/termination/total-order
+    * semantics either way.
+    */
+  private[ops] def greedySearchScored(
+      score: Long => Double,
+      adjOf: Long => Array[Long],
+      entries: Seq[Long],
       ef: Int): List[(Double, Long)] = {
     // Ordered sets under the SAME total order the old list-sort used
     // ((score desc, id asc) — distinct ids, so it's total), replacing
@@ -80,7 +93,7 @@ object NswIndex {
     val visited = scala.collection.mutable.Set[Long](entries: _*)
     val frontier = scala.collection.mutable.TreeSet.empty[(Double, Long)](bestFirst)
     val best = scala.collection.mutable.TreeSet.empty[(Double, Long)](bestFirst)
-    entries.foreach { id => val s = (cos(q, vecs(id)), id); frontier.add(s); best.add(s) }
+    entries.foreach { id => val s = (score(id), id); frontier.add(s); best.add(s) }
     var continue = true
     while (continue && frontier.nonEmpty) {
       val c = frontier.head
@@ -91,7 +104,7 @@ object NswIndex {
         adjOf(c._2).foreach { nId =>
           if (!visited(nId)) {
             visited += nId
-            val sc = cos(q, vecs(nId))
+            val sc = score(nId)
             val worst = if (best.size < ef) -2.0 else best.last._1
             if (sc > worst || best.size < ef) {
               frontier.add((sc, nId))
@@ -502,6 +515,134 @@ object NswIndex {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** BATCHED filtered search, PREFILTER strategy — panels under
+    * predicates, the full serving composition (s26's batching × s27's
+    * dispatch): the panel is routed on the driver, the UNION of every
+    * query's probed cells is read ONCE under a single partition-pruning
+    * `cluster IN (...)` filter WITH the metadata predicate pushed into
+    * the same parquet scan (PushedFilters on `meta` beside the
+    * partition prune — only matching rows surface), and each surviving
+    * row is scored against exactly the queries routed to its cell (a
+    * per-query `when(cluster IN routed, cosine)` column stack — stays
+    * in WholeStageCodegen, nulls where not routed). Per-query top-k via
+    * the bounded minK heap, NEVER a window over the low-cardinality
+    * query id. Exact within each query's probed cells, so per-query
+    * results are bit-identical to Q [[searchFramePrefiltered]] calls
+    * (same kernel, same rounded-cosine total order); the batch
+    * amortizes the filtered scan's IO, which the selective regime is
+    * all about — the matching rows are read once, not Q times.
+    */
+  def searchFrameManyPrefiltered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      metaPred: Column,
+      expectMetaCol: Option[String] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchFrameManyPrefiltered needs at least one query")
+    requireMetaIndex(spark, indexDir, expectMetaCol)
+    val routing: Map[Long, Seq[Int]] =
+      queries.map { case (qid, qv) => qid -> IvfIndex.probeCells(cents, qv, nprobe) }
+    val cellsUnion = routing.values.flatten.toSeq.distinct.sorted
+    val scan = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
+      .filter(metaPred)
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"), col("embedding"))
+    val perQuery = queries.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val qLit = array(q.toSeq.map(lit): _*)
+      val routed = routing(qid)
+      // self-exclusion assumes panel keys ARE corpus vec_ids (the s26
+      // contract); the cell-membership guard keeps each query exact
+      // WITHIN ITS OWN probes even though the scan reads the union
+      val admit = col("cluster").isin(routed.map(x => x: Any): _*) &&
+        (if (excludeSelf) col("vec_id") =!= lit(qid) else lit(true))
+      struct(lit(qid).as("query_id"),
+        when(admit, graft.functions.VectorFunctions.cosine_similarity(col("embedding"), qLit))
+          .as("c"))
+    }
+    scan
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
+      .filter(col("qa.c").isNotNull)
+      .select(col("qa.query_id").as("query_id"),
+        struct((-round(col("qa.c"), 6)).as("nc"), col("vec_id"),
+          round(col("qa.c"), 6).as("cos_sim")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** BATCHED filtered search, IN-WALK strategy — [[searchFrameMany]]'s
+    * one-pruned-scan batching with [[greedySearchFilteredFn]]'s
+    * routing-over-all/collect-only-matching walk per (cell, routed
+    * query). The permissive-predicate twin of
+    * [[searchFrameManyPrefiltered]] (the s27 dispatch applies
+    * unchanged per regime: selective predicates belong to the pushed
+    * prefilter scan, permissive ones to the walk). Per-query results
+    * are bit-identical to Q [[searchFrameFiltered]] calls: same walk,
+    * same keep set (self ∪ predicate), same rounded-cosine total
+    * order. The batch reads each probed cell's graph ONCE for the
+    * whole panel instead of once per query.
+    */
+  def searchFrameManyFiltered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      allowMeta: Long => Boolean,
+      expectMetaCol: Option[String] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchFrameManyFiltered needs at least one query")
+    requireMetaIndex(spark, indexDir, expectMetaCol)
+    val routing: Map[Int, Seq[Long]] = queries.toSeq
+      .flatMap { case (qid, qv) => IvfIndex.probeCells(cents, qv, nprobe).map(c => c -> qid) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cellsUnion = routing.keys.toSeq.sorted
+    val bq = spark.sparkContext.broadcast(queries)
+    val br = spark.sparkContext.broadcast(routing)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("nbrs"), col("meta"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val adj = rows.map(r => r._2 -> r._4.toArray).toMap
+        val metas = rows.map(r => r._2 -> r._5).toMap
+        val entry = rows.iterator.map(_._2).min
+        br.value.getOrElse(cell, Nil).iterator.flatMap { qid =>
+          greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
+            Seq(entry), bq.value(qid), ef,
+            keep = id => (!excludeSelf || id != qid) && allowMeta(metas(id)))
+            .sortBy(t => (-t._1, t._2)).take(k)
+            .map { case (sc, id) => (qid, id, sc) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_raw")
+      .select(col("query_id"),
+        struct((-round(col("cos_raw"), 6)).as("nc"), col("vec_id"),
+          round(col("cos_raw"), 6).as("cos_sim")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
   }
 
   // ------------------------------------------------------------------

@@ -361,11 +361,29 @@ object SimilarityOps {
       queryIds: Seq[Long],
       k: Int,
       topN: Int,
+      recallFloor: Int): DataFrame =
+    annSoundnessManyVs(emb, emb, ann, queryIds, k, topN, recallFloor)
+
+  /** [[annSoundnessMany]] with a SEPARATE candidate corpus — the ground
+    * truth for FILTERED panel search (s31): queries come from the full
+    * corpus, but the exact side ranks only `cands` (the
+    * predicate-matching rows), because that is the population the
+    * filtered search answers over. Self-exclusion still applies — a
+    * panel member passing the predicate IS a legitimate candidate for
+    * every other query.
+    */
+  def annSoundnessManyVs(
+      qSrc: DataFrame,
+      cands: DataFrame,
+      ann: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      topN: Int,
       recallFloor: Int): DataFrame = {
     import graft.functions.TopKAggregates.minK
-    val qs = emb.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+    val qs = qSrc.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val exact = emb.crossJoin(broadcast(qs))
+    val exact = cands.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine_similarity(col("embedding"), col("qe")), 6).as("exact_cos"))
@@ -894,6 +912,50 @@ object SimilarityOps {
         .orderBy("strategy")
     }),
 
+    // DELETES IN THE LIVE INDEX — a churning corpus removes documents
+    // while the index keeps serving: tombstones ride the same
+    // batch=<epoch> partition channel as s24's upserts
+    // ([[graft.streaming.IndexStreams.tombstoneBatch]]), search applies
+    // them MERGE-ON-READ with last-writer-wins by epoch (a base or
+    // earlier-epoch row dies to a tombstone; a LATER re-upsert
+    // resurfaces the id) via a broadcast anti-join that leaves the
+    // cluster partition prune untouched, and
+    // [[IvfIndex.compactLiveIndex]] folds base + upserts − tombstones
+    // into a fresh base GENERATION (marker-published, replay-
+    // idempotent, old state retained for in-flight readers until
+    // [[IvfIndex.vacuumLiveIndex]] — the graft-shards retention
+    // pattern). The query exercises the full story: ids 2,3 (streamed)
+    // and 105 (base) deleted, id 1 deleted then RE-UPSERTED in a later
+    // epoch, searched both LIVE (merge-on-read) and COMPACTED
+    // (generation 1, consumed channels vacuumed at retain=1) — one
+    // soundness row per phase, both vs the corpus minus {2,3,105},
+    // identical assertion columns (exact scores ⇒ zero mismatches;
+    // nprobe=6 ceiling measured 9-10/10 at the gate SFs → floor 5,
+    // s24's bar).
+    "s33_live_tombstones" -> ((s, dir) => withScratchDirs(s,
+      "graft-ivf-tomb") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      val cents = IvfIndex.loadCentroids(s, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      IndexStreams.upsertBatch(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(1L, 2L, 3L, 105L), 2L, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") === 1L), 3L, idxDir, cents)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val embLive = emb.filter(!col("vec_id").isin(2L, 3L, 105L))
+      def soundness(phase: String) = annSoundness(embLive,
+        IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6, excludeId = Some(0L)),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 5, scoreIsExact = true)
+        .withColumn("phase", lit(phase))
+      val live = soundness("live").localCheckpoint(true)
+      IvfIndex.compactLiveIndex(s, idxDir)
+      IvfIndex.vacuumLiveIndex(s, idxDir, retainGenerations = 1)
+      live.unionByName(soundness("post_compact")).orderBy("phase")
+    }),
+
     // SQ8 scalar-quantized search ([[Sq8Index]]): per-dimension affine
     // uint8 codes (4x fewer vector bytes), candidates ranked by the
     // codegen byte-sum kernel ([[graft.functions.Sq8Dot]]), top-50
@@ -956,6 +1018,71 @@ object SimilarityOps {
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
       val ann = Sq8Index.searchMany(codes, emb, p, panel, k = 10, rerank = 50)
       annSoundnessMany(emb, ann, panel.keys.toSeq, k = 10, topN = 100, recallFloor = 9)
+    }),
+
+    // HNSW over SQ8 codes — the remaining leg of the compose matrix
+    // (s25 = graphs over floats, s29 = linear scan over codes; this is
+    // graphs over codes, FAISS "HNSW,SQ8"): per-IVF-cell NSW graphs
+    // whose edges are chosen over the RECONSTRUCTED quantized vectors,
+    // cell files holding (code, rnorm, nbrs) — the search's ReadSchema
+    // carries NO float vector column: the vector payload shrinks 4x
+    // and the walk's total cell-read bytes measure 2.7-2.8x smaller
+    // (parquet column-chunk sums, bench_scale.json `hnsw_sq8`; the
+    // nbrs column is common to both walks) while scoring the same
+    // asymmetric weighted byte-sum as s28/s29 ([[Sq8Index.searchHnsw]]); the
+    // pooled survivors rerank against full precision ⇒ exact output
+    // scores (zero mismatches). Measured recall@10: 9/10 at both gate
+    // SFs — the IVF nprobe=4 probe ceiling (s23's bar), the quantized
+    // walk losing nothing on top — → floor 8, one slot of headroom
+    // (the s29 discipline; ScaleRecall carries the 10x/30x columns).
+    "s32_hnsw_sq8_ann" -> ((s, dir) => withScratchDirs(s, "graft-hnswsq8") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = Sq8Index.train(emb)
+      val cents = Sq8Index.buildHnsw(emb, idxDir, p, kCells = 16, iters = 2, m = 8, efC = 32)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = Sq8Index.searchHnsw(s, idxDir, cents, emb, p, qe, excludeId = 0L,
+        k = 10, nprobe = 4, ef = 48, rerank = 50)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 8, scoreIsExact = true)
+    }),
+
+    // FILTERED × BATCHED ANN — the full serving composition (s26's
+    // panel batching × s27's predicate dispatch) against ONE meta-built
+    // index: a 16-query panel answered under a predicate in BOTH
+    // dispatch regimes, each as one pruned scan for the panel's probe
+    // union. 'prefilter' (selective, label = 3, ~10% pass): the
+    // predicate is pushed INTO the shared parquet scan (PushedFilters
+    // on meta beside the cluster partition prune), each surviving row
+    // scored against exactly the queries routed to its cell — at
+    // nprobe=16 every cell is probed, so every query's answer is the
+    // EXACT filtered top-k (recall 10/10 by construction, floor 10).
+    // 'inwalk' (permissive, label != 3, ~90% pass): one filtered walk
+    // per (cell, routed query) over graphs read once for the whole
+    // panel — the permissive regime barely perturbs navigation;
+    // measured per-query recall@10 vs the exact filtered corpus is
+    // worst 7/10, avg 8.8/8.5 at sf0.001/sf0.01 (the IVF nprobe=4
+    // ceiling s26 pays, label-shifted) → floor 6, one slot under the
+    // measured worst. Per-query soundness rows per strategy; both
+    // strategies emit exact cosines ⇒ zero mismatches. Both batches
+    // are spec-pinned bit-identical to per-query filtered calls.
+    "s31_ann_filtered_batch" -> ((s, dir) => withScratchDirs(s, "graft-nsw-fbatch") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
+        metaCol = Some("label"))
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val pre = NswIndex.searchFrameManyPrefiltered(s, idxDir, cents, panel,
+        k = 10, nprobe = 16, metaPred = col("meta") === 3L, expectMetaCol = Some("label"))
+      val walk = NswIndex.searchFrameManyFiltered(s, idxDir, cents, panel,
+        k = 10, nprobe = 4, ef = 48, allowMeta = _ != 3L, expectMetaCol = Some("label"))
+      annSoundnessManyVs(emb, emb.filter(col("label") === 3), pre, panel.keys.toSeq,
+        k = 10, topN = 100, recallFloor = 10).withColumn("strategy", lit("prefilter"))
+        .unionByName(
+          annSoundnessManyVs(emb, emb.filter(col("label") =!= 3), walk, panel.keys.toSeq,
+            k = 10, topN = 100, recallFloor = 6).withColumn("strategy", lit("inwalk")))
+        .orderBy("strategy", "query_id")
     }),
 
     // Streaming IVF upsert (s04's index kept LIVE —
@@ -1376,6 +1503,24 @@ object SimilarityOps {
     "s25_hnsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s28_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s29_ivfsq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Live-index deletes: the exact side is the corpus MINUS the
+    // tombstoned ids (2, 3, 105 — id 1 was re-upserted after its
+    // delete, so it stays IN); one soundness row per phase with the
+    // same genuinely-recomputed top-10 scalars (compaction must not
+    // change what search returns).
+    "s33_live_tombstones" ->
+      """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.vec_id NOT IN (2, 3, 105)),
+        |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
+        |SELECT p.phase, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
+        |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k
+        |FROM (VALUES ('live'), ('post_compact')) AS p(phase) ORDER BY p.phase""".stripMargin,
     // Exact side restricted to the FILTERED corpus (label = 3); one
     // soundness row per strategy, the assertion columns literal (both
     // strategies return exact scores ⇒ zero mismatches), the exact
@@ -1398,6 +1543,32 @@ object SimilarityOps {
     // scalars are genuinely recomputed per query.
     "s26_ann_batch" -> batchSoundnessSql,
     "s30_sq8_batch" -> batchSoundnessSql,
+    // Filtered × batched: the 16-query exact side is computed PER
+    // REGIME over the predicate's population (label = 3 for the pushed
+    // prefilter, label <> 3 for the walk); assertion columns are pinned
+    // literals per (strategy, query), the exact top-10 scalars
+    // genuinely recomputed per (strategy, query) by brute force.
+    "s31_ann_filtered_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 16),
+        |ex AS (SELECT q.query_id, e.vec_id, e.label,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |rk AS (SELECT 'prefilter' AS strategy, query_id, exact_cos,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY exact_cos DESC, vec_id) AS r
+        |       FROM ex WHERE label = 3
+        |       UNION ALL
+        |       SELECT 'inwalk' AS strategy, query_id, exact_cos,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY exact_cos DESC, vec_id) AS r
+        |       FROM ex WHERE label <> 3)
+        |SELECT strategy, query_id, CAST(10 AS BIGINT) AS n_returned,
+        |  CAST(0 AS BIGINT) AS n_score_mismatch, CAST(0 AS BIGINT) AS n_outside_topn,
+        |  TRUE AS recall_ok,
+        |  max(exact_cos) FILTER (WHERE r <= 10) AS exact_best_cos,
+        |  min(exact_cos) FILTER (WHERE r <= 10) AS exact_cos_at_k
+        |FROM rk GROUP BY strategy, query_id ORDER BY strategy, query_id""".stripMargin,
     // Full margin-mining replay: same rounded cosines, neighborhood
     // means over the SAME sorted top-4 lists (list(... ORDER BY) sliced
     // — the sum order matches Spark's sorted minK array fold), same

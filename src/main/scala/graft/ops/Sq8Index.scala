@@ -280,6 +280,148 @@ object Sq8Index {
     cents
   }
 
+  // ---- HNSW over SQ8 codes: the graph walk in the compressed domain ---
+  //
+  // FAISS's "HNSW,SQ8" leg of the compose matrix: s25 walks graphs over
+  // FLOATS, s29 scans CODES linearly — this walks graphs over CODES.
+  // The cell files hold `(vec_id, code BINARY, rnorm, nbrs)` and the
+  // search's ReadSchema never contains a float vector column: walk
+  // distances come from the same asymmetric weighted byte-sum as the
+  // linear SQ8 scan (dot(q, x̂) = C + Σ (q_d·scale_d)·c_d — floats
+  // appear only as the per-query weight literal), so the probed cells'
+  // read IO drops by the embedding-vs-code column size (~4x on the
+  // vector payload; measured in bench_scale.json) while the walk's
+  // score evaluations stay O(ef·M) per cell. Exact scores are restored
+  // by reranking the pooled survivors against full-precision
+  // embeddings — float IO stays O(rerank).
+
+  /** Reconstruct x̂ from a code — the GRAPH-BUILD geometry: build-time
+    * cosines run over these reconstructions, so the graph is exactly
+    * the one the quantized walk navigates (building over raw floats
+    * would bake edges the byte scorer cannot see). Float-valued for
+    * [[NswIndex.buildCellGraph]] reuse; the affine map is pure, so the
+    * build stays deterministic.
+    */
+  private def reconstruct(code: Array[Byte], vmin: Array[Double], scale: Array[Double]): Array[Float] = {
+    val out = new Array[Float](code.length)
+    var d = 0
+    while (d < code.length) {
+      out(d) = (vmin(d) + (code(d) & 0xFF) * scale(d)).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Train-assign-encode + per-cell NSW graph build in ONE pass: cell
+    * files `(vec_id, code, rnorm, nbrs)` partitioned by cluster, graph
+    * edges chosen by cosines over the RECONSTRUCTED vectors (the
+    * geometry the byte walk scores), centroid sidecar for probe
+    * routing. One task per cell — the s23 distributed-build shape with
+    * a 4x smaller vector payload.
+    */
+  def buildHnsw(
+      emb: DataFrame,
+      indexDir: String,
+      p: Params,
+      kCells: Int,
+      iters: Int,
+      m: Int,
+      efC: Int): IvfIndex.Centroids = {
+    import emb.sparkSession.implicits._
+    val cents = IvfIndex.train(emb, kCells, iters)
+    val vmin = p.vmin
+    val scale = p.scale
+    IvfIndex.assignments(emb, cents)
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val codes = scala.collection.mutable.HashMap.empty[Long, (Array[Byte], Double)]
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (_, id, e) =>
+          val (code, rn) = encodeOne(e, vmin, scale)
+          codes(id) = (code, rn)
+          members += ((id, reconstruct(code, vmin, scale)))
+        }
+        val sorted = members.sortInPlaceBy(_._1).toArray
+        val adj = NswIndex.buildCellGraph(sorted, m, efC)
+        sorted.iterator.map { case (id, _) =>
+          val (code, rn) = codes(id)
+          (id, code, rn, adj.getOrElse(id, Array.empty[Long]).toSeq.sorted, cell)
+        }
+      }
+      .toDF("vec_id", "code", "rnorm", "nbrs", "cluster")
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexDir/cells")
+    IvfIndex.saveCentroids(emb.sparkSession, cents, indexDir)
+    cents
+  }
+
+  /** Quantized graph walk + exact rerank: partition-pruned read of the
+    * probed cells' CODE columns (no float vector in the ReadSchema),
+    * one greedy walk per cell scoring the asymmetric byte-sum
+    * ([[NswIndex.greedySearchScored]]), per-cell survivors pooled to a
+    * global top-`rerank` by approximate score, exact rounded cosines
+    * restored by the broadcast rerank against full-precision
+    * embeddings. Output contract matches [[NswIndex.searchFrame]].
+    */
+  def searchHnsw(
+      spark: SparkSession,
+      indexDir: String,
+      cents: IvfIndex.Centroids,
+      emb: DataFrame,
+      p: Params,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      rerank: Int): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, "rerank pool must cover k")
+    require(q.length == p.dim,
+      s"query dim ${q.length} != trained quantizer dim ${p.dim}")
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d)).toArray
+    val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
+    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val bw = spark.sparkContext.broadcast(w)
+    val cands = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("code"), col("rnorm"), col("nbrs"))
+      .as[(Int, Long, Array[Byte], Double, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val codes = rows.map(r => r._2 -> ((r._3, r._4))).toMap
+        val adj = rows.map(r => r._2 -> r._5.toArray).toMap
+        val entry = rows.iterator.map(_._2).min
+        val wv = bw.value
+        def score(id: Long): Double = {
+          val (code, rn) = codes(id)
+          if (rn == 0.0) 0.0
+          else {
+            var s = c0
+            var d = 0
+            while (d < code.length) { s += wv(d) * (code(d) & 0xFF); d += 1 }
+            s / (qn * rn)
+          }
+        }
+        NswIndex.greedySearchScored(score, id => adj.getOrElse(id, Array.empty[Long]),
+          Seq(entry), ef)
+          .filter(_._2 != excludeId)
+          .sortBy(t => (-t._1, t._2)).take(rerank)
+          .iterator.map { case (s, id) => (id, s) }
+      }
+      .toDF("vec_id", "approx_cos")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank)
+    rerankExact(cands, emb, q, k)
+  }
+
   /** Partition-pruned byte scan + exact rerank: probe cells picked on
     * the driver, the code scan reads ONLY those partitions
     * (PartitionFilters) and ONLY code columns (never floats), the

@@ -71,6 +71,73 @@ object IndexStreams {
     (m.getLong(0), Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
   }
 
+  /** One batch's DELETES: land the tombstoned ids under
+    * `tombstones/batch=<id>` — the same epoch-partition channel as the
+    * upserts, so a replayed epoch overwrites exactly its own tombstone
+    * set (idempotent) and [[graft.ops.IvfIndex.searchIndexLive]] applies
+    * them merge-on-read with last-writer-wins by epoch: a tombstone
+    * kills every row of the same id from batches at-or-before it (base
+    * rows included), while a LATER re-upsert resurfaces the id.
+    * Compaction ([[graft.ops.IvfIndex.compactLiveIndex]]) retires both
+    * sides into a fresh base generation.
+    */
+  def tombstoneBatch(spark: SparkSession, ids: Seq[Long], batchId: Long, indexDir: String): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/tombstones/batch=$batchId")
+  }
+
+  /** Streamed-ops schema: `op` is "upsert" or "delete"; delete rows
+    * need only `vec_id`.
+    */
+  val opsSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  /** File-source stream over a drop-folder of mixed upsert/delete rows. */
+  def readOpsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(opsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Wire a CHURNING stream: each micro-batch's upsert rows fold into
+    * the index and its delete rows land as the SAME epoch's tombstones
+    * — one batch id covers both sides, so replay re-lands both
+    * idempotently and the search-time last-writer-wins merge sees a
+    * consistent epoch. Unknown ops fail loudly (a silently-dropped
+    * delete is a correctness bug, not a formatting nit).
+    */
+  def streamingIvfUpsertWithDeletes(
+      opsStream: DataFrame,
+      indexDir: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = opsStream.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, indexDir)
+    opsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.localCheckpoint()
+        val badOps = cached.filter(!col("op").isin("upsert", "delete")).limit(1)
+          .collect()
+        require(badOps.isEmpty,
+          s"unknown op '${badOps.headOption.map(_.getAs[String]("op")).getOrElse("")}' in batch $batchId")
+        val (rows, meanCos) = upsertBatch(
+          cached.filter(col("op") === "upsert").drop("op"), batchId, indexDir, cents)
+        val deletes = cached.filter(col("op") === "delete")
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        tombstoneBatch(spark, deletes, batchId, indexDir)
+        logBatchMetric(spark, indexDir, batchId, rows, meanCos)
+      }
+  }
+
   /** Record one batch's drift metric under its OWN `batch=<id>`
     * directory (mirroring the data path's layout), so an epoch replay
     * overwrites the same row instead of appending a duplicate — the

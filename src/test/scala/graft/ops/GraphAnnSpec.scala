@@ -192,6 +192,64 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(once().collect().toSeq == batch.collect().toSeq, "batch walk must be deterministic")
   }
 
+  // ---- s31: filtered × batched (panels under predicates) ----
+
+  test("s31: both filtered-batch strategies equal per-query filtered calls " +
+    "bit-for-bit, each reads the index in ONE pruned scan (prefilter with the " +
+    "meta predicate pushed), and both are deterministic") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-fbatch-spec").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32,
+      metaCol = Some("label"))
+    val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+
+    // PREFILTER batch at nprobe=8 (not all cells): the per-query
+    // cell-membership guard must keep each query exact within ITS OWN
+    // probes even though the shared scan reads the panel's union
+    def preOnce() = NswIndex.searchFrameManyPrefiltered(spark, idxDir, cents, panel,
+      k = 10, nprobe = 8, metaPred = col("meta") === 3L, expectMetaCol = Some("label"))
+    val pre = preOnce()
+    val prePlan = pre.queryExecution.executedPlan.toString
+    assert(prePlan.contains("PartitionFilters"), s"no partition prune:\n$prePlan")
+    assert("PushedFilters: \\[[^\\]]*meta".r.findFirstIn(prePlan).isDefined,
+      s"meta predicate not pushed into the shared scan:\n$prePlan")
+    assert("Scan parquet".r.findAllIn(prePlan).length == 1,
+      s"prefilter batch must read the index in exactly one scan:\n$prePlan")
+    val preRows = rowsOf(pre)
+    panel.keys.toSeq.sorted.foreach { qid =>
+      val single = NswIndex.searchFramePrefiltered(spark, idxDir, cents, panel(qid),
+        excludeId = qid, k = 10, nprobe = 8, metaPred = col("meta") === 3L)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val got = preRows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got == single, s"prefilter query $qid: batch != single\nbatch:  $got\nsingle: $single")
+    }
+    assert(rowsOf(preOnce()) == preRows, "prefilter batch must be deterministic")
+
+    // IN-WALK batch (permissive predicate): graphs read once for the
+    // whole panel, walks bit-identical to per-query filtered calls
+    def walkOnce() = NswIndex.searchFrameManyFiltered(spark, idxDir, cents, panel,
+      k = 10, nprobe = 4, ef = 48, allowMeta = _ != 3L, expectMetaCol = Some("label"))
+    val walk = walkOnce()
+    val walkPlan = walk.queryExecution.executedPlan.toString
+    assert(walkPlan.contains("PartitionFilters"), s"no partition prune:\n$walkPlan")
+    assert("Scan parquet".r.findAllIn(walkPlan).length == 1,
+      s"in-walk batch must read the index in exactly one scan:\n$walkPlan")
+    val walkRows = rowsOf(walk)
+    panel.keys.toSeq.sorted.foreach { qid =>
+      val single = NswIndex.searchFrameFiltered(spark, idxDir, cents, panel(qid),
+        excludeId = qid, k = 10, nprobe = 4, ef = 48, allowMeta = _ != 3L)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val got = walkRows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got == single, s"in-walk query $qid: batch != single\nbatch:  $got\nsingle: $single")
+    }
+    assert(rowsOf(walkOnce()) == walkRows, "in-walk batch must be deterministic")
+  }
+
   // ---- s27: metadata-filtered search (prefilter + in-walk) ----
 
   test("s27: the prefilter strategy pushes the meta predicate into the parquet scan " +

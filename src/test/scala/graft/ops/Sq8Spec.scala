@@ -148,6 +148,48 @@ class Sq8Spec extends AnyFunSuite {
     assert(once().collect().toSeq == once().collect().toSeq, "searchMany must be deterministic")
   }
 
+  test("HNSW over SQ8: the walk's cell scan is partition-pruned and float-free, " +
+    "recall@10 matches the float walk's on this corpus, output scores exact, " +
+    "deterministic") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("hnswsq8-spec").toString
+    val cents = Sq8Index.buildHnsw(emb, idxDir, params, kCells = 16, iters = 2,
+      m = 8, efC = 32)
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    def once() = Sq8Index.searchHnsw(spark, idxDir, cents, emb, params, qe,
+      excludeId = 0L, k = 10, nprobe = 4, ef = 48, rerank = 50)
+    val ann = once()
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition prune on the walk scan:\n$plan")
+    val codeScanLine = plan.split("\n").find(_.contains("code:binary"))
+    assert(codeScanLine.isDefined && !codeScanLine.get.contains("embedding"),
+      s"the quantized walk must not read float vectors:\n${codeScanLine.getOrElse("<missing>")}")
+    val got = ann.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // scores are exact (post-rerank): each equals the exact 6dp cosine
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val exactAll = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_similarity(col("embedding"), col("qe")), 6).as("c"))
+    val exactMap = exactAll.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, c) =>
+      assert(exactMap(id) == c, s"claimed score for $id is not exact: $c vs ${exactMap(id)}")
+    }
+    // recall vs the FLOAT graph walk over its own index (same cell/graph
+    // parameters): the quantized walk must not lose ground to quantization
+    val floatIdx = java.nio.file.Files.createTempDirectory("hnswsq8-float").toString
+    val floatCents = NswIndex.build(emb, floatIdx, k = 16, iters = 2, m = 8, efC = 32)
+    val floatWalk = NswIndex.searchFrame(spark, floatIdx, floatCents, qe, excludeId = 0L,
+      k = 10, nprobe = 4, ef = 48)
+      .collect().map(_.getLong(0)).toSet
+    val truth = exactAll.orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recallSq8 = (got.map(_._1).toSet & truth).size
+    val recallFloat = (floatWalk & truth).size
+    assert(recallSq8 >= recallFloat,
+      s"quantized walk recall $recallSq8 lost to the float walk's $recallFloat")
+    assert(once().collect().toSeq == ann.collect().toSeq, "searchHnsw must be deterministic")
+  }
+
   test("search: exact output scores, 10/10 recall vs the exact kernel on this " +
     "corpus, deterministic across runs") {
     import spark.implicits._
