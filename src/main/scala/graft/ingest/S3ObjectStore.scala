@@ -254,6 +254,15 @@ class S3ObjectStore(
     } else putMultipart(key, data, metaHeaders)
   }
 
+  /** Failure-injection seams: a spec subclass overrides these to KILL
+    * the writer between part uploads or between the last part and
+    * CompleteMultipartUpload — the two crash windows whose leftovers
+    * (uncommitted parts under an open uploadId) must never surface as
+    * objects. Production no-ops.
+    */
+  protected def onPartUploaded(key: String, partNumber: Int): Unit = ()
+  protected def onBeforeComplete(key: String): Unit = ()
+
   private def putMultipart(key: String, data: Array[Byte], metaHeaders: Map[String, String]): Unit = {
     val (cs, cb, _) = request("POST", Some(key), Seq("uploads" -> ""), metaHeaders, Array.emptyByteArray)
     if (cs / 100 != 2) fail(s"create-multipart $key", cs, cb)
@@ -265,8 +274,10 @@ class S3ObjectStore(
         val (ps, pb, ph) =
           request("PUT", Some(key), Seq("partNumber" -> partNum, "uploadId" -> uploadId), Map.empty, part)
         if (ps / 100 != 2) fail(s"upload-part $key#$partNum", ps, pb)
+        onPartUploaded(key, i + 1)
         partNum -> ph.getOrElse("etag", "")
       }.toSeq
+      onBeforeComplete(key)
       val completeXml =
         etags
           .map { case (n, e) => s"<Part><PartNumber>$n</PartNumber><ETag>$e</ETag></Part>" }
@@ -275,7 +286,12 @@ class S3ObjectStore(
         request("POST", Some(key), Seq("uploadId" -> uploadId), Map.empty, completeXml.getBytes(UTF_8))
       if (fs / 100 != 2) fail(s"complete-multipart $key", fs, fb)
     } catch {
-      case e: Throwable =>
+      // NonFatal only: a process KILL (or VM error) cannot run network
+      // IO on the way down — the abort must not pretend otherwise, and
+      // the crash-orphaned parts it leaves are exactly what the
+      // failure-injection spec proves never surface as objects (real
+      // deployments reap them with a bucket lifecycle rule).
+      case scala.util.control.NonFatal(e) =>
         // Best-effort abort so failed uploads don't accumulate billed parts.
         try request("DELETE", Some(key), Seq("uploadId" -> uploadId), Map.empty, Array.emptyByteArray)
         catch { case _: Throwable => () }

@@ -1582,6 +1582,35 @@ object RelationalOps {
           col("box_rows"), col("n_rows"))
     }),
 
+    // SHARD SCHEMA EVOLUTION — the two-generation evolved read driven
+    // end to end through the production container ([[graft.sources
+    // .ShardSchemas]] + the [[graft.sources.TrainingShards.write]]
+    // gate): generation 0 lands (doc_id, source, n_chars), a SUPERSET
+    // append adds `lang`, and the read serves BOTH under the recorded
+    // union schema — rows written before the column evolved read back
+    // with it null. The aggregate proves exactly that: n_pre_evolution
+    // counts lang-IS-NULL rows per source, which the oracle recomputes
+    // from the generation split (doc_id < 250) — the two ways of
+    // naming "written before the column existed" must agree, so a
+    // chain regression (dropped column, wrong null-fill, inference
+    // narrowing) flips the counts and fails the hash.
+    "q108_shard_schema_evolution" -> ((s, dir) => {
+      import graft.sources.TrainingShards
+      val docs = t(s, dir, "documents")
+      val base = rtPath("schema_evo", dir)
+      TrainingShards.write(docs.filter(col("doc_id") < 250)
+        .select("doc_id", "source", "n_chars"), base,
+        maxDocsPerShard = 256, mode = "overwrite")
+      TrainingShards.write(docs.filter(col("doc_id") >= 250)
+        .select("doc_id", "source", "n_chars", "lang"), base, maxDocsPerShard = 256)
+      TrainingShards.read(s, base)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy("source")
+    }),
+
     // Text-format interop: the same slice through CSV WITH quoting —
     // document text contains spaces (and could contain delimiters), so
     // the writer must quote and the reader must parse quotes + header +
@@ -1991,6 +2020,14 @@ object RelationalOps {
         |   WHERE n_chars BETWEEN 100 AND 300
         |     AND (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1024) BETWEEN 256 AND 511) AS box_rows,
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows""".stripMargin,
+    // The evolved-read replay: "rows whose lang column reads back null"
+    // must equal "rows written before the column existed" (doc_id<250 —
+    // the generation split the engine's write made).
+    "q108_shard_schema_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q99_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS text_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,

@@ -43,6 +43,12 @@ object RetrievalOps {
     */
   val RrfCandidateCap = 50
 
+  /** Per-leg candidate cap for the hybrid sparse+dense fusion (r14):
+    * each retriever contributes its top-20; fusion re-ranks ≤2·20 rows
+    * per query whatever the corpus size.
+    */
+  val HybridCap = 20
+
   /** Token budget per source for r06 (a fixed corpus-curation budget:
     * sources are truncated, in deterministic pseudo-random doc order,
     * once they exceed it).
@@ -386,6 +392,87 @@ object RetrievalOps {
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
           col("rec.doc_id").as("doc_id"), col("rec.rrf").as("rrf"),
           col("rec.r_bm25").as("r_bm25"), col("rec.r_prior").as("r_prior"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // HYBRID SPARSE+DENSE RETRIEVAL — the production retrieval shape
+    // (BM25 ∪ ANN fused by RRF): the sparse leg runs r02's Okapi kernel
+    // over the documents (token stream semi-joined against the
+    // broadcast query vocabulary, bounded-heap top-C ranks), the dense
+    // leg answers the SAME four queries through the REAL IVF+SQ8 index
+    // (s29's production config — partition-pruned byte scan over all
+    // 16 cells at nprobe=16, top-100 byte-ranked pool, exact rerank —
+    // never brute force), and reciprocal-rank fusion re-ranks the union
+    // of the two top-C lists (a doc absent from a leg contributes 0 for
+    // it — the r10 formulation). The dense leg's 4×C ranked rows are a
+    // k-BOUNDED side input (the CollectGuard class: constant in corpus
+    // size), so the fusion join runs against a literal frame while the
+    // sparse leg stays fully distributed. Query ids double as corpus
+    // vec_ids (the panel convention), so each dense leg's rank-1 hit is
+    // the query's own vector — kept IN (no self-exclusion) so both arms
+    // and the oracle rank the same population. Fully exact oracle: the
+    // BM25 arm replays closed-form, the ANN arm's ranks equal the
+    // brute-force exact-cosine ranks (nprobe=16 covers every cell and
+    // the 100-pool covered the top-C at both gate SFs — any quantizer
+    // drift fails the gate loudly), and the fusion arithmetic is the
+    // r10-proven two-term sum.
+    "r14_hybrid_retrieval" -> ((s, dir) => SimilarityOps.withScratchDirs(s,
+      "graft-hybrid-ivfsq8") { case Seq(idxDir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qterms = Bm25Queries.toDF("query_id", "query_text")
+        .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+      val qvocab = qterms.select("term").distinct()
+      val tf = tok(docs)
+        .join(broadcast(qvocab), "term")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+      val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val bm25 = tf
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .select(col("query_id"), col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+            .as("c"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("c")), 4).as("bm25"))
+      val bmLeg = bm25
+        .select(col("query_id"), struct((-col("bm25")).as("nk"), col("doc_id")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), HybridCap).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), col("rec.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("r_bm25"))
+      val p = Sq8Index.train(emb)
+      val cents = Sq8Index.buildIvf(emb, idxDir, p, kCells = 16, iters = 2)
+      val qEmb: Map[Long, Array[Float]] = emb
+        .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val annRows: Seq[(Long, Long, Int)] = Bm25Queries.map(_._1).flatMap { qid =>
+        Sq8Index.searchIvf(s, idxDir, cents, emb, p, qEmb(qid), excludeId = -1L,
+          k = HybridCap, nprobe = 16, rerank = 100)
+          .collect().zipWithIndex.map { case (r, i) => (qid, r.getLong(0), i + 1) }
+      }
+      val annLeg = annRows.toDF("query_id", "doc_id", "r_ann")
+      bmLeg.join(annLeg, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_ann")), lit(0.0)), 6))
+        .select(col("query_id"),
+          struct((-col("rrf")).as("nk"), col("doc_id"), col("rrf"),
+            col("r_bm25"), col("r_ann")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 5).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.rrf").as("rrf"),
+          col("rec.r_bm25").as("r_bm25"), col("rec.r_ann").as("r_ann"))
         .orderBy("query_id", "rank")
     }),
 
@@ -844,6 +931,46 @@ object RetrievalOps {
         |SELECT CAST(query_id AS BIGINT) AS query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
         |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_prior AS INT) AS r_prior
+        |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Both arms replayed for real: the BM25 leg closed-form (the r02
+    // kernel), the ANN leg as brute-force exact-cosine ranks over the
+    // embeddings (what the engine's IVF+SQ8 index must equal at
+    // nprobe=16 + exact rerank), fusion arithmetic identical to r10's.
+    "r14_hybrid_retrieval" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id, round(sum(
+        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_bm25
+        |  FROM scored QUALIFY r_bm25 <= 20),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |       FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+        |cs AS (SELECT qv.query_id, e.vec_id AS doc_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS c
+        |  FROM embeddings e, qv),
+        |ann AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS r_ann
+        |  FROM cs QUALIFY r_ann <= 20),
+        |fused AS (SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+        |    coalesce(bm.doc_id, ann.doc_id) AS doc_id, bm.r_bm25, ann.r_ann,
+        |    round(coalesce(1.0 / (60 + bm.r_bm25), 0) + coalesce(1.0 / (60 + ann.r_ann), 0), 6) AS rrf
+        |  FROM bm FULL OUTER JOIN ann ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+        |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_ann AS INT) AS r_ann
         |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "r03_blocklist_hits" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),

@@ -434,7 +434,7 @@ object SimilarityOps {
   @volatile private[ops] var scratchKeepLazy: Boolean = false
   private[ops] val scratchKeepLazyDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private def withScratchDirs(s: SparkSession, prefixes: String*)(
+  private[ops] def withScratchDirs(s: SparkSession, prefixes: String*)(
       body: Seq[String] => DataFrame): DataFrame = {
     val dirs = prefixes.map(p => java.nio.file.Files.createTempDirectory(p).toString)
     if (scratchKeepLazy) {

@@ -500,6 +500,52 @@ private[sources] object ShardManifest {
   }
 }
 
+/** Per-generation SCHEMA RECORDS for a shard directory — the schema
+  * evolution story: the sink's JSON lines are schema-flexible by
+  * construction (a row simply carries whatever keys it has), so the
+  * thing that must be governed is the READ schema and the
+  * compatibility of what writers claim. Each evolution writes
+  * `_SCHEMA.g<n>.json` (zero-padded, lexicographic = generation
+  * order, atomic tmp+rename); the LATEST record is by construction
+  * the union of everything ever appended, so [[TrainingShards.read]]
+  * uses it as the read schema — older rows null-fill columns added
+  * after them, and inference never silently narrows a mixed corpus.
+  */
+private[sources] object ShardSchemas {
+  private def name(gen: Long): String = f"_SCHEMA.g$gen%019d.json"
+
+  def list(fs: FileSystem, dir: HPath): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_SCHEMA.g") && n.endsWith(".json"))
+      .toSeq.sorted
+
+  def readLatest(fs: FileSystem, dir: HPath): Option[(Long, StructType)] =
+    list(fs, dir).lastOption.map { n =>
+      val p = new HPath(dir, n)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val gen = n.stripPrefix("_SCHEMA.g").stripSuffix(".json").toLong
+      (gen, DataType.fromJson(new String(buf, UTF_8)).asInstanceOf[StructType])
+    }
+
+  def write(fs: FileSystem, dir: HPath, gen: Long, schema: StructType): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, name(gen) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes(UTF_8)) finally out.close()
+    val dest = new HPath(dir, name(gen))
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not publish $dest")
+  }
+
+  def clear(fs: FileSystem, dir: HPath): Unit =
+    list(fs, dir).foreach(n => fs.delete(new HPath(dir, n), false))
+}
+
 /** Caller-facing API over the `graft-shards` container. */
 object TrainingShards {
   /** Serialize every column of `df` into JSON lines and land them as
@@ -526,6 +572,42 @@ object TrainingShards {
             maxShardBytes: Long = 64L << 20, mode: String = "append",
             jobToken: Option[String] = None, codec: String = "gzip",
             zOrderBy: Seq[String] = Nil, zOrderBitsPerDim: Int = 8): Unit = {
+    // ---- schema evolution gate ----
+    // Append: every written column already in the chain must carry the
+    // IDENTICAL type (a type change would make old and new rows of one
+    // column unparseable under a single read schema — fail loudly, never
+    // coerce); NEW columns evolve the chain to their superset, recorded
+    // BEFORE the data lands (a crash after the record but before the
+    // commit leaves a harmless extra null-filled column; the reverse
+    // order would let committed rows' new columns vanish silently from
+    // reads). Writing a SUBSET of the chain is fine as-is — JSON rows
+    // simply lack those keys and read back as nulls. Overwrite: the
+    // chain resets to this write's schema AFTER the commit (the
+    // truncate protocol keeps the OLD corpus readable if the job dies,
+    // so the old chain must keep describing it until the new data is
+    // live).
+    val dirPath = new HPath(dir)
+    val sfs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val latest = ShardSchemas.readLatest(sfs, dirPath)
+    if (mode != "overwrite") latest match {
+      case Some((gen, prev)) =>
+        val prevByName = prev.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach { f =>
+          prevByName.get(f.name).foreach { pt =>
+            require(pt == f.dataType,
+              s"graft-shards schema evolution: column '${f.name}' was recorded as " +
+                s"${pt.simpleString} but this append writes ${f.dataType.simpleString} — " +
+                "type changes are incompatible (old rows could not parse under one read " +
+                "schema); write the new type under a new column name or overwrite the corpus")
+          }
+        }
+        val added = df.schema.fields.filterNot(f => prevByName.contains(f.name))
+        if (added.nonEmpty)
+          ShardSchemas.write(sfs, dirPath, gen + 1,
+            StructType(prev.fields ++ added.map(_.copy(nullable = true))))
+      case None =>
+        ShardSchemas.write(sfs, dirPath, 0L, df.schema)
+    }
     val clustered =
       if (zOrderBy.isEmpty) df
       else {
@@ -556,6 +638,10 @@ object TrainingShards {
       .option("codec", codec)
     jobToken.foreach(t => w.option("jobToken", t))
     w.mode(mode).save()
+    if (mode == "overwrite") {
+      ShardSchemas.clear(sfs, dirPath)
+      ShardSchemas.write(sfs, dirPath, 0L, df.schema)
+    }
   }
 
   /** Read a shard directory back as rows, trusting the manifest: exactly
@@ -580,15 +666,21 @@ object TrainingShards {
   }
 
   def read(spark: SparkSession, dir: String, schema: Option[StructType] = None): DataFrame = {
-    val (_, _, _, files) = committedShards(spark, dir)
+    val (fs, dirPath, _, files) = committedShards(spark, dir)
+    // explicit schema > recorded evolution chain > inference: the LATEST
+    // recorded schema is the union of every appended generation, so
+    // rows written before a column existed read back with it null —
+    // the two-generation evolved read, without inference ever narrowing
+    // a mixed corpus to whichever shard it sampled
+    val effective = schema.orElse(ShardSchemas.readLatest(fs, dirPath).map(_._2))
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        schema.getOrElse(throw new IllegalArgumentException(
+        effective.getOrElse(throw new IllegalArgumentException(
           s"manifest under $dir lists zero shards; pass a schema to read an empty corpus")))
     else {
       val base = spark.read
-      schema.fold(base)(base.schema).json(files: _*)
+      effective.fold(base)(base.schema).json(files: _*)
     }
   }
 

@@ -34,6 +34,11 @@ class FakeS3Server(bucket: String, pageSize: Int = 2) {
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
   def storedKeys: Seq[String] = objects.keySet().asScala.toSeq
+  /** Open (never completed/aborted) multipart uploads with their
+    * buffered part counts — the crash-orphan population a bucket
+    * lifecycle rule reaps in production.
+    */
+  def pendingUploads: Map[String, Int] = uploads.map { case (id, (_, parts)) => id -> parts.size }.toMap
 
   private def sha256Hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
@@ -229,6 +234,54 @@ class S3ObjectStoreSpec extends AnyFunSuite with ObjectStoreContract with Before
     val k = "ingest/2024-06-01/a.json.gz.enc"
     val plain = Zlib.decompress(Envelope.decrypt(EncryptedObject(s.get(k), s.getMetadata(k)), priv))
     assert(new String(plain) == """{"v":1}""")
+  }
+
+  test("a writer killed MID-MULTIPART (between parts, and between last part and " +
+    "complete) leaves no visible object; the re-run lands exactly one committed " +
+    "object and the crash orphans never surface through the store contract") {
+    // simulated kill: InterruptedException is outside NonFatal, so it
+    // escapes the abort handler — like a SIGKILL'd/interrupted writer
+    // that never runs the abort DELETE
+    class SimulatedProcessKill extends InterruptedException("writer killed")
+    def killingStore(killAfterPart: Int = -1, killBeforeComplete: Boolean = false) =
+      new S3ObjectStore(
+        server.endpoint, "us-east-1", "testbucket",
+        S3Credentials("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY", Some("tok")),
+        multipartThreshold = 1024, partSize = 1000) {
+        override protected def onPartUploaded(key: String, partNumber: Int): Unit =
+          if (partNumber == killAfterPart) throw new SimulatedProcessKill
+        override protected def onBeforeComplete(key: String): Unit =
+          if (killBeforeComplete) throw new SimulatedProcessKill
+      }
+    val data = Array.tabulate[Byte](5000)(i => (i % 251).toByte) // 5 parts
+    val key = "crash/day1/file.bin.gz.enc"
+
+    // crash window 1: between part uploads (2 of 5 parts landed)
+    val orphansBefore = server.pendingUploads
+    intercept[SimulatedProcessKill](killingStore(killAfterPart = 2).put(key, data, Map("iv" -> "a")))
+    val orphans1 = server.pendingUploads -- orphansBefore.keySet
+    assert(orphans1.values.toSeq == Seq(2), s"expected one orphan with 2 parts, got $orphans1")
+    assert(!server.storedKeys.contains(key), "a crashed upload surfaced as an object")
+    assert(store().listKeys("crash/") == Seq.empty, "orphaned parts visible through listKeys")
+    intercept[RuntimeException](store().get(key)) // no partial object readable
+
+    // crash window 2: after the last part, before CompleteMultipartUpload
+    intercept[SimulatedProcessKill](killingStore(killBeforeComplete = true).put(key, data, Map("iv" -> "b")))
+    val orphans2 = server.pendingUploads -- orphansBefore.keySet
+    assert(orphans2.values.toSeq.sorted == Seq(2, 5), s"expected orphans (2,5) parts, got $orphans2")
+    assert(!server.storedKeys.contains(key))
+    assert(store().listKeys("crash/") == Seq.empty)
+
+    // the re-run day: a fresh writer lands the SAME key — exactly one
+    // committed object, bytes exact, metadata from the re-run, and the
+    // orphans still never count against the contract
+    store(threshold = 1024, part = 1000).put(key, data, Map("iv" -> "rerun"))
+    assert(store().listKeys("crash/") == Seq(key), "re-run must commit exactly one object")
+    assert(server.storedKeys.count(_ == key) == 1)
+    assert(store().get(key).sameElements(data), "committed bytes must be the re-run's, unmixed")
+    assert(store().getMetadata(key) == Map("iv" -> "rerun"))
+    assert((server.pendingUploads -- orphansBefore.keySet).size == 2,
+      "the re-run must not have adopted or completed the crashed uploads")
   }
 
   test("keys with special characters sign, store, and list correctly") {

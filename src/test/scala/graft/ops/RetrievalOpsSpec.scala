@@ -161,6 +161,35 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"RM3 never changed any ranking vs plain BM25: $rm3")
   }
 
+  test("r14: both arms contribute to the fusion — dense-only and sparse-only hits " +
+    "both surface, each query's own vector tops its dense leg, and the fused " +
+    "ranking is deterministic") {
+    val rows = q("r14_hybrid_retrieval").cache()
+    val collected = rows.collect()
+    assert(collected.nonEmpty)
+    // each query's own vector scores cosine 1.0 with itself => dense
+    // rank 1; with only 3 BM25 terms its sparse overlap is weak, so the
+    // doc_id == query_id row must carry r_ann = 1
+    val selfRows = collected.filter(r => r.getLong(0) == r.getLong(2))
+    assert(selfRows.nonEmpty, "no query's own vector in any fused top-5")
+    selfRows.foreach(r => assert(r.getInt(5) == 1,
+      s"query ${r.getLong(0)}: own vector's dense rank is ${r.getInt(5)}, not 1"))
+    // the union is real: some fused row exists with a missing sparse
+    // rank (dense-only) — BM25's vocabulary overlap and the embedding
+    // geometry are unrelated on this corpus, so each leg surfaces docs
+    // the other misses
+    assert(collected.exists(_.isNullAt(4)), "no dense-only doc in any fused top-5")
+    // rrf arithmetic: recompute from the rank columns
+    collected.foreach { r =>
+      val expect = (if (r.isNullAt(4)) 0.0 else 1.0 / (60 + r.getInt(4))) +
+        (if (r.isNullAt(5)) 0.0 else 1.0 / (60 + r.getInt(5)))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"rrf mismatch on $r: ${r.getDouble(3)} vs $expect")
+    }
+    assert(q("r14_hybrid_retrieval").collect().toSeq == collected.toSeq,
+      "hybrid fusion must be deterministic")
+  }
+
   test("r13: no positive leaks into the negatives, ranks contiguous, margin vs r02 consistent") {
     val rows = q("r13_hard_negatives").cache()
     // qrels exclusion really held: doc_id ≡ query_id (mod 50) never appears
