@@ -98,6 +98,43 @@ object ScaleRecall {
     // (measured: fixed 50 loses 1 recall point on 3/16 queries at 30x)
     val sqRerank = sys.env.getOrElse("SPARK_GRAFT_SQ8_RERANK", "50").toInt
 
+    // PQ vs OPQ (s18 vs s34): same IVF probes, ADC top-50 candidate
+    // pool, exact rerank — the only difference is the learned rotation
+    // in front of the quantizer. The scale question: does eigenvalue-
+    // allocated rotation hold its recall edge (or at least parity) as
+    // cells grow? Codebooks train once; candidate pools are per-query.
+    val pqCb = graft.ops.PqIndex.train(emb)
+    val pqCodes = graft.ops.PqIndex.encode(emb, pqCb).toDF("vec_id", "codes", "norm")
+      .localCheckpoint()
+    val opqRot = graft.ops.OpqRotation.train(emb)
+    val opqCb = graft.ops.PqIndex.train(graft.ops.OpqRotation.rotate(emb, opqRot))
+    val opqCodes = graft.ops.PqIndex.encode(graft.ops.OpqRotation.rotate(emb, opqRot), opqCb)
+      .toDF("vec_id", "codes", "norm").localCheckpoint()
+
+    // The fixture's embeddings are near-ISOTROPIC (uniform jitter inside
+    // clusters), so the parametric rotation has nothing to exploit there
+    // — pq-vs-opq on the raw corpus measures PARITY, which is itself the
+    // honest answer. The mechanism OPQ exists for is VARIANCE SKEW
+    // across subspaces; this derived view applies a deterministic
+    // per-dimension scaling (dim i × (1 + i/8), an ~79x inter-subspace
+    // variance ratio), and the skewed pq/opq columns measure the
+    // rotation's lift where its assumption holds. Flat ADC (no IVF
+    // prune) isolates quantizer quality from probe-ceiling effects.
+    val embSkew = emb.select(col("vec_id"),
+      expr("CAST(transform(embedding, (x, i) -> x * (1.0D + i / 8.0D)) AS ARRAY<FLOAT>)")
+        .as("embedding")).localCheckpoint()
+    val pqCbSkew = graft.ops.PqIndex.train(embSkew)
+    val pqCodesSkew = graft.ops.PqIndex.encode(embSkew, pqCbSkew)
+      .toDF("vec_id", "codes", "norm").localCheckpoint()
+    val opqRotSkew = graft.ops.OpqRotation.train(embSkew)
+    val opqCbSkew = graft.ops.PqIndex.train(graft.ops.OpqRotation.rotate(embSkew, opqRotSkew))
+    val opqCodesSkew = graft.ops.PqIndex.encode(
+      graft.ops.OpqRotation.rotate(embSkew, opqRotSkew), opqCbSkew)
+      .toDF("vec_id", "codes", "norm").localCheckpoint()
+    val queryVecsSkew: Map[Long, Array[Float]] = embSkew
+      .filter(col("vec_id").isin(QueryIds.map(x => x: Any): _*))
+      .as[(Long, Array[Float])].collect().toMap
+
     // HNSW over SQ8 (s32): graphs over codes — same cell/graph params as
     // the float walk, vector payload quantized. The scale question: does
     // the quantized-geometry walk lose recall the float walk keeps?
@@ -158,6 +195,25 @@ object ScaleRecall {
         qe, qid, K, NProbe, rerank = sqRerank))
       val hnswSq8 = ids(graft.ops.Sq8Index.searchHnsw(spark, hnswSqDir, cents, emb,
         sqParams, qe, qid, K, NProbe, Ef, rerank = sqRerank))
+      val cellIds = assignments
+        .filter(col("cluster").isin(probes.map(x => x: Any): _*)).select("vec_id")
+      def adcTopK(codes: DataFrame, cb: graft.ops.PqIndex.Codebook, q: Array[Float]): Set[Long] = {
+        val cands = graft.ops.PqIndex.searchAdc(codes.join(cellIds, "vec_id"), cb, q,
+          excludeId = qid, k = 50).select(col("vec_id").as("cand_id"))
+        ids(graft.ops.SimilarityOps.exactRerank(emb, cands, qid, K))
+      }
+      val pq = adcTopK(pqCodes, pqCb, qe)
+      val opq = adcTopK(opqCodes, opqCb, graft.ops.OpqRotation.rotateVec(qe, opqRot))
+      val qeSkew = queryVecsSkew(qid)
+      val truthSkew = exactTopK(qid, qeSkew, embSkew)
+      def adcTopKFlat(codes: DataFrame, cb: graft.ops.PqIndex.Codebook, q: Array[Float]): Set[Long] = {
+        val cands = graft.ops.PqIndex.searchAdc(codes, cb, q, excludeId = qid, k = 50)
+          .select(col("vec_id").as("cand_id"))
+        ids(graft.ops.SimilarityOps.exactRerank(embSkew, cands, qid, K))
+      }
+      val pqSkew = adcTopKFlat(pqCodesSkew, pqCbSkew, qeSkew)
+      val opqSkew = adcTopKFlat(opqCodesSkew, opqCbSkew,
+        graft.ops.OpqRotation.rotateVec(qeSkew, opqRotSkew))
       val truthF = exactTopK(qid, qe,
         embFull.filter(col("label") === FiltLabel).select("vec_id", "embedding"))
       val probesF = IvfIndex.probeCells(cents, qe, FiltNProbe)
@@ -181,6 +237,8 @@ object ScaleRecall {
         K, NProbe, Ef, allowMeta = _ != FiltLabel.toLong))
       Seq((truth & flat).size, (truth & layered).size, (truth & ceiling).size,
         (truth & sq8).size, (truth & hnswSq8).size,
+        (truth & pq).size, (truth & opq).size,
+        (truthSkew & pqSkew).size, (truthSkew & opqSkew).size,
         (truthF & ceilingF).size, (truthF & walkF).size,
         (truthP & ceilingP).size, (truthP & walkP).size)
     }
@@ -191,7 +249,8 @@ object ScaleRecall {
     }
     def arr(i: Int): String = rows.map(_(i)).mkString("[", ",", "]")
     val names = Seq("flat", "layered", "ivf_ceiling", s"ivf_sq8_rerank$sqRerank",
-      s"hnsw_sq8_rerank$sqRerank",
+      s"hnsw_sq8_rerank$sqRerank", "ivf_pq_adc50", "ivf_opq_adc50",
+      "pq_skewvar_flat_adc50", "opq_skewvar_flat_adc50",
       s"filtered_ceiling_np$FiltNProbe", s"filtered_inwalk_np$FiltNProbe",
       s"permissive_ceiling_np$NProbe", s"permissive_inwalk_np$NProbe")
     val summary = names.zipWithIndex.map { case (n, i) =>

@@ -142,3 +142,162 @@ object PqIndex {
     searchAdc(codes, cb, query, excludeId = queryId, k = k)
   }
 }
+
+/** OPQ — a learned orthogonal ROTATION in front of product quantization
+  * (Ge et al., "Optimized Product Quantization", CVPR 2013; the
+  * parametric variant, FAISS's "OPQ<m>,PQ<m>"): raw axes rarely align
+  * with how variance is distributed, so quantizing raw subspaces wastes
+  * code budget on skewed ones. The rotation is built from the
+  * covariance's eigenvectors (power iteration + deflation — the s21
+  * machinery run to a full basis) with EIGENVALUE ALLOCATION: eigen-
+  * dimensions are dealt to the m subspaces so each subspace's variance
+  * PRODUCT balances (greedy min-log-product), which is the parametric
+  * optimum for independent Gaussian-ish data. Rotation is orthogonal ⇒
+  * norms and cosines are preserved, so codes quantize the same geometry
+  * the exact rerank scores.
+  *
+  * Spark shape: training is DRIVER-side on the same deterministic
+  * bounded sample as [[PqIndex.train]] (a dim×dim covariance is tiny);
+  * the rotation ships as a closure-captured matrix into one shuffle-free
+  * typed map — the encode-everything pass stays one scan. Deterministic
+  * end to end: fixed iteration counts, ascending-index folds,
+  * Gram-Schmidt against previously extracted vectors (which also
+  * guarantees orthonormality even when power iteration stalls on a
+  * degenerate eigenvalue — correctness never depends on convergence,
+  * only the recall LIFT does).
+  */
+object OpqRotation {
+
+  /** Row-major orthogonal rotation: x' = rows · x. */
+  final case class Rotation(rows: Array[Array[Double]]) {
+    def dim: Int = rows.length
+  }
+
+  def train(emb: DataFrame, m: Int = 16, sampleCap: Int = 2048, powerIters: Int = 30): Rotation = {
+    import emb.sparkSession.implicits._
+    val sample: Array[Array[Float]] = emb
+      .orderBy("vec_id").limit(sampleCap)
+      .select("embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, "OPQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val n = sample.length
+    val mu = new Array[Double](dim)
+    sample.foreach { v => var d = 0; while (d < dim) { mu(d) += v(d); d += 1 } }
+    var d0 = 0
+    while (d0 < dim) { mu(d0) /= n; d0 += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val ci = v(i) - mu(i)
+        var j = i
+        while (j < dim) { cov(i)(j) += ci * (v(j) - mu(j)); j += 1 }
+        i += 1
+      }
+    }
+    val denom = math.max(1, n - 1).toDouble
+    var i0 = 0
+    while (i0 < dim) {
+      var j0 = i0
+      while (j0 < dim) { cov(i0)(j0) /= denom; cov(j0)(i0) = cov(i0)(j0); j0 += 1 }
+      i0 += 1
+    }
+
+    def matVec(mtx: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += mtx(i)(j) * v(j); j += 1 }
+        s
+      }
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def orthogonalize(v: Array[Double], basis: Seq[Array[Double]]): Array[Double] = {
+      val out = v.clone()
+      basis.foreach { b =>
+        var dot = 0.0; var j = 0
+        while (j < dim) { dot += out(j) * b(j); j += 1 }
+        j = 0
+        while (j < dim) { out(j) -= dot * b(j); j += 1 }
+      }
+      out
+    }
+
+    // deflated power iteration to a FULL orthonormal eigenbasis
+    val work = cov.map(_.clone())
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until dim).foreach { d =>
+      // deterministic init: basis vector e_d orthogonalized against the
+      // found vectors; degenerate (inside their span) falls through to
+      // the next basis vectors
+      var v: Array[Double] = null
+      var cand = d
+      while (v == null) {
+        val e = new Array[Double](dim); e(cand % dim) = 1.0
+        val o = orthogonalize(e, vecs.toSeq)
+        if (norm(o) > 1e-9) v = o.map(_ / norm(o)) else cand += 1
+      }
+      var it = 0
+      while (it < powerIters) {
+        val w = orthogonalize(matVec(work, v), vecs.toSeq)
+        val nw = norm(w)
+        if (nw > 1e-12) v = w.map(_ / nw)
+        it += 1
+      }
+      v = orthogonalize(v, vecs.toSeq)
+      v = v.map(_ / norm(v))
+      var lam = 0.0
+      val cv = matVec(cov, v)
+      var j = 0
+      while (j < dim) { lam += v(j) * cv(j); j += 1 }
+      vecs += v
+      vals += lam
+      // deflate
+      var a = 0
+      while (a < dim) {
+        var b = 0
+        while (b < dim) { work(a)(b) -= lam * v(a) * v(b); b += 1 }
+        a += 1
+      }
+    }
+
+    // eigenvalue allocation: deal dimensions (largest eigenvalue first)
+    // to the subspace with the smallest variance log-product that still
+    // has free slots — balanced products, the OPQ-parametric criterion
+    val subDim = dim / m
+    val order = (0 until dim).sortBy(d => (-vals(d), d))
+    val bucketLog = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { d =>
+      val open = (0 until m).filter(b => buckets(b).length < subDim)
+      val pick = open.minBy(b => (bucketLog(b), b))
+      buckets(pick) += d
+      bucketLog(pick) += math.log(math.max(vals(d), 1e-12))
+    }
+    Rotation(buckets.flatMap(_.map(vecs(_))).toArray)
+  }
+
+  /** One shuffle-free typed map: (vec_id, R·x). Orthogonal ⇒ cosines and
+    * norms survive, so downstream PQ/rerank semantics are unchanged.
+    */
+  def rotate(emb: DataFrame, r: Rotation): DataFrame = {
+    import emb.sparkSession.implicits._
+    val rows = r.rows
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, rows.map { b =>
+          var s = 0.0; var j = 0
+          while (j < v.length) { s += b(j) * v(j); j += 1 }
+          s.toFloat
+        })
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  def rotateVec(q: Array[Float], r: Rotation): Array[Float] =
+    r.rows.map { b =>
+      var s = 0.0; var j = 0
+      while (j < q.length) { s += b(j) * q(j); j += 1 }
+      s.toFloat
+    }
+}

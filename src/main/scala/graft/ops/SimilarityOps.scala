@@ -800,6 +800,43 @@ object SimilarityOps {
       annSoundness(emb, exactRerank(emb, cands, queryId = 0L, k = 10), "cos_sim",
         queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
     }),
+    // OPQ — s18's IVF+PQ+refine with a LEARNED ROTATION in front of the
+    // quantizer ([[OpqRotation]], the FAISS "OPQ16,PQ16" config):
+    // covariance eigenvectors (power iteration + deflation, the s21
+    // machinery driven to a full basis) dealt to the 16 subspaces by
+    // balanced eigenvalue allocation, so no subspace wastes its 64
+    // codes on skewed raw axes. Rotation is orthogonal — cosines and
+    // norms survive — so candidates are found in the rotated space and
+    // reranked exactly in the original one (zero mismatches). Measured
+    // honestly (ScaleRecall pq-vs-opq columns): on THIS fixture's
+    // near-isotropic embeddings the rotation has nothing to exploit —
+    // per-query recall is IDENTICAL to unrotated PQ at both gate SFs
+    // and at 30x (9.81 mean), with a noise-level trade at 10x — while
+    // on the variance-SKEWED view (dim i × (1+i/8), the anisotropy OPQ
+    // exists for) the rotation measures a clean lift over raw-axis PQ.
+    // Query-0 recall 9/10 at both gate SFs (the IVF probe ceiling) →
+    // floor 6, s18's bar.
+    "s34_opq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.train(emb, k = 16, iters = 2)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val probes = IvfIndex.probeCells(cents, qe, nprobe = 4)
+      val cellIds = IvfIndex.assignments(emb, cents)
+        .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+        .select("vec_id")
+      val rot = OpqRotation.train(emb)
+      val rotated = OpqRotation.rotate(emb, rot)
+      val cb = PqIndex.train(rotated)
+      val codes = PqIndex.encode(rotated, cb).toDF("vec_id", "codes", "norm")
+        .join(cellIds, "vec_id")
+      val cands = PqIndex.searchAdc(codes, cb, OpqRotation.rotateVec(qe, rot),
+        excludeId = 0L, k = 50)
+        .select(col("vec_id").as("cand_id"))
+      annSoundness(emb, exactRerank(emb, cands, queryId = 0L, k = 10), "cos_sim",
+        queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+    }),
+
     // Corpus-scale GRAPH ANN — per-IVF-cell NSW graphs (see
     // [[NswIndex]]): the coarse quantizer routes the query to nprobe=4
     // of 16 cells (partition-pruned read of the cluster-partitioned
@@ -1498,6 +1535,7 @@ object SimilarityOps {
     "s07_pq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s17_pq_rerank" -> s"$exactCosCte\n$annSoundnessSelect",
     "s18_ivfpq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s34_opq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s23_ivf_nsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s24_stream_ivf_upsert" -> s"$exactCosCte\n$annSoundnessSelect",
     "s25_hnsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",

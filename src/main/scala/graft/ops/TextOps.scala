@@ -2304,6 +2304,22 @@ object TextOps {
     "d34_span_dedup" -> ((s, dir) =>
       spanDedup(t(s, dir, "documents"), spanWidth = 8).orderBy("doc_id")),
 
+    // TRUE suffix-array ExactSubstr ([[SuffixArrayOps]]): Lee et al.'s
+    // actual method — a distributed prefix-doubling suffix array
+    // (log2(8)=3 rounds, each ONE range-partitioned sort + a two-phase
+    // chunked dense rank; never a hash, never a per-suffix loop) finds
+    // every duplicated 8-token window by TRUE equality, then maximal
+    // duplicated spans fall out as merged covered-token intervals
+    // (the islands trick over the per-doc covered set). Where d34
+    // hashes fixed-width spans, this recovers the MAXIMAL span a long
+    // duplicate produces — a planted 30-token duplicate surfaces as
+    // ONE 30-token interval, not 23 overlapping windows (spec-pinned).
+    // Oracle: DuckDB replays the same semantics closed-form (group the
+    // actual window text, cover, merge islands).
+    "d65_suffix_spans" -> ((s, dir) =>
+      SuffixArrayOps.maximalDupSpans(t(s, dir, "documents"), window = 8,
+        nParts = s.sparkContext.defaultParallelism)),
+
     // Context-window chunking: split each document into fixed-size token
     // windows with overlap (64-token chunks, stride 48) — the training-
     // prep step that turns documents into model-context-sized examples
@@ -3343,6 +3359,21 @@ object TextOps {
         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS rebuilt FROM kept GROUP BY doc_id)
         |SELECT tot.doc_id, tot.n_tokens, tot.n_tokens - coalesce(ka.n_kept, 0) AS n_removed, coalesce(ka.rebuilt, '') AS rebuilt
         |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Suffix-array ExactSubstr replay, closed-form: duplicated 8-token
+    // windows by TRUE text equality (no hashing on either side), covered
+    // positions unioned, maximal spans via the islands trick — exactly
+    // the engine's semantics, reached without a suffix array (DuckDB can
+    // afford the direct group-by at oracle scale; the engine cannot at
+    // 100 TB, which is what the prefix doubling is for).
+    "d65_suffix_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |sp AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS gram
+        |       FROM tok, UNNEST(range(1, len(t) - 6)) u(p) WHERE len(t) >= 8),
+        |g AS (SELECT gram FROM sp GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM sp JOIN g USING (gram), UNNEST(range(p, p + 8)) v(pos)),
+        |isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM cov)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(count(*) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     // Winnow replay: same normalization (regexp_replace needs the 'g' flag
     // here — DuckDB replaces first-match-only by default, Spark replaces
     // all), same truncated-window rule (a doc with n < w grams keeps only
