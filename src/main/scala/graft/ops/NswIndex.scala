@@ -645,6 +645,81 @@ object NswIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** TOMBSTONED graph search — churn against the MATERIALIZED NSW index
+    * (the s33 delete story composed with the graph walk): deleted ids
+    * ride the same `tombstones/batch=<epoch>` channel
+    * ([[graft.streaming.IndexStreams.tombstoneBatch]] pointed at this
+    * index dir), and the walk applies them as the keep-predicate of
+    * [[greedySearchFilteredFn]] — ROUTING still traverses tombstoned
+    * nodes (excising them from the adjacency would fragment the graph,
+    * which is why FAISS-style graph indexes keep deleted nodes
+    * navigable until a rebuild), while the RESULT set never returns
+    * one. The deleted set is the churn accumulated since the last
+    * rebuild — the bounded side input a serving system maintains (the
+    * FAISS IDSelector shape: ship the set with the query, rebuild when
+    * it grows past policy); the rebuild itself is [[build]], which
+    * starts a fresh index with no tombstones.
+    */
+  def searchFrameTombstoned(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int): DataFrame = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted: Set[Long] =
+      if (fs.exists(tombPath) && fs.listStatus(tombPath).exists(_.getPath.getName.startsWith("batch=")))
+        spark.read.parquet(tombPath.toString).select("vec_id")
+          .distinct().collect().map(_.getLong(0)).toSet
+      else Set.empty
+    searchFrameFilteredByIds(spark, indexDir, cents, q, excludeId, k, nprobe, ef, deleted)
+  }
+
+  /** The tombstone walk against an explicit deleted-id set (the seam
+    * [[searchFrameTombstoned]] reads the channel into).
+    */
+  private def searchFrameFilteredByIds(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      deleted: Set[Long]): DataFrame = {
+    import spark.implicits._
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val bq = spark.sparkContext.broadcast(q)
+    val bDel = spark.sparkContext.broadcast(deleted)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("nbrs"))
+      .as[(Int, Long, Seq[Float], Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val adj = rows.map(r => r._2 -> r._4.toArray).toMap
+        val entry = rows.iterator.map(_._2).min
+        val del = bDel.value
+        greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
+          Seq(entry), bq.value, ef,
+          keep = id => id != excludeId && !del(id))
+          .sortBy(t => (-t._1, t._2)).take(k)
+          .iterator.map { case (s, id) => (id, s) }
+      }
+      .toDF("vec_id", "cos_raw")
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // Layered (hierarchical) variant — HNSW's layer hierarchy (Malkov &
   // Yashunin, TPAMI 2018) on the same per-IVF-cell distributed build.
@@ -804,6 +879,74 @@ object NswIndex {
       .partitionBy("cluster")
       .parquet(s"$indexDir/cells")
     cents
+  }
+
+  /** BATCHED layered search — [[searchFrameMany]]'s one-pruned-scan
+    * batching over the HNSW hierarchy: the union of the panel's probed
+    * cells is read once, each loaded cell runs the layered descent
+    * (top-layer entry, ef=1 routing to layer 1, layer-0 ef-frontier
+    * walk) once per query routed to it, per-query global top-k via the
+    * bounded minK heap. Bit-identical per query to Q
+    * [[searchFrameLayered]] calls — the batch amortizes the hierarchy
+    * bytes (levels + per-layer adjacency), which are exactly what the
+    * layered index adds over the flat one.
+    */
+  def searchFrameManyLayered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchFrameManyLayered needs at least one query")
+    val routing: Map[Int, Seq[Long]] = queries.toSeq
+      .flatMap { case (qid, qv) => IvfIndex.probeCells(cents, qv, nprobe).map(c => c -> qid) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cellsUnion = routing.keys.toSeq.sorted
+    val bq = spark.sparkContext.broadcast(queries)
+    val br = spark.sparkContext.broadcast(routing)
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("level"), col("layers"))
+      .as[(Int, Long, Seq[Float], Int, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val layers = rows.map(r => r._2 -> r._5.map(_.toArray).toArray).toMap
+        def nbrAt(lc: Int): Long => Array[Long] =
+          id => { val ls = layers(id); if (lc < ls.length) ls(lc) else Array.empty[Long] }
+        val maxL = rows.iterator.map(_._4).max
+        val epTop = rows.iterator.filter(_._4 == maxL).map(_._2).min
+        br.value.getOrElse(cell, Nil).iterator.flatMap { qid =>
+          val qv = bq.value(qid)
+          var ep = epTop
+          var lc = maxL
+          while (lc > 0) {
+            ep = greedySearchFn(vecs, nbrAt(lc), Seq(ep), qv, ef = 1).head._2
+            lc -= 1
+          }
+          greedySearchFn(vecs, nbrAt(0), Seq(ep), qv, ef)
+            .filter(c => !excludeSelf || c._2 != qid)
+            .sortBy(t => (-t._1, t._2)).take(k)
+            .map { case (sc, id) => (qid, id, sc) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_raw")
+      .select(col("query_id"),
+        struct((-round(col("cos_raw"), 6)).as("nc"), col("vec_id"),
+          round(col("cos_raw"), 6).as("cos_sim")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
   }
 
   /** Layered search: partition-pruned read of the probed cells, then

@@ -949,6 +949,52 @@ object SimilarityOps {
         .orderBy("strategy")
     }),
 
+    // BATCHED LAYERED search — s26's panel batching over s25's HNSW
+    // hierarchy ([[NswIndex.searchFrameManyLayered]]): the probe-union
+    // read once (one pruned scan — the hierarchy bytes, levels +
+    // per-layer adjacency, are what the batch amortizes here), the
+    // layered descent run per (cell, routed query), per-query top-10
+    // via the bounded minK heap. Spec-pinned bit-identical to
+    // per-query searchFrameLayered calls; per-query soundness rows
+    // with exact scores (zero mismatches) and s26's recall floor (the
+    // same IVF nprobe=4 ceiling — the hierarchy changes routing cost,
+    // not what layer 0 reaches).
+    "s35_hnsw_batch" -> ((s, dir) => withScratchDirs(s, "graft-hnsw-batch") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = NswIndex.buildLayered(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val ann = NswIndex.searchFrameManyLayered(s, idxDir, cents, panel,
+        k = 10, nprobe = 4, ef = 48)
+      annSoundnessMany(emb, ann, panel.keys.toSeq, k = 10, topN = 100, recallFloor = 5)
+    }),
+
+    // TOMBSTONED graph serving — churn composed with the MATERIALIZED
+    // NSW index (s33's delete semantics meet s23's walk,
+    // [[NswIndex.searchFrameTombstoned]]): deletes land on the same
+    // batch=<epoch> tombstone channel pointed at the index dir, and
+    // the walk excludes them via the keep-predicate machinery while
+    // ROUTING still traverses deleted nodes (excising them would
+    // fragment the graph — the documented reason graph indexes keep
+    // tombstoned nodes navigable until rebuild; the rebuild IS the
+    // compaction here). Deleted: two streamed-tier ids + one deep
+    // corpus id, exactly s33's shape. Soundness vs the corpus minus
+    // the deleted ids; exact scores ⇒ zero mismatches; floor 6 (the
+    // nprobe=4 ceiling, s23's bar).
+    "s36_nsw_tombstoned" -> ((s, dir) => withScratchDirs(s, "graft-nsw-tomb") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      graft.streaming.IndexStreams.tombstoneBatch(s, Seq(1L, 2L, 3L), 0L, idxDir)
+      graft.streaming.IndexStreams.tombstoneBatch(s, Seq(105L), 1L, idxDir)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = NswIndex.searchFrameTombstoned(s, idxDir, cents, qe, excludeId = 0L,
+        k = 10, nprobe = 4, ef = 48)
+      annSoundness(emb.filter(!col("vec_id").isin(1L, 2L, 3L, 105L)), ann, "cos_sim",
+        queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+    }),
+
     // DELETES IN THE LIVE INDEX — a churning corpus removes documents
     // while the index keeps serving: tombstones ride the same
     // batch=<epoch> partition channel as s24's upserts
@@ -1082,6 +1128,29 @@ object SimilarityOps {
         k = 10, nprobe = 4, ef = 48, rerank = 50)
       annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
         recallFloor = 8, scoreIsExact = true)
+    }),
+
+    // BATCHED IVF+SQ8 — the production config (s29, FAISS "IVF16,SQ8")
+    // in its serving shape ([[Sq8Index.searchIvfMany]]): the panel's
+    // probe-cell UNION read ONCE (one partition-pruned byte scan, no
+    // float column), each row scoring the weighted byte-sum for
+    // exactly its routed queries, per-query rerank pools via bounded
+    // minK heaps, one broadcast into the float scan for exact reranks.
+    // Spec-pinned bit-identical to per-query searchIvf calls. Per-query
+    // soundness rows: exact scores ⇒ zero mismatches; recall floor 5 —
+    // the per-query nprobe=4 probe ceiling (worst panel query 6/10 at
+    // sf0.01, 7/10 at sf0.001, ScaleRecall's ivf_ceiling column, which
+    // the rerank=50 SQ8 pass matched elementwise at every fixture).
+    "s37_ivfsq8_batch" -> ((s, dir) => withScratchDirs(s, "graft-ivfsq8-batch") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = Sq8Index.train(emb)
+      val cents = Sq8Index.buildIvf(emb, idxDir, p, kCells = 16, iters = 2)
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val ann = Sq8Index.searchIvfMany(s, idxDir, cents, emb, p, panel,
+        k = 10, nprobe = 4, rerank = 50)
+      annSoundnessMany(emb, ann, panel.keys.toSeq, k = 10, topN = 100, recallFloor = 5)
     }),
 
     // FILTERED × BATCHED ANN — the full serving composition (s26's
@@ -1581,6 +1650,22 @@ object SimilarityOps {
     // scalars are genuinely recomputed per query.
     "s26_ann_batch" -> batchSoundnessSql,
     "s30_sq8_batch" -> batchSoundnessSql,
+    "s35_hnsw_batch" -> batchSoundnessSql,
+    "s37_ivfsq8_batch" -> batchSoundnessSql,
+    // Tombstoned graph serving: the exact side is the corpus minus the
+    // deleted ids (the same population the walk's keep-predicate
+    // serves).
+    "s36_nsw_tombstoned" ->
+      """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.vec_id NOT IN (1, 2, 3, 105)),
+        |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  max(exact_cos) AS exact_best_cos, min(exact_cos) AS exact_cos_at_k
+        |FROM tk""".stripMargin,
     // Filtered × batched: the 16-query exact side is computed PER
     // REGIME over the predicate's population (label = 3 for the pushed
     // prefilter, label <> 3 for the walk); assertion columns are pinned

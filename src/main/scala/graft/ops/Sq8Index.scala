@@ -280,6 +280,83 @@ object Sq8Index {
     cents
   }
 
+  /** BATCHED IVF+SQ8 — the composed production config (s29) in its
+    * serving shape (s26/s30's batching): the panel is routed on the
+    * driver, the UNION of probed cells is read ONCE under a single
+    * partition-pruning filter (code columns only, never floats), each
+    * row evaluates the weighted byte-sum for exactly the queries routed
+    * to its cell (per-query `when(cluster IN routed, …)` column stack —
+    * nulls where not routed, all inside WholeStageCodegen), per-query
+    * rerank pools via bounded minK heaps, ONE broadcast of the pooled
+    * ids into the float scan for the exact rerank (the s30 tail:
+    * selection at full precision, rank order re-sorted to the
+    * single-query rounded contract). Bit-identical per query to Q
+    * [[searchIvf]] calls; the batch amortizes the pruned byte-scan IO
+    * across the panel — at 100 TB the panel's shared cells are read
+    * once instead of up to Q times.
+    */
+  def searchIvfMany(
+      spark: SparkSession,
+      indexDir: String,
+      cents: IvfIndex.Centroids,
+      emb: DataFrame,
+      p: Params,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      rerank: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchIvfMany needs at least one query")
+    require(rerank >= k, "rerank pool must cover k")
+    queries.foreach { case (qid, q) => require(q.length == p.dim,
+      s"query $qid dim ${q.length} != trained quantizer dim ${p.dim}") }
+    val routing: Map[Long, Seq[Int]] =
+      queries.map { case (qid, qv) => qid -> IvfIndex.probeCells(cents, qv, nprobe) }
+    val cellsUnion = routing.values.flatten.toSeq.distinct.sorted
+    val perQuery = queries.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val w = p.scale.indices.map(d => q(d).toDouble * p.scale(d))
+      val c0 = p.vmin.indices.map(d => q(d).toDouble * p.vmin(d)).sum
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      val admit = col("cluster").isin(routing(qid).map(x => x: Any): _*) &&
+        (if (excludeSelf) col("vec_id") =!= lit(qid) else lit(true))
+      struct(lit(qid).as("query_id"),
+        when(admit,
+          when(col("rnorm") === 0.0, 0.0)
+            .otherwise((lit(c0) + sq8_dot(col("code"), array(w.map(lit): _*))) /
+              (lit(qn) * col("rnorm"))))
+          .as("approx_cos"))
+    }
+    val pooled = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("code"), col("rnorm"))
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
+      .filter(col("qa.approx_cos").isNotNull)
+      .select(col("qa.query_id").as("query_id"), col("vec_id"),
+        col("qa.approx_cos").as("approx_cos"))
+      .groupBy("query_id")
+      .agg(minK(struct((-col("approx_cos")).as("na"), col("vec_id")), rerank).as("pool"))
+      .select(col("query_id"), explode(col("pool")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
+    val qLit = typedLit(queries.map { case (qid, q) => qid -> q.toSeq })
+    emb
+      .join(broadcast(pooled), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), element_at(qLit, col("query_id"))).as("raw"))
+      .select(col("query_id"),
+        struct((-col("raw")).as("nr"), col("vec_id"), col("raw")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), array_sort(expr(
+        "transform(recs, r -> struct(-round(r.raw, 6) AS nc, r.vec_id AS vec_id, round(r.raw, 6) AS cos_sim))"))
+        .as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- HNSW over SQ8 codes: the graph walk in the compressed domain ---
   //
   // FAISS's "HNSW,SQ8" leg of the compose matrix: s25 walks graphs over

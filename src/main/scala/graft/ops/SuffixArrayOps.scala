@@ -134,6 +134,57 @@ object SuffixArrayOps {
     ranks.toDF("gpos", "r")
   }
 
+  /** TRUE ExactSubstr REMOVAL — d34's first-occurrence-wins span dedup
+    * with the suffix-array rank groups replacing the md5 gram hash:
+    * every duplicated `window`-token run keeps only its globally-first
+    * occurrence (min packed doc_id·2^20+pos), later occurrences'
+    * covered tokens are dropped and docs rebuilt. Output contract is
+    * d34's `(doc_id, n_tokens, n_removed, rebuilt)` so the two forms
+    * are directly comparable; equality is TRUE window equality by
+    * construction (rank groups), not a hash. First-occurrence
+    * selection stays an AGGREGATE over the rank key (map-side
+    * combinable — the d34 plan discipline), never a window over the
+    * skewable group key.
+    */
+  def suffixDedup(docs: DataFrame, window: Int = 8, nParts: Int = 32): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("p0", "tok")))
+      .select(
+        (col("doc_id") * (1L << 20) + col("p0")).as("gpos"),
+        col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      .localCheckpoint() // feeds ranks, the rebuild, and the totals — one tokenize
+    val ranks = windowRanks(toks, window, nParts)
+    val lens = toks.groupBy("doc_id").agg(max(col("pos")).as("n"))
+    val starts = ranks
+      .join(toks.select("gpos", "doc_id", "pos"), "gpos")
+      .join(lens, "doc_id")
+      .filter(col("pos") <= col("n") - window + 1)
+      .select(col("doc_id"), col("pos"), col("gpos"), col("r"))
+    val byGroup = starts.groupBy("r")
+      .agg(count(lit(1)).as("cnt"), min(col("gpos")).as("first_key"))
+    val covered = starts
+      .join(byGroup, "r")
+      .where(col("cnt") >= 2 && col("gpos") =!= col("first_key"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${window - 1})")).as("pos"))
+      .distinct()
+    val kept = toks.select("doc_id", "pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val totals = lens.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    val keptAgg = kept
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("rebuilt"))
+    totals
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+  }
+
   /** Maximal duplicated token spans per document: every `window`-token
     * run occurring ≥2 times corpus-wide marks its covered tokens;
     * overlapping/adjacent covered intervals merge into maximal spans

@@ -2320,6 +2320,17 @@ object TextOps {
       SuffixArrayOps.maximalDupSpans(t(s, dir, "documents"), window = 8,
         nParts = s.sparkContext.defaultParallelism)),
 
+    // TRUE ExactSubstr REMOVAL ([[SuffixArrayOps.suffixDedup]]): d34's
+    // first-occurrence-wins rebuild driven by the suffix-array rank
+    // groups — equality is the actual window text (rank identity), not
+    // an md5; everything else (packed first key, covered-token drop,
+    // rebuild) matches d34 exactly, so the two forms are directly
+    // comparable and must agree wherever md5 is collision-free (i.e.
+    // everywhere in practice — the spec pins the agreement).
+    "d66_suffix_dedup" -> ((s, dir) =>
+      SuffixArrayOps.suffixDedup(t(s, dir, "documents"), window = 8,
+        nParts = s.sparkContext.defaultParallelism).orderBy("doc_id")),
+
     // Context-window chunking: split each document into fixed-size token
     // windows with overlap (64-token chunks, stride 48) — the training-
     // prep step that turns documents into model-context-sized examples
@@ -3350,6 +3361,22 @@ object TextOps {
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
         |tr AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tok),
         |sp AS (SELECT doc_id, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+        |       FROM tok, UNNEST(range(1, len(t) - 6)) u(p) WHERE len(t) >= 8),
+        |g AS (SELECT gh, count(*) AS cnt, min(doc_id * 1048576 + p) AS first_key FROM sp GROUP BY gh),
+        |rm AS (SELECT sp.doc_id, sp.p FROM sp JOIN g USING (gh) WHERE g.cnt > 1 AND sp.doc_id * 1048576 + sp.p <> g.first_key),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM rm, UNNEST(range(p, p + 8)) v(pos)),
+        |kept AS (SELECT tr.doc_id, tr.pos, tr.tok FROM tr LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.pos = cov.pos WHERE cov.pos IS NULL),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tr GROUP BY doc_id),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS rebuilt FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_tokens, tot.n_tokens - coalesce(ka.n_kept, 0) AS n_removed, coalesce(ka.rebuilt, '') AS rebuilt
+        |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // d34's removal replay with the md5 span key replaced by the ACTUAL
+    // window text — the engine's rank groups are true text equality, so
+    // the oracle must be too.
+    "d66_suffix_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |tr AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM tok),
+        |sp AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS gh
         |       FROM tok, UNNEST(range(1, len(t) - 6)) u(p) WHERE len(t) >= 8),
         |g AS (SELECT gh, count(*) AS cnt, min(doc_id * 1048576 + p) AS first_key FROM sp GROUP BY gh),
         |rm AS (SELECT sp.doc_id, sp.p FROM sp JOIN g USING (gh) WHERE g.cnt > 1 AND sp.doc_id * 1048576 + sp.p <> g.first_key),

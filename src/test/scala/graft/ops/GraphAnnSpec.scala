@@ -250,6 +250,69 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(rowsOf(walkOnce()) == walkRows, "in-walk batch must be deterministic")
   }
 
+  // ---- s35: batched layered search ----
+
+  test("s35: batched layered search equals Q independent layered calls bit-for-bit, " +
+    "reads the index in ONE pruned scan, and is deterministic") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("hnsw-batch-spec").toString
+    val cents = NswIndex.buildLayered(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def once() = NswIndex.searchFrameManyLayered(spark, idxDir, cents, panel,
+      k = 10, nprobe = 4, ef = 48)
+    val batch = once()
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition prune:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"batched layered search must read the index in exactly one scan:\n$plan")
+    val rows = batch.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    panel.keys.toSeq.sorted.foreach { qid =>
+      val single = NswIndex.searchFrameLayered(spark, idxDir, cents, panel(qid),
+        excludeId = qid, k = 10, nprobe = 4, ef = 48)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got == single, s"query $qid: batch != single\nbatch:  $got\nsingle: $single")
+    }
+    assert(once().collect().toSeq == batch.collect().toSeq, "batched layered walk must be deterministic")
+  }
+
+  // ---- s36: tombstoned graph serving ----
+
+  test("s36: tombstoned search never returns a deleted id, equals the plain walk " +
+    "when the channel is empty, stays correct as tombstones accrue, deterministic") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-tomb-spec").toString
+    val cents = NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    def tomb() = NswIndex.searchFrameTombstoned(spark, idxDir, cents, qe,
+      excludeId = 0L, k = 10, nprobe = 4, ef = 48)
+    def plain() = NswIndex.searchFrame(spark, idxDir, cents, qe,
+      excludeId = 0L, k = 10, nprobe = 4, ef = 48)
+    // empty channel: identical to the plain walk
+    assert(tomb().collect().toSeq == plain().collect().toSeq,
+      "tombstoned search with no tombstones must equal the plain walk")
+    // delete the plain walk's top-3: they must vanish, and the next
+    // results must be the plain walk's continuation (same graph, same
+    // walk — only the keep set changed)
+    val top = plain().collect().map(_.getLong(0)).toSeq
+    graft.streaming.IndexStreams.tombstoneBatch(spark, top.take(3), 0L, idxDir)
+    val after = tomb().collect().map(_.getLong(0)).toSeq
+    assert(top.take(3).forall(id => !after.contains(id)),
+      s"deleted ids still served: $after")
+    assert(after.take(7) == top.drop(3),
+      s"surviving results must be the plain walk's continuation\nplain: $top\nafter: $after")
+    // accrue a second epoch: both epochs' deletes apply
+    graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(top(3)), 1L, idxDir)
+    val after2 = tomb().collect().map(_.getLong(0)).toSeq
+    assert(!after2.contains(top(3)) && top.take(3).forall(id => !after2.contains(id)))
+    assert(tomb().collect().toSeq == tomb().collect().toSeq, "tombstoned walk must be deterministic")
+  }
+
   // ---- s27: metadata-filtered search (prefilter + in-walk) ----
 
   test("s27: the prefilter strategy pushes the meta predicate into the parquet scan " +

@@ -148,6 +148,34 @@ class Sq8Spec extends AnyFunSuite {
     assert(once().collect().toSeq == once().collect().toSeq, "searchMany must be deterministic")
   }
 
+  test("batched IVF+SQ8 equals Q independent searchIvf calls bit-for-bit, reads " +
+    "the codes in ONE pruned float-free scan, and is deterministic") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfsq8-batch-spec").toString
+    val cents = Sq8Index.buildIvf(emb, idxDir, params, kCells = 16, iters = 2)
+    val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def once() = Sq8Index.searchIvfMany(spark, idxDir, cents, emb, params, panel,
+      k = 10, nprobe = 4, rerank = 50)
+    val batch = once()
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition prune on the code scan:\n$plan")
+    val codeScans = plan.split("\n").filter(_.contains("code:binary"))
+    assert(codeScans.length == 1 && !codeScans.head.contains("embedding"),
+      s"the panel must read the codes in exactly one float-free scan:\n${codeScans.toSeq}")
+    val rows = batch.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    panel.keys.toSeq.sorted.foreach { qid =>
+      val single = Sq8Index.searchIvf(spark, idxDir, cents, emb, params, panel(qid),
+        excludeId = qid, k = 10, nprobe = 4, rerank = 50)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got == single, s"query $qid: batch != single\nbatch:  $got\nsingle: $single")
+    }
+    assert(once().collect().toSeq == batch.collect().toSeq, "searchIvfMany must be deterministic")
+  }
+
   test("HNSW over SQ8: the walk's cell scan is partition-pruned and float-free, " +
     "recall@10 matches the float walk's on this corpus, output scores exact, " +
     "deterministic") {

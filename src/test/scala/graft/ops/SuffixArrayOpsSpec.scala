@@ -68,6 +68,26 @@ class SuffixArrayOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty, "fixture should contain natural duplicated 8-grams")
   }
 
+  test("suffixDedup agrees with d34's md5-gram spanDedup row-for-row on the " +
+    "fixture (true rank equality == hash equality wherever md5 is collision-free) " +
+    "and removes the planted later occurrence, not the first") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val viaRanks = SuffixArrayOps.suffixDedup(docs, window = 8, nParts = 4)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaMd5 = TextOps.spanDedup(docs, spanWidth = 8)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaRanks == viaMd5, "suffix-array dedup drifted from the md5 form")
+    // planted: doc 1's copy of the run is removed, doc 0's original kept
+    val planted2 = docsOf(
+      0L -> s"a1 a2 $planted z1",
+      1L -> s"b1 $planted y1 y2")
+    val got = SuffixArrayOps.suffixDedup(planted2, window = 8, nParts = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 33L, 0L), (1L, 33L, 30L)),
+      s"first occurrence must survive, the later copy must lose its 30 tokens: $got")
+  }
+
   test("agrees with an independent brute-force gram group-by on the fixture") {
     import spark.implicits._
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
