@@ -168,6 +168,37 @@ object StreamBench {
     wq.stop(); uq.stop()
     val idxRows = spark.read.parquet(s"$loopIdx/stream_assignment").count()
 
+    // ---- CHURN wave on the live loop index (the s33 lifecycle at the
+    // loop's scale): tombstone every 7th indexed doc in one epoch (the
+    // epoch id sits above every upsert batch, so last-writer-wins reads
+    // it as newest), verify merge-on-read serving excludes the deleted
+    // ids, COMPACT the index into a fresh generation, vacuum the
+    // superseded state, and verify serving is row-identical across the
+    // compaction. churn_sec covers the whole wave: delete + serve +
+    // compact + vacuum + re-serve.
+    val tCh0 = System.nanoTime()
+    val delIds = spark.read.parquet(s"$loopIdx/stream_assignment")
+      .filter(pmod(col("vec_id"), lit(7L)) === 0L)
+      .select("vec_id").distinct().as[Long].collect().toSeq
+    graft.streaming.IndexStreams.tombstoneBatch(spark, delIds, 1L << 20, loopIdx)
+    val churnQuery = DocumentStreams.hashedEmbeddings(
+      docs.where(col("doc_id") === 1L), dim = 16)
+      .select("embedding").as[Array[Float]].head()
+    def liveTop(): Seq[(Long, Double)] =
+      graft.ops.IvfIndex.searchIndexLive(spark, loopIdx, churnQuery, k = 20, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedLive = liveTop()
+    val delSet = delIds.toSet
+    val liveOk = servedLive.nonEmpty && servedLive.forall(t => !delSet(t._1))
+    graft.ops.IvfIndex.compactLiveIndex(spark, loopIdx)
+    graft.ops.IvfIndex.vacuumLiveIndex(spark, loopIdx, retainGenerations = 1)
+    val servedCompacted = liveTop()
+    val churnOk = liveOk && servedCompacted == servedLive
+    val postCompactRows = spark.read.parquet(
+      graft.ops.IvfIndex.liveBaseDir(loopIdx, graft.ops.IvfIndex.readLiveState(spark, loopIdx).gen)).count()
+    val churnSec = (System.nanoTime() - tCh0) / 1e9
+    require(churnOk, "churn wave served a deleted id or compaction changed serving")
+
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     println(
       s"""{"metric":"stream_docs_per_sec","sf":"$sfDir","total_docs":$total,""" +
@@ -182,7 +213,9 @@ object StreamBench {
       s""""loop_input_rows":$loopCurated,"loop_indexed":${upserted.sum()},""" +
       s""""loop_index_rows":$idxRows,"loop_batches":${upsertBatches.sum()},""" +
       s""""loop_sec":${r1(loopSec)},"loop_docs_per_sec":${r1(upserted.sum() / loopSec)},""" +
-      s""""loop_dedup_state_rows":$loopStateRows,"loop_dedup_state_bytes":$loopStateBytes}""")
+      s""""loop_dedup_state_rows":$loopStateRows,"loop_dedup_state_bytes":$loopStateBytes,""" +
+      s""""churn_deleted":${delIds.size},"churn_ok":$churnOk,""" +
+      s""""churn_post_compact_rows":$postCompactRows,"churn_sec":${r1(churnSec)}}""")
     spark.stop()
   }
 }

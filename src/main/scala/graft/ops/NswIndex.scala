@@ -679,6 +679,44 @@ object NswIndex {
     searchFrameFilteredByIds(spark, indexDir, cents, q, excludeId, k, nprobe, ef, deleted)
   }
 
+  /** REBUILD under churn — the graph index's compaction: re-run the
+    * distributed build over the surviving vectors (cells minus the
+    * tombstone channel's ids, a broadcast anti-join — the deleted set
+    * is corpus-scale-safe even when churn outgrows a literal) and
+    * clear the consumed tombstones, starting a clean epoch. Unlike the
+    * brute-force live index (whose compaction merges rows), a graph
+    * index cannot incrementally splice deleted nodes out — edges
+    * through them are load-bearing — so the rebuild IS the lifecycle
+    * step, run when the deleted set grows past serving policy.
+    * Deterministic: the survivors are exactly a filtered corpus, so
+    * the rebuilt index is BIT-IDENTICAL to a fresh [[build]] over that
+    * corpus (spec-pinned). The survivors are materialized BEFORE the
+    * overwrite — the build must never read `cells` lazily while
+    * replacing it.
+    */
+  def rebuildTombstoned(
+      spark: SparkSession,
+      indexDir: String,
+      k: Int,
+      iters: Int,
+      m: Int,
+      efC: Int): Centroids = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasTombs = fs.exists(tombPath) &&
+      fs.listStatus(tombPath).exists(_.getPath.getName.startsWith("batch="))
+    val cells = spark.read.parquet(s"$indexDir/cells").select(col("vec_id"), col("embedding"))
+    val survivors =
+      (if (hasTombs)
+        cells.join(
+          broadcast(spark.read.parquet(tombPath.toString).select("vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
+      else cells).localCheckpoint(true)
+    val cents = build(survivors, indexDir, k, iters, m, efC)
+    if (fs.exists(tombPath)) fs.delete(tombPath, true) // consumed: clean epoch
+    cents
+  }
+
   /** The tombstone walk against an explicit deleted-id set (the seam
     * [[searchFrameTombstoned]] reads the channel into).
     */

@@ -970,18 +970,20 @@ object SimilarityOps {
       annSoundnessMany(emb, ann, panel.keys.toSeq, k = 10, topN = 100, recallFloor = 5)
     }),
 
-    // TOMBSTONED graph serving — churn composed with the MATERIALIZED
-    // NSW index (s33's delete semantics meet s23's walk,
-    // [[NswIndex.searchFrameTombstoned]]): deletes land on the same
-    // batch=<epoch> tombstone channel pointed at the index dir, and
-    // the walk excludes them via the keep-predicate machinery while
-    // ROUTING still traverses deleted nodes (excising them would
-    // fragment the graph — the documented reason graph indexes keep
-    // tombstoned nodes navigable until rebuild; the rebuild IS the
-    // compaction here). Deleted: two streamed-tier ids + one deep
-    // corpus id, exactly s33's shape. Soundness vs the corpus minus
-    // the deleted ids; exact scores ⇒ zero mismatches; floor 6 (the
-    // nprobe=4 ceiling, s23's bar).
+    // TOMBSTONED graph serving + REBUILD — the full churn lifecycle on
+    // the MATERIALIZED NSW index (s33's semantics meet s23's walk):
+    // deletes land on the same batch=<epoch> tombstone channel pointed
+    // at the index dir; 'live' serving excludes them via the walk's
+    // keep-predicate ([[NswIndex.searchFrameTombstoned]]) while ROUTING
+    // still traverses deleted nodes (excising them would fragment the
+    // graph — the documented reason graph indexes keep tombstoned nodes
+    // navigable until rebuild); then [[NswIndex.rebuildTombstoned]] —
+    // the graph index's compaction — rebuilds over the survivors,
+    // clears the consumed channel, and 'post_rebuild' serving runs the
+    // PLAIN walk against the fresh index. Deleted: two streamed-tier
+    // ids + one deep corpus id, s33's shape. One soundness row per
+    // phase vs the corpus minus the deleted ids; both phases' scores
+    // exact ⇒ zero mismatches; floor 6 (the nprobe=4 ceiling).
     "s36_nsw_tombstoned" -> ((s, dir) => withScratchDirs(s, "graft-nsw-tomb") { case Seq(idxDir) =>
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -989,10 +991,19 @@ object SimilarityOps {
       graft.streaming.IndexStreams.tombstoneBatch(s, Seq(1L, 2L, 3L), 0L, idxDir)
       graft.streaming.IndexStreams.tombstoneBatch(s, Seq(105L), 1L, idxDir)
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
-      val ann = NswIndex.searchFrameTombstoned(s, idxDir, cents, qe, excludeId = 0L,
-        k = 10, nprobe = 4, ef = 48)
-      annSoundness(emb.filter(!col("vec_id").isin(1L, 2L, 3L, 105L)), ann, "cos_sim",
-        queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+      val embLive = emb.filter(!col("vec_id").isin(1L, 2L, 3L, 105L))
+      val live = annSoundness(embLive,
+        NswIndex.searchFrameTombstoned(s, idxDir, cents, qe, excludeId = 0L,
+          k = 10, nprobe = 4, ef = 48),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+        .withColumn("phase", lit("live")).localCheckpoint(true)
+      val cents2 = NswIndex.rebuildTombstoned(s, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val post = annSoundness(embLive,
+        NswIndex.searchFrame(s, idxDir, cents2, qe, excludeId = 0L,
+          k = 10, nprobe = 4, ef = 48),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 6, scoreIsExact = true)
+        .withColumn("phase", lit("post_rebuild"))
+      live.unionByName(post).orderBy("phase")
     }),
 
     // DELETES IN THE LIVE INDEX — a churning corpus removes documents
@@ -1652,9 +1663,10 @@ object SimilarityOps {
     "s30_sq8_batch" -> batchSoundnessSql,
     "s35_hnsw_batch" -> batchSoundnessSql,
     "s37_ivfsq8_batch" -> batchSoundnessSql,
-    // Tombstoned graph serving: the exact side is the corpus minus the
-    // deleted ids (the same population the walk's keep-predicate
-    // serves).
+    // Tombstoned graph serving + rebuild: the exact side is the corpus
+    // minus the deleted ids (the population BOTH phases serve — the
+    // keep-predicate walk live, the plain walk over the rebuilt index
+    // after); one soundness row per phase.
     "s36_nsw_tombstoned" ->
       """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
         |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
@@ -1662,10 +1674,11 @@ object SimilarityOps {
         |  FROM embeddings e, embeddings q
         |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.vec_id NOT IN (1, 2, 3, 105)),
         |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
-        |SELECT CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |SELECT p.phase, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
         |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
-        |  max(exact_cos) AS exact_best_cos, min(exact_cos) AS exact_cos_at_k
-        |FROM tk""".stripMargin,
+        |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
+        |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k
+        |FROM (VALUES ('live'), ('post_rebuild')) AS p(phase) ORDER BY p.phase""".stripMargin,
     // Filtered × batched: the 16-query exact side is computed PER
     // REGIME over the predicate's population (label = 3 for the pushed
     // prefilter, label <> 3 for the walk); assertion columns are pinned

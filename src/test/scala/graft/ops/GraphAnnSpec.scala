@@ -313,6 +313,37 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(tomb().collect().toSeq == tomb().collect().toSeq, "tombstoned walk must be deterministic")
   }
 
+  test("s36: rebuildTombstoned is bit-identical to a fresh build over the surviving " +
+    "corpus, clears the consumed tombstone channel, and a no-tombstone rebuild " +
+    "round-trips the index") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-rebuild-spec").toString
+    NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    val deleted = Seq(1L, 2L, 3L, 105L)
+    graft.streaming.IndexStreams.tombstoneBatch(spark, deleted, 0L, idxDir)
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    val cents = NswIndex.rebuildTombstoned(spark, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    // channel consumed: the tombstones dir is gone
+    assert(!new java.io.File(s"$idxDir/tombstones").exists(), "rebuild must clear the channel")
+    // bit-identical to a fresh build over the filtered corpus
+    val freshDir = java.nio.file.Files.createTempDirectory("nsw-rebuild-fresh").toString
+    val freshCents = NswIndex.build(emb.filter(!col("vec_id").isin(deleted.map(x => x: Any): _*)),
+      freshDir, k = 16, iters = 2, m = 8, efC = 32)
+    val rebuilt = NswIndex.searchFrame(spark, idxDir, cents, qe, 0L, 10, 4, 48)
+      .collect().map(_.toString).toSeq
+    val fresh = NswIndex.searchFrame(spark, freshDir, freshCents, qe, 0L, 10, 4, 48)
+      .collect().map(_.toString).toSeq
+    assert(rebuilt == fresh, s"rebuild drifted from the fresh build\nrebuilt: $rebuilt\nfresh:   $fresh")
+    assert(rebuilt.nonEmpty && deleted.forall(id => !rebuilt.contains(id.toString)))
+    // cells really shrank
+    assert(spark.read.parquet(s"$idxDir/cells").count() == emb.count() - deleted.size)
+    // a rebuild with NO tombstones is a pure round-trip of the same corpus
+    val cents2 = NswIndex.rebuildTombstoned(spark, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    assert(NswIndex.searchFrame(spark, idxDir, cents2, qe, 0L, 10, 4, 48)
+      .collect().map(_.toString).toSeq == rebuilt)
+  }
+
   // ---- s27: metadata-filtered search (prefilter + in-walk) ----
 
   test("s27: the prefilter strategy pushes the meta predicate into the parquet scan " +
