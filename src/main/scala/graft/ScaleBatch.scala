@@ -117,8 +117,24 @@ object ScaleBatch {
     val wB = (1 to Reps).map(_ => time(() => runWalkBatch())._1).min
     val wS = (1 to Reps).map(_ => time(() => runWalkSingles())._1).min
 
+    // ---- batched IVF+SQ8 (s37): the production config's byte-scan
+    // panel vs 16 sequential searchIvf calls over the same index ----
+    import graft.ops.Sq8Index
+    val sqParams = Sq8Index.train(emb)
+    val sqDir = java.nio.file.Files.createTempDirectory("graft-batch-ivfsq8").toString
+    val sqCents = Sq8Index.buildIvf(emb, sqDir, sqParams, kCells = 16, iters = 2)
+    def runSqBatch() = collectBatch(Sq8Index.searchIvfMany(
+      spark, sqDir, sqCents, emb, sqParams, panel, K, NProbe, rerank = 50))
+    def runSqSingles() = panel.keys.toSeq.sorted.map { qid =>
+      qid -> collectSingle(Sq8Index.searchIvf(spark, sqDir, sqCents, emb, sqParams,
+        panel(qid), qid, K, NProbe, rerank = 50))
+    }.toMap
+    require(runSqBatch() == runSqSingles(), s"IVF+SQ8 batch != singles at $sfDir")
+    val sqB = (1 to Reps).map(_ => time(() => runSqBatch())._1).min
+    val sqS = (1 to Reps).map(_ => time(() => runSqSingles())._1).min
+
     println(
-      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true}""")
+      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true,"ivfsq8_batch_sec":${f(sqB)},"ivfsq8_single_sum_sec":${f(sqS)},"ivfsq8_speedup":${f(sqS / sqB)},"ivfsq8_identical":true}""")
     spark.stop()
   }
 

@@ -673,8 +673,13 @@ object NswIndex {
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deleted: Set[Long] =
       if (fs.exists(tombPath) && fs.listStatus(tombPath).exists(_.getPath.getName.startsWith("batch=")))
-        spark.read.parquet(tombPath.toString).select("vec_id")
-          .distinct().collect().map(_.getLong(0)).toSet
+        // guarded: the deleted set is the churn since the last rebuild —
+        // bounded by serving policy, and the guard turns a violated
+        // policy (someone never rebuilt) into a loud error instead of a
+        // driver OOM
+        CollectGuard.smallDistinct(
+          spark.read.parquet(tombPath.toString).select("vec_id"), cap = 1L << 20)
+          .map(_.getLong(0)).toSet
       else Set.empty
     searchFrameFilteredByIds(spark, indexDir, cents, q, excludeId, k, nprobe, ef, deleted)
   }
