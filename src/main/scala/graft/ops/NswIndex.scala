@@ -706,18 +706,41 @@ object NswIndex {
       iters: Int,
       m: Int,
       efC: Int): Centroids = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = tombPath.getFileSystem(conf)
     val hasTombs = fs.exists(tombPath) &&
       fs.listStatus(tombPath).exists(_.getPath.getName.startsWith("batch="))
-    val cells = spark.read.parquet(s"$indexDir/cells").select(col("vec_id"), col("embedding"))
+    // a META-BUILT index rebuilds WITH its metadata: the cell files hold
+    // the attribute values, and the marker holds the source column name —
+    // carry both through, or filtered search would die at the (deleted)
+    // marker after every rebuild
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
+    val metaName: Option[String] =
+      if (!fs.exists(markerPath)) None
+      else {
+        val in = fs.open(markerPath)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    val cells = metaName match {
+      case Some(c) => spark.read.parquet(s"$indexDir/cells")
+        .select(col("vec_id"), col("embedding"), col("meta").as(c))
+      case None => spark.read.parquet(s"$indexDir/cells")
+        .select(col("vec_id"), col("embedding"))
+    }
     val survivors =
       (if (hasTombs)
         cells.join(
           broadcast(spark.read.parquet(tombPath.toString).select("vec_id").distinct()),
           Seq("vec_id"), "left_anti")
       else cells).localCheckpoint(true)
-    val cents = build(survivors, indexDir, k, iters, m, efC)
+    val cents = build(survivors, indexDir, k, iters, m, efC, metaCol = metaName)
     if (fs.exists(tombPath)) fs.delete(tombPath, true) // consumed: clean epoch
     cents
   }

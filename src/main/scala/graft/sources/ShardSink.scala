@@ -606,7 +606,13 @@ object TrainingShards {
           ShardSchemas.write(sfs, dirPath, gen + 1,
             StructType(prev.fields ++ added.map(_.copy(nullable = true))))
       case None =>
-        ShardSchemas.write(sfs, dirPath, 0L, df.schema)
+        // record generation 0 only for a FRESH corpus: a legacy
+        // directory (committed shards, no schema records) may hold
+        // columns this append lacks — recording this write's schema
+        // would make read() silently DROP them; legacy dirs keep
+        // reading by inference until an overwrite resets them
+        if (ShardManifest.readIfExists(sfs, dirPath).isEmpty)
+          ShardSchemas.write(sfs, dirPath, 0L, df.schema)
     }
     val clustered =
       if (zOrderBy.isEmpty) df

@@ -62,12 +62,19 @@ object IndexStreams {
     val assigned = IvfIndex.assignments(batch.select("vec_id", "embedding"), cents)
       .withColumn("cos_sim", simToAssigned)
       .localCheckpoint() // one assignment computation feeds both the write and the metric
-    assigned
-      .drop("cos_sim")
-      .write.mode("overwrite")
-      .partitionBy("cluster")
-      .parquet(s"$indexDir/stream_assignment/batch=$batchId")
     val m = assigned.agg(count(lit(1)), avg(col("cos_sim"))).head()
+    // an EMPTY batch (a delete-only epoch through the churn stream)
+    // writes NOTHING: a rowless batch=<id> dir would carry no partition
+    // columns and break schema inference for every later reader of
+    // stream_assignment/ — absence is the correct representation, and
+    // skipping is as replay-idempotent as overwriting (same input ⇒
+    // same emptiness)
+    if (m.getLong(0) > 0)
+      assigned
+        .drop("cos_sim")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(s"$indexDir/stream_assignment/batch=$batchId")
     (m.getLong(0), Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
   }
 

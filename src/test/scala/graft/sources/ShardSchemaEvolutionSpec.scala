@@ -88,7 +88,8 @@ class ShardSchemaEvolutionSpec extends AnyFunSuite {
   }
 
   test("an explicit read schema overrides the recorded chain; a legacy directory " +
-    "with no records still reads by inference") {
+    "with no records still reads by inference, and an APPEND to it never mints a " +
+    "record that would drop legacy-only columns") {
     val docs = graft.ops.Tables.t(spark, dir, "documents")
     val out = freshDir()
     TrainingShards.write(docs.select("doc_id", "source", "n_chars"), out, maxDocsPerShard = 64)
@@ -98,5 +99,15 @@ class ShardSchemaEvolutionSpec extends AnyFunSuite {
     schemaFiles(out).foreach(n => new java.io.File(s"$out/$n").delete())
     val inferred = TrainingShards.read(spark, out)
     assert(inferred.count() == 500 && inferred.columns.contains("n_chars"))
+    // append a NARROWER frame to the legacy dir: no record may be
+    // minted (it would describe only the new write, and read would
+    // silently drop 'source'/'n_chars' from the 500 legacy rows)
+    TrainingShards.write(docs.filter(col("doc_id") === 0L).select("doc_id"), out,
+      maxDocsPerShard = 64)
+    assert(schemaFiles(out).isEmpty,
+      "a legacy append minted a schema record that narrows the corpus")
+    val after = TrainingShards.read(spark, out)
+    assert(after.columns.contains("n_chars") && after.count() == 501,
+      s"legacy columns lost after append: ${after.columns.toSeq}")
   }
 }

@@ -117,6 +117,32 @@ class IndexTombstoneSpec extends AnyFunSuite {
       s"expected a loud unknown-op failure, got: ${e.getMessage}")
   }
 
+  test("a DELETE-ONLY epoch leaves no empty stream partition behind and search " +
+    "still works (the schema-inference trap)") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val idxDir = Files.createTempDirectory("graft-ivf-delonly").toString
+    val drop = Files.createTempDirectory("graft-ivf-delonly-drop").toString
+    val ckpt = Files.createTempDirectory("graft-ivf-delonly-ckpt").toString
+    IvfIndex.build(emb, idxDir, k = 16, iters = 2)
+    // one epoch holding ONLY deletes
+    emb.filter(col("vec_id") === 105L)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"), col("label"))
+      .coalesce(1).write.mode("append").parquet(drop)
+    val q = IndexStreams.streamingIvfUpsertWithDeletes(
+      IndexStreams.readOpsStream(spark, drop), idxDir, ckpt).start()
+    q.processAllAvailable(); q.stop()
+    assert(!new java.io.File(s"$idxDir/stream_assignment").exists() ||
+      new java.io.File(s"$idxDir/stream_assignment").list().forall(!_.startsWith("batch=")) ||
+      new java.io.File(s"$idxDir/stream_assignment").listFiles()
+        .filter(_.getName.startsWith("batch=")).forall(_.list().exists(_.endsWith(".parquet"))),
+      "a rowless batch partition was written")
+    val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+    val ids = IvfIndex.searchIndexLive(spark, idxDir, qe, k = 600, nprobe = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && !ids.contains(105L), "delete-only epoch not applied or search broke")
+  }
+
   test("compaction: fresh generation holds exactly one row per live id, search is " +
     "row-identical across it, the marker advances, and replay is idempotent") {
     val (emb, idxDir, qe) = churnedIndex()
