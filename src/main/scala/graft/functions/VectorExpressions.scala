@@ -193,6 +193,58 @@ case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** Hamming distance between two packed bit-codes stored as BINARY:
+  * popcount of the bytewise XOR over min(len) bytes. The binary-
+  * quantization (1-bit) candidate kernel: a 64-dim float vector packs
+  * into 8 bytes (32x fewer bytes than float32, 8x fewer than SQ8), and
+  * the whole candidate scan is this fused XOR/popcount loop inside
+  * WholeStageCodegen — the cheapest possible first pass of a
+  * two-stage (binary prune, exact rerank) search. Integer-valued and
+  * symmetric; order-free by construction, so there is no fold-order
+  * caveat to pin.
+  */
+case class BitHamming(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_bit_hamming"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, binary), got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xFF); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.length, $b.length);
+        int $acc = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xFF);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the vector kernels. */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -203,4 +255,7 @@ object VectorFunctions {
 
   def sq8_dot(code: Column, weights: Column): Column =
     ColumnBridge.column(Sq8Dot(ColumnBridge.expression(code), ColumnBridge.expression(weights)))
+
+  def bit_hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(BitHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1069,6 +1069,28 @@ object SimilarityOps {
         recallFloor = 9, scoreIsExact = true)
     }),
 
+    // BINARY quantization ([[BqIndex]]) — the 1-bit rung of the
+    // compression dial (32x fewer vector bytes than float32, 8x fewer
+    // than SQ8): each dimension becomes one bit (x_d > corpus mean_d,
+    // hyperplane-LSH through the mean), candidates ranked by the fused
+    // XOR/popcount kernel ([[graft.functions.BitHamming]]) — no
+    // multiplies in the first pass at all — then a DEEP rerank (100,
+    // 2x SQ8's 50: the pool buys back what 1 bit/dim gave up) restores
+    // exact scores. Soundness row vs the full-corpus exact top-k: zero
+    // mismatches, top-100 containment, recall floor 8 — measured 10/10
+    // at sf0.001 and 9/10 at sf0.01 (BqIndexSpec pins the same bar),
+    // one slot under the worst measurement.
+    "s38_bq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = BqIndex.train(emb)
+      val bits = BqIndex.encode(emb, p).toDF("vec_id", "bits")
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = BqIndex.search(bits, emb, p, qe, excludeId = 0L, k = 10, rerank = 100)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 8, scoreIsExact = true)
+    }),
+
     // IVF+SQ8 — the COMPOSED production config (FAISS "IVF16,SQ8"):
     // coarse cells prune which PARTITIONS the scan reads (nprobe/k of
     // the files), SQ8 shrinks what each read costs (1 byte/dim, the
@@ -1621,6 +1643,7 @@ object SimilarityOps {
     "s25_hnsw_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s28_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s29_ivfsq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s38_bq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     // Live-index deletes: the exact side is the corpus MINUS the
     // tombstoned ids (2, 3, 105 — id 1 was re-upserted after its

@@ -133,7 +133,7 @@ object Sq8Index {
     * chosen, its ROUNDED score — the only thing the soundness scalars
     * see — is identical.
     */
-  private def rerankExact(
+  private[ops] def rerankExact(
       cands: DataFrame,
       emb: DataFrame,
       q: Array[Float],
