@@ -285,6 +285,23 @@ object NswIndex {
     cents
   }
 
+  /** Read the `_meta_col` marker's recorded source column, if any. */
+  private def readMetaMarker(spark: SparkSession, indexDir: String): Option[String] = {
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerPath)) None
+    else {
+      val in = fs.open(markerPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
   /** Fails loudly when `indexDir` was not built with `metaCol` — the
     * meta column then holds the 0L placeholder for every row and a
     * metadata predicate would return silently-wrong results. When the
@@ -715,19 +732,7 @@ object NswIndex {
     // the attribute values, and the marker holds the source column name —
     // carry both through, or filtered search would die at the (deleted)
     // marker after every rebuild
-    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta_col")
-    val metaName: Option[String] =
-      if (!fs.exists(markerPath)) None
-      else {
-        val in = fs.open(markerPath)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](256)
-          var n = in.read(tmp)
-          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-        } finally in.close()
-      }
+    val metaName: Option[String] = readMetaMarker(spark, indexDir)
     val cells = metaName match {
       case Some(c) => spark.read.parquet(s"$indexDir/cells")
         .select(col("vec_id"), col("embedding"), col("meta").as(c))
@@ -784,6 +789,198 @@ object NswIndex {
       .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // LIVE INSERTS — the graph index's ingest channel. A graph cannot
+  // cheaply splice a new node in at serving time (its edges would need
+  // an efC search against cell state that lives in immutable parquet),
+  // so new vectors land in a PENDING side channel and are served
+  // EXACTLY until the next rebuild folds them into the graph — the
+  // Lucene/Vespa segment model: unmerged segments are searched brute
+  // force, merges restore the indexed form. `pending/batch=<epoch>/
+  // cluster=<c>/` mirrors the IVF stream channel: epoch overwrite =
+  // replay idempotency, cluster partitioning = the SAME `cluster IN
+  // (probes)` prune the graph walk enjoys, so a pending vector costs a
+  // search one pruned exact scan of the (bounded, rebuild-policy-
+  // sized) tail. Tombstones compose: last-writer-wins by epoch exactly
+  // as in [[IvfIndex.searchIndexLive]] — a tombstone kills base rows
+  // (epoch −1) and pending rows at-or-before it; a LATER re-insert
+  // resurfaces the id. [[rebuildLive]] is the compaction: survivors =
+  // LWW(base ∪ pending) − tombstones, rebuilt with [[build]], both
+  // channels cleared.
+  // ------------------------------------------------------------------
+
+  /** Land one epoch's inserts in the pending channel: assign against
+    * the FIXED centroids (the build-time geometry — the IVF stream
+    * contract) and overwrite this epoch's own `batch=` directory. A
+    * meta-built index requires the marker's source column on every
+    * insert batch (a pending row without its attribute would silently
+    * vanish from filtered search after the fold); a plain index stores
+    * the 0L placeholder. Returns rows landed. Empty batches write
+    * nothing (a rowless partition dir breaks schema inference for
+    * every later reader — absence is the representation).
+    */
+  def insertBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      cents: Centroids): Long = {
+    val spark = batch.sparkSession
+    val metaName = readMetaMarker(spark, indexDir)
+    metaName.foreach { c => require(batch.columns.contains(c),
+      s"$indexDir was built with metaCol='$c' but this insert batch has no '$c' " +
+        "column — a pending row without its attribute would silently vanish " +
+        "from filtered search after the next rebuild") }
+    val assigned = metaName match {
+      case Some(c) => IvfIndex.assignments(batch, cents, extraCols = Seq(c))
+        .select(col("vec_id"), col("embedding"), col(c).cast("long").as("meta"),
+          col("cluster"))
+      case None => IvfIndex.assignments(batch, cents)
+        .select(col("vec_id"), col("embedding"), lit(0L).as("meta"), col("cluster"))
+    }
+    val cached = assigned.localCheckpoint()
+    val n = cached.count()
+    if (n > 0)
+      cached.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$indexDir/pending/batch=$batchId")
+    n
+  }
+
+  /** Does `dir` exist with at least one `batch=` partition? (Vacuumed
+    * channels can leave an empty parent behind; reading it would fail
+    * schema inference.)
+    */
+  private def hasBatches(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+  }
+
+  /** Serve the LIVE view: the graph walk over the built cells plus one
+    * partition-pruned EXACT scan of the pending tail, merged under the
+    * usual total order. Deletes and inserts compose last-writer-wins
+    * by epoch ([[IvfIndex.searchIndexLive]]'s merge): base rows (epoch
+    * −1) die to any tombstone, a pending row dies to a tombstone
+    * at-or-after its epoch, a re-insert after a delete resurfaces. An
+    * id with any pending row is served from the PENDING side (the
+    * newer write shadows the graph's copy — an updated embedding must
+    * not be answered from the stale node), so the walk's keep-
+    * predicate drops tombstoned AND pending ids. Both side-input id
+    * sets are the churn since the last rebuild — bounded by serving
+    * policy and CollectGuard-capped, loud when the policy is violated.
+    * Scores on both arms are exact rounded cosines, so the soundness
+    * contract (zero mismatches) holds end to end.
+    */
+  def searchFrameLive(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_similarity
+    val tombPath = s"$indexDir/tombstones"
+    val pendPath = s"$indexDir/pending"
+    // id -> latest tombstone epoch (LWW side input, k-scale by policy)
+    val tombMax: Map[Long, Long] =
+      if (hasBatches(spark, tombPath))
+        CollectGuard.smallDistinct(
+          spark.read.parquet(tombPath).groupBy("vec_id")
+            // batch is a partition DIRECTORY column — inferred int, cast
+            // to the epochs' long domain before it meets the literals
+            .agg(max(col("batch").cast("long")).as("tb")), cap = 1L << 20)
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val pendingIds: Set[Long] =
+      if (hasBatches(spark, pendPath))
+        CollectGuard.smallDistinct(
+          spark.read.parquet(pendPath).select("vec_id"), cap = 1L << 20)
+          .map(_.getLong(0)).toSet
+      else Set.empty
+    // graph arm: tombstoned ids are dead (base epoch −1 loses to any
+    // tombstone); pending ids are shadowed (served from the tail arm)
+    val walkArm = searchFrameFilteredByIds(spark, indexDir, cents, q, excludeId,
+      k, nprobe, ef, deleted = tombMax.keySet ++ pendingIds)
+    if (pendingIds.isEmpty) walkArm
+    else {
+      val probes = IvfIndex.probeCells(cents, q, nprobe)
+      val qLit = array(q.toSeq.map(lit): _*)
+      val tombLit = typedLit(tombMax)
+      val tailArm = spark.read.parquet(pendPath)
+        .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+        .filter(col("vec_id") =!= excludeId)
+        // LWW vs tombstones: survive iff no tombstone, or strictly newer
+        // than the latest one (the IVF merge's predicate, as a map literal
+        // — the set is the same bounded side input the walk keep uses)
+        .filter(coalesce(element_at(tombLit, col("vec_id")), lit(Long.MinValue)) < col("batch"))
+        // LWW within pending: one row per id, the latest epoch wins (an
+        // id appears once per epoch — insertBatch overwrites its own dir)
+        .groupBy("vec_id")
+        .agg(max_by(col("embedding"), col("batch")).as("embedding"))
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), qLit), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+      walkArm.unionByName(tailArm)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
+  /** REBUILD with the pending channel folded in — the live graph
+    * index's compaction: survivors = last-writer-wins(base cells ∪
+    * pending epochs) minus tombstones (same LWW rule as serving), the
+    * graph rebuilt over them with [[build]] (meta carried through
+    * under the marker's source column, the [[rebuildTombstoned]]
+    * discipline), both channels cleared — a clean epoch where
+    * [[searchFrame]] serves everything from the graph again.
+    * Deterministic: survivors are a pure function of the channel
+    * state, so the rebuilt index is bit-identical to a fresh build
+    * over the equivalent corpus (spec-pinned).
+    */
+  def rebuildLive(
+      spark: SparkSession,
+      indexDir: String,
+      k: Int,
+      iters: Int,
+      m: Int,
+      efC: Int): Centroids = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tombPath = s"$indexDir/tombstones"
+    val pendPath = s"$indexDir/pending"
+    val metaName = readMetaMarker(spark, indexDir)
+    val base = spark.read.parquet(s"$indexDir/cells")
+      .select(col("vec_id"), col("embedding"), col("meta"), lit(-1L).as("batch"))
+    val merged =
+      if (hasBatches(spark, pendPath))
+        base.unionByName(spark.read.parquet(pendPath)
+          .select(col("vec_id"), col("embedding"), col("meta"),
+            col("batch").cast("long").as("batch")))
+      else base
+    // one row per id, latest epoch wins (pending shadows base)
+    val lww = merged.groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("meta")), col("batch")).as("r"),
+        max(col("batch")).as("batch"))
+      .select(col("vec_id"), col("r.embedding").as("embedding"),
+        col("r.meta").as("meta"), col("batch"))
+    val alive =
+      if (hasBatches(spark, tombPath)) {
+        val tombs = spark.read.parquet(tombPath)
+          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
+        lww.join(broadcast(tombs), Seq("vec_id"), "left")
+          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
+      } else lww
+    val survivors = (metaName match {
+      case Some(c) => alive.select(col("vec_id"), col("embedding"), col("meta").as(c))
+      case None => alive.select(col("vec_id"), col("embedding"))
+    }).localCheckpoint(true) // materialize BEFORE the self-overwrite
+    val cents = build(survivors, indexDir, k, iters, m, efC, metaCol = metaName)
+    Seq(tombPath, pendPath).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true) // consumed: clean epoch
+    }
+    cents
   }
 
   // ------------------------------------------------------------------

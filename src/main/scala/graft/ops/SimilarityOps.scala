@@ -1050,6 +1050,53 @@ object SimilarityOps {
       live.unionByName(soundness("post_compact")).orderBy("phase")
     }),
 
+    // LIVE INSERTS on the graph index ([[NswIndex.insertBatch]] /
+    // [[NswIndex.searchFrameLive]] / [[NswIndex.rebuildLive]]) — the
+    // churn column's INSERT half (s36 covered deletes): a graph cannot
+    // splice nodes in at serving time, so new vectors land in a
+    // `pending/batch=<epoch>` channel (fixed-centroid assignment,
+    // replay-idempotent epoch overwrite — the s24 contract) and are
+    // served EXACTLY through a partition-pruned tail scan beside the
+    // graph walk until [[NswIndex.rebuildLive]] folds them in (the
+    // Lucene segment model). Deletes compose last-writer-wins: the
+    // index is built from the 100+ ids only; ids 0-99 arrive in two
+    // epochs, id 7 (pending) and 105 (base) are tombstoned in epoch 2,
+    // id 7 re-inserted in epoch 3 (resurfaces). Phases: 'live'
+    // (walk + tail merge) and 'post_rebuild' (everything from the
+    // rebuilt graph), both vs the corpus minus {105}. Exact scores on
+    // both arms ⇒ zero mismatches. Floors: live 5 (the s24 situation —
+    // centroids saw only the 80% build slice, query 0's whole
+    // neighbourhood streamed; measured 7/10 at sf0.001, 6/10 at
+    // sf0.01 at nprobe=6 → one slot under the worst), post-rebuild 8
+    // (centroids retrained on the full fold; measured 10/10 and 9/10).
+    "s39_nsw_live_inserts" -> ((s, dir) => withScratchDirs(s,
+      "graft-nsw-live") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), idxDir,
+        k = 16, iters = 2, m = 8, efC = 32)
+      NswIndex.insertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      NswIndex.insertBatch(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(7L, 105L), 2L, idxDir)
+      NswIndex.insertBatch(emb.filter(col("vec_id") === 7L), 3L, idxDir, cents)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val embAlive = emb.filter(col("vec_id") =!= 105L)
+      val live = annSoundness(embAlive,
+        NswIndex.searchFrameLive(s, idxDir, cents, qe, excludeId = 0L,
+          k = 10, nprobe = 6, ef = 48),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 5, scoreIsExact = true)
+        .withColumn("phase", lit("live")).localCheckpoint(true)
+      val cents2 = NswIndex.rebuildLive(s, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val post = annSoundness(embAlive,
+        NswIndex.searchFrame(s, idxDir, cents2, qe, excludeId = 0L,
+          k = 10, nprobe = 6, ef = 48),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 8, scoreIsExact = true)
+        .withColumn("phase", lit("post_rebuild"))
+      live.unionByName(post).orderBy("phase")
+    }),
+
     // SQ8 scalar-quantized search ([[Sq8Index]]): per-dimension affine
     // uint8 codes (4x fewer vector bytes), candidates ranked by the
     // codegen byte-sum kernel ([[graft.functions.Sq8Dot]]), top-50
@@ -1696,6 +1743,22 @@ object SimilarityOps {
         |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
         |  FROM embeddings e, embeddings q
         |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.vec_id NOT IN (1, 2, 3, 105)),
+        |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
+        |SELECT p.phase, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
+        |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k
+        |FROM (VALUES ('live'), ('post_rebuild')) AS p(phase) ORDER BY p.phase""".stripMargin,
+    // Live inserts on the graph index: the exact side is the corpus
+    // minus 105 (id 7 was re-inserted after its delete, so it stays
+    // IN); one soundness row per phase — the fold must not change what
+    // search answers over.
+    "s39_nsw_live_inserts" ->
+      """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.vec_id <> 105),
         |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
         |SELECT p.phase, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
         |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
