@@ -476,6 +476,59 @@ object RetrievalOps {
         .orderBy("query_id", "rank")
     }),
 
+    // MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT's MaxSim,
+    // Khattab & Zaharia, SIGIR'20): a document is a SET of token-level
+    // vectors and score(q, d) = Σ_{t∈q} max_{v∈d} cos(t, v) — the
+    // retrieval family's third scoring shape beside r02's sparse BM25
+    // and the ANN family's single-vector cosine. Multi-vector docs are
+    // derived deterministically from the embeddings table (doc = 8
+    // consecutive vec_ids: doc_id = vec_id div 8, token = vec_id % 8);
+    // query docs 0 and 1 (16 token vectors, a bounded driver panel).
+    // Spark shape: ONE corpus scan evaluates all 16 (qdoc, qtok)
+    // cosines as fused codegen columns, one aggregation takes the
+    // per-(query, doc, token) maxima as 8 pivoted max-columns (no
+    // per-token shuffle), the 8 maxima add in FIXED column order (sum
+    // order is the only nondeterminism MaxSim has; pinning it makes
+    // the score exact), and per-query top-10 comes from bounded minK
+    // heaps. At 100 TB the token-level index multiplies corpus size by
+    // tokens/doc, so the production front-end is a centroid prune
+    // (PLAID's IVF-on-token-centroids — the s04/s29 machinery) ahead
+    // of this exact late-interaction kernel; the kernel itself stays
+    // one scan + one bounded aggregation per panel. Fully exact
+    // oracle: DuckDB replays the same rounded per-pair cosines,
+    // FILTER-pivoted maxima, and fixed-order sum.
+    "r15_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.cosine_similarity
+      val emb = t(s, dir, "embeddings")
+      val qvecs: Seq[(Long, Long, Seq[Float])] = emb.filter(col("vec_id") < 16)
+        .select(expr("vec_id div 8").as("qdoc"), expr("vec_id % 8").as("qtok"),
+          col("embedding"))
+        .as[(Long, Long, Seq[Float])].collect().toSeq.sortBy(v => (v._1, v._2))
+      val perPair = qvecs.map { case (qd, qt, v) =>
+        struct(lit(qd).as("qdoc"), lit(qt).as("qtok"),
+          round(cosine_similarity(col("embedding"), array(v.map(lit): _*)), 6).as("c"))
+      }
+      val pairs = emb
+        .select(expr("vec_id div 8").as("doc_id"), explode(array(perPair: _*)).as("p"))
+        .select(col("doc_id"), col("p.qdoc").as("qdoc"), col("p.qtok").as("qtok"),
+          col("p.c").as("c"))
+        .filter(col("doc_id") =!= col("qdoc")) // a query doc never scores itself
+      val mcols = (0 until 8).map(i => max(when(col("qtok") === i, col("c"))).as(s"m$i"))
+      val scored = pairs.groupBy("qdoc", "doc_id").agg(mcols.head, mcols.tail: _*)
+        .select(col("qdoc"), col("doc_id"),
+          round((0 until 8).map(i => col(s"m$i")).reduce(_ + _), 6).as("maxsim"))
+      scored
+        .select(col("qdoc"),
+          struct((-col("maxsim")).as("nk"), col("doc_id"), col("maxsim")).as("rec"))
+        .groupBy("qdoc")
+        .agg(minK(col("rec"), 10).as("recs"))
+        .select(col("qdoc").as("query_doc"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_doc"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.maxsim").as("maxsim"))
+        .orderBy("query_doc", "rank")
+    }),
+
     // Dictionary blocklist filtering: per-doc hit counts against a term
     // blocklist — the scalable form of bad-word filtering (an equi-join
     // against a broadcast dictionary, not a regex scan per pattern).
@@ -972,6 +1025,27 @@ object RetrievalOps {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
         |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_ann AS INT) AS r_ann
         |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // MaxSim replay: same rounded per-pair cosines, per-(query, doc,
+    // token) maxima pivoted with FILTER, and the 8 maxima added in the
+    // same literal order (m0+…+m7 — the fixed fold both engines share).
+    "r15_maxsim" ->
+      """WITH q AS (SELECT vec_id // 8 AS qdoc, vec_id % 8 AS qtok, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 16),
+        |p AS (SELECT q.qdoc, q.qtok, e.vec_id // 8 AS doc_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+        |  FROM embeddings e, q WHERE e.vec_id // 8 <> q.qdoc),
+        |m AS (SELECT qdoc, doc_id,
+        |  max(c) FILTER (WHERE qtok = 0) AS m0, max(c) FILTER (WHERE qtok = 1) AS m1,
+        |  max(c) FILTER (WHERE qtok = 2) AS m2, max(c) FILTER (WHERE qtok = 3) AS m3,
+        |  max(c) FILTER (WHERE qtok = 4) AS m4, max(c) FILTER (WHERE qtok = 5) AS m5,
+        |  max(c) FILTER (WHERE qtok = 6) AS m6, max(c) FILTER (WHERE qtok = 7) AS m7
+        |  FROM p GROUP BY 1, 2),
+        |s AS (SELECT qdoc, doc_id, round(m0 + m1 + m2 + m3 + m4 + m5 + m6 + m7, 6) AS maxsim FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qdoc ORDER BY maxsim DESC, doc_id) AS rk FROM s)
+        |SELECT qdoc AS query_doc, CAST(rk AS INT) AS rank, doc_id, maxsim
+        |FROM r WHERE rk <= 10 ORDER BY query_doc, rank""".stripMargin,
     "r03_blocklist_hits" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
         |hits AS (SELECT doc_id, count(*) AS n_hits, count(DISTINCT term) AS n_blocked_terms
