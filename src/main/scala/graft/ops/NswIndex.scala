@@ -927,6 +927,104 @@ object NswIndex {
     }
   }
 
+  /** FILTERED serving over the CHURNING index — the filter × churn
+    * cell of the serving matrix (s27 filters a static index, [[
+    * searchFrameLive]] serves churn unfiltered): the in-walk filtered
+    * walk over the built cells composes its keep-predicate with the
+    * churn exclusions (tombstoned ids dead, pending ids shadowed), and
+    * the pending tail is resolved ON THE DRIVER — the channel's
+    * (id, meta, epoch) rows are the same bounded side input the
+    * unfiltered live search collects, so last-writer-wins (including
+    * meta REWRITES: a re-insert that changes the attribute must be
+    * judged by the NEW value) and the predicate evaluate against the
+    * latest epoch's metadata before one pruned exact scan reads only
+    * the surviving ids' embeddings. Scores exact on both arms.
+    */
+  def searchFrameLiveFiltered(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      allowMeta: Long => Boolean,
+      expectMetaCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine_similarity
+    requireMetaIndex(spark, indexDir, expectMetaCol)
+    val tombPath = s"$indexDir/tombstones"
+    val pendPath = s"$indexDir/pending"
+    val tombMax: Map[Long, Long] =
+      if (hasBatches(spark, tombPath))
+        CollectGuard.smallDistinct(
+          spark.read.parquet(tombPath).groupBy("vec_id")
+            .agg(max(col("batch").cast("long")).as("tb")), cap = 1L << 20)
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty
+    // latest (epoch, meta) per pending id — LWW on the metadata too
+    val pendingLatest: Map[Long, (Long, Long)] =
+      if (hasBatches(spark, pendPath))
+        CollectGuard.smallDistinct(
+          spark.read.parquet(pendPath).groupBy("vec_id")
+            .agg(max(struct(col("batch").cast("long").as("b"), col("meta"))).as("r")),
+          cap = 1L << 20)
+          .map(r => r.getLong(0) ->
+            (r.getStruct(1).getLong(0) -> r.getStruct(1).getLong(1))).toMap
+      else Map.empty
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val bq = spark.sparkContext.broadcast(q)
+    val bTomb = spark.sparkContext.broadcast(tombMax.keySet)
+    val bPend = spark.sparkContext.broadcast(pendingLatest.keySet)
+    val bAllow = spark.sparkContext.broadcast(allowMeta)
+    val walkArm = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"), col("nbrs"), col("meta"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
+        val adj = rows.map(r => r._2 -> r._4.toArray).toMap
+        val metas = rows.map(r => r._2 -> r._5).toMap
+        val entry = rows.iterator.map(_._2).min
+        val tomb = bTomb.value; val pend = bPend.value
+        greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
+          Seq(entry), bq.value, ef,
+          keep = id => id != excludeId && !tomb(id) && !pend(id) &&
+            bAllow.value(metas(id)))
+          .sortBy(t => (-t._1, t._2)).take(k)
+          .iterator.map { case (s, id) => (id, s) }
+      }
+      .toDF("vec_id", "cos_raw")
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+    // pending survivors: alive under LWW AND matching on the LATEST meta
+    val aliveIds = pendingLatest.collect {
+      case (id, (b, m)) if id != excludeId && allowMeta(m) &&
+        tombMax.getOrElse(id, Long.MinValue) < b => id
+    }.toSeq.sorted
+    if (aliveIds.isEmpty) walkArm
+    else {
+      val qLit = array(q.toSeq.map(lit): _*)
+      val tailArm = spark.read.parquet(pendPath)
+        .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+        .filter(col("vec_id").isin(aliveIds.map(x => x: Any): _*))
+        .groupBy("vec_id")
+        .agg(max_by(col("embedding"), col("batch")).as("embedding"))
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), qLit), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+      walkArm.unionByName(tailArm)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
   /** REBUILD with the pending channel folded in — the live graph
     * index's compaction: survivors = last-writer-wins(base cells ∪
     * pending epochs) minus tombstones (same LWW rule as serving), the

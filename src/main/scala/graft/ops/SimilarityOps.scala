@@ -1097,6 +1097,53 @@ object SimilarityOps {
       live.unionByName(post).orderBy("phase")
     }),
 
+    // FILTERED × CHURNING — the serving matrix's last composed cell
+    // (s27/s31 filter a STATIC index; s39 serves churn UNFILTERED):
+    // metadata-predicate search over an index taking live inserts and
+    // deletes ([[NswIndex.searchFrameLiveFiltered]]). The in-walk
+    // filtered walk composes its keep-predicate with the churn
+    // exclusions; the pending tail resolves last-writer-wins ON ITS
+    // LATEST METADATA driver-side (a re-insert that rewrites the
+    // attribute is judged by the new value) before one pruned exact
+    // scan of the survivors. Same churn script as s39 (meta-built on
+    // the 100+ ids, 0-99 streamed in two epochs, 7 + 105 tombstoned,
+    // 7 re-inserted), predicate label != 3 (permissive — the in-walk
+    // regime, s31's dispatch); phases 'live' and 'post_rebuild'
+    // (filtered search against the fold — meta carried through), both
+    // vs the label-filtered corpus minus {105}. Exact scores ⇒ zero
+    // mismatches. Floors: live 5 (measured 7/10 at sf0.001, 6/10 at
+    // sf0.01 — the s39 streamed-neighbourhood ceiling, label-shifted),
+    // post-rebuild 8 (measured 9/10 at both — s31's in-walk ceiling).
+    "s40_nsw_live_filtered" -> ((s, dir) => withScratchDirs(s,
+      "graft-nsw-livef") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), idxDir,
+        k = 16, iters = 2, m = 8, efC = 32, metaCol = Some("label"))
+      NswIndex.insertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      NswIndex.insertBatch(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(7L, 105L), 2L, idxDir)
+      NswIndex.insertBatch(emb.filter(col("vec_id") === 7L), 3L, idxDir, cents)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val embAlive = emb.filter(col("label") =!= 3 && col("vec_id") =!= 105L)
+      val live = annSoundness(embAlive,
+        NswIndex.searchFrameLiveFiltered(s, idxDir, cents, qe, excludeId = 0L,
+          k = 10, nprobe = 6, ef = 48, allowMeta = _ != 3L,
+          expectMetaCol = Some("label")),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 5, scoreIsExact = true)
+        .withColumn("phase", lit("live")).localCheckpoint(true)
+      val cents2 = NswIndex.rebuildLive(s, idxDir, k = 16, iters = 2, m = 8, efC = 32)
+      val post = annSoundness(embAlive,
+        NswIndex.searchFrameFiltered(s, idxDir, cents2, qe, excludeId = 0L,
+          k = 10, nprobe = 6, ef = 48, allowMeta = _ != 3L,
+          expectMetaCol = Some("label")),
+        "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 8, scoreIsExact = true)
+        .withColumn("phase", lit("post_rebuild"))
+      live.unionByName(post).orderBy("phase")
+    }),
+
     // SQ8 scalar-quantized search ([[Sq8Index]]): per-dimension affine
     // uint8 codes (4x fewer vector bytes), candidates ranked by the
     // codegen byte-sum kernel ([[graft.functions.Sq8Dot]]), top-50
@@ -1759,6 +1806,21 @@ object SimilarityOps {
         |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
         |  FROM embeddings e, embeddings q
         |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.vec_id <> 105),
+        |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
+        |SELECT p.phase, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
+        |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k
+        |FROM (VALUES ('live'), ('post_rebuild')) AS p(phase) ORDER BY p.phase""".stripMargin,
+    // Filtered × churning: the exact side is the predicate's population
+    // (label <> 3) minus the tombstoned 105 (7 re-inserted ⇒ stays in,
+    // if its label matches); one soundness row per phase.
+    "s40_nsw_live_filtered" ->
+      """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS exact_cos
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id = 0 AND e.vec_id <> 0 AND e.label <> 3 AND e.vec_id <> 105),
         |tk AS (SELECT exact_cos FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10)
         |SELECT p.phase, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
         |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,

@@ -149,6 +149,46 @@ class NswLiveInsertSpec extends AnyFunSuite {
     } finally { rm(dir); rm(freshDir) }
   }
 
+  test("filtered live search: identity on empty channels, LWW on deletes, and a " +
+    "re-insert that REWRITES the attribute is judged by the new value") {
+    import spark.implicits._
+    val dir = tmp("nsw-livef")
+    try {
+      val cents = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32,
+        metaCol = Some("label"))
+      def livef() = rows(NswIndex.searchFrameLiveFiltered(spark, dir, cents, qe(0L),
+        0L, 10, 16, 48, _ != 3L, Some("label")))
+      val static = rows(NswIndex.searchFrameFiltered(spark, dir, cents, qe(0L),
+        0L, 10, 16, 48, _ != 3L, Some("label")))
+      assert(livef() == static, "filtered live (no channels) drifted from filtered static")
+      // delete the top answer: it must leave the filtered live view
+      val victim = static.head._1
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(victim), 0L, dir)
+      val afterDel = livef()
+      assert(!afterDel.exists(_._1 == victim), s"deleted $victim still served filtered")
+      // re-insert it with its label REWRITTEN to the excluded value: the
+      // LWW meta must keep it out of this predicate's population
+      val flipped = emb.filter(col("vec_id") === victim)
+        .withColumn("label", lit(3))
+      NswIndex.insertBatch(flipped, 1L, dir, cents)
+      assert(!livef().exists(_._1 == victim),
+        s"$victim re-inserted with label 3 must stay out of the label!=3 view")
+      // and under the COMPLEMENT predicate it is served (from the tail,
+      // with its new meta)
+      val comp = rows(NswIndex.searchFrameLiveFiltered(spark, dir, cents, qe(0L),
+        0L, 10, 16, 48, _ == 3L, Some("label")))
+      assert(comp.exists(_._1 == victim),
+        s"$victim (now label 3) missing from the label==3 view: $comp")
+      // rewrite back in a later epoch: resurfaces in the original view
+      NswIndex.insertBatch(emb.filter(col("vec_id") === victim), 2L, dir, cents)
+      val back = livef()
+      val origLabel = emb.filter(col("vec_id") === victim)
+        .select("label").head().getInt(0)
+      if (origLabel != 3)
+        assert(back.exists(_._1 == victim), s"$victim restored but not served: $back")
+    } finally rm(dir)
+  }
+
   test("a meta-built index refuses inserts without its attribute column and " +
     "carries inserted meta through the fold into filtered search") {
     val dir = tmp("nsw-live-meta")
