@@ -142,6 +142,17 @@ object ScaleRecall {
     graft.ops.Sq8Index.buildHnsw(emb, hnswSqDir, sqParams, kCells = 16, iters = 2,
       m = 8, efC = 32)
 
+    // BQ (s38): 1-bit mean-threshold codes, Hamming scan + deep (100)
+    // exact rerank. Its scale question is density: 64 Hamming bits
+    // partition the sphere into fixed buckets, so as 10-30x more
+    // vectors pack the same code space, does the rerank-100 pool still
+    // cover the true top-10?
+    val bqParams = graft.ops.BqIndex.train(emb)
+    val bqDir = java.nio.file.Files.createTempDirectory("graft-recall-bq").toString
+    graft.ops.BqIndex.encode(emb, bqParams).toDF("vec_id", "bits")
+      .write.mode("overwrite").parquet(s"$bqDir/cells")
+    val bqBits = spark.read.parquet(s"$bqDir/cells")
+
     // Byte-IO of one probed cell read, walk vs walk: sum the parquet
     // column-chunk bytes each walk's ReadSchema touches (footer
     // metadata — the honest columnar-IO number, not file size). The
@@ -172,6 +183,10 @@ object ScaleRecall {
     }
     val floatWalkBytes = columnBytes(flatDir, Set("vec_id", "embedding", "nbrs"))
     val sq8WalkBytes = columnBytes(hnswSqDir, Set("vec_id", "code", "rnorm", "nbrs"))
+    // the 1-bit candidate pass vs what a float scan would read: the
+    // first-pass byte story of the whole compression dial in one row
+    val bqScanBytes = columnBytes(bqDir, Set("vec_id", "bits"))
+    val floatScanBytes = columnBytes(flatDir, Set("vec_id", "embedding"))
 
     // Filtered search (s27's in-walk strategy, its own parameters:
     // nprobe=12, label predicate = 3): ground truth is the exact
@@ -195,6 +210,8 @@ object ScaleRecall {
         qe, qid, K, NProbe, rerank = sqRerank))
       val hnswSq8 = ids(graft.ops.Sq8Index.searchHnsw(spark, hnswSqDir, cents, emb,
         sqParams, qe, qid, K, NProbe, Ef, rerank = sqRerank))
+      val bq = ids(graft.ops.BqIndex.search(bqBits, emb, bqParams, qe, qid, K,
+        rerank = 100))
       val cellIds = assignments
         .filter(col("cluster").isin(probes.map(x => x: Any): _*)).select("vec_id")
       def adcTopK(codes: DataFrame, cb: graft.ops.PqIndex.Codebook, q: Array[Float]): Set[Long] = {
@@ -236,7 +253,7 @@ object ScaleRecall {
       val walkP = ids(NswIndex.searchFrameFiltered(spark, flatDir, cents, qe, qid,
         K, NProbe, Ef, allowMeta = _ != FiltLabel.toLong))
       Seq((truth & flat).size, (truth & layered).size, (truth & ceiling).size,
-        (truth & sq8).size, (truth & hnswSq8).size,
+        (truth & sq8).size, (truth & hnswSq8).size, (truth & bq).size,
         (truth & pq).size, (truth & opq).size,
         (truthSkew & pqSkew).size, (truthSkew & opqSkew).size,
         (truthF & ceilingF).size, (truthF & walkF).size,
@@ -249,7 +266,7 @@ object ScaleRecall {
     }
     def arr(i: Int): String = rows.map(_(i)).mkString("[", ",", "]")
     val names = Seq("flat", "layered", "ivf_ceiling", s"ivf_sq8_rerank$sqRerank",
-      s"hnsw_sq8_rerank$sqRerank", "ivf_pq_adc50", "ivf_opq_adc50",
+      s"hnsw_sq8_rerank$sqRerank", "bq_rerank100", "ivf_pq_adc50", "ivf_opq_adc50",
       "pq_skewvar_flat_adc50", "opq_skewvar_flat_adc50",
       s"filtered_ceiling_np$FiltNProbe", s"filtered_inwalk_np$FiltNProbe",
       s"permissive_ceiling_np$NProbe", s"permissive_inwalk_np$NProbe")
@@ -262,7 +279,9 @@ object ScaleRecall {
       s"""{"sf":"$sfDir","n_vectors":$nVectors,"k":$K,"nprobe":$NProbe,"ef":$Ef,""" +
       s""""recall_at10":{$summary},"per_query":{$perQuery},""" +
       s""""walk_read_bytes":{"float":$floatWalkBytes,"sq8":$sq8WalkBytes,""" +
-      s""""reduction":${math.round(floatWalkBytes.toDouble / sq8WalkBytes * 100.0) / 100.0}}}""")
+      s""""reduction":${math.round(floatWalkBytes.toDouble / sq8WalkBytes * 100.0) / 100.0}},""" +
+      s""""bq_scan_bytes":{"bits":$bqScanBytes,"float_embedding":$floatScanBytes,""" +
+      s""""reduction":${math.round(floatScanBytes.toDouble / bqScanBytes * 100.0) / 100.0}}}""")
     spark.stop()
   }
 }

@@ -282,6 +282,10 @@ object NswIndex {
       case None =>
         if (fs.exists(markerPath)) fs.delete(markerPath, false)
     }
+    // centroid sidecar (the IVF/SQ8 discipline): a restarted process —
+    // the streaming churn wiring included — must route probes without
+    // retraining; callers holding the returned value lose nothing
+    IvfIndex.saveCentroids(spark, cents, indexDir)
     cents
   }
 

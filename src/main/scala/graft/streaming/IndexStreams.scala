@@ -145,6 +145,41 @@ object IndexStreams {
       }
   }
 
+  /** Wire a CHURNING stream into the GRAPH index
+    * ([[graft.ops.NswIndex]]): upsert rows land in the pending channel
+    * ([[graft.ops.NswIndex.insertBatch]] — served exactly by the tail
+    * scan until a rebuild folds them into the graph), delete rows land
+    * as the SAME epoch's tombstones. One batch id covers both sides
+    * (replay re-lands both idempotently); unknown ops fail loudly.
+    * The rebuild cadence is the caller's serving policy
+    * ([[graft.ops.NswIndex.rebuildLive]] when the channels outgrow it)
+    * — the stream only accumulates, exactly like the IVF twin.
+    */
+  def streamingGraphUpsertWithDeletes(
+      opsStream: DataFrame,
+      indexDir: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = opsStream.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, indexDir)
+    opsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.localCheckpoint()
+        val badOps = cached.filter(!col("op").isin("upsert", "delete")).limit(1)
+          .collect()
+        require(badOps.isEmpty,
+          s"unknown op '${badOps.headOption.map(_.getAs[String]("op")).getOrElse("")}' in batch $batchId")
+        val rows = graft.ops.NswIndex.insertBatch(
+          cached.filter(col("op") === "upsert").drop("op"), batchId, indexDir, cents)
+        val deletes = cached.filter(col("op") === "delete")
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        tombstoneBatch(spark, deletes, batchId, indexDir)
+        logBatchMetric(spark, indexDir, batchId, rows, Double.NaN)
+      }
+  }
+
   /** Record one batch's drift metric under its OWN `batch=<id>`
     * directory (mirroring the data path's layout), so an epoch replay
     * overwrites the same row instead of appending a duplicate — the
