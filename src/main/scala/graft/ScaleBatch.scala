@@ -133,8 +133,26 @@ object ScaleBatch {
     val sqB = (1 to Reps).map(_ => time(() => runSqBatch())._1).min
     val sqS = (1 to Reps).map(_ => time(() => runSqSingles())._1).min
 
+    // ---- batched BQ (s38): the 1-bit Hamming panel vs 16 sequential
+    // searches over the same materialized bit index ----
+    import graft.ops.BqIndex
+    val bqParams = BqIndex.train(emb)
+    val bqDir = java.nio.file.Files.createTempDirectory("graft-batch-bq").toString
+    BqIndex.encode(emb, bqParams).toDF("vec_id", "bits")
+      .write.mode("overwrite").parquet(s"$bqDir/cells")
+    val bqBits = spark.read.parquet(s"$bqDir/cells")
+    def runBqBatch() = collectBatch(BqIndex.searchMany(
+      bqBits, emb, bqParams, panel, K, rerank = 100))
+    def runBqSingles() = panel.keys.toSeq.sorted.map { qid =>
+      qid -> collectSingle(BqIndex.search(bqBits, emb, bqParams,
+        panel(qid), qid, K, rerank = 100))
+    }.toMap
+    require(runBqBatch() == runBqSingles(), s"BQ batch != singles at $sfDir")
+    val bqB = (1 to Reps).map(_ => time(() => runBqBatch())._1).min
+    val bqS = (1 to Reps).map(_ => time(() => runBqSingles())._1).min
+
     println(
-      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true,"ivfsq8_batch_sec":${f(sqB)},"ivfsq8_single_sum_sec":${f(sqS)},"ivfsq8_speedup":${f(sqS / sqB)},"ivfsq8_identical":true}""")
+      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true,"ivfsq8_batch_sec":${f(sqB)},"ivfsq8_single_sum_sec":${f(sqS)},"ivfsq8_speedup":${f(sqS / sqB)},"ivfsq8_identical":true,"bq_batch_sec":${f(bqB)},"bq_single_sum_sec":${f(bqS)},"bq_speedup":${f(bqS / bqB)},"bq_identical":true}""")
     spark.stop()
   }
 

@@ -476,6 +476,78 @@ object RetrievalOps {
         .orderBy("query_id", "rank")
     }),
 
+    // RETRIEVAL EVALUATION metrics — the measurement half of a
+    // retrieval pipeline (what a ranker ships with): precision@10,
+    // recall@10, MRR, and nDCG@10 for the r02 BM25 run against a
+    // deterministic qrel set: a doc is RELEVANT iff the query's first
+    // two terms appear ADJACENT in it (a phrase match — term presence
+    // alone is near-vacuous on this corpus's small vocabulary, ~50% of
+    // docs hold all three terms somewhere; the phrase rule yields
+    // 23-36 relevant docs for queries 1-3 and deliberately ZERO for
+    // query 4, whose rare term never forms the phrase — exercising
+    // every n_rel=0 guard in the metric arithmetic). Binary gains.
+    // Numeric discipline: MRR and the precision/recall ratios are
+    // single divisions (exact); DCG and IDCG are the ONLY sums, and
+    // both fold over SORTED rank lists via the sequential `aggregate`
+    // higher-order function — DuckDB replays them as
+    // list_aggregate(list ORDER BY rank) folds (the s19 fold-parity
+    // pattern), so nDCG rounds identically. Log base cancels in the
+    // DCG/IDCG ratio, so both engines use the natural log. Scale
+    // shape: the run is r02's vocab-semi-joined ranking (O(matching
+    // postings)), qrels are one bounded aggregation over the same
+    // token stream, metrics are per-query arithmetic over k-bounded
+    // rows — nothing here grows past top-k per query.
+    "r16_retrieval_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qterms = Bm25Queries.toDF("query_id", "query_text")
+        .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"),
+          lit(1.0).as("weight"))
+      // run: BM25 top-20 per query under the repo total order
+      val run = bm25WeightedScores(docs, qterms)
+        .select(col("query_id"),
+          struct((-col("score")).as("nk"), col("doc_id")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), HybridCap).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), col("rec.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      // qrels: ONE scan of the docs evaluates all four phrase tests as
+      // stacked codegen columns (the r15 panel shape)
+      val relCols = Bm25Queries.map { case (qid, qt) =>
+        val ts = qt.split(" ")
+        struct(lit(qid).as("query_id"),
+          (instr(lower(trim(col("text"))), s"${ts(0)} ${ts(1)}") > 0).as("rel"))
+      }
+      val qrels = docs.select(col("doc_id"), explode(array(relCols: _*)).as("q"))
+        .filter(col("q.rel"))
+        .select(col("q.query_id").as("query_id"), col("doc_id"))
+        .localCheckpoint() // feeds the join and the per-query totals once
+      val nRel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      val judged = run.join(qrels.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
+      judged.groupBy("query_id")
+        .agg(
+          sum(when(col("rel") === 1 && col("rank") <= 10, 1L).otherwise(0L)).as("hits10"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          sort_array(collect_list(when(col("rel") === 1 && col("rank") <= 10, col("rank"))))
+            .as("rel_ranks"))
+        .join(broadcast(nRel), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          col("hits10"), col("first_rel"), col("rel_ranks"))
+        .select(col("query_id"), col("n_rel"),
+          round(col("hits10") / 10.0, 4).as("p_at10"),
+          when(col("n_rel") === 0, 0.0)
+            .otherwise(round(col("hits10") / col("n_rel").cast("double"), 6)).as("recall_at10"),
+          when(col("first_rel").isNull, 0.0)
+            .otherwise(round(lit(1.0) / col("first_rel"), 6)).as("mrr"),
+          when(col("n_rel") === 0, 0.0).otherwise(round(
+            expr("aggregate(rel_ranks, 0D, (acc, r) -> acc + 1D / ln(r + 1))") /
+              expr("aggregate(sequence(1, int(least(n_rel, 10))), 0D, (acc, i) -> acc + 1D / ln(i + 1))"),
+            6)).as("ndcg_at10"))
+        .orderBy("query_id")
+    }),
+
     // MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT's MaxSim,
     // Khattab & Zaharia, SIGIR'20): a document is a SET of token-level
     // vectors and score(q, d) = Σ_{t∈q} max_{v∈d} cos(t, v) — the
@@ -1025,6 +1097,54 @@ object RetrievalOps {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
         |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_ann AS INT) AS r_ann
         |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Retrieval-metrics replay: the r02/r14 BM25 kernel verbatim (the
+    // proven literal parity), the same first-two-terms phrase qrel
+    // rule (plain substring contains in both engines), and DCG/IDCG as
+    // list folds over rank-ordered lists (the s19 fold-parity pattern)
+    // so nDCG rounds identically; MRR and the @10 ratios are single
+    // exact divisions.
+    "r16_retrieval_metrics" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id, round(sum(
+        |    1.0 * ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |run AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |qb AS (SELECT query_id,
+        |    string_split(query_text, ' ')[1] || ' ' || string_split(query_text, ' ')[2] AS big
+        |  FROM q),
+        |qr AS (SELECT qb.query_id, d.doc_id FROM qb, documents d
+        |  WHERE contains(lower(trim(d.text)), qb.big)),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+        |j AS (SELECT r.query_id, r.rank,
+        |    CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM run r LEFT JOIN qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+        |agg AS (SELECT query_id,
+        |    sum(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) AS hits10,
+        |    min(rank) FILTER (WHERE rel = 1) AS first_rel,
+        |    list(rank ORDER BY rank) FILTER (WHERE rel = 1 AND rank <= 10) AS rel_ranks
+        |  FROM j GROUP BY 1),
+        |m AS (SELECT a.query_id, coalesce(nr.n_rel, 0) AS n_rel, a.hits10, a.first_rel, a.rel_ranks
+        |  FROM agg a LEFT JOIN nr USING (query_id))
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_rel AS BIGINT) AS n_rel,
+        |  round(hits10 / 10.0, 4) AS p_at10,
+        |  CASE WHEN n_rel = 0 THEN 0.0 ELSE round(hits10 / CAST(n_rel AS DOUBLE), 6) END AS recall_at10,
+        |  CASE WHEN first_rel IS NULL THEN 0.0 ELSE round(1.0 / first_rel, 6) END AS mrr,
+        |  CASE WHEN n_rel = 0 THEN 0.0 ELSE round(
+        |    coalesce(list_aggregate(list_transform(rel_ranks, r -> 1.0 / ln(r + 1)), 'sum'), 0.0) /
+        |    list_aggregate(list_transform(range(1, least(n_rel, 10) + 1), i -> 1.0 / ln(i + 1)), 'sum'), 6) END AS ndcg_at10
+        |FROM m ORDER BY query_id""".stripMargin,
     // MaxSim replay: same rounded per-pair cosines, per-(query, doc,
     // token) maxima pivoted with FILTER, and the 8 maxima added in the
     // same literal order (m0+…+m7 — the fixed fold both engines share).
