@@ -72,12 +72,20 @@ object BqIndex {
     out
   }
 
-  /** Shuffle-free encode: `(vec_id, bits BINARY(ceil(dim/8)))`. */
+  /** Shuffle-free encode: `(vec_id, bits BINARY(ceil(dim/8)))`. A row
+    * whose dimension differs from the trained quantizer's fails loudly
+    * (the [[search]] discipline applied to the corpus side) — packBits
+    * would otherwise silently zero the missing dimensions' bits and
+    * the row would rank near any query with mostly-zero high bits.
+    */
   def encode(emb: DataFrame, p: Params): Dataset[(Long, Array[Byte])] = {
     import emb.sparkSession.implicits._
     val thresh = p.thresh
     emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].map {
-      case (id, e) => (id, packBits(e, thresh))
+      case (id, e) =>
+        require(e.length == thresh.length,
+          s"vector $id dim ${e.length} != trained quantizer dim ${thresh.length}")
+        (id, packBits(e, thresh))
     }
   }
 

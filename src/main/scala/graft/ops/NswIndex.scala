@@ -466,7 +466,10 @@ object NswIndex {
     * cells, one FILTERED greedy walk per cell
     * ([[greedySearchFilteredFn]] — routing sees every node, results
     * only `allowMeta` survivors), global top-k under [[searchFrame]]'s
-    * rounded-cosine total order.
+    * rounded-cosine total order. `dropIds` composes churn exclusions
+    * into the keep-predicate (the [[searchFrameLiveFiltered]] hook —
+    * tombstoned ids dead, pending ids shadowed); routing still
+    * traverses dropped nodes, results never return one.
     */
   def searchFrameFiltered(
       spark: SparkSession,
@@ -478,11 +481,13 @@ object NswIndex {
       nprobe: Int,
       ef: Int,
       allowMeta: Long => Boolean,
-      expectMetaCol: Option[String] = None): DataFrame = {
+      expectMetaCol: Option[String] = None,
+      dropIds: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     requireMetaIndex(spark, indexDir, expectMetaCol)
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
+    val bDrop = spark.sparkContext.broadcast(dropIds)
     spark.read.parquet(s"$indexDir/cells")
       .filter(col("cluster").isin(probes.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
@@ -495,9 +500,10 @@ object NswIndex {
         val adj = rows.map(r => r._2 -> r._4.toArray).toMap
         val metas = rows.map(r => r._2 -> r._5).toMap
         val entry = rows.iterator.map(_._2).min
+        val drop = bDrop.value
         greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
           Seq(entry), bq.value, ef,
-          keep = id => id != excludeId && allowMeta(metas(id)))
+          keep = id => id != excludeId && !drop(id) && allowMeta(metas(id)))
           .sortBy(t => (-t._1, t._2)).take(k)
           .iterator.map { case (s, id) => (id, s) }
       }
@@ -873,6 +879,69 @@ object NswIndex {
     * Scores on both arms are exact rounded cosines, so the soundness
     * contract (zero mismatches) holds end to end.
     */
+  /** id -> latest tombstone epoch over the channel — the LWW side
+    * input both live searches share (bounded by rebuild policy,
+    * CollectGuard-capped, loud when the policy is violated).
+    */
+  private def tombstoneMax(spark: SparkSession, indexDir: String): Map[Long, Long] = {
+    val tombPath = s"$indexDir/tombstones"
+    if (hasBatches(spark, tombPath))
+      CollectGuard.smallDistinct(
+        spark.read.parquet(tombPath).groupBy("vec_id")
+          // batch is a partition DIRECTORY column — inferred int, cast
+          // to the epochs' long domain before it meets the literals
+          .agg(max(col("batch").cast("long")).as("tb")), cap = 1L << 20)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    else Map.empty
+  }
+
+  /** The pending tail, LWW-resolved THEN probe-pruned: tombstone-dead
+    * rows drop, one row per id survives (the latest epoch's — the
+    * resolution runs over the WHOLE bounded channel, never after a
+    * cluster prune, because the latest version decides both the served
+    * embedding and which cell the id lives in; pruning first could
+    * serve a superseded embedding whose stale row still sits in a
+    * probed cell while the newest landed elsewhere), and only ids
+    * whose LATEST cell is probed answer — exactly how the folded index
+    * would behave. Returns `(vec_id, cos_sim)` top-k.
+    */
+  private def pendingTailArm(
+      spark: SparkSession,
+      pendPath: String,
+      tombMax: Map[Long, Long],
+      probes: Seq[Int],
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      keepIds: Option[Set[Long]] = None): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_similarity
+    val qLit = array(q.toSeq.map(lit): _*)
+    val tombLit = typedLit(tombMax)
+    val base = spark.read.parquet(pendPath)
+      .filter(col("vec_id") =!= excludeId)
+      // LWW vs tombstones: survive iff no tombstone, or strictly newer
+      // than the latest one (the IVF merge's predicate, as a map literal)
+      .filter(coalesce(element_at(tombLit, col("vec_id")), lit(Long.MinValue)) < col("batch"))
+    val kept = keepIds match {
+      case Some(ids) =>
+        import spark.implicits._
+        // bounded set, but potentially large (the CollectGuard cap):
+        // a broadcast semi-join keeps the per-query plan flat instead
+        // of serializing up to 2^20 literals into an isin list
+        base.join(broadcast(ids.toSeq.toDF("vec_id")), "vec_id")
+      case None => base
+    }
+    kept
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("cluster").cast("int").as("cluster")),
+        col("batch")).as("r"))
+      .filter(col("r.cluster").isin(probes.map(x => x: Any): _*))
+      .select(col("vec_id"),
+        round(cosine_similarity(col("r.embedding"), qLit), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def searchFrameLive(
       spark: SparkSession,
       indexDir: String,
@@ -882,19 +951,8 @@ object NswIndex {
       k: Int,
       nprobe: Int,
       ef: Int): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_similarity
-    val tombPath = s"$indexDir/tombstones"
     val pendPath = s"$indexDir/pending"
-    // id -> latest tombstone epoch (LWW side input, k-scale by policy)
-    val tombMax: Map[Long, Long] =
-      if (hasBatches(spark, tombPath))
-        CollectGuard.smallDistinct(
-          spark.read.parquet(tombPath).groupBy("vec_id")
-            // batch is a partition DIRECTORY column — inferred int, cast
-            // to the epochs' long domain before it meets the literals
-            .agg(max(col("batch").cast("long")).as("tb")), cap = 1L << 20)
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      else Map.empty
+    val tombMax = tombstoneMax(spark, indexDir)
     val pendingIds: Set[Long] =
       if (hasBatches(spark, pendPath))
         CollectGuard.smallDistinct(
@@ -908,24 +966,8 @@ object NswIndex {
     if (pendingIds.isEmpty) walkArm
     else {
       val probes = IvfIndex.probeCells(cents, q, nprobe)
-      val qLit = array(q.toSeq.map(lit): _*)
-      val tombLit = typedLit(tombMax)
-      val tailArm = spark.read.parquet(pendPath)
-        .filter(col("cluster").isin(probes.map(x => x: Any): _*))
-        .filter(col("vec_id") =!= excludeId)
-        // LWW vs tombstones: survive iff no tombstone, or strictly newer
-        // than the latest one (the IVF merge's predicate, as a map literal
-        // — the set is the same bounded side input the walk keep uses)
-        .filter(coalesce(element_at(tombLit, col("vec_id")), lit(Long.MinValue)) < col("batch"))
-        // LWW within pending: one row per id, the latest epoch wins (an
-        // id appears once per epoch — insertBatch overwrites its own dir)
-        .groupBy("vec_id")
-        .agg(max_by(col("embedding"), col("batch")).as("embedding"))
-        .select(col("vec_id"),
-          round(cosine_similarity(col("embedding"), qLit), 6).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(k)
-      walkArm.unionByName(tailArm)
+      walkArm.unionByName(
+        pendingTailArm(spark, pendPath, tombMax, probes, q, excludeId, k))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(k)
     }
@@ -955,19 +997,11 @@ object NswIndex {
       ef: Int,
       allowMeta: Long => Boolean,
       expectMetaCol: Option[String] = None): DataFrame = {
-    import spark.implicits._
-    import graft.functions.VectorFunctions.cosine_similarity
     requireMetaIndex(spark, indexDir, expectMetaCol)
-    val tombPath = s"$indexDir/tombstones"
     val pendPath = s"$indexDir/pending"
-    val tombMax: Map[Long, Long] =
-      if (hasBatches(spark, tombPath))
-        CollectGuard.smallDistinct(
-          spark.read.parquet(tombPath).groupBy("vec_id")
-            .agg(max(col("batch").cast("long")).as("tb")), cap = 1L << 20)
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      else Map.empty
-    // latest (epoch, meta) per pending id — LWW on the metadata too
+    val tombMax = tombstoneMax(spark, indexDir)
+    // latest (epoch, meta) per pending id — LWW on the metadata too,
+    // resolved over the WHOLE channel (never after a prune)
     val pendingLatest: Map[Long, (Long, Long)] =
       if (hasBatches(spark, pendPath))
         CollectGuard.smallDistinct(
@@ -978,55 +1012,29 @@ object NswIndex {
             (r.getStruct(1).getLong(0) -> r.getStruct(1).getLong(1))).toMap
       else Map.empty
     val probes = IvfIndex.probeCells(cents, q, nprobe)
-    val bq = spark.sparkContext.broadcast(q)
-    val bTomb = spark.sparkContext.broadcast(tombMax.keySet)
-    val bPend = spark.sparkContext.broadcast(pendingLatest.keySet)
-    val bAllow = spark.sparkContext.broadcast(allowMeta)
-    val walkArm = spark.read.parquet(s"$indexDir/cells")
-      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
-      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
-        col("embedding"), col("nbrs"), col("meta"))
-      .as[(Int, Long, Seq[Float], Seq[Long], Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
-        val adj = rows.map(r => r._2 -> r._4.toArray).toMap
-        val metas = rows.map(r => r._2 -> r._5).toMap
-        val entry = rows.iterator.map(_._2).min
-        val tomb = bTomb.value; val pend = bPend.value
-        greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
-          Seq(entry), bq.value, ef,
-          keep = id => id != excludeId && !tomb(id) && !pend(id) &&
-            bAllow.value(metas(id)))
-          .sortBy(t => (-t._1, t._2)).take(k)
-          .iterator.map { case (s, id) => (id, s) }
-      }
-      .toDF("vec_id", "cos_raw")
-      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
-    // pending survivors: alive under LWW AND matching on the LATEST meta
+    // walk arm: the static filtered walk with the churn exclusions
+    // composed into its keep-predicate (tombstoned ids dead, pending
+    // ids shadowed — they are served from the tail with their LATEST
+    // version)
+    val walkArm = searchFrameFiltered(spark, indexDir, cents, q, excludeId,
+      k, nprobe, ef, allowMeta, expectMetaCol,
+      dropIds = tombMax.keySet ++ pendingLatest.keySet)
+    // pending survivors: alive under LWW AND matching on the LATEST
+    // epoch's meta — a re-insert that rewrites the attribute is judged
+    // by the new value; the tail then serves the SAME epoch's embedding
+    // ([[pendingTailArm]] resolves max_by(struct(embedding, cluster),
+    // batch) before its probe prune)
     val aliveIds = pendingLatest.collect {
       case (id, (b, m)) if id != excludeId && allowMeta(m) &&
         tombMax.getOrElse(id, Long.MinValue) < b => id
-    }.toSeq.sorted
+    }.toSet
     if (aliveIds.isEmpty) walkArm
-    else {
-      val qLit = array(q.toSeq.map(lit): _*)
-      val tailArm = spark.read.parquet(pendPath)
-        .filter(col("cluster").isin(probes.map(x => x: Any): _*))
-        .filter(col("vec_id").isin(aliveIds.map(x => x: Any): _*))
-        .groupBy("vec_id")
-        .agg(max_by(col("embedding"), col("batch")).as("embedding"))
-        .select(col("vec_id"),
-          round(cosine_similarity(col("embedding"), qLit), 6).as("cos_sim"))
+    else
+      walkArm.unionByName(
+        pendingTailArm(spark, pendPath, tombMax, probes, q, excludeId, k,
+          keepIds = Some(aliveIds)))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(k)
-      walkArm.unionByName(tailArm)
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(k)
-    }
   }
 
   /** REBUILD with the pending channel folded in — the live graph

@@ -526,15 +526,21 @@ object RetrievalOps {
       val nRel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
       val judged = run.join(qrels.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
         .select(col("query_id"), col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
-      judged.groupBy("query_id")
+      val agg = judged.groupBy("query_id")
         .agg(
           sum(when(col("rel") === 1 && col("rank") <= 10, 1L).otherwise(0L)).as("hits10"),
           min(when(col("rel") === 1, col("rank"))).as("first_rel"),
           sort_array(collect_list(when(col("rel") === 1 && col("rank") <= 10, col("rank"))))
             .as("rel_ranks"))
+      // drive the output from the QUERY LIST, not the run: a query whose
+      // terms match no document has an empty run and would otherwise
+      // vanish from the report instead of scoring zero
+      Bm25Queries.map(_._1).toDF("query_id")
+        .join(agg, Seq("query_id"), "left")
         .join(broadcast(nRel), Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-          col("hits10"), col("first_rel"), col("rel_ranks"))
+          coalesce(col("hits10"), lit(0L)).as("hits10"), col("first_rel"),
+          coalesce(col("rel_ranks"), array().cast("array<int>")).as("rel_ranks"))
         .select(col("query_id"), col("n_rel"),
           round(col("hits10") / 10.0, 4).as("p_at10"),
           when(col("n_rel") === 0, 0.0)
@@ -1135,8 +1141,9 @@ object RetrievalOps {
         |    min(rank) FILTER (WHERE rel = 1) AS first_rel,
         |    list(rank ORDER BY rank) FILTER (WHERE rel = 1 AND rank <= 10) AS rel_ranks
         |  FROM j GROUP BY 1),
-        |m AS (SELECT a.query_id, coalesce(nr.n_rel, 0) AS n_rel, a.hits10, a.first_rel, a.rel_ranks
-        |  FROM agg a LEFT JOIN nr USING (query_id))
+        |m AS (SELECT q.query_id, coalesce(nr.n_rel, 0) AS n_rel, coalesce(a.hits10, 0) AS hits10,
+        |    a.first_rel, coalesce(a.rel_ranks, CAST([] AS INTEGER[])) AS rel_ranks
+        |  FROM q LEFT JOIN agg a USING (query_id) LEFT JOIN nr USING (query_id))
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(n_rel AS BIGINT) AS n_rel,
         |  round(hits10 / 10.0, 4) AS p_at10,
         |  CASE WHEN n_rel = 0 THEN 0.0 ELSE round(hits10 / CAST(n_rel AS DOUBLE), 6) END AS recall_at10,

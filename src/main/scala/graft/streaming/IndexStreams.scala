@@ -140,7 +140,10 @@ object IndexStreams {
           cached.filter(col("op") === "upsert").drop("op"), batchId, indexDir, cents)
         val deletes = cached.filter(col("op") === "delete")
           .select("vec_id").collect().map(_.getLong(0)).toSeq
-        tombstoneBatch(spark, deletes, batchId, indexDir)
+        // delete-less epoch ⇒ no tombstone dir (absence is the
+        // representation; an empty parquet batch dir is a pointless
+        // channel read for every later merge-on-read search)
+        if (deletes.nonEmpty) tombstoneBatch(spark, deletes, batchId, indexDir)
         logBatchMetric(spark, indexDir, batchId, rows, meanCos)
       }
   }
@@ -175,7 +178,11 @@ object IndexStreams {
           cached.filter(col("op") === "upsert").drop("op"), batchId, indexDir, cents)
         val deletes = cached.filter(col("op") === "delete")
           .select("vec_id").collect().map(_.getLong(0)).toSeq
-        tombstoneBatch(spark, deletes, batchId, indexDir)
+        // a delete-less epoch writes NO tombstone dir: an empty batch=
+        // dir costs every later live search a pointless channel read
+        // (absence is the representation — the insertBatch discipline;
+        // skipping is as replay-idempotent as overwriting)
+        if (deletes.nonEmpty) tombstoneBatch(spark, deletes, batchId, indexDir)
         logBatchMetric(spark, indexDir, batchId, rows, Double.NaN)
       }
   }

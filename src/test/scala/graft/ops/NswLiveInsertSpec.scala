@@ -149,6 +149,31 @@ class NswLiveInsertSpec extends AnyFunSuite {
     } finally { rm(dir); rm(freshDir) }
   }
 
+  test("a re-insert that MOVES a vector out of the probed cells is never served " +
+    "from its stale probed-cell row (LWW resolves before the probe prune)") {
+    import spark.implicits._
+    val dir = tmp("nsw-live-move")
+    try {
+      val cents = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32)
+      val q0 = qe(0L)
+      def vecDf(id: Long, v: Array[Float]) = Seq((id, v.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      // epoch 0: a new id lands ON the query vector — top-1 by construction
+      NswIndex.insertBatch(vecDf(9999L, q0), 0L, dir, cents)
+      val before = rows(NswIndex.searchFrameLive(spark, dir, cents, q0, 0L, 10, 4, 48))
+      assert(before.head._1 == 9999L, s"sanity: the planted copy must rank #1: $before")
+      // epoch 1: the id MOVES to the antipode — very likely a different
+      // cell. Pre-fix, the tail pruned to the probed cells BEFORE the
+      // LWW resolution, so the stale epoch-0 row (still sitting in the
+      // query's own probed cell) was served at #1 with its stale score.
+      NswIndex.insertBatch(vecDf(9999L, q0.map(x => -x)), 1L, dir, cents)
+      val after = rows(NswIndex.searchFrameLive(spark, dir, cents, q0, 0L, 10, 4, 48))
+      assert(!after.exists(r => r._1 == 9999L && r._2 > 0),
+        s"stale pre-move embedding served for 9999: $after")
+      assert(after.head._1 != 9999L, s"moved vector must not rank #1: $after")
+    } finally rm(dir)
+  }
+
   test("filtered live search: identity on empty channels, LWW on deletes, and a " +
     "re-insert that REWRITES the attribute is judged by the new value") {
     import spark.implicits._
