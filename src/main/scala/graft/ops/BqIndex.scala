@@ -118,6 +118,77 @@ object BqIndex {
     Sq8Index.rerankExact(cands, emb, q, k)
   }
 
+  // ---- IVF + BQ: the composed 1-bit config -------------------------
+  //
+  // FAISS's "IVFx,LSH" shape: the coarse quantizer prunes which
+  // PARTITIONS are read (nprobe/k of the files), the 1-bit codes
+  // shrink what each read costs (1 BIT/dim — 8x under even IVF+SQ8's
+  // bytes), and the deep exact rerank restores exact scores. At 100 TB
+  // the two multiply into the cheapest possible candidate pass the
+  // dial offers: nprobe/k of the corpus at 1/32 of the float bytes.
+
+  /** Assign-encode-materialize in ONE narrow pass: `(vec_id, bits)`
+    * parquet PARTITIONED BY cluster at `indexDir/cells`, plus the
+    * centroid sidecar. Codes are bit-identical to the flat [[encode]]
+    * for the same quantizer (shared packBits kernel).
+    */
+  def buildIvf(
+      emb: DataFrame,
+      indexDir: String,
+      p: Params,
+      kCells: Int,
+      iters: Int): IvfIndex.Centroids = {
+    import emb.sparkSession.implicits._
+    val cents = IvfIndex.train(emb, kCells, iters)
+    val thresh = p.thresh
+    IvfIndex.assignments(emb, cents)
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .map { case (cl, id, e) =>
+        require(e.length == thresh.length,
+          s"vector $id dim ${e.length} != trained quantizer dim ${thresh.length}")
+        (id, packBits(e, thresh), cl)
+      }
+      .toDF("vec_id", "bits", "cluster")
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$indexDir/cells")
+    IvfIndex.saveCentroids(emb.sparkSession, cents, indexDir)
+    cents
+  }
+
+  /** Partition-pruned bit scan + exact rerank: probe cells picked on
+    * the driver, the scan reads ONLY those partitions
+    * (PartitionFilters) and ONLY the 8-byte codes (never floats), the
+    * same XOR/popcount ranking as the flat [[search]], the same deep
+    * rerank discipline.
+    */
+  def searchIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      cents: IvfIndex.Centroids,
+      emb: DataFrame,
+      p: Params,
+      q: Array[Float],
+      excludeId: Long,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank pool must cover k")
+    require(q.length == p.dim,
+      s"query dim ${q.length} != trained quantizer dim ${p.dim}")
+    val probes = IvfIndex.probeCells(cents, q, nprobe)
+    val qBits = packBits(q.toSeq, p.thresh)
+    val cands = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cluster").isin(probes.map(x => x: Any): _*))
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), bit_hamming(col("bits"), lit(qBits)).as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+      .limit(rerank)
+    Sq8Index.rerankExact(cands, emb, q, k)
+  }
+
   /** BATCHED binary search — the panel shape ([[Sq8Index.searchMany]]'s
     * contract over the bit codes): ONE pass over the 8-byte codes
     * evaluates every query's XOR/popcount (Q fused [[graft.functions

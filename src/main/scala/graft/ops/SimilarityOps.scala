@@ -1185,6 +1185,28 @@ object SimilarityOps {
         recallFloor = 8, scoreIsExact = true)
     }),
 
+    // IVF+BQ — the 1-bit compose (FAISS's "IVFx,LSH" shape,
+    // [[BqIndex.buildIvf]]/[[BqIndex.searchIvf]]): the coarse cells
+    // prune which PARTITIONS the scan reads, the sign-bit codes shrink
+    // what each read costs to 1 BIT/dim (8x under IVF+SQ8's bytes —
+    // the cheapest candidate pass the compression dial offers), the
+    // deep rerank restores exact scores. Soundness vs the full exact
+    // corpus: zero mismatches, top-100 containment, recall floor 8 —
+    // measured 9/10 at BOTH gate SFs (the nprobe=4 probe ceiling;
+    // rerank=100 covers nearly the whole probed population here, so
+    // the bits lose nothing on top), one slot of headroom.
+    "s41_ivfbq_ann" -> ((s, dir) => withScratchDirs(s, "graft-ivfbq") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val p = BqIndex.train(emb)
+      val cents = BqIndex.buildIvf(emb, idxDir, p, kCells = 16, iters = 2)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      val ann = BqIndex.searchIvf(s, idxDir, cents, emb, p, qe, excludeId = 0L,
+        k = 10, nprobe = 4, rerank = 100)
+      annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
+        recallFloor = 8, scoreIsExact = true)
+    }),
+
     // IVF+SQ8 — the COMPOSED production config (FAISS "IVF16,SQ8"):
     // coarse cells prune which PARTITIONS the scan reads (nprobe/k of
     // the files), SQ8 shrinks what each read costs (1 byte/dim, the
@@ -1738,6 +1760,7 @@ object SimilarityOps {
     "s28_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s29_ivfsq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s38_bq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    "s41_ivfbq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     // Live-index deletes: the exact side is the corpus MINUS the
     // tombstoned ids (2, 3, 105 — id 1 was re-upserted after its

@@ -147,6 +147,36 @@ class BqIndexSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("IVF+BQ: the bit scan is partition-pruned AND float-free, the result equals " +
+    "exact search within the probed cells, deterministic") {
+    import spark.implicits._
+    val e = emb("0.001")
+    val p = BqIndex.train(e)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfbq-spec").toString
+    try {
+      val cents = BqIndex.buildIvf(e, idxDir, p, kCells = 16, iters = 2)
+      val qe = e.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      def once() = BqIndex.searchIvf(spark, idxDir, cents, e, p, qe,
+        excludeId = 0L, k = 10, nprobe = 4, rerank = 100)
+      val ann = once()
+      val plan = ann.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"no partition prune on the bit scan:\n$plan")
+      val bitScanLine = plan.split("\n").find(_.contains("bits:binary"))
+      assert(bitScanLine.isDefined && !bitScanLine.get.contains("embedding"),
+        s"bit scan must not read floats:\n${bitScanLine.getOrElse("<missing>")}")
+      // rerank=100 over ~125 probed rows: the Hamming pool covers the
+      // exact-within-probes top-10, so the final result EQUALS exact IVF
+      // search (same centroids — buildIvf and IvfIndex.search share train)
+      val got = ann.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exactIvf = IvfIndex.search(e, cents, queryId = 0L, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exactIvf, s"IVF+BQ+rerank drifted from exact-within-probes\ngot:   $got\nexact: $exactIvf")
+      assert(once().collect().toSeq == ann.collect().toSeq, "searchIvf must be deterministic")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   test("a query whose dimension differs from the trained quantizer's fails loudly") {
     import spark.implicits._
     val e = emb("0.001")
