@@ -152,6 +152,11 @@ object ScaleRecall {
     graft.ops.BqIndex.encode(emb, bqParams).toDF("vec_id", "bits")
       .write.mode("overwrite").parquet(s"$bqDir/cells")
     val bqBits = spark.read.parquet(s"$bqDir/cells")
+    // IVF+BQ (s41): the composed 1-bit config — same shared centroids
+    // question as IVF+SQ8 (does the rerank horizon still cover the
+    // probe ceiling as cells grow?) at 1/8 the candidate bytes
+    val ivfBqDir = java.nio.file.Files.createTempDirectory("graft-recall-ivfbq").toString
+    graft.ops.BqIndex.buildIvf(emb, ivfBqDir, bqParams, kCells = 16, iters = 2)
 
     // Byte-IO of one probed cell read, walk vs walk: sum the parquet
     // column-chunk bytes each walk's ReadSchema touches (footer
@@ -212,6 +217,8 @@ object ScaleRecall {
         sqParams, qe, qid, K, NProbe, Ef, rerank = sqRerank))
       val bq = ids(graft.ops.BqIndex.search(bqBits, emb, bqParams, qe, qid, K,
         rerank = 100))
+      val ivfBq = ids(graft.ops.BqIndex.searchIvf(spark, ivfBqDir, cents, emb,
+        bqParams, qe, qid, K, NProbe, rerank = 100))
       val cellIds = assignments
         .filter(col("cluster").isin(probes.map(x => x: Any): _*)).select("vec_id")
       def adcTopK(codes: DataFrame, cb: graft.ops.PqIndex.Codebook, q: Array[Float]): Set[Long] = {
@@ -254,6 +261,7 @@ object ScaleRecall {
         K, NProbe, Ef, allowMeta = _ != FiltLabel.toLong))
       Seq((truth & flat).size, (truth & layered).size, (truth & ceiling).size,
         (truth & sq8).size, (truth & hnswSq8).size, (truth & bq).size,
+        (truth & ivfBq).size,
         (truth & pq).size, (truth & opq).size,
         (truthSkew & pqSkew).size, (truthSkew & opqSkew).size,
         (truthF & ceilingF).size, (truthF & walkF).size,
@@ -266,7 +274,8 @@ object ScaleRecall {
     }
     def arr(i: Int): String = rows.map(_(i)).mkString("[", ",", "]")
     val names = Seq("flat", "layered", "ivf_ceiling", s"ivf_sq8_rerank$sqRerank",
-      s"hnsw_sq8_rerank$sqRerank", "bq_rerank100", "ivf_pq_adc50", "ivf_opq_adc50",
+      s"hnsw_sq8_rerank$sqRerank", "bq_rerank100", "ivf_bq_rerank100",
+      "ivf_pq_adc50", "ivf_opq_adc50",
       "pq_skewvar_flat_adc50", "opq_skewvar_flat_adc50",
       s"filtered_ceiling_np$FiltNProbe", s"filtered_inwalk_np$FiltNProbe",
       s"permissive_ceiling_np$NProbe", s"permissive_inwalk_np$NProbe")
