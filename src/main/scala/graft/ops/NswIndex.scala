@@ -398,7 +398,8 @@ object NswIndex {
       k: Int,
       nprobe: Int,
       ef: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      dropIds: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     import graft.functions.TopKAggregates.minK
     require(queries.nonEmpty, "searchFrameMany needs at least one query")
@@ -408,6 +409,9 @@ object NswIndex {
     val cellsUnion = routing.keys.toSeq.sorted
     val bq = spark.sparkContext.broadcast(queries)
     val br = spark.sparkContext.broadcast(routing)
+    // churn hook (the searchFrameManyLive seam): dropped ids stay
+    // navigable but never surface — the filtered-walk keep discipline
+    val bDrop = spark.sparkContext.broadcast(dropIds)
     spark.read.parquet(s"$indexDir/cells")
       .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
@@ -419,12 +423,20 @@ object NswIndex {
         val vecs = rows.map(r => r._2 -> r._3.map(_.toFloat).toArray).toMap
         val adj = rows.map(r => r._2 -> r._4.toArray).toMap
         val entry = rows.iterator.map(_._2).min
+        val drop = bDrop.value
         br.value.getOrElse(cell, Nil).iterator.flatMap { qid =>
-          greedySearch(vecs, adj, Seq(entry), bq.value(qid), ef)
-            // self-exclusion assumes panel keys ARE corpus vec_ids;
-            // pass excludeSelf=false for an out-of-corpus panel whose
-            // arbitrary keys could collide with unrelated corpus ids
-            .filter(c => !excludeSelf || c._2 != qid)
+          // the drop-aware branch puts SELF-exclusion inside the keep
+          // too, exactly like the single-query live walk
+          // ([[searchFrameFilteredByIds]]'s keep) — the keep-predicate
+          // affects the walk's ef accounting, so matching it is what
+          // makes the batch bit-identical per query to the singles
+          (if (drop.isEmpty)
+            greedySearch(vecs, adj, Seq(entry), bq.value(qid), ef)
+              .filter(c => !excludeSelf || c._2 != qid)
+          else
+            greedySearchFilteredFn(vecs, id => adj.getOrElse(id, Array.empty[Long]),
+              Seq(entry), bq.value(qid), ef,
+              keep = id => !drop(id) && (!excludeSelf || id != qid)))
             .sortBy(t => (-t._1, t._2)).take(k)
             .map { case (sc, id) => (qid, id, sc) }
         }
@@ -970,6 +982,82 @@ object NswIndex {
         pendingTailArm(spark, pendPath, tombMax, probes, q, excludeId, k))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(k)
+    }
+  }
+
+  /** BATCHED live serving — the batch × churn cell (s26's panel
+    * amortization on [[searchFrameLive]]'s merge): the channel side
+    * inputs are collected ONCE for the whole panel (vs Q times for Q
+    * singles — at serving scale the channel reads are the fixed cost
+    * the batch deletes), the walk arm is [[searchFrameMany]]'s one
+    * pruned scan with the churn exclusions composed into each walk's
+    * keep-predicate, and the pending tail is LWW-resolved once then
+    * scored for every query as stacked codegen columns (each admitted
+    * only where the LATEST version's cell is among that query's
+    * probes). Per-query results are bit-identical to Q
+    * [[searchFrameLive]] calls (spec-pinned — the keep-predicate
+    * parity inside [[searchFrameMany]]'s drop-aware branch is what
+    * carries the walk's ef accounting across). Output matches
+    * [[searchFrameMany]]: `(query_id, rank, vec_id, cos_sim)`.
+    */
+  def searchFrameManyLive(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Centroids,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      ef: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.TopKAggregates.minK
+    import graft.functions.VectorFunctions.cosine_similarity
+    require(queries.nonEmpty, "searchFrameManyLive needs at least one query")
+    val pendPath = s"$indexDir/pending"
+    val tombMax = tombstoneMax(spark, indexDir)
+    val pendingIds: Set[Long] =
+      if (hasBatches(spark, pendPath))
+        CollectGuard.smallDistinct(
+          spark.read.parquet(pendPath).select("vec_id"), cap = 1L << 20)
+          .map(_.getLong(0)).toSet
+      else Set.empty
+    val walk = searchFrameMany(spark, indexDir, cents, queries, k, nprobe, ef,
+      excludeSelf, dropIds = tombMax.keySet ++ pendingIds)
+    if (pendingIds.isEmpty) walk
+    else {
+      val routing: Map[Long, Seq[Int]] =
+        queries.map { case (qid, qv) => qid -> IvfIndex.probeCells(cents, qv, nprobe) }
+      val tombLit = typedLit(tombMax)
+      // LWW FIRST (whole bounded channel), probe-prune per query SECOND
+      // — the [[pendingTailArm]] discipline, amortized across the panel
+      val resolved = spark.read.parquet(pendPath)
+        .filter(coalesce(element_at(tombLit, col("vec_id")), lit(Long.MinValue)) < col("batch"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("embedding"), col("cluster").cast("int").as("cluster")),
+          col("batch")).as("r"))
+        .select(col("vec_id"), col("r.embedding").as("embedding"),
+          col("r.cluster").as("cluster"))
+      val perQuery = queries.toSeq.sortBy(_._1).map { case (qid, qv) =>
+        val admit = col("cluster").isin(routing(qid).map(x => x: Any): _*) &&
+          (if (excludeSelf) col("vec_id") =!= lit(qid) else lit(true))
+        struct(lit(qid).as("query_id"),
+          when(admit, round(cosine_similarity(col("embedding"),
+            array(qv.toSeq.map(lit): _*)), 6)).as("cos_sim"))
+      }
+      val tailRows = resolved
+        .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
+        .filter(col("qa.cos_sim").isNotNull)
+        .select(col("qa.query_id").as("query_id"), col("vec_id"),
+          col("qa.cos_sim").as("cos_sim"))
+      walk.select(col("query_id"), col("vec_id"), col("cos_sim"))
+        .unionByName(tailRows)
+        .select(col("query_id"),
+          struct((-col("cos_sim")).as("nc"), col("vec_id"), col("cos_sim")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), k).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+        .orderBy("query_id", "rank")
     }
   }
 

@@ -1144,6 +1144,40 @@ object SimilarityOps {
       live.unionByName(post).orderBy("phase")
     }),
 
+    // BATCH × CHURN — the serving matrix's last composition
+    // ([[NswIndex.searchFrameManyLive]]): a 16-query panel served over
+    // the churning index in ONE batched job — the channel side inputs
+    // collected ONCE for the panel (vs 16 times for singles), the walk
+    // arm one pruned scan with churn exclusions in every walk's
+    // keep-predicate, the pending tail LWW-resolved once and scored
+    // for all queries as stacked codegen columns. Same churn script as
+    // s39; spec-pinned bit-identical to per-query searchFrameLive
+    // calls. Per-query soundness rows vs the corpus minus {105}; exact
+    // scores ⇒ zero mismatches; recall floor 3 — the measured panel
+    // worst is 5/10 (sf0.001) and 4/10 (sf0.01) at nprobe=6 (mean 6.8
+    // at both): the 80%-trained centroid ceiling across a full panel
+    // whose every neighbourhood is streamed, one slot under the worst
+    // (the s24 regime, panel-wide).
+    "s42_nsw_live_batch" -> ((s, dir) => withScratchDirs(s,
+      "graft-nsw-live-batch") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), idxDir,
+        k = 16, iters = 2, m = 8, efC = 32)
+      NswIndex.insertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      NswIndex.insertBatch(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+        1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(7L, 105L), 2L, idxDir)
+      NswIndex.insertBatch(emb.filter(col("vec_id") === 7L), 3L, idxDir, cents)
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 16)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val ann = NswIndex.searchFrameManyLive(s, idxDir, cents, panel,
+        k = 10, nprobe = 6, ef = 48)
+      annSoundnessManyVs(emb, emb.filter(col("vec_id") =!= 105L), ann,
+        panel.keys.toSeq, k = 10, topN = 100, recallFloor = 3)
+    }),
+
     // SQ8 scalar-quantized search ([[Sq8Index]]): per-dimension affine
     // uint8 codes (4x fewer vector bytes), candidates ranked by the
     // codegen byte-sum kernel ([[graft.functions.Sq8Dot]]), top-50
@@ -1801,6 +1835,23 @@ object SimilarityOps {
     // scalars are genuinely recomputed per query.
     "s26_ann_batch" -> batchSoundnessSql,
     "s30_sq8_batch" -> batchSoundnessSql,
+    // batch × churn: the 16-query soundness with the exact side minus
+    // the tombstoned 105 (7 re-inserted ⇒ stays in)
+    "s42_nsw_live_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 16),
+        |ex AS (SELECT q.query_id, e.vec_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.vec_id <> 105),
+        |rk AS (SELECT query_id, vec_id, exact_cos,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY exact_cos DESC, vec_id) AS r FROM ex)
+        |SELECT query_id, CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  max(exact_cos) FILTER (WHERE r <= 10) AS exact_best_cos,
+        |  min(exact_cos) FILTER (WHERE r <= 10) AS exact_cos_at_k
+        |FROM rk GROUP BY query_id ORDER BY query_id""".stripMargin,
     "s35_hnsw_batch" -> batchSoundnessSql,
     "s37_ivfsq8_batch" -> batchSoundnessSql,
     // Tombstoned graph serving + rebuild: the exact side is the corpus

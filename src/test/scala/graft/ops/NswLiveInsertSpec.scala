@@ -214,6 +214,47 @@ class NswLiveInsertSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("batched live search equals Q independent searchFrameLive calls bit-for-bit " +
+    "under the full churn script, and is deterministic") {
+    import spark.implicits._
+    val dir = tmp("nsw-live-batch")
+    try {
+      val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), dir,
+        k = 16, iters = 2, m = 8, efC = 32)
+      NswIndex.insertBatch(emb.filter(col("vec_id") < 50), 0L, dir, cents)
+      NswIndex.insertBatch(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, dir, cents)
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(7L, 105L), 2L, dir)
+      NswIndex.insertBatch(emb.filter(col("vec_id") === 7L), 3L, dir, cents)
+      val panel: Map[Long, Array[Float]] = emb.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      def once() = NswIndex.searchFrameManyLive(spark, dir, cents, panel, 10, 4, 48)
+      val batch = once()
+      val got = batch.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      panel.keys.toSeq.sorted.foreach { qid =>
+        val single = rows(NswIndex.searchFrameLive(spark, dir, cents, panel(qid),
+          qid, 10, 4, 48))
+        val b = got.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+        assert(b == single, s"query $qid: batch != single\nbatch:  $b\nsingle: $single")
+      }
+      // deleted ids never surface; the re-inserted one may
+      assert(!got.exists(r => r._3 == 105L), "deleted base id served by the batch")
+      assert(once().collect().toSeq == batch.collect().toSeq,
+        "searchFrameManyLive must be deterministic")
+      // empty channels: the batch degrades to the plain batched walk
+      val dir2 = tmp("nsw-live-batch2")
+      try {
+        val cents2 = NswIndex.build(emb, dir2, k = 16, iters = 2, m = 8, efC = 32)
+        val plain = NswIndex.searchFrameMany(spark, dir2, cents2, panel, 10, 4, 48)
+          .collect().toSeq
+        val live = NswIndex.searchFrameManyLive(spark, dir2, cents2, panel, 10, 4, 48)
+          .collect().toSeq
+        assert(live == plain, "batched live (no channels) drifted from the plain batch")
+      } finally rm(dir2)
+    } finally rm(dir)
+  }
+
   test("a mixed upsert+delete STREAM drives the graph channels: both sides of an " +
     "epoch apply, serving reflects them, and the rebuild folds the stream's state") {
     import spark.implicits._
