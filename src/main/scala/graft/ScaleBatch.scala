@@ -151,8 +151,29 @@ object ScaleBatch {
     val bqB = (1 to Reps).map(_ => time(() => runBqBatch())._1).min
     val bqS = (1 to Reps).map(_ => time(() => runBqSingles())._1).min
 
+    // ---- batch × churn (s42): the live panel vs 16 sequential live
+    // calls on a churned index (80% built, 20% pending, 1% tombstoned).
+    // The singles pay the channel side-input collects PER CALL; the
+    // batch pays them once — the family's largest amortization. ----
+    val churnDir = java.nio.file.Files.createTempDirectory("graft-batch-churn").toString
+    val churnCents = NswIndex.build(emb.filter(col("vec_id") % 5 =!= 0), churnDir,
+      k = 16, iters = 2, m = 8, efC = 32)
+    NswIndex.insertBatch(emb.filter(col("vec_id") % 5 === 0), 0L, churnDir, churnCents)
+    graft.streaming.IndexStreams.tombstoneBatch(spark,
+      emb.filter(col("vec_id") % 100 === 7).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq, 1L, churnDir)
+    def runLiveBatch() = collectBatch(NswIndex.searchFrameManyLive(
+      spark, churnDir, churnCents, panel, K, NProbe, Ef))
+    def runLiveSingles() = panel.keys.toSeq.sorted.map { qid =>
+      qid -> collectSingle(NswIndex.searchFrameLive(spark, churnDir, churnCents,
+        panel(qid), qid, K, NProbe, Ef))
+    }.toMap
+    require(runLiveBatch() == runLiveSingles(), s"live batch != singles at $sfDir")
+    val lvB = (1 to Reps).map(_ => time(() => runLiveBatch())._1).min
+    val lvS = (1 to Reps).map(_ => time(() => runLiveSingles())._1).min
+
     println(
-      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true,"ivfsq8_batch_sec":${f(sqB)},"ivfsq8_single_sum_sec":${f(sqS)},"ivfsq8_speedup":${f(sqS / sqB)},"ivfsq8_identical":true,"bq_batch_sec":${f(bqB)},"bq_single_sum_sec":${f(bqS)},"bq_speedup":${f(bqS / bqB)},"bq_identical":true}""")
+      s"""{"harness":"ScaleBatch local[$cpus] 1 warmup + min of $Reps reps","sf":"$sfDir","n_vectors":$nVectors,"panel":16,"k":$K,"nprobe":$NProbe,"ef":$Ef,"batch_sec":${f(b)},"single_sum_sec":${f(s)},"speedup":${f(s / b)},"identical":true,"filt_pre_batch_sec":${f(preB)},"filt_pre_single_sum_sec":${f(preS)},"filt_pre_speedup":${f(preS / preB)},"filt_walk_batch_sec":${f(wB)},"filt_walk_single_sum_sec":${f(wS)},"filt_walk_speedup":${f(wS / wB)},"filtered_identical":true,"ivfsq8_batch_sec":${f(sqB)},"ivfsq8_single_sum_sec":${f(sqS)},"ivfsq8_speedup":${f(sqS / sqB)},"ivfsq8_identical":true,"bq_batch_sec":${f(bqB)},"bq_single_sum_sec":${f(bqS)},"bq_speedup":${f(bqS / bqB)},"bq_identical":true,"live_batch_sec":${f(lvB)},"live_single_sum_sec":${f(lvS)},"live_speedup":${f(lvS / lvB)},"live_identical":true}""")
     spark.stop()
   }
 
