@@ -226,6 +226,86 @@ object IvfIndex {
       .limit(k)
   }
 
+  // ---- RANGE (radius) search with a LOSSLESS cell-bound prune --------
+  //
+  // "Every neighbor with cosine >= tau" — the ANN family's OTHER query
+  // shape (FAISS range_search; dedup-threshold sweeps and
+  // contamination screens ask it, not top-k). Pruning is the spherical
+  // triangle inequality on DIRECTIONS (cosine ignores norms):
+  // angle(q, x) >= angle(q, c) − angle(c, x), so a cell whose members
+  // all lie within angular radius r_c of its centroid can contain a
+  // qualifying vector ONLY if cos(max(0, theta_qc − r_c)) >= tau.
+  // Cells failing the bound are pruned LOSSLESSLY — unlike top-k IVF
+  // probing there is no recall dial here: the result is EXACTLY the
+  // brute-force threshold scan's (spec-pinned, and the oracle is fully
+  // exact), the bound only decides how few partitions pay for it. At
+  // 100 TB a selective tau touches the handful of cells near the
+  // query; a permissive tau degrades gracefully to the full scan the
+  // exact answer genuinely requires.
+
+  /** One aggregation over the materialized assignment: each cell's
+    * angular radius r_c = max angle(member, own centroid), written as
+    * the `radii/` sidecar (k rows — same class as centroids). Must be
+    * refreshed when the assignment changes; [[rangeSearchIndex]] fails
+    * loudly without it.
+    */
+  def saveCellRadii(spark: SparkSession, indexDir: String): Unit = {
+    val cents = loadCentroids(spark, indexDir)
+    val cLit = typedLit(cents.map { case (c, v) => c -> v.toSeq }.toMap)
+    spark.read.parquet(s"$indexDir/assignment")
+      .select(col("cluster").cast("int").as("cluster"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          cosine_similarity(col("embedding"), element_at(cLit, col("cluster"))))))
+          .as("ang"))
+      .groupBy("cluster").agg(max(col("ang")).as("radius"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/radii")
+  }
+
+  /** The driver-side prune: cells whose angular bound clears `tau`
+    * (with a 1e-6 slack absorbing the acos/cos round-trip — slack only
+    * ever KEEPS a borderline cell, so losslessness is preserved).
+    * Public so specs can pin both the losslessness and that pruning
+    * actually bites.
+    */
+  def rangeKeptCells(cents: Centroids, radii: Map[Int, Double],
+      q: Array[Float], tau: Double): Seq[Int] =
+    cents.toSeq.filter { case (c, v) =>
+      val thetaQC = math.acos(math.max(-1.0, math.min(1.0, cosineLocal(v, q))))
+      math.cos(math.max(0.0, thetaQC - radii.getOrElse(c, math.Pi))) >= tau - 1e-6
+    }.map(_._1).sorted
+
+  /** Range search over the materialized index: the kept cells are
+    * picked on the driver from the two k-row sidecars, the scan reads
+    * ONLY those partitions, and every survivor with rounded cosine
+    * >= tau comes back exactly — `(vec_id, cos_sim)`, (score desc,
+    * vec_id asc) order, variable cardinality by construction.
+    */
+  def rangeSearchIndex(
+      spark: SparkSession,
+      indexDir: String,
+      q: Array[Float],
+      tau: Double,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val radiiPath = new org.apache.hadoop.fs.Path(s"$indexDir/radii")
+    val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(radiiPath),
+      s"$indexDir has no radii sidecar — range search's lossless prune needs " +
+        "IvfIndex.saveCellRadii(spark, indexDir) run after the build")
+    val radii: Map[Int, Double] = spark.read.parquet(radiiPath.toString)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val kept = rangeKeptCells(cents, radii, q, tau)
+    val pruned = spark.read.parquet(s"$indexDir/assignment")
+      .filter(col("cluster").isin(kept.map(x => x: Any): _*))
+    val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    excluded
+      .select(col("vec_id"),
+        round(cosine_similarity(col("embedding"), litVec(q)), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
   /** Search a LIVE index: the batch-built `assignment/` plus everything
     * [[graft.streaming.IndexStreams]] has streamed into
     * `stream_assignment/` since. Both layouts carry `cluster` as a

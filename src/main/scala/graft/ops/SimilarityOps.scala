@@ -1144,6 +1144,38 @@ object SimilarityOps {
       live.unionByName(post).orderBy("phase")
     }),
 
+    // RANGE (radius) search ([[IvfIndex.rangeSearchIndex]]) — the ANN
+    // family's OTHER query shape: every neighbour with cosine >= tau
+    // (dedup-threshold sweeps and contamination screens ask this, not
+    // top-k). The cell prune is LOSSLESS (spherical triangle
+    // inequality on the two k-row sidecars — centroids + angular
+    // radii), so unlike top-k IVF there is no recall dial: the result
+    // IS the brute-force threshold scan's, and the oracle is FULLY
+    // exact (no soundness-summary contract needed). Two taus in one
+    // result (0.2 and 0.3, both populated on this fixture). On THIS
+    // corpus's diffuse geometry (max cos to query 0 is 0.37, cell
+    // radii ~80° — k-means on diffuse 64-dim data) the bound
+    // correctly keeps every cell: the exact answer genuinely needs
+    // them, and a prune that bit anyway would be WRONG. IvfRangeSpec
+    // pins losslessness at every tau (populated, sparse, and empty
+    // sets) and proves the bound BITES where it should — on planted
+    // tightly-clustered geometry (4 cones, most cells pruned at
+    // tau=0.8, the non-empty result still exactly brute force's).
+    "s43_range_search" -> ((s, dir) => withScratchDirs(s,
+      "graft-range") { case Seq(idxDir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb, idxDir, k = 16, iters = 2)
+      IvfIndex.saveCellRadii(s, idxDir)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      Seq(0.2, 0.3).map { tau =>
+        IvfIndex.rangeSearchIndex(s, idxDir, qe, tau, excludeId = Some(0L))
+          .withColumn("tau", lit(tau))
+      }.reduce(_ unionByName _)
+        .select(col("tau"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("tau"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // BATCH × CHURN — the serving matrix's last composition
     // ([[NswIndex.searchFrameManyLive]]): a 16-query panel served over
     // the churning index in ONE batched job — the channel side inputs
@@ -1795,6 +1827,15 @@ object SimilarityOps {
     "s29_ivfsq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s38_bq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     "s41_ivfbq_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Range search is FULLY exact (the prune is lossless): the oracle
+    // is the brute-force threshold scan at both taus.
+    "s43_range_search" ->
+      """WITH ex AS (SELECT e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
+        |  FROM embeddings e, embeddings q WHERE q.vec_id = 0 AND e.vec_id <> 0)
+        |SELECT t.tau, vec_id, cos_sim FROM (VALUES (0.2), (0.3)) AS t(tau), ex
+        |WHERE cos_sim >= t.tau ORDER BY t.tau, cos_sim DESC, vec_id""".stripMargin,
     "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
     // Live-index deletes: the exact side is the corpus MINUS the
     // tombstoned ids (2, 3, 105 — id 1 was re-upserted after its
