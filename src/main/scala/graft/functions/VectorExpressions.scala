@@ -219,7 +219,11 @@ case class BitHamming(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft_bit_hamming: code length mismatch (${x.length} vs ${y.length} bytes) — " +
+          "bit-codes from different-dimension quantizers are not comparable")
+    val n = x.length
     var acc = 0
     var i = 0
     while (i < n) { acc += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xFF); i += 1 }
@@ -229,12 +233,15 @@ case class BitHamming(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.length, $b.length);
+        if ($a.length != $b.length) {
+          throw new IllegalArgumentException(
+            "graft_bit_hamming: code length mismatch (" + $a.length + " vs " + $b.length +
+            " bytes) — bit-codes from different-dimension quantizers are not comparable");
+        }
         int $acc = 0;
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = 0; $i < $a.length; $i++) {
           $acc += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xFF);
         }
         ${ev.value} = $acc;

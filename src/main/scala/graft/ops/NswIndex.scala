@@ -971,6 +971,15 @@ object NswIndex {
           spark.read.parquet(pendPath).select("vec_id"), cap = 1L << 20)
           .map(_.getLong(0)).toSet
       else Set.empty
+    // Both channels empty ⇒ STRUCTURAL parity with the static path:
+    // delegate to [[searchFrame]] (the same plain-walk + post-filter
+    // [[searchFrameManyLive]] reaches through [[searchFrameMany]]'s
+    // drop-empty branch). Without this the filtered walk's different
+    // ef accounting (self excluded inside the keep vs post-filtered)
+    // made "live == plain on empty channels" hold only because
+    // ef >> k on the fixtures — a coincidence, not a contract.
+    if (tombMax.isEmpty && pendingIds.isEmpty)
+      return searchFrame(spark, indexDir, cents, q, excludeId, k, nprobe, ef)
     // graph arm: tombstoned ids are dead (base epoch −1 loses to any
     // tombstone); pending ids are shadowed (served from the tail arm)
     val walkArm = searchFrameFilteredByIds(spark, indexDir, cents, q, excludeId,

@@ -125,12 +125,16 @@ object IndexStreams {
       indexDir: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = opsStream.sparkSession
-    val cents = IvfIndex.loadCentroids(spark, indexDir)
     opsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // centroids re-loaded PER micro-batch: a retrain compaction
+        // republishes the centroid sidecar mid-stream, and assigning
+        // pending rows under the old geometry while searches probe with
+        // the new one would let the cluster-pruned tail miss them
+        val cents = IvfIndex.loadCentroids(spark, indexDir)
         val cached = batch.localCheckpoint()
         val badOps = cached.filter(!col("op").isin("upsert", "delete")).limit(1)
           .collect()
@@ -163,12 +167,15 @@ object IndexStreams {
       indexDir: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = opsStream.sparkSession
-    val cents = IvfIndex.loadCentroids(spark, indexDir)
     opsStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch centroid load — same staleness contract as the IVF
+        // twin: a rebuildLive(retrain=true) mid-stream must not strand
+        // pending rows under retired geometry
+        val cents = IvfIndex.loadCentroids(spark, indexDir)
         val cached = batch.localCheckpoint()
         val badOps = cached.filter(!col("op").isin("upsert", "delete")).limit(1)
           .collect()
@@ -211,12 +218,13 @@ object IndexStreams {
       indexDir: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = embStream.sparkSession
-    val cents = IvfIndex.loadCentroids(spark, indexDir)
     embStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch centroid load (see the deletes twin above)
+        val cents = IvfIndex.loadCentroids(spark, indexDir)
         val (rows, meanCos) = upsertBatch(batch, batchId, indexDir, cents)
         logBatchMetric(spark, indexDir, batchId, rows, meanCos)
       }
