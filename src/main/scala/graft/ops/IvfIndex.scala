@@ -167,8 +167,11 @@ object IvfIndex {
     cents
   }
 
-  /** Persist the k-row centroid sidecar. */
-  def saveCentroids(spark: SparkSession, cents: Centroids, indexDir: String): Unit = {
+  /** Persist the k-row centroid sidecar (the generation-0 geometry). */
+  def saveCentroids(spark: SparkSession, cents: Centroids, indexDir: String): Unit =
+    saveCentroidsTo(spark, cents, s"$indexDir/centroids")
+
+  private def saveCentroidsTo(spark: SparkSession, cents: Centroids, dir: String): Unit = {
     import spark.implicits._
     cents.toSeq
       .map { case (c, v) => (c, v.toSeq) }
@@ -176,7 +179,7 @@ object IvfIndex {
       .coalesce(1)
       .write
       .mode("overwrite")
-      .parquet(s"$indexDir/centroids")
+      .parquet(dir)
   }
 
   /** Persist index GEOMETRY only: train the coarse quantizer on a
@@ -197,9 +200,47 @@ object IvfIndex {
     cents
   }
 
-  /** Load the k-row centroid sidecar back onto the driver. */
-  def loadCentroids(spark: SparkSession, indexDir: String): Centroids =
-    collectCentroids(spark.read.parquet(s"$indexDir/centroids").select("cluster", "centroid"))
+  // ---- versioned GEOMETRY: centroids/radii sidecars per generation ----
+  //
+  // A retrain ([[retrainLiveIndex]]) replaces the coarse quantizer, so
+  // the centroid/radii sidecars must flip ATOMICALLY with the data
+  // generation — publishing new centroids at the fixed `centroids/`
+  // path before (or after) the marker would leave a crash window where
+  // searches probe new geometry against an old-geometry assignment (or
+  // vice versa), silently serving the wrong cells. Geometry therefore
+  // versions like the data: `centroids_g<n>` / `radii_g<n>` are written
+  // BEFORE the marker names generation n, and readers resolve "the
+  // newest geometry at-or-before the live generation" (a plain
+  // compaction advances the data generation without touching geometry,
+  // so resolution falls through to the last retrain — or to the plain
+  // `centroids/` dir a build/bootstrap wrote for generation 0).
+
+  private def geomDir(indexDir: String, sub: String, g: Long): String =
+    if (g == 0L) s"$indexDir/$sub" else s"$indexDir/${sub}_g$g"
+
+  /** Newest geometry generation at-or-before `gen` with a published
+    * `<sub>_g<n>` dir (0 = the plain `<sub>/` dir from build time).
+    */
+  private[ops] def geometryGen(spark: SparkSession, indexDir: String, sub: String, gen: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"${sub}_g"))
+      .map(_.stripPrefix(s"${sub}_g").toLong)
+      .filter(_ <= gen)
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Load the k-row centroid sidecar back onto the driver — resolved
+    * through the live-state marker so a retrained index serves its NEW
+    * geometry (indexes without a marker resolve to the plain build-time
+    * `centroids/` dir unchanged).
+    */
+  def loadCentroids(spark: SparkSession, indexDir: String): Centroids = {
+    val g = geometryGen(spark, indexDir, "centroids", readLiveState(spark, indexDir).gen)
+    collectCentroids(spark.read.parquet(geomDir(indexDir, "centroids", g)).select("cluster", "centroid"))
+  }
 
   /** Search a materialized index: probe cells are picked on the driver
     * from the sidecar, and the assignment scan carries a
@@ -250,16 +291,28 @@ object IvfIndex {
     * loudly without it.
     */
   def saveCellRadii(spark: SparkSession, indexDir: String): Unit = {
+    val st = readLiveState(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
+    saveCellRadiiFor(spark, indexDir, cents,
+      liveBaseDir(indexDir, st.gen),
+      geomDir(indexDir, "radii", geometryGen(spark, indexDir, "centroids", st.gen)))
+  }
+
+  /** Radii aggregation over an explicit assignment dir, written to an
+    * explicit radii dir — the shared kernel for [[saveCellRadii]] (live
+    * resolution) and [[retrainLiveIndex]] (next-generation publish).
+    */
+  private def saveCellRadiiFor(spark: SparkSession, indexDir: String,
+      cents: Centroids, assignmentDir: String, radiiDir: String): Unit = {
     val cLit = typedLit(cents.map { case (c, v) => c -> v.toSeq }.toMap)
-    spark.read.parquet(s"$indexDir/assignment")
+    spark.read.parquet(assignmentDir)
       .select(col("cluster").cast("int").as("cluster"),
         acos(least(lit(1.0), greatest(lit(-1.0),
           cosine_similarity(col("embedding"), element_at(cLit, col("cluster"))))))
           .as("ang"))
       .groupBy("cluster").agg(max(col("ang")).as("radius"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/radii")
+      .write.mode("overwrite").parquet(radiiDir)
   }
 
   /** The driver-side prune: cells whose angular bound clears `tau`
@@ -287,8 +340,10 @@ object IvfIndex {
       q: Array[Float],
       tau: Double,
       excludeId: Option[Long] = None): DataFrame = {
+    val st = readLiveState(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
-    val radiiPath = new org.apache.hadoop.fs.Path(s"$indexDir/radii")
+    val radiiPath = new org.apache.hadoop.fs.Path(
+      geomDir(indexDir, "radii", geometryGen(spark, indexDir, "radii", st.gen)))
     val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(radiiPath),
       s"$indexDir has no radii sidecar — range search's lossless prune needs " +
@@ -296,7 +351,7 @@ object IvfIndex {
     val radii: Map[Int, Double] = spark.read.parquet(radiiPath.toString)
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val kept = rangeKeptCells(cents, radii, q, tau)
-    val pruned = spark.read.parquet(s"$indexDir/assignment")
+    val pruned = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .filter(col("cluster").isin(kept.map(x => x: Any): _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
     excluded
@@ -443,6 +498,70 @@ object IvfIndex {
     */
   def compactLiveIndex(spark: SparkSession, indexDir: String): LiveState = {
     val st = readLiveState(spark, indexDir)
+    val pending = pendingBatchIds(spark, indexDir, st)
+    if (pending.isEmpty) return st
+    val through = pending.max
+    foldLiveView(spark, indexDir, st, through)
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(liveBaseDir(indexDir, st.gen + 1))
+    val next = LiveState(st.gen + 1, through)
+    publishLiveState(spark, indexDir, next)
+    next
+  }
+
+  /** RETRAIN the coarse quantizer on the folded live corpus — the
+    * DRIFT compaction. Every plain compaction keeps the build-time
+    * centroids forever, so a corpus whose distribution drifts (new
+    * languages, new embedding model, a churn wave landing in a region
+    * the original k-means never saw) serves from cells that no longer
+    * partition it: drifted vectors crowd into whichever stale cells
+    * are least bad, and a drifted query's nprobe cells systematically
+    * miss where its neighbours were filed — the measured recall
+    * ceiling every churn fixture inherits. This compaction re-runs
+    * [[train]] on the fold (base + unconsumed upserts − tombstones,
+    * last-writer-wins — the [[compactLiveIndex]] merge), REASSIGNS
+    * every survivor under the new geometry, and publishes data +
+    * centroids + radii as one atomic generation flip:
+    * `assignment_g<n+1>`, `centroids_g<n+1>`, `radii_g<n+1>` are all
+    * written before the marker names generation n+1, and every reader
+    * resolves geometry THROUGH the marker ([[loadCentroids]] /
+    * [[rangeSearchIndex]]), so a crash at any point leaves the old
+    * generation serving consistently — geometry can never mix with
+    * the wrong generation's assignment. Replay-idempotent: the fold,
+    * the deterministic k-means (init from the k lowest vec_ids), and
+    * the overwrite-mode writes recompute identical state and republish
+    * the same marker. Unlike the plain compaction this runs even with
+    * EMPTY churn channels (retraining a static index against its own
+    * accumulated drift is the point), and at 100 TB it is the
+    * quarterly/monthly re-shard every production vector store
+    * schedules — full-corpus k-means + one full rewrite, priced like
+    * the initial build, amortized over every search between retrains.
+    */
+  def retrainLiveIndex(spark: SparkSession, indexDir: String, k: Int, iters: Int): LiveState = {
+    val st = readLiveState(spark, indexDir)
+    val through = (pendingBatchIds(spark, indexDir, st) :+ st.consumedThrough).max
+    // materialize the fold before training iterates it (k-means makes
+    // `iters` passes) and before anything under indexDir is rewritten
+    val survivors = foldLiveView(spark, indexDir, st, through)
+      .select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val cents = train(survivors, k, iters)
+    val nextGen = st.gen + 1
+    assign(survivors, cents)
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(liveBaseDir(indexDir, nextGen))
+    saveCentroidsTo(spark, cents, geomDir(indexDir, "centroids", nextGen))
+    saveCellRadiiFor(spark, indexDir, cents,
+      liveBaseDir(indexDir, nextGen), geomDir(indexDir, "radii", nextGen))
+    val next = LiveState(nextGen, through)
+    publishLiveState(spark, indexDir, next)
+    next
+  }
+
+  /** Stream/tombstone batch ids not yet folded into the live base. */
+  private def pendingBatchIds(spark: SparkSession, indexDir: String, st: LiveState): Seq[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def batchIds(dir: String): Seq[Long] = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -451,15 +570,28 @@ object IvfIndex {
       else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
     }
-    val pending = (batchIds(s"$indexDir/stream_assignment") ++
+    (batchIds(s"$indexDir/stream_assignment") ++
       batchIds(s"$indexDir/tombstones")).filter(_ > st.consumedThrough)
-    if (pending.isEmpty) return st
-    val through = pending.max
+  }
+
+  /** The live fold shared by both compactions: current base +
+    * unconsumed stream batches through `through`, tombstones applied
+    * last-writer-wins, one row per vec_id (latest epoch wins) —
+    * `(vec_id, embedding, cluster)` under the CURRENT geometry.
+    */
+  private def foldLiveView(spark: SparkSession, indexDir: String,
+      st: LiveState, through: Long): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def hasBatches(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    }
     val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
     val stream = {
       val p = s"$indexDir/stream_assignment"
-      if (batchIds(p).nonEmpty)
+      if (hasBatches(p))
         base.unionByName(spark.read.parquet(p)
           .filter(col("batch") > st.consumedThrough && col("batch") <= through)
           .select(col("vec_id"), col("embedding"), col("cluster"), col("batch")))
@@ -467,7 +599,7 @@ object IvfIndex {
     }
     val tombPath = s"$indexDir/tombstones"
     val afterTombs =
-      if (batchIds(tombPath).nonEmpty) {
+      if (hasBatches(tombPath)) {
         val tombs = spark.read.parquet(tombPath)
           .filter(col("batch") > st.consumedThrough && col("batch") <= through)
           .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
@@ -482,12 +614,6 @@ object IvfIndex {
       .groupBy("vec_id")
       .agg(max(struct(col("batch"), col("cluster"), col("embedding"))).as("r"))
       .select(col("vec_id"), col("r.embedding").as("embedding"), col("r.cluster").as("cluster"))
-      .write.mode("overwrite")
-      .partitionBy("cluster")
-      .parquet(liveBaseDir(indexDir, st.gen + 1))
-    val next = LiveState(st.gen + 1, through)
-    publishLiveState(spark, indexDir, next)
-    next
   }
 
   /** Reclaim superseded live-index state: base generations older than
@@ -511,6 +637,23 @@ object IvfIndex {
     (0L until genFloor).foreach { g =>
       val p = new org.apache.hadoop.fs.Path(liveBaseDir(indexDir, g))
       if (fs.exists(p)) { fs.delete(p, true); deleted += p.getName }
+    }
+    // geometry dirs: every RETAINED generation g resolves its geometry
+    // to the newest sidecar at-or-before g, so the oldest still-needed
+    // geometry is genFloor's resolver — anything strictly older is
+    // unreachable from any retained generation and reclaims with it
+    // (the plain `centroids/` gen-0 dir is never deleted: k rows, and
+    // it is the fallback root for marker-less readers)
+    Seq("centroids", "radii").foreach { sub =>
+      val minNeeded = geometryGen(spark, indexDir, sub, math.max(genFloor, 0L))
+      fs.listStatus(root).foreach { s0 =>
+        val n = s0.getPath.getName
+        if (n.startsWith(s"${sub}_g") &&
+            n.stripPrefix(s"${sub}_g").toLong < minNeeded) {
+          fs.delete(s0.getPath, true)
+          deleted += n
+        }
+      }
     }
     Seq("stream_assignment", "tombstones").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")

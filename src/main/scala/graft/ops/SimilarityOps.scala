@@ -1176,6 +1176,60 @@ object SimilarityOps {
         .orderBy(col("tau"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // QUANTIZER RETRAIN UNDER DRIFT ([[IvfIndex.retrainLiveIndex]]) —
+    // every churn cell so far serves from the BUILD-TIME centroids
+    // forever; this is the compaction that closes that ceiling. The
+    // drift fixture plants a churn wave in a region the original
+    // k-means never saw: antipodal copies (x -> -x, exact in floats)
+    // of every 4th vector — 25% of the corpus mass — stream in as
+    // upserts, two wave ids and one base id are tombstoned, and the
+    // query vector lives in the drifted cone. Phase 'pre_retrain'
+    // serves merge-on-read under the STALE geometry (the wave crowds
+    // into whichever stale cells score least badly — recall holds only
+    // because antipodal assignment correlates with the query's probe
+    // choice); then [[IvfIndex.retrainLiveIndex]] re-runs k-means on
+    // the fold (base + wave − tombstones), reassigns every survivor,
+    // and publishes assignment + centroid + radii sidecars as ONE
+    // atomic generation flip (geometry resolves THROUGH the marker —
+    // a crash can never mix new centroids with the old assignment).
+    // Phase 'post_retrain' serves from the retrained geometry, where
+    // the wave owns real cells of its own. Ground truth both phases =
+    // originals ∪ surviving wave; exact scores ⇒ zero mismatches.
+    // Floors (nprobe=6, honest sweep in DriftProbe/RetrainSpec): pre 3
+    // — measured 8/10 at sf0.001 but 4/10 at sf0.01, the
+    // stale-geometry ceiling the fixture is built to show; post 5 —
+    // measured 9/10 and 6/10, >= pre at every swept nprobe at both
+    // SFs (the corpus is ISOTROPIC, so the gate-SF lift is modest by
+    // construction; the clustered 10x drift fixture in ScaleRecall is
+    // where the gap opens). RetrainSpec pins replay idempotency,
+    // serving continuity and the atomic geometry flip.
+    "s44_quantizer_retrain" -> ((s, dir) => withScratchDirs(s,
+      "graft-ivf-retrain") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb, idxDir, k = 16, iters = 2)
+      val cents = IvfIndex.loadCentroids(s, idxDir)
+      val wave = emb.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding"))
+      IndexStreams.upsertBatch(wave, 0L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(100004L, 100008L, 5L), 1L, idxDir)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding")
+        .as[Array[Float]].head().map(x => -x)
+      val corpus = emb.select("vec_id", "embedding").unionByName(wave)
+        .filter(!col("vec_id").isin(100004L, 100008L, 5L))
+      def soundness(phase: String, floor: Int) = annSoundness(corpus,
+        IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6,
+          excludeId = Some(100000L)),
+        "cos_sim", queryId = 100000L, k = 10, topN = 100,
+        recallFloor = floor, scoreIsExact = true)
+        .withColumn("phase", lit(phase))
+      val pre = soundness("pre_retrain", 3).localCheckpoint(true)
+      IvfIndex.retrainLiveIndex(s, idxDir, k = 16, iters = 2)
+      pre.unionByName(soundness("post_retrain", 5)).orderBy("phase")
+    }),
+
     // BATCH × CHURN — the serving matrix's last composition
     // ([[NswIndex.searchFrameManyLive]]): a 16-query panel served over
     // the churning index in ONE batched job — the channel side inputs
@@ -1837,6 +1891,31 @@ object SimilarityOps {
         |SELECT t.tau, vec_id, cos_sim FROM (VALUES (0.2), (0.3)) AS t(tau), ex
         |WHERE cos_sim >= t.tau ORDER BY t.tau, cos_sim DESC, vec_id""".stripMargin,
     "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Retrain-under-drift: ground truth = originals ∪ antipodal wave
+    // (every 4th vector negated, re-keyed +100000) minus the
+    // tombstoned ids {100004, 100008, 5}; float negation is exact, so
+    // DuckDB rebuilds the drifted corpus from the base table and
+    // recomputes the top-10 scalars by brute force. Assertion columns
+    // pinned per phase (both phases serve exact scores; retrain must
+    // not change WHAT search returns, only which cells pay for it).
+    "s44_quantizer_retrain" ->
+      """WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |corp AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 5
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id NOT IN (4, 8)),
+        |ex AS (SELECT c.vec_id, round(list_dot_product(c.e, q.qe) /
+        |  (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS exact_cos
+        |  FROM corp c, q WHERE c.vec_id <> 100000),
+        |tk AS (SELECT exact_cos FROM (SELECT * FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10))
+        |SELECT CAST(10 AS BIGINT) AS n_returned, CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_topn, TRUE AS recall_ok,
+        |  (SELECT max(exact_cos) FROM tk) AS exact_best_cos,
+        |  (SELECT min(exact_cos) FROM tk) AS exact_cos_at_k,
+        |  p.phase
+        |FROM (VALUES ('post_retrain'), ('pre_retrain')) AS p(phase) ORDER BY p.phase""".stripMargin,
     // Live-index deletes: the exact side is the corpus MINUS the
     // tombstoned ids (2, 3, 105 — id 1 was re-upserted after its
     // delete, so it stays IN); one soundness row per phase with the
