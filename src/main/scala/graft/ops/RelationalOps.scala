@@ -1598,6 +1598,12 @@ object RelationalOps {
       import graft.sources.TrainingShards
       val docs = t(s, dir, "documents")
       val base = rtPath("schema_evo", dir)
+      // fresh dir per invocation: superseded layouts are now RETAINED
+      // until vacuum (the time-travel contract), so a reused scratch
+      // dir would accumulate one archived corpus per run
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val bfs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (bfs.exists(bp)) bfs.delete(bp, true)
       TrainingShards.write(docs.filter(col("doc_id") < 250)
         .select("doc_id", "source", "n_chars"), base,
         maxDocsPerShard = 256, mode = "overwrite")
@@ -1609,6 +1615,51 @@ object RelationalOps {
           sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
           sum(col("n_chars")).as("chars_sum"))
         .orderBy("source")
+    }),
+
+    // TIME-TRAVEL shard reads ([[graft.sources.TrainingShards
+    // .readAsOf]]) — the lakehouse completion of the generation
+    // machinery: reproduce a training run against the exact corpus it
+    // consumed. The script drives a real history: generation 0 lands
+    // docs < 100 (no `lang`), an evolving append adds 100-199 WITH
+    // `lang`, compaction supersedes that layout (archiving its
+    // manifest + schema-as-of snapshot as generation 1, live marker
+    // 2), then 200-249 append to the live generation. readAsOf(1)
+    // must serve EXACTLY the pre-compaction corpus (docs < 200) and
+    // readAsOf(2) the live one (docs < 250) — same files-by-manifest
+    // discipline as read(), per archived snapshot. The oracle
+    // recomputes both generations' populations from the documents
+    // table (count, char mass, and pre-evolution null-lang rows), so
+    // a snapshot serving the wrong file set, a schema-as-of dropping
+    // the evolved column, or compaction corrupting a row all flip the
+    // hash. Vacuum's fail-loudly contract is spec territory
+    // (ShardTimeTravelSpec drives read-under-compaction and
+    // read-after-vacuum).
+    "q109_shard_time_travel" -> ((s, dir) => {
+      import graft.sources.TrainingShards
+      val docs = t(s, dir, "documents")
+      val base = rtPath("timetravel", dir)
+      // fresh history every invocation: generations are part of the
+      // asserted output, so stale archives from a prior run must not
+      // shift the numbering
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      TrainingShards.write(docs.filter(col("doc_id") < 100)
+        .select("doc_id", "source", "n_chars"), base,
+        maxDocsPerShard = 64, mode = "overwrite")
+      TrainingShards.write(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select("doc_id", "source", "n_chars", "lang"), base, maxDocsPerShard = 64)
+      TrainingShards.compact(s, base, maxDocsPerShard = 128)
+      TrainingShards.write(docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        .select("doc_id", "source", "n_chars", "lang"), base, maxDocsPerShard = 64)
+      TrainingShards.generations(s, base).map { g =>
+        TrainingShards.readAsOf(s, base, g)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("chars_sum"),
+            sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_no_lang"))
+          .select(lit(g).as("generation"), col("n_docs"), col("chars_sum"), col("n_no_lang"))
+      }.reduce(_ unionByName _).orderBy("generation")
     }),
 
     // Text-format interop: the same slice through CSV WITH quoting —
@@ -2028,6 +2079,19 @@ object RelationalOps {
         |  CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Time-travel: each generation's population recomputed from the
+    // source split (gen 1 = the pre-compaction corpus docs < 200, gen
+    // 2 = the live one docs < 250; lang evolved at doc 100).
+    "q109_shard_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS generation, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(sum(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lang
+        |FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT),
+        |  CAST(sum(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents WHERE doc_id < 250
+        |ORDER BY generation""".stripMargin,
     "q99_csv_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS text_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,

@@ -190,13 +190,13 @@ private[sources] class ShardBatchWrite(
 
   /** Job commit = publish the manifest naming every committed shard:
     * the new job's shards merged with the prior manifest's on append,
-    * or exactly the new job's on truncate (overwrite) — in which case
-    * stale part files are deleted only AFTER the new manifest is live.
+    * or exactly the new job's on truncate (overwrite) — the superseded
+    * layout's files stay on disk, snapshot-protected, until vacuum.
     * Under a caller-pinned token, prior manifest entries bearing the
-    * SAME token are replaced (their files best-effort deleted after the
-    * new manifest is live), so re-running the same logical job is
-    * idempotent even though task ids — and so shard file names — differ
-    * across attempts.
+    * SAME token are replaced (their files stay on disk, unreferenced,
+    * until [[TrainingShards.vacuum]] reclaims them), so re-running the
+    * same logical job is idempotent even though task ids — and so shard
+    * file names — differ across attempts.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new HPath(path).getFileSystem(conf.conf)
@@ -211,30 +211,22 @@ private[sources] class ShardBatchWrite(
     require(all.map(_.file).distinct.size == all.size,
       s"shard name collision in ${dirPath}: committed and prior manifests overlap")
     // EVERY superseding commit — truncate AND pinned-token replace, not
-    // just compaction — snapshots the outgoing manifest before the new
-    // one goes live: vacuum's retain>=2 window is defined over these
-    // snapshots, and a crash between the manifest publish and the
-    // superseded-file deletes below leaves exactly the files this
-    // snapshot names on disk. Without it, a truncate or pinned-replay
-    // crash would orphan files no snapshot protects, and vacuum at
-    // retain>=2 would delete them out from under a mid-batch tailer.
+    // just compaction — snapshots the outgoing manifest (plus the
+    // schema chain's head) before the new one goes live: vacuum's
+    // retain>=2 window is defined over these snapshots, a mid-batch
+    // tailer on the outgoing layout keeps its files, and a time-travel
+    // read ([[TrainingShards.readAsOf]]) serves the superseded corpus
+    // until vacuum's retention expires it.
     if ((truncateExisting && priorLive.nonEmpty) || replaced.nonEmpty)
       ShardManifest.archiveCurrent(fs, dirPath, ShardManifest.readGeneration(fs, dirPath))
     ShardManifest.writeAtomic(fs, dirPath, all)
-    val freshNames = fresh.map(_.file).toSet
-    replaced.filterNot(s => freshNames(s.file))
-      .foreach(s => fs.delete(new HPath(dirPath, s.file), false))
-    if (truncateExisting) {
-      val keep = freshNames
-      fs.listStatus(dirPath).iterator
-        .map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith("part-") &&
-            (p.getName.endsWith(".jsonl.gz") || p.getName.endsWith(".jsonl.zst")) &&
-            !keep(p.getName)
-        }
-        .foreach(p => fs.delete(p, false))
-    }
+    // superseded data files are RETAINED on disk, unreferenced by the
+    // live manifest (the lakehouse contract: a commit changes which
+    // files are LIVE, never which files EXIST). Physical reclamation
+    // has exactly one owner — [[TrainingShards.vacuum]] — so the
+    // snapshot archived above always describes files that are still
+    // there, time-travel reads within the retention window always
+    // succeed, and a commit crash cannot strand a half-deleted layout.
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -254,8 +246,8 @@ private[sources] class ShardBatchWrite(
   * commit drops every prior manifest entry under the same
   * `{jobToken}-e{epoch}` prefix before merging — the replay REPLACES
   * the epoch's shards instead of double-counting them; the superseded
-  * files are best-effort deleted after the new manifest is live (the
-  * manifest-trusting reader never serves them either way).
+  * files stay on disk, unreferenced, until vacuum (the manifest-
+  * trusting reader never serves them either way).
   */
 private[sources] class ShardStreamingWrite(
     path: String, jobToken: String, maxDocs: Long, maxBytes: Long, codec: String,
@@ -279,9 +271,8 @@ private[sources] class ShardStreamingWrite(
     if (replaced.nonEmpty)
       ShardManifest.archiveCurrent(fs, dirPath, ShardManifest.readGeneration(fs, dirPath))
     ShardManifest.writeAtomic(fs, dirPath, all)
-    val freshNames = fresh.map(_.file).toSet
-    replaced.filterNot(s => freshNames(s.file))
-      .foreach(s => fs.delete(new HPath(dirPath, s.file), false))
+    // the replaced attempt's files are retained (unreferenced) until
+    // vacuum — the batch commit's lakehouse contract applies per epoch
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -467,6 +458,28 @@ private[sources] object ShardManifest {
     */
   def archiveName(gen: Long): String = f"_MANIFEST.g$gen%019d.json"
 
+  /** Schema snapshot twin of [[archiveName]]: the read schema that was
+    * in force when generation `gen`'s layout was superseded, written by
+    * [[archiveCurrent]] so a time-travel read ([[TrainingShards
+    * .readAsOf]]) reproduces not just the files but the recorded
+    * column set of the run that consumed them. Absent when the
+    * directory had no schema chain at supersede time (legacy dirs —
+    * readAsOf falls back to inference there, like read()).
+    */
+  def schemaAsOfName(gen: Long): String = f"_SCHEMA_ASOF.g$gen%019d.json"
+
+  def readSchemaAsOf(fs: FileSystem, dir: HPath, gen: Long): Option[StructType] = {
+    val p = new HPath(dir, schemaAsOfName(gen))
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(DataType.fromJson(new String(buf, UTF_8)).asInstanceOf[StructType])
+    }
+  }
+
   def archiveCurrent(fs: FileSystem, dir: HPath, gen: Long): Unit = {
     val shards = readIfExists(fs, dir)
     val tmp = new HPath(dir, archiveName(gen) + ".tmp")
@@ -476,6 +489,20 @@ private[sources] object ShardManifest {
     if (fs.exists(dest)) fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(s"could not archive $dest")
+    // snapshot the schema chain's current head beside the manifest so
+    // readAsOf serves the superseded layout under the columns its own
+    // consumers saw (written AFTER the manifest archive: a crash
+    // between the two leaves a readable generation that falls back to
+    // the live chain — degraded, never wrong-files)
+    ShardSchemas.readLatest(fs, dir).foreach { case (_, st) =>
+      val stmp = new HPath(dir, schemaAsOfName(gen) + ".tmp")
+      val sout = fs.create(stmp, true)
+      try sout.write(st.json.getBytes(UTF_8)) finally sout.close()
+      val sdest = new HPath(dir, schemaAsOfName(gen))
+      if (fs.exists(sdest)) fs.delete(sdest, false)
+      if (!fs.rename(stmp, sdest))
+        throw new IllegalStateException(s"could not archive $sdest")
+    }
   }
 
   /** Archived snapshot names under `dir`, oldest first. */
@@ -690,6 +717,77 @@ object TrainingShards {
     }
   }
 
+  /** Readable generations of a shard directory, oldest first: every
+    * archived layout snapshot's generation plus the LIVE one (the
+    * current generation marker). A generation number names the marker
+    * value current when that layout was superseded (compaction bumps
+    * the marker before its overwrite commit, so a compaction from
+    * marker g archives the outgoing layout as g+1 and leaves the
+    * compacted corpus live at g+2 — the bump-twice tailer contract);
+    * supersedes at the SAME marker value (truncates, pinned-token
+    * replays) overwrite one snapshot, so the live generation shadows
+    * any same-numbered archive.
+    */
+  def generations(spark: SparkSession, dir: String): Seq[Long] = {
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archived = ShardManifest.listArchives(fs, dirPath)
+      .map(_.stripPrefix("_MANIFEST.g").stripSuffix(".json").toLong)
+    (archived :+ ShardManifest.readGeneration(fs, dirPath)).distinct.sorted
+  }
+
+  /** TIME-TRAVEL read: the corpus exactly as generation `asOfGeneration`
+    * served it — the lakehouse completion of the generation-snapshot
+    * machinery (reproducing a training run against the exact corpus it
+    * consumed). The live generation delegates to [[read]]; an archived
+    * one serves its snapshot's file list under its OWN recorded
+    * schema-as-of (columns appended since then do not appear, exactly
+    * as that generation's consumers saw the corpus; falls back to the
+    * live chain, then inference, for pre-snapshot legacy dirs). Fails
+    * LOUDLY — naming the readable generations — when the requested
+    * generation was never archived or [[vacuum]] has reclaimed it, and
+    * when the snapshot survives but a listed data file is gone (a
+    * crash window vacuum closes on its next run): a reproducibility
+    * read must never silently serve a partial corpus. Reproducible
+    * pipelines pin `vacuum(retainGenerations = n)` to the history
+    * depth they need.
+    */
+  def readAsOf(spark: SparkSession, dir: String, asOfGeneration: Long,
+      schema: Option[StructType] = None): DataFrame = {
+    val dirPath = new HPath(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = ShardManifest.readGeneration(fs, dirPath)
+    if (asOfGeneration == live) read(spark, dir, schema)
+    else {
+      val archive = ShardManifest.archiveName(asOfGeneration)
+      require(fs.exists(new HPath(dirPath, archive)),
+        s"generation $asOfGeneration of $dir is not readable (available: " +
+          s"${generations(spark, dir).mkString(", ")}) — either it never existed or " +
+          "vacuum reclaimed its snapshot; pin vacuum's retainGenerations to the history " +
+          "depth a reproducible run needs")
+      val shards = ShardManifest.readArchive(fs, dirPath, archive)
+      val missing = shards.map(_.file).filterNot(f => fs.exists(new HPath(dirPath, f)))
+      require(missing.isEmpty,
+        s"generation $asOfGeneration's snapshot names ${missing.size} data files that are " +
+          s"gone (first: ${missing.headOption.getOrElse("")}) — vacuum reclaimed the layout " +
+          "out from under its snapshot (crash-window state its next run clears); this " +
+          "generation is no longer reproducible")
+      val effective = schema
+        .orElse(ShardManifest.readSchemaAsOf(fs, dirPath, asOfGeneration))
+        .orElse(ShardSchemas.readLatest(fs, dirPath).map(_._2))
+      val files = shards.map(s => new HPath(dirPath, s.file).toString)
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          effective.getOrElse(throw new IllegalArgumentException(
+            s"generation $asOfGeneration of $dir lists zero shards; pass a schema")))
+      else {
+        val base = spark.read
+        effective.fold(base)(base.schema).json(files: _*)
+      }
+    }
+  }
+
   /** Tail a shard directory as a STREAM: each micro-batch serves the
     * shards that entered the manifest since the last batch, parsed back
     * into typed rows — the training-loader side of the incremental
@@ -714,8 +812,8 @@ object TrainingShards {
 
   /** Compact a shard directory in place: rewrite the manifest-listed
     * corpus as balanced shards at the given targets, replacing the old
-    * layout atomically (new manifest first, stale shard deletes after —
-    * the existing truncate commit path). The cure for the
+    * layout atomically (new manifest first; the superseded files stay
+    * on disk for time-travel reads until vacuum). The cure for the
     * MANY-TINY-SHARDS layout an incremental writer accumulates: each
     * micro-batch/epoch lands one shard per task, so a high-parallelism
     * stream of small batches produces thousands of KB-sized files a
@@ -851,9 +949,16 @@ object TrainingShards {
     orphans.foreach(p => fs.delete(p, false))
     // expired snapshots describe layouts whose files are now gone —
     // keeping them would let a LATER vacuum resurrect a stale
-    // "referenced" set that protects nothing
-    archives.dropRight(retainGenerations - 1)
-      .foreach(a => fs.delete(new HPath(dirPath, a), false))
+    // "referenced" set that protects nothing; their schema-as-of twins
+    // go with them (a schema snapshot for an unreadable generation is
+    // dead weight, and readAsOf fails loudly on the missing MANIFEST
+    // archive either way)
+    archives.dropRight(retainGenerations - 1).foreach { a =>
+      fs.delete(new HPath(dirPath, a), false)
+      val gen = a.stripPrefix("_MANIFEST.g").stripSuffix(".json").toLong
+      val s = new HPath(dirPath, ShardManifest.schemaAsOfName(gen))
+      if (fs.exists(s)) fs.delete(s, false)
+    }
     orphans.map(_.getName)
   }
 }

@@ -60,7 +60,13 @@ class ShardSinkSpec extends AnyFunSuite {
     val docs = graft.ops.Tables.t(spark, dir, "documents").limit(200)
     // fragment: 8-way parallel write with a tiny doc target → many small shards
     TrainingShards.write(docs.repartition(8), out, maxDocsPerShard = 8)
-    def shardCount() = new java.io.File(out).list().count(_.endsWith(".jsonl.gz"))
+    // the LAYOUT's shard count is the manifest's, not the directory
+    // listing's — superseded files stay on disk until vacuum
+    def shardCount() = {
+      val m = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+      """"file": "([^"]+)"""".r.findAllMatchIn(m).length
+    }
     val fragmented = shardCount()
     assert(fragmented >= 25, s"fixture not fragmented enough: $fragmented")
     TrainingShards.compact(spark, out, maxDocsPerShard = 64)
@@ -72,12 +78,20 @@ class ShardSinkSpec extends AnyFunSuite {
     val cols = docs.columns.map(col)
     assert(docs.except(back.select(cols: _*)).count() == 0)
     assert(back.select(cols: _*).except(docs).count() == 0)
-    // manifest and disk agree; every shard respects the new doc target
+    // manifest lists only the compacted layout; every shard respects
+    // the new doc target. The superseded files are RETAINED on disk
+    // (snapshot-protected for time-travel / mid-batch tailers) until
+    // vacuum — the lakehouse contract — and vacuum(retain=1) then
+    // reconciles disk to exactly the manifest.
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
     val listed = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
-    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
-    assert(onDisk == listed, s"stale pre-compaction shards survived: ${onDisk -- listed}")
+    def onDisk() = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert(listed.subsetOf(onDisk()), "a manifest-listed shard is missing from disk")
+    assert((onDisk() -- listed).nonEmpty,
+      "superseded files should be retained until vacuum (time-travel contract)")
+    TrainingShards.vacuum(spark, out, retainGenerations = 1)
+    assert(onDisk() == listed, s"vacuum(1) left stale shards: ${onDisk() -- listed}")
     val perShard = """"docs": (\d+)""".r.findAllMatchIn(manifest).map(_.group(1).toLong).toSeq
     assert(perShard.sum == 200 && perShard.forall(_ <= 64), s"doc accounting broke: $perShard")
   }
@@ -110,9 +124,13 @@ class ShardSinkSpec extends AnyFunSuite {
       s"replayed epoch must replace its own shards and leave other epochs alone: $files")
     val docTotal = """"docs": (\d+)""".r.findAllMatchIn(manifest).map(_.group(1).toLong).sum
     assert(docTotal == 25L, s"epoch-1 documents double-counted: $docTotal")
-    // superseded first-attempt files are gone from disk
-    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
-    assert(onDisk == files, s"superseded epoch-1 shards left on disk: ${onDisk -- files}")
+    // superseded first-attempt files are retained (snapshot-protected)
+    // until vacuum; vacuum(retain=1) reconciles disk to the manifest
+    def onDisk() = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert((onDisk() -- files).nonEmpty,
+      "replayed epoch's superseded shards should be retained until vacuum")
+    TrainingShards.vacuum(spark, out, retainGenerations = 1)
+    assert(onDisk() == files, s"vacuum(1) left superseded epoch shards: ${onDisk() -- files}")
   }
 
   test("a pinned jobToken makes re-running the same logical write idempotent (replace, not append)") {
@@ -128,12 +146,16 @@ class ShardSinkSpec extends AnyFunSuite {
     val back = TrainingShards.read(spark, out, Some(docs.schema))
     assert(back.count() == 100, "a replayed pinned-token write must replace, not double-count")
     assert(back.select("doc_id").distinct().count() == 100)
-    // superseded first-attempt files are gone from disk, not just the manifest
+    // superseded first-attempt files are retained until vacuum, then
+    // reclaimed (the manifest-trusting reader never served them)
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
     val listed = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
-    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
-    assert(onDisk == listed, s"superseded shards left on disk: ${onDisk -- listed}")
+    def onDisk() = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert((onDisk() -- listed).nonEmpty,
+      "pinned-token replay's superseded shards should be retained until vacuum")
+    TrainingShards.vacuum(spark, out, retainGenerations = 1)
+    assert(onDisk() == listed, s"vacuum(1) left superseded shards: ${onDisk() -- listed}")
     // a DIFFERENT token still appends
     TrainingShards.write(docs.repartition(2), out, maxDocsPerShard = 32,
       jobToken = Some("fb000002"))
@@ -191,10 +213,15 @@ class ShardSinkSpec extends AnyFunSuite {
     val manifest = new String(Files.readAllBytes(Paths.get(out, "_MANIFEST.json")), "UTF-8")
     val totalDocs = """"total_docs": (\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
     assert(totalDocs.contains(3L), s"overwrite manifest still counts stale shards: $totalDocs")
-    // stale part files are gone from disk, not just unreferenced
+    // the truncated layout's files are retained (time-travel readable)
+    // until vacuum(1) reconciles disk to the manifest
     val files = """"file": "([^"]+)"""".r.findAllMatchIn(manifest).map(_.group(1)).toSet
-    val onDisk = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
-    assert(onDisk == files, s"stale shards survive overwrite: ${onDisk -- files}")
+    def onDisk() = new java.io.File(out).list().filter(_.endsWith(".jsonl.gz")).toSet
+    assert((onDisk() -- files).nonEmpty,
+      "truncated layout's shards should be retained until vacuum")
+    assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == 3)
+    TrainingShards.vacuum(spark, out, retainGenerations = 1)
+    assert(onDisk() == files, s"vacuum(1) left truncated-layout shards: ${onDisk() -- files}")
     assert(TrainingShards.read(spark, out, Some(docs.schema)).count() == 3)
   }
 

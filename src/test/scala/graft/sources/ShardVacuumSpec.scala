@@ -41,17 +41,15 @@ class ShardVacuumSpec extends AnyFunSuite {
     val docs = graft.ops.Tables.t(spark, dir, "documents").limit(200)
     TrainingShards.write(docs, out, maxDocsPerShard = 16)
     val oldFiles = partFiles(out)
-    // capture one pre-compaction shard's bytes, then simulate the crash
-    // case vacuum exists for: compaction publishes its manifest but the
-    // superseded-file delete never runs for this shard
     val survivor = oldFiles.head
-    val survivorBytes = Files.readAllBytes(Paths.get(out, survivor))
+    // compaction RETAINS the superseded layout (lakehouse contract:
+    // commits change which files are live, vacuum changes which exist)
     TrainingShards.compact(spark, out, maxDocsPerShard = 128)
-    assert(!partFiles(out).contains(survivor), "compaction should have superseded it")
-    Files.write(Paths.get(out, survivor), survivorBytes)
+    assert(oldFiles.forall(f => Files.exists(Paths.get(out, f))),
+      "compaction must retain the superseded layout's files until vacuum")
 
     // retain=2: the snapshot written at compaction still references the
-    // survivor, so a tailer mid-batch on the old layout can finish it
+    // old layout, so a tailer mid-batch on it can finish its files
     val deleted2 = TrainingShards.vacuum(spark, out, retainGenerations = 2)
     assert(deleted2.isEmpty, s"retain=2 must keep snapshot-referenced files, deleted $deleted2")
     assert(Files.exists(Paths.get(out, survivor)))
@@ -61,7 +59,8 @@ class ShardVacuumSpec extends AnyFunSuite {
     // retain=1: only the live layout survives; the straggler's read now
     // FAILS (path gone) instead of serving stale rows
     val deleted1 = TrainingShards.vacuum(spark, out, retainGenerations = 1)
-    assert(deleted1 == Seq(survivor), s"expected the survivor reclaimed, got $deleted1")
+    assert(deleted1.toSet == oldFiles.toSet,
+      s"expected the whole superseded layout reclaimed, got $deleted1")
     assert(!Files.exists(Paths.get(out, survivor)))
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.read.text(s"$out/$survivor").count()
@@ -103,34 +102,30 @@ class ShardVacuumSpec extends AnyFunSuite {
     "a crash-orphaned superseded file survives vacuum at retain=2") {
     val docs = graft.ops.Tables.t(spark, dir, "documents").limit(64)
 
-    // truncate: the overwrite commit archives the outgoing manifest, so
-    // a superseded file whose delete crashed is still snapshot-protected
+    // truncate: the overwrite commit archives the outgoing manifest and
+    // RETAINS its files — snapshot-protected until vacuum's window moves
     val out1 = freshDir()
     TrainingShards.write(docs, out1, maxDocsPerShard = 8)
-    val oldFile = partFiles(out1).head
-    val oldBytes = Files.readAllBytes(Paths.get(out1, oldFile))
+    val truncated = partFiles(out1)
     TrainingShards.write(docs, out1, maxDocsPerShard = 32, mode = "overwrite")
-    assert(!partFiles(out1).contains(oldFile), "overwrite should have superseded it")
-    Files.write(Paths.get(out1, oldFile), oldBytes) // the crashed delete's survivor
+    assert(truncated.forall(f => Files.exists(Paths.get(out1, f))),
+      "truncate must retain the superseded layout's files until vacuum")
     assert(TrainingShards.vacuum(spark, out1, retainGenerations = 2).isEmpty,
       "retain=2 must keep truncate-superseded files for in-flight tailers")
-    assert(Files.exists(Paths.get(out1, oldFile)))
-    assert(TrainingShards.vacuum(spark, out1, retainGenerations = 1) == Seq(oldFile),
+    assert(TrainingShards.vacuum(spark, out1, retainGenerations = 1).toSet == truncated.toSet,
       "retain=1 reclaims the superseded layout")
 
     // pinned-token replace: a replayed job's commit archives the layout
-    // holding its previous attempt's shards before replacing them
+    // holding its previous attempt's shards and retains them likewise
     val out2 = freshDir()
     TrainingShards.write(docs, out2, maxDocsPerShard = 8, jobToken = Some("batch7"))
     val attempt1 = partFiles(out2)
-    val survivor = attempt1.head
-    val survivorBytes = Files.readAllBytes(Paths.get(out2, survivor))
     TrainingShards.write(docs, out2, maxDocsPerShard = 32, jobToken = Some("batch7"))
-    assert(!partFiles(out2).contains(survivor), "replay should have replaced attempt 1's shards")
-    Files.write(Paths.get(out2, survivor), survivorBytes)
+    assert(attempt1.forall(f => Files.exists(Paths.get(out2, f))),
+      "a pinned-token replay must retain the replaced attempt's files until vacuum")
     assert(TrainingShards.vacuum(spark, out2, retainGenerations = 2).isEmpty,
       "retain=2 must keep replace-superseded files for in-flight tailers")
-    assert(TrainingShards.vacuum(spark, out2, retainGenerations = 1) == Seq(survivor))
+    assert(TrainingShards.vacuum(spark, out2, retainGenerations = 1).toSet == attempt1.toSet)
     assert(TrainingShards.read(spark, out2, Some(docs.schema)).count() == 64)
   }
 }
