@@ -401,6 +401,42 @@ object MultimodalOps {
         .orderBy("doc_id")
     }),
 
+    // REAL PNG round trip ([[PngCodec]] — RFC 2083 on java.util.zip):
+    // each doc's ASCII bytes become the RGB pixels of a (3+id%4) x
+    // (5+id%3) truecolor image, ENCODED with a rotating per-row filter
+    // (id+y) % 5 — height >= 5 means every image exercises ALL FIVE
+    // predictive filters (None/Sub/Up/Average/Paeth) — then decoded
+    // back through the full chunk/CRC/inflate/unfilter path on the
+    // executors. roundtrip_ok pins byte-exact pixel recovery; the
+    // per-channel sums are closed-form from the text bytes, so DuckDB
+    // hash-checks a genuine compressed-raster decode without ever
+    // inflating a byte (the m05 discipline for coded formats: assert
+    // the DECODED values, never the implementation-defined compressed
+    // length). Narrow map, no shuffle.
+    "m11_png_features" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val w = (3 + id % 4).toInt
+          val h = (5 + id % 3).toInt
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val rgb = Array.tabulate(3 * w * h)(k => bytes(k % bytes.length))
+          val png = PngCodec.encodeRgb(w, h, rgb, y => ((id + y) % 5).toInt)
+          val (dw, dh, back) = PngCodec.decodePixels(png)
+          var sr, sg, sb = 0L
+          var i = 0
+          while (i < back.length) {
+            sr += back(i) & 0xff; sg += back(i + 1) & 0xff; sb += back(i + 2) & 0xff
+            i += 3
+          }
+          (id, dw, dh, sr, sg, sb,
+            dw == w && dh == h && java.util.Arrays.equals(back, rgb))
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "roundtrip_ok")
+      feats.orderBy("doc_id")
+    }),
+
     // Spectral features over REAL decoded audio: each doc's WAV (the
     // m05 PCM16 mapping) round-trips through WavCodec on the
     // executors, the first 64 decoded samples form one analysis frame,
@@ -621,6 +657,22 @@ object MultimodalOps {
         |  FROM bins)
         |SELECT doc_id, CAST(k AS INT) AS bin, round(sqrt(re * re + im * im), 4) AS mag
         |FROM d ORDER BY doc_id, bin""".stripMargin,
+    // PNG round trip: the channel sums replay from the same text bytes
+    // (pixel k = ascii(text[k mod len]), channel = k mod 3);
+    // roundtrip_ok is the pinned decode-exactness claim.
+    "m11_png_features" ->
+      """WITH d AS (SELECT doc_id, text, CAST(3 + doc_id % 4 AS BIGINT) AS w,
+        |                  CAST(5 + doc_id % 3 AS BIGINT) AS h, strlen(text) AS L
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         ascii(substr(text, CAST(i % L AS INT) + 1, 1)) AS v, i % 3 AS chan
+        |       FROM d, UNNEST(range(0, 3 * w * h)) u(i))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(CASE WHEN chan = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN chan = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN chan = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |  TRUE AS roundtrip_ok
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "m05_wav_features" ->
       """WITH ch AS (SELECT doc_id, ascii(c) - 64 AS v
         |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
