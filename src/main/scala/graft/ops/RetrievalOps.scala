@@ -225,6 +225,127 @@ object RetrievalOps {
     (topk, cand)
   }
 
+  /** MaxScore / block-max-WAND bounded evaluation (Turtle & Flood 1995;
+    * Ding & Suel, SIGIR'11) — the production top-k path r02's exhaustive
+    * scoring leaves on the table: r02 correctly touches only MATCHING
+    * postings, but it scores every one of them; at 100 TB with fat
+    * query workloads the production index skips most postings using
+    * per-term score upper bounds and per-block maxima. The Spark-native
+    * realization maps the classic skip machinery onto columnar
+    * pruning:
+    *
+    *  - IMPACT METADATA: per-(query, term) max contribution (the
+    *    MaxScore UB_t) and its complement rest_t = Σ_{t'≠t} UB_{t'} —
+    *    a queries×terms table collected to the driver and shipped as
+    *    literal maps (never a join);
+    *  - THRESHOLD (phase 1): the top-`topB` postings per term by
+    *    impact (bounded minK heap — impact-ordered list heads), their
+    *    docs exactly scored, θ(q) = the k-th best candidate score: a
+    *    VALID lower bound on the true k-th score (candidates are a doc
+    *    subset, scored exactly);
+    *  - BLOCK SKIPPING (phase 2): each posting's contribution is
+    *    quantized into `nBuckets` impact blocks per term; a block's
+    *    max is its upper edge, and the whole block is skipped when
+    *    blockmax + rest_t < θ(q) − 1e-4 (one rounding quantum of
+    *    safety margin — skipping keeps MORE than production would,
+    *    never less). In a columnar store the buckets are partition
+    *    values / row-group stats, so the skip is plan-time pruning;
+    *  - GATHER: surviving docs' postings are re-summed exactly.
+    *
+    * SOUND by the MaxScore inequality: any doc d with true score ≥ θ
+    * satisfies c_t(d) + rest_t ≥ score(d) ≥ θ for EVERY term t it
+    * matches, so all its postings survive and its exact score is
+    * computed — the returned top-k is IDENTICAL to r02's exhaustive
+    * answer (spec-pinned elementwise, oracle = r02's oracle verbatim).
+    * Returns (top-k results in r02's shape, per-query skip stats).
+    */
+  def maxScoreTopK(docs: DataFrame, k: Int = 10, topB: Int = 32,
+      nBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = Bm25Queries.toDF("query_id", "query_text")
+      .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+    val qvocab = qterms.select("term").distinct()
+    val tf = tok(docs)
+      .join(broadcast(qvocab), "term")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // the postings (query_id, term, doc_id, c) materialize ONCE — the
+    // impact metadata, threshold pass, skip filter, and gather all read
+    // this frame
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(
+        col("query_id"), col("term"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .localCheckpoint()
+    // impact metadata: queries×terms rows, driver-side
+    val ubRows = contrib.groupBy("query_id", "term").agg(max(col("c")).as("ub"))
+      .as[(Long, String, Double)].collect()
+    val ubMap: Map[String, Double] = ubRows.map { case (q, t, u) => s"$q|$t" -> u }.toMap
+    val restMap: Map[String, Double] = ubRows.map { case (q, t, _) =>
+      s"$q|$t" -> ubRows.filter(r => r._1 == q && r._2 != t).map(_._3).sum
+    }.toMap
+    // phase 1: impact-ordered list heads -> candidate docs -> exact
+    // scores -> θ(q). Bounded: ≤ terms·topB candidate rows per query.
+    val cand = contrib
+      .select(col("query_id"), col("term"),
+        struct((-col("c")).as("nc"), col("doc_id")).as("rec"))
+      .groupBy("query_id", "term").agg(minK(col("rec"), topB).as("rs"))
+      .select(col("query_id"), explode(col("rs")).as("r"))
+      .select(col("query_id"), col("r.doc_id").as("doc_id"))
+      .distinct()
+    val theta: Map[Long, Double] = contrib
+      .join(broadcast(cand), Seq("query_id", "doc_id"))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("s"))
+      .select("query_id", "s").as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (q, xs) =>
+        val ss = xs.map(_._2).sortBy(-_)
+        q -> (if (ss.length >= k) ss(k - 1) else Double.NegativeInfinity)
+      }
+    val ubLit = typedLit(ubMap)
+    val restLit = typedLit(restMap)
+    val thetaLit = typedLit(theta)
+    val bounded = contrib
+      .withColumn("key", concat_ws("|", col("query_id"), col("term")))
+      .withColumn("ub", element_at(ubLit, col("key")))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1), floor(col("c") / col("ub") * nBuckets)).cast("int"))
+      .withColumn("bmax", col("ub") * (col("bucket") + 1) / nBuckets)
+      .withColumn("survives",
+        col("bmax") + element_at(restLit, col("key")) >=
+          element_at(thetaLit, col("query_id")) - lit(1e-4))
+      .localCheckpoint() // feeds both the skip stats and the gather
+    val stats = bounded.groupBy("query_id")
+      .agg(count(lit(1)).as("n_postings"),
+        sum(when(!col("survives"), 1L).otherwise(0L)).as("n_skipped"))
+      .select(col("query_id"), col("n_postings"), col("n_skipped"),
+        round(col("n_skipped") / col("n_postings").cast("double"), 4).as("skip_frac"))
+    val survivors = bounded.filter(col("survives"))
+      .select("query_id", "doc_id").distinct()
+    val result = contrib
+      .join(survivors, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+      .select(col("query_id"),
+        struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
+      .orderBy("query_id", "rank")
+    (result, stats)
+  }
+
   val queries: Map[String, Tables.Q] = Map(
     // Inverted-index build: per-term document frequency, collection
     // frequency, and — for rare terms only — the full sorted posting
@@ -308,6 +429,19 @@ object RetrievalOps {
           col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
         .orderBy("query_id", "rank")
     }),
+
+    // MaxScore / block-max bounded evaluation ([[maxScoreTopK]]) — the
+    // production skip machinery over r02's postings: per-term impact
+    // upper bounds + an exactly-scored threshold from the impact-
+    // ordered list heads let whole quantized impact blocks be skipped
+    // (blockmax + rest_t < θ − one rounding quantum) before the gather
+    // re-sums survivors exactly. Sound by the MaxScore inequality
+    // (every true-top-k doc's postings all survive), so the answer is
+    // IDENTICAL to r02's exhaustive one — same oracle verbatim;
+    // MaxScoreSpec pins elementwise equality and that skipping bites,
+    // ScaleWand measures the skipped fraction at the blow-up fixtures.
+    "r18_maxscore_topk" -> ((s, dir) =>
+      maxScoreTopK(t(s, dir, "documents"), k = 10)._1),
 
     // Hard-negative mining — the contrastive-training data-prep rung
     // (DPR/ANCE recipe): for each training query, retrieve the corpus
@@ -1108,19 +1242,8 @@ object RetrievalOps {
         .orderBy("src_a", "src_b")
     }))
 
-  val oracleSql: Map[String, String] = Map(
-    "r01_inverted_index" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
-        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |stats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
-        |p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
-        |      FROM tf WHERE term IN (SELECT term FROM stats WHERE df <= 64) GROUP BY 1)
-        |SELECT s.term, CAST(s.df AS BIGINT) AS df, CAST(s.cf AS BIGINT) AS cf,
-        |  coalesce(p.postings_csv, '') AS postings_csv
-        |FROM stats s LEFT JOIN p USING (term)
-        |ORDER BY s.df DESC, s.term LIMIT 50""".stripMargin,
-    "r02_bm25_topk" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+  private val bm25TopKSql: String =
+    """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1138,7 +1261,23 @@ object RetrievalOps {
         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "r01_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |stats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+        |p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+        |      FROM tf WHERE term IN (SELECT term FROM stats WHERE df <= 64) GROUP BY 1)
+        |SELECT s.term, CAST(s.df AS BIGINT) AS df, CAST(s.cf AS BIGINT) AS cf,
+        |  coalesce(p.postings_csv, '') AS postings_csv
+        |FROM stats s LEFT JOIN p USING (term)
+        |ORDER BY s.df DESC, s.term LIMIT 50""".stripMargin,
+    "r02_bm25_topk" -> bm25TopKSql,
+    // MaxScore block-skipping returns the IDENTICAL answer to the
+    // exhaustive scorer by construction — same oracle, verbatim.
+    "r18_maxscore_topk" -> bm25TopKSql,
     // r02's scoring pipeline with the qrels slice rebuilt closed-form
     // (doc_id ≡ query_id mod 50), positives filtered before ranking,
     // and the margin computed off the same 4dp-rounded scores.
