@@ -346,6 +346,155 @@ object RetrievalOps {
     (result, stats)
   }
 
+  /** Candidate features for the learned reranker (r19): r14's fused
+    * candidate pool (BM25 top-20 ∪ exact dense top-20, RRF-joined)
+    * with every feature INTEGER-QUANTIZED at its already-rounded
+    * precision so the whole training loop is bit-exactly replayable:
+    * f1 = BM25 micro-score (4dp × 10⁴), f2 = dense cosine (6dp × 10⁶),
+    * f3 = RRF (6dp × 10⁶), f4 = query-term overlap (distinct terms
+    * present), f5 = intercept. Labels are r16's phrase-relevance rule
+    * (the query's first two terms adjacent in the doc). The dense leg
+    * is computed by the exact kernel — identical to r14's IVF+SQ8 leg
+    * on this fixture (nprobe=16/16 + deep rerank makes that leg
+    * provably exact; its oracle replays brute force the same way).
+    */
+  def rerankCandidates(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val qterms = Bm25Queries.toDF("query_id", "query_text")
+      .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+    val qvocab = qterms.select("term").distinct()
+    val tf = tok(docs)
+      .join(broadcast(qvocab), "term")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds bm25 AND the overlap feature
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val bm25 = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("bm25"))
+      .localCheckpoint() // feeds the leg rank AND the feature join
+    val bmLeg = bm25
+      .select(col("query_id"), struct((-col("bm25")).as("nk"), col("doc_id")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), HybridCap).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), col("rec.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("r_bm25"))
+    // exact dense cosines for the whole corpus against the 4 query
+    // vectors (one scan, 4 fused codegen columns)
+    import graft.functions.VectorFunctions.cosine_similarity
+    val qEmb: Seq[(Long, Array[Float])] = emb
+      .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val perQ = qEmb.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"),
+        round(cosine_similarity(col("embedding"), array(qv.toSeq.map(lit): _*)), 6).as("c"))
+    }
+    val cos = emb
+      .select(col("vec_id").as("doc_id"), explode(array(perQ: _*)).as("p"))
+      .select(col("p.query_id").as("query_id"), col("doc_id"), col("p.c").as("cos"))
+      .localCheckpoint() // feeds the leg rank AND the feature join
+    val annLeg = cos
+      .select(col("query_id"), struct((-col("cos")).as("nk"), col("doc_id")).as("rec"))
+      .groupBy("query_id")
+      .agg(minK(col("rec"), HybridCap).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), col("rec.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("r_ann"))
+    val fused = bmLeg.join(annLeg, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_ann")), lit(0.0)), 6))
+    val overlap = tf.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("ovl"))
+    // phrase-relevance labels (r16's rule): first two query terms adjacent
+    val relCols = Bm25Queries.map { case (qid, qtext) =>
+      val ts = qtext.split(" ")
+      struct(lit(qid).as("query_id"),
+        (instr(lower(trim(col("text"))), s"${ts(0)} ${ts(1)}") > 0).as("rel"))
+    }
+    val qrels = docs.select(col("doc_id"), explode(array(relCols: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"), col("q.rel").cast("int").as("y"))
+    fused
+      .join(bm25, Seq("query_id", "doc_id"), "left")
+      .join(cos, Seq("query_id", "doc_id"), "left")
+      .join(overlap, Seq("query_id", "doc_id"), "left")
+      .join(qrels, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        // every feature lands in a COMMON fixed-point scale (~[−1e4,
+        // 1e4]) — standardization for the single global learning rate,
+        // at a granularity that leaves the integer micro-logit weights
+        // real resolution (z moves by f/1e6 ≤ 0.01 sigmoid-units per
+        // weight unit — the logregFit small-feature/large-weight
+        // discipline). bm25 ∈ [0,10] × 1e3; cosine ∈ [−1,1] × 1e4;
+        // rrf ∈ [0, 2/61] × 3e5; overlap ∈ [0,3] × 3333; intercept
+        // 1e4 — each an exact integer rounding of an already-rounded
+        // value.
+        expr("CAST(round(coalesce(bm25, 0.0) * 1000.0) AS BIGINT)").as("f1"),
+        expr("CAST(round(coalesce(cos, 0.0) * 10000.0) AS BIGINT)").as("f2"),
+        expr("CAST(round(rrf * 300000.0) AS BIGINT)").as("f3"),
+        (coalesce(col("ovl"), lit(0L)) * lit(3333L)).as("f4"),
+        lit(10000L).as("f5"),
+        coalesce(col("y"), lit(0)).as("y"))
+  }
+
+  /** Full-batch logistic descent over a DENSE integer feature frame
+    * (f1..f5, y) — the [[TextOps.logregFit]] discipline transplanted
+    * from hashed token buckets to retrieval features: micro-logit
+    * integer weights, class-balanced integer errors (positives scale
+    * by n_neg, negatives by n_pos), one 5-column gradient aggregate
+    * per iteration (the only thing crossing the shuffle is five
+    * longs), and a power-of-two lrDiv so floor(g/lrDiv + 0.5) rounds
+    * the same value in both engines — the whole fit replays as
+    * unrolled SQL stages. Returns per-iteration weight snapshots.
+    */
+  def denseLogregFit(feat: DataFrame, iters: Int = 3,
+      lrDiv: Double = 1.099511627776e12 /* 2^40 */): Array[Array[Long]] = {
+    require(lrDiv > 0 && lrDiv == lrDiv.toLong.toDouble &&
+      java.lang.Long.bitCount(lrDiv.toLong) == 1,
+      s"lrDiv must be a positive power of two for bit-exact oracle replay, got $lrDiv")
+    val f = feat.localCheckpoint()
+    val Array(nPos, nNeg) = f
+      .agg(sum(col("y").cast("long")), sum(lit(1L) - col("y")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nPos > 0 && nNeg > 0,
+      s"degenerate training frame: $nPos positives / $nNeg negatives")
+    val nf = 5
+    val w = Array.fill(nf)(0L)
+    val hist = Array.ofDim[Long](iters, nf)
+    for (it <- 0 until iters) {
+      val z = (1 to nf).map(i => col(s"f$i") * lit(w(i - 1))).reduce(_ + _)
+      val grads = f
+        .withColumn("z", z)
+        .withColumn("e",
+          expr("CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)") *
+            when(col("y") === 1, lit(nNeg)).otherwise(lit(nPos)))
+        .agg((1 to nf).map(i => sum(col("e") * col(s"f$i")).as(s"g$i")).head,
+          (1 to nf).map(i => sum(col("e") * col(s"f$i")).as(s"g$i")).tail: _*)
+        .collect().head
+      var j = 0
+      while (j < nf) {
+        w(j) -= math.floor(grads.getLong(j) / lrDiv + 0.5).toLong
+        hist(it)(j) = w(j)
+        j += 1
+      }
+    }
+    hist
+  }
+
   val queries: Map[String, Tables.Q] = Map(
     // Inverted-index build: per-term document frequency, collection
     // frequency, and — for rare terms only — the full sorted posting
@@ -442,6 +591,45 @@ object RetrievalOps {
     // ScaleWand measures the skipped fraction at the blow-up fixtures.
     "r18_maxscore_topk" -> ((s, dir) =>
       maxScoreTopK(t(s, dir, "documents"), k = 10)._1),
+
+    // LEARNED RERANKER closing the retrieval loop ([[rerankCandidates]]
+    // + [[denseLogregFit]]): production hybrid retrieval ends in a
+    // supervised reranker over the fused candidates, not in RRF. The
+    // features are r14's fusion signals (BM25 micro-score, exact dense
+    // cosine, RRF mass, query-term overlap, intercept) integer-
+    // quantized at their rounded precision; labels are r16's phrase-
+    // relevance rule; the fit is 3 full-batch class-balanced descent
+    // steps whose only cross-shuffle traffic is five gradient longs
+    // per step (the d64/p05 discipline on dense features); the apply
+    // is an O(5) plan literal — one projection, no join, no second
+    // candidate pass. Output: the reranked top-5 per query with the
+    // final weights as pinned columns. Bit-exact oracle: DuckDB
+    // rebuilds candidates + features + labels, unrolls the three
+    // descent steps as CTE stages (power-of-two lrDiv makes the
+    // weight rounding engine-portable), and replays the apply.
+    "r19_learned_rerank" -> ((s, dir) => {
+      val feat = rerankCandidates(s, dir).localCheckpoint()
+      val hist = denseLogregFit(feat)
+      val w = hist.last
+      val z = (1 to 5).map(i => col(s"f$i") * lit(w(i - 1))).reduce(_ + _)
+      feat
+        .withColumn("z", z)
+        .select(col("query_id"), col("doc_id"),
+          expr("round(1.0/(1.0+exp(-(z/1000000.0))), 6)").as("rerank_score"),
+          col("y"))
+        .select(col("query_id"),
+          struct((-col("rerank_score")).as("nk"), col("doc_id"),
+            col("rerank_score"), col("y")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 5).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.rerank_score").as("rerank_score"),
+          col("rec.y").as("rel"),
+          lit(w(0)).as("w_bm25"), lit(w(1)).as("w_cos"), lit(w(2)).as("w_rrf"),
+          lit(w(3)).as("w_ovl"), lit(w(4)).as("w_int"))
+        .orderBy("query_id", "rank")
+    }),
 
     // Hard-negative mining — the contrastive-training data-prep rung
     // (DPR/ANCE recipe): for each training query, retrieve the corpus
@@ -1278,6 +1466,104 @@ object RetrievalOps {
     // MaxScore block-skipping returns the IDENTICAL answer to the
     // exhaustive scorer by construction — same oracle, verbatim.
     "r18_maxscore_topk" -> bm25TopKSql,
+    // Learned reranker: candidates + features + phrase labels rebuilt
+    // from the base tables (the r14 replay), then the THREE descent
+    // steps unrolled as CTE stages — each stage recomputes the
+    // micro-quantized class-balanced errors under the previous stage's
+    // weights and folds five integer gradient sums into the next
+    // weight row (power-of-two lrDiv ⇒ floor(g/lrDiv + 0.5) rounds the
+    // same value in both engines) — and the apply replayed under the
+    // final weights. The d18 unrolled-fixpoint technique on a model
+    // fit.
+    "r19_learned_rerank" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |ph(query_id, phrase) AS (VALUES (1, 'spark hash'), (2, 'window sort'),
+        |  (3, 'fast vector'), (4, 'dup line')),
+        |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id, round(sum(
+        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_bm25
+        |  FROM scored QUALIFY r_bm25 <= 20),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |       FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+        |cs AS (SELECT qv.query_id, e.vec_id AS doc_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS c
+        |  FROM embeddings e, qv),
+        |ann AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS r_ann
+        |  FROM cs QUALIFY r_ann <= 20),
+        |fused AS (SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+        |    coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60 + bm.r_bm25), 0) + coalesce(1.0 / (60 + ann.r_ann), 0), 6) AS rrf
+        |  FROM bm FULL OUTER JOIN ann ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id),
+        |ovl AS (SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS ovl
+        |        FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+        |rel AS (SELECT ph.query_id, d.doc_id,
+        |    CASE WHEN instr(lower(trim(d.text)), ph.phrase) > 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents d, ph),
+        |feat AS (SELECT f.query_id, f.doc_id,
+        |    CAST(round(coalesce(s.bm25, 0.0) * 1000.0) AS BIGINT) AS f1,
+        |    CAST(round(coalesce(c.c, 0.0) * 10000.0) AS BIGINT) AS f2,
+        |    CAST(round(f.rrf * 300000.0) AS BIGINT) AS f3,
+        |    coalesce(o.ovl, 0) * 3333 AS f4, 10000 AS f5, coalesce(r.y, 0) AS y
+        |  FROM fused f
+        |  LEFT JOIN scored s ON s.query_id = f.query_id AND s.doc_id = f.doc_id
+        |  LEFT JOIN cs c ON c.query_id = f.query_id AND c.doc_id = f.doc_id
+        |  LEFT JOIN ovl o ON o.query_id = f.query_id AND o.doc_id = f.doc_id
+        |  LEFT JOIN rel r ON r.query_id = f.query_id AND r.doc_id = f.doc_id),
+        |cnt AS (SELECT CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn FROM feat),
+        |e1 AS (SELECT f.*, CAST(round((0.5 - y) * 1000000.0) AS BIGINT) *
+        |    (CASE WHEN y = 1 THEN cnt.nn ELSE cnt.np END) AS e FROM feat f, cnt),
+        |w1 AS (SELECT
+        |    0 - CAST(floor(sum(e * f1) / 1099511627776.0 + 0.5) AS BIGINT) AS w1,
+        |    0 - CAST(floor(sum(e * f2) / 1099511627776.0 + 0.5) AS BIGINT) AS w2,
+        |    0 - CAST(floor(sum(e * f3) / 1099511627776.0 + 0.5) AS BIGINT) AS w3,
+        |    0 - CAST(floor(sum(e * f4) / 1099511627776.0 + 0.5) AS BIGINT) AS w4,
+        |    0 - CAST(floor(sum(e * f5) / 1099511627776.0 + 0.5) AS BIGINT) AS w5
+        |  FROM e1),
+        |e2 AS (SELECT f.*, CAST(round((round(1.0 / (1.0 + exp(-((f1*w.w1 + f2*w.w2 + f3*w.w3 +
+        |      f4*w.w4 + f5*w.w5) / 1000000.0))), 6) - y) * 1000000.0) AS BIGINT) *
+        |    (CASE WHEN y = 1 THEN cnt.nn ELSE cnt.np END) AS e FROM feat f, w1 w, cnt),
+        |w2 AS (SELECT
+        |    w.w1 - CAST(floor(sum(e * f1) / 1099511627776.0 + 0.5) AS BIGINT) AS w1,
+        |    w.w2 - CAST(floor(sum(e * f2) / 1099511627776.0 + 0.5) AS BIGINT) AS w2,
+        |    w.w3 - CAST(floor(sum(e * f3) / 1099511627776.0 + 0.5) AS BIGINT) AS w3,
+        |    w.w4 - CAST(floor(sum(e * f4) / 1099511627776.0 + 0.5) AS BIGINT) AS w4,
+        |    w.w5 - CAST(floor(sum(e * f5) / 1099511627776.0 + 0.5) AS BIGINT) AS w5
+        |  FROM e2, w1 w GROUP BY w.w1, w.w2, w.w3, w.w4, w.w5),
+        |e3 AS (SELECT f.*, CAST(round((round(1.0 / (1.0 + exp(-((f1*w.w1 + f2*w.w2 + f3*w.w3 +
+        |      f4*w.w4 + f5*w.w5) / 1000000.0))), 6) - y) * 1000000.0) AS BIGINT) *
+        |    (CASE WHEN y = 1 THEN cnt.nn ELSE cnt.np END) AS e FROM feat f, w2 w, cnt),
+        |w3 AS (SELECT
+        |    w.w1 - CAST(floor(sum(e * f1) / 1099511627776.0 + 0.5) AS BIGINT) AS w1,
+        |    w.w2 - CAST(floor(sum(e * f2) / 1099511627776.0 + 0.5) AS BIGINT) AS w2,
+        |    w.w3 - CAST(floor(sum(e * f3) / 1099511627776.0 + 0.5) AS BIGINT) AS w3,
+        |    w.w4 - CAST(floor(sum(e * f4) / 1099511627776.0 + 0.5) AS BIGINT) AS w4,
+        |    w.w5 - CAST(floor(sum(e * f5) / 1099511627776.0 + 0.5) AS BIGINT) AS w5
+        |  FROM e3, w2 w GROUP BY w.w1, w.w2, w.w3, w.w4, w.w5),
+        |sc AS (SELECT f.query_id, f.doc_id,
+        |    round(1.0 / (1.0 + exp(-((f1*w.w1 + f2*w.w2 + f3*w.w3 + f4*w.w4 + f5*w.w5)
+        |      / 1000000.0))), 6) AS rerank_score,
+        |    f.y, w.w1 AS w_bm25, w.w2 AS w_cos, w.w3 AS w_rrf, w.w4 AS w_ovl, w.w5 AS w_int
+        |  FROM feat f, w3 w),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS INT) AS rank, doc_id,
+        |  rerank_score, y AS rel, w_bm25, w_cos, w_rrf, w_ovl, w_int
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
     // r02's scoring pipeline with the qrels slice rebuilt closed-form
     // (doc_id ≡ query_id mod 50), positives filtered before ranking,
     // and the margin computed off the same 4dp-rounded scores.
