@@ -914,6 +914,93 @@ object RetrievalOps {
         .orderBy("query_id", "rank")
     }),
 
+    // HYBRID RETRIEVAL × CHURN — the one composition the serving
+    // matrix left open: r14 fuses against a STATIC dense index; here
+    // the dense leg is answered by the LIVE IVF index under churn
+    // (s33's machinery: upsert epochs, merge-on-read tombstones with
+    // last-writer-wins, a delete-then-reinsert resurface) while the
+    // sparse leg ranks the same live corpus view (the deleted docs
+    // are gone from BOTH arms — a takedown must vanish from the fused
+    // list, not just from one leg). Churn script: index built on ids
+    // 100+, ids 0-99 stream in two epochs, epoch 2 tombstones
+    // {1, 2, 3, 105}, epoch 3 re-upserts 1 (so doc 1 — every query's
+    // potential self-hit — is served via the RESURFACE path; it
+    // ranking #1 for query 1 is load-bearing proof LWW works).
+    // nprobe = all 16 cells makes the live dense leg provably exact
+    // over the merged view, so the oracle replays both arms brute
+    // force over the corpus minus {2, 3, 105}. Output is r14's shape.
+    // HybridChurnSpec pins the vanish/surface story against the
+    // pre-churn list.
+    "r20_hybrid_churn" -> ((s, dir) => SimilarityOps.withScratchDirs(s,
+      "graft-hybrid-churn") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      val cents = IvfIndex.loadCentroids(s, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      IndexStreams.upsertBatch(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(1L, 2L, 3L, 105L), 2L, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") === 1L), 3L, idxDir, cents)
+      val deleted = Seq(2L, 3L, 105L)
+      val docs = t(s, dir, "documents").filter(!col("doc_id").isin(deleted.map(x => x: Any): _*))
+      // sparse leg over the LIVE corpus view (df/avgdl re-derived from
+      // the surviving docs — the oracle replays the same filtered stats)
+      val qterms = Bm25Queries.toDF("query_id", "query_text")
+        .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+      val qvocab = qterms.select("term").distinct()
+      val tf = tok(docs)
+        .join(broadcast(qvocab), "term")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+      val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val bm25 = tf
+        .join(broadcast(qterms), "term")
+        .join(broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .select(col("query_id"), col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+            .as("c"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("c")), 4).as("bm25"))
+      val bmLeg = bm25
+        .select(col("query_id"), struct((-col("bm25")).as("nk"), col("doc_id")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), HybridCap).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), col("rec.doc_id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("r_bm25"))
+      // dense leg: the churning index served merge-on-read, every cell
+      // probed -> exact over the live view (base + pending LWW − tombs)
+      val qEmb: Map[Long, Array[Float]] = emb
+        .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+      val annRows: Seq[(Long, Long, Int)] = Bm25Queries.map(_._1).flatMap { qid =>
+        IvfIndex.searchIndexLive(s, idxDir, qEmb(qid), k = HybridCap, nprobe = 16)
+          .collect().zipWithIndex.map { case (r, i) => (qid, r.getLong(0), i + 1) }
+      }
+      val annLeg = annRows.toDF("query_id", "doc_id", "r_ann")
+      bmLeg.join(annLeg, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_ann")), lit(0.0)), 6))
+        .select(col("query_id"),
+          struct((-col("rrf")).as("nk"), col("doc_id"), col("rrf"),
+            col("r_bm25"), col("r_ann")).as("rec"))
+        .groupBy("query_id")
+        .agg(minK(col("rec"), 5).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.rrf").as("rrf"),
+          col("rec.r_bm25").as("r_bm25"), col("rec.r_ann").as("r_ann"))
+        .orderBy("query_id", "rank")
+    }),
+
     // RETRIEVAL EVALUATION metrics — the measurement half of a
     // retrieval pipeline (what a ranker ships with): precision@10,
     // recall@10, MRR, and nDCG@10 for the r02 BM25 run against a
@@ -1701,6 +1788,47 @@ object RetrievalOps {
         |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS c
         |  FROM embeddings e, qv),
+        |ann AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS r_ann
+        |  FROM cs QUALIFY r_ann <= 20),
+        |fused AS (SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+        |    coalesce(bm.doc_id, ann.doc_id) AS doc_id, bm.r_bm25, ann.r_ann,
+        |    round(coalesce(1.0 / (60 + bm.r_bm25), 0) + coalesce(1.0 / (60 + ann.r_ann), 0), 6) AS rrf
+        |  FROM bm FULL OUTER JOIN ann ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+        |  doc_id, rrf, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_ann AS INT) AS r_ann
+        |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Hybrid × churn: r14's two-arm replay over the corpus minus the
+    // tombstoned ids {2, 3, 105} (id 1 was deleted then re-upserted in
+    // a later epoch, so it stays IN — the oracle itself pins the LWW
+    // resurface), sparse statistics re-derived from the surviving docs.
+    "r20_hybrid_churn" ->
+      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+        |  (3, 'fast vector scan'), (4, 'dup line filter')),
+        |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |live AS (SELECT * FROM documents WHERE doc_id NOT IN (2, 3, 105)),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM live),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl FROM live),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id, round(sum(
+        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_bm25
+        |  FROM scored QUALIFY r_bm25 <= 20),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |       FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+        |cs AS (SELECT qv.query_id, e.vec_id AS doc_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe) /
+        |  (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS c
+        |  FROM embeddings e, qv WHERE e.vec_id NOT IN (2, 3, 105)),
         |ann AS (SELECT query_id, doc_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS r_ann
         |  FROM cs QUALIFY r_ann <= 20),
