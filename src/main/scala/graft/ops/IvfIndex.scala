@@ -341,6 +341,14 @@ object IvfIndex {
       tau: Double,
       excludeId: Option[Long] = None): DataFrame = {
     val st = readLiveState(spark, indexDir)
+    // fail LOUDLY on a churning index: this path reads only the base
+    // generation, so unconsumed stream/tombstone batches would be
+    // silently ignored — stale answers, the one failure mode worse
+    // than an error
+    require(pendingBatchIds(spark, indexDir, st).isEmpty,
+      s"$indexDir has unconsumed stream/tombstone batches — the static range search " +
+        "would silently ignore them; use rangeSearchIndexLive (merge-on-read) or " +
+        "compact first")
     val cents = loadCentroids(spark, indexDir)
     val radiiPath = new org.apache.hadoop.fs.Path(
       geomDir(indexDir, "radii", geometryGen(spark, indexDir, "radii", st.gen)))
@@ -354,6 +362,77 @@ object IvfIndex {
     val pruned = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .filter(col("cluster").isin(kept.map(x => x: Any): _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    excluded
+      .select(col("vec_id"),
+        round(cosine_similarity(col("embedding"), litVec(q)), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** Range search over a CHURNING index — merge-on-read, exact. The
+    * BASE arm keeps the lossless cell-bound prune (radii must describe
+    * the live base generation — [[saveCellRadii]] after any
+    * compaction); the PENDING arm scans the whole unconsumed channel —
+    * it is bounded by the rebuild/compaction policy, and the radii
+    * sidecar says nothing about rows the k-means never saw, so a prune
+    * there could not be lossless. Versions resolve LAST-WRITER-WINS
+    * across BOTH arms before the threshold (an embedding re-upsert
+    * MOVES the vector: whether the id qualifies at `tau` must be
+    * judged by the latest version, never by a stale base row — the
+    * NswIndex LWW-before-prune lesson applied to the range shape);
+    * tombstones kill by epoch as everywhere. Output is exactly the
+    * brute-force threshold scan over the live corpus view
+    * (spec-pinned; fully exact oracle).
+    */
+  def rangeSearchIndexLive(
+      spark: SparkSession,
+      indexDir: String,
+      q: Array[Float],
+      tau: Double,
+      excludeId: Option[Long] = None): DataFrame = {
+    val st = readLiveState(spark, indexDir)
+    val cents = loadCentroids(spark, indexDir)
+    val radiiPath = new org.apache.hadoop.fs.Path(
+      geomDir(indexDir, "radii", geometryGen(spark, indexDir, "radii", st.gen)))
+    val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(radiiPath),
+      s"$indexDir has no radii sidecar — range search's lossless prune needs " +
+        "IvfIndex.saveCellRadii(spark, indexDir) run after the build")
+    val radii: Map[Int, Double] = spark.read.parquet(radiiPath.toString)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val kept = rangeKeptCells(cents, radii, q, tau)
+    def hasBatches(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    }
+    val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+      .filter(col("cluster").isin(kept.map(x => x: Any): _*))
+      .select(col("vec_id"), col("embedding"), lit(-1L).as("batch"))
+    val streamPath = s"$indexDir/stream_assignment"
+    val merged =
+      if (hasBatches(streamPath))
+        base.unionByName(spark.read.parquet(streamPath)
+          .filter(col("batch") > st.consumedThrough)
+          .select(col("vec_id"), col("embedding"), col("batch")))
+      else base
+    val tombPath = s"$indexDir/tombstones"
+    val afterTombs =
+      if (hasBatches(tombPath)) {
+        val tombs = spark.read.parquet(tombPath)
+          .filter(col("batch") > st.consumedThrough)
+          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
+        merged.join(broadcast(tombs), Seq("vec_id"), "left")
+          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
+          .drop("tomb_batch")
+      } else merged
+    // LWW FIRST (one row per id, latest epoch's embedding), threshold
+    // SECOND — the grouped frame is kept base cells + the bounded
+    // channel, never the whole corpus
+    val lww = afterTombs
+      .groupBy("vec_id")
+      .agg(max_by(col("embedding"), col("batch")).as("embedding"))
+    val excluded = excludeId.fold(lww)(id => lww.filter(col("vec_id") =!= id))
     excluded
       .select(col("vec_id"),
         round(cosine_similarity(col("embedding"), litVec(q)), 6).as("cos_sim"))

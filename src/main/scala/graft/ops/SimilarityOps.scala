@@ -1176,6 +1176,44 @@ object SimilarityOps {
         .orderBy(col("tau"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // RANGE SEARCH × CHURN ([[IvfIndex.rangeSearchIndexLive]]) — s43's
+    // lossless threshold query over a LIVE index: the base arm keeps
+    // the cell-bound prune, the bounded pending channel is scanned in
+    // full (the radii say nothing about rows the k-means never saw, so
+    // no prune there could be lossless), and versions resolve
+    // last-writer-wins across BOTH arms BEFORE the threshold — the
+    // churn script re-upserts id 1 with its embedding NEGATED after
+    // tombstoning it, so whether id 1 qualifies at tau is judged by
+    // the MOVED vector (shadowing is load-bearing in the output, not
+    // just in a spec). Tombstones {2, 3, 105} vanish. Fully exact
+    // oracle: the brute-force threshold scan over the live corpus
+    // view (originals minus tombstoned, id 1 negated) at both taus.
+    // The static rangeSearchIndex now fails LOUDLY on a churning
+    // index instead of silently ignoring the channels (RangeLiveSpec).
+    "s45_range_live" -> ((s, dir) => withScratchDirs(s,
+      "graft-range-live") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      IvfIndex.saveCellRadii(s, idxDir)
+      val cents = IvfIndex.loadCentroids(s, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      IndexStreams.upsertBatch(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(1L, 2L, 3L, 105L), 2L, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") === 1L)
+        .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding")),
+        3L, idxDir, cents)
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      Seq(0.2, 0.3).map { tau =>
+        IvfIndex.rangeSearchIndexLive(s, idxDir, qe, tau, excludeId = Some(0L))
+          .withColumn("tau", lit(tau))
+      }.reduce(_ unionByName _)
+        .select(col("tau"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("tau"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // QUANTIZER RETRAIN UNDER DRIFT ([[IvfIndex.retrainLiveIndex]]) —
     // every churn cell so far serves from the BUILD-TIME centroids
     // forever; this is the compaction that closes that ceiling. The
@@ -1891,6 +1929,20 @@ object SimilarityOps {
         |SELECT t.tau, vec_id, cos_sim FROM (VALUES (0.2), (0.3)) AS t(tau), ex
         |WHERE cos_sim >= t.tau ORDER BY t.tau, cos_sim DESC, vec_id""".stripMargin,
     "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Live range search is FULLY exact like s43: the brute-force
+    // threshold scan over the live corpus view — tombstoned ids out,
+    // id 1 judged by its re-upserted (negated) embedding.
+    "s45_range_live" ->
+      """WITH corp AS (SELECT vec_id,
+        |    CASE WHEN vec_id = 1 THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |         ELSE CAST(embedding AS DOUBLE[]) END AS e
+        |  FROM embeddings WHERE vec_id NOT IN (2, 3, 105)),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |ex AS (SELECT c.vec_id, round(list_dot_product(c.e, q.qe) /
+        |  (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |  FROM corp c, q WHERE c.vec_id <> 0)
+        |SELECT t.tau, vec_id, cos_sim FROM (VALUES (0.2), (0.3)) AS t(tau), ex
+        |WHERE cos_sim >= t.tau ORDER BY t.tau, cos_sim DESC, vec_id""".stripMargin,
     // Retrain-under-drift: ground truth = originals ∪ antipodal wave
     // (every 4th vector negated, re-keyed +100000) minus the
     // tombstoned ids {100004, 100008, 5}; float negation is exact, so
