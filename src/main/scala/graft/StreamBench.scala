@@ -199,6 +199,36 @@ object StreamBench {
     val churnSec = (System.nanoTime() - tCh0) / 1e9
     require(churnOk, "churn wave served a deleted id or compaction changed serving")
 
+    // ---- RETRAIN stage (s44's machinery at the loop's scale): the
+    // index has served on BOOTSTRAPPED geometry — k-means from a 2%
+    // sample — for the whole loop; re-run k-means on the folded
+    // post-churn corpus (IvfIndex.retrainLiveIndex: atomic data +
+    // centroid + radii generation flip) and measure what full-corpus
+    // geometry buys the SAME query at the SAME nprobe: recall@20 vs
+    // the brute-force exact top-20 over the live base, before and
+    // after. retrain_sec covers the whole compaction (fold + k-means
+    // + reassignment + sidecar publish).
+    val exact20: Set[Long] = {
+      import graft.functions.VectorFunctions.cosine_similarity
+      spark.read.parquet(graft.ops.IvfIndex.liveBaseDir(
+          loopIdx, graft.ops.IvfIndex.readLiveState(spark, loopIdx).gen))
+        .select(col("vec_id"),
+          cosine_similarity(col("embedding"),
+            org.apache.spark.sql.functions.array(churnQuery.toSeq.map(lit): _*)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(20)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val recallPre = servedCompacted.count(t => exact20(t._1))
+    val tR0 = System.nanoTime()
+    val retrainedState = graft.ops.IvfIndex.retrainLiveIndex(spark, loopIdx, k = 16, iters = 2)
+    val retrainSec = (System.nanoTime() - tR0) / 1e9
+    val servedRetrained = liveTop()
+    val recallPost = servedRetrained.count(t => exact20(t._1))
+    val retrainOk = servedRetrained.nonEmpty &&
+      servedRetrained.forall(t => !delSet(t._1)) && recallPost >= recallPre
+    require(retrainOk,
+      s"retrain regressed serving: recall $recallPre -> $recallPost, gen ${retrainedState.gen}")
+
     def r1(x: Double): Double = math.round(x * 10.0) / 10.0
     println(
       s"""{"metric":"stream_docs_per_sec","sf":"$sfDir","total_docs":$total,""" +
@@ -215,7 +245,9 @@ object StreamBench {
       s""""loop_sec":${r1(loopSec)},"loop_docs_per_sec":${r1(upserted.sum() / loopSec)},""" +
       s""""loop_dedup_state_rows":$loopStateRows,"loop_dedup_state_bytes":$loopStateBytes,""" +
       s""""churn_deleted":${delIds.size},"churn_ok":$churnOk,""" +
-      s""""churn_post_compact_rows":$postCompactRows,"churn_sec":${r1(churnSec)}}""")
+      s""""churn_post_compact_rows":$postCompactRows,"churn_sec":${r1(churnSec)},""" +
+      s""""retrain_sec":${r1(retrainSec)},"retrain_gen":${retrainedState.gen},""" +
+      s""""retrain_recall20_pre":$recallPre,"retrain_recall20_post":$recallPost,"retrain_ok":$retrainOk}""")
     spark.stop()
   }
 }
