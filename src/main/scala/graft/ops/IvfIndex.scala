@@ -256,9 +256,18 @@ object IvfIndex {
       nprobe: Int,
       excludeId: Option[Long] = None
   ): DataFrame = {
+    val st = readLiveState(spark, indexDir)
+    // generation-aware: a compacted/retrained index serves its LIVE
+    // base (marker-resolved, like the geometry), and unconsumed churn
+    // channels fail loudly instead of being silently ignored — the
+    // rangeSearchIndex discipline (searchIndexLive is the merge-on-read
+    // path). Marker-less indexes resolve to `assignment/` unchanged.
+    require(pendingBatchIds(spark, indexDir, st).isEmpty,
+      s"$indexDir has unconsumed stream/tombstone batches — the static search would " +
+        "silently ignore them; use searchIndexLive (merge-on-read) or compact first")
     val cents = loadCentroids(spark, indexDir)
     val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
-    val scan = spark.read.parquet(s"$indexDir/assignment")
+    val scan = spark.read.parquet(liveBaseDir(indexDir, st.gen))
     val pruned = scan.filter(col("cluster").isin(probes: _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
     excluded
@@ -438,6 +447,49 @@ object IvfIndex {
         round(cosine_similarity(col("embedding"), litVec(q)), 6).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** TIME-TRAVEL search: the index exactly as generation `gen` served
+    * it — the [[graft.sources.TrainingShards.readAsOf]] story for the
+    * SERVING side (reproducing which index state answered a past
+    * query). A generation is a COMPACTED state: the fold of everything
+    * consumed through its marker; channels streamed after it belong to
+    * later generations by definition. Geometry resolves to the newest
+    * sidecar at-or-before `gen`, so a retrain BETWEEN two generations
+    * time-travels with the data (searching gen n−1 probes the
+    * centroids gen n−1 actually probed). Fails loudly when the
+    * generation is in the future or vacuum has reclaimed its base —
+    * never a silently-wrong corpus.
+    */
+  def searchIndexAsOf(
+      spark: SparkSession,
+      indexDir: String,
+      gen: Long,
+      queryVec: Array[Float],
+      k: Int,
+      nprobe: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val st = readLiveState(spark, indexDir)
+    require(gen <= st.gen,
+      s"generation $gen of $indexDir does not exist yet (live generation is ${st.gen})")
+    val basePath = new org.apache.hadoop.fs.Path(liveBaseDir(indexDir, gen))
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(basePath),
+      s"generation $gen of $indexDir is not readable — vacuum reclaimed it (live is " +
+        s"${st.gen}); pin vacuumLiveIndex's retainGenerations to the history depth a " +
+        "reproducible serving replay needs")
+    val g = geometryGen(spark, indexDir, "centroids", gen)
+    val cents = collectCentroids(
+      spark.read.parquet(geomDir(indexDir, "centroids", g)).select("cluster", "centroid"))
+    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
+    val pruned = spark.read.parquet(basePath.toString)
+      .filter(col("cluster").isin(probes: _*))
+    val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    excluded
+      .select(col("vec_id"),
+        round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Search a LIVE index: the batch-built `assignment/` plus everything

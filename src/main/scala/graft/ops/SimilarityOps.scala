@@ -1176,6 +1176,47 @@ object SimilarityOps {
         .orderBy(col("tau"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // INDEX TIME-TRAVEL ([[IvfIndex.searchIndexAsOf]]) — q109's
+    // reproducibility story for the SERVING side: which index state
+    // answered a past query? Each compaction/retrain is a generation;
+    // as-of search reads that generation's base under the geometry it
+    // actually probed (a retrain between generations time-travels with
+    // the data). Script: build on ids 100+, stream 0-99 in two epochs,
+    // tombstone {2, 3, 105}, COMPACT (generation 1 = all − {2,3,105}),
+    // then re-upsert 1 NEGATED and tombstone {7}, RETRAIN (generation
+    // 2 = gen-1 view with 1 moved and 7 gone, under fresh full-corpus
+    // geometry). Phases gen1/gen2, every cell probed ⇒ both phases are
+    // exact over their generation's corpus — fully exact oracle (two
+    // brute-force arms over the respective corpus states). AsOfSpec
+    // pins loud vacuum expiry, future-generation rejection, and that
+    // the two generations resolve DIFFERENT geometry.
+    "s46_index_time_travel" -> ((s, dir) => withScratchDirs(s,
+      "graft-idx-asof") { case Seq(idxDir) =>
+      import s.implicits._
+      import graft.streaming.IndexStreams
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      val cents = IvfIndex.loadCentroids(s, idxDir)
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
+      IndexStreams.upsertBatch(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
+      IndexStreams.tombstoneBatch(s, Seq(2L, 3L, 105L), 2L, idxDir)
+      IvfIndex.compactLiveIndex(s, idxDir) // generation 1
+      IndexStreams.upsertBatch(emb.filter(col("vec_id") === 1L)
+        .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding")),
+        3L, idxDir, IvfIndex.loadCentroids(s, idxDir))
+      IndexStreams.tombstoneBatch(s, Seq(7L), 4L, idxDir)
+      IvfIndex.retrainLiveIndex(s, idxDir, k = 16, iters = 2) // generation 2, new geometry
+      val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      Seq(1L, 2L).map { gen =>
+        IvfIndex.searchIndexAsOf(s, idxDir, gen, qe, k = 10, nprobe = 16,
+          excludeId = Some(0L))
+          .withColumn("generation", lit(gen))
+      }.reduce(_ unionByName _)
+        .select(col("generation"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("generation"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // RANGE SEARCH × CHURN ([[IvfIndex.rangeSearchIndexLive]]) — s43's
     // lossless threshold query over a LIVE index: the base arm keeps
     // the cell-bound prune, the bounded pending channel is scanned in
@@ -1929,6 +1970,28 @@ object SimilarityOps {
         |SELECT t.tau, vec_id, cos_sim FROM (VALUES (0.2), (0.3)) AS t(tau), ex
         |WHERE cos_sim >= t.tau ORDER BY t.tau, cos_sim DESC, vec_id""".stripMargin,
     "s32_hnsw_sq8_ann" -> s"$exactCosCte\n$annSoundnessSelect",
+    // Index time-travel is FULLY exact (every cell probed): per
+    // generation, the brute-force top-10 over that generation's corpus
+    // state — gen 1 = all − {2,3,105} (id 1 original), gen 2 = gen 1
+    // with id 1 negated and 7 gone.
+    "s46_index_time_travel" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |g1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |       WHERE vec_id NOT IN (2, 3, 105)),
+        |g2 AS (SELECT vec_id,
+        |    CASE WHEN vec_id = 1 THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |         ELSE CAST(embedding AS DOUBLE[]) END AS e
+        |  FROM embeddings WHERE vec_id NOT IN (2, 3, 105, 7)),
+        |s1 AS (SELECT 1 AS generation, c.vec_id, round(list_dot_product(c.e, q.qe) /
+        |  (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |  FROM g1 c, q WHERE c.vec_id <> 0),
+        |s2 AS (SELECT 2 AS generation, c.vec_id, round(list_dot_product(c.e, q.qe) /
+        |  (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |  FROM g2 c, q WHERE c.vec_id <> 0),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY generation ORDER BY cos_sim DESC, vec_id) AS rk FROM u)
+        |SELECT CAST(generation AS BIGINT) AS generation, vec_id, cos_sim
+        |FROM r WHERE rk <= 10 ORDER BY generation, cos_sim DESC, vec_id""".stripMargin,
     // Live range search is FULLY exact like s43: the brute-force
     // threshold scan over the live corpus view — tombstoned ids out,
     // id 1 judged by its re-upserted (negated) embedding.
