@@ -198,7 +198,10 @@ object RetrievalOps {
       .select(col("doc_id"), explode(array(approxPerQdoc: _*)).as("s"))
       .select(col("s.qdoc").as("qdoc"), col("doc_id"), col("s.approx").as("approx"))
       .filter(col("doc_id") =!= col("qdoc"))
-    // stage 2: top-nCand candidates per query doc, bounded heap
+    // stage 2: top-nCand candidates per query doc, bounded heap —
+    // MATERIALIZED (≤ nCand·|Q| rows): the gather and the per-qdoc
+    // admission both read it, and without the checkpoint each would
+    // re-run the whole cell-set aggregation
     val cand = approx
       .select(col("qdoc"),
         struct((-col("approx")).as("na"), col("doc_id")).as("rec"))
@@ -206,6 +209,7 @@ object RetrievalOps {
       .agg(minK(col("rec"), nCand).as("recs"))
       .select(col("qdoc"), explode(col("recs")).as("rec"))
       .select(col("qdoc"), col("rec.doc_id").as("doc_id"))
+      .localCheckpoint()
     // stage 3: exact kernel over the gathered survivors only
     val candDocs = cand.select("doc_id").distinct()
     val gathered = emb
