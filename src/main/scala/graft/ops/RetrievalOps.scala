@@ -476,6 +476,14 @@ object RetrievalOps {
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     require(nPos > 0 && nNeg > 0,
       s"degenerate training frame: $nPos positives / $nNeg negatives")
+    // integer-gradient headroom: |e| ≤ 1e6·max(nPos,nNeg) and |f| ≤ ~1e4,
+    // so Σ e·f over n rows is bounded by ~1e10·max(nPos,nNeg)·n — cap the
+    // frame well inside Long range rather than overflow silently (this
+    // fit is for BOUNDED candidate pools; corpus-scale features belong
+    // to the hashed-bucket logregFit, whose error mass is per-doc)
+    require(math.max(nPos, nNeg) * (nPos + nNeg) <= (1L << 26),
+      s"training frame too large for the integer gradient contract " +
+        s"(${nPos + nNeg} rows, ${math.max(nPos, nNeg)} majority) — use TextOps.logregFit")
     val nf = 5
     val w = Array.fill(nf)(0L)
     val hist = Array.ofDim[Long](iters, nf)
