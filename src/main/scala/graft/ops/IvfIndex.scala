@@ -34,8 +34,10 @@ object IvfIndex {
 
   /** Driver-side cosine replicating CosineSimilarity's exact sequential
     * double fold, so probe selection is bit-identical to executor scores.
+    * Shared across graft (RetrievalOps' centroid-interaction table) —
+    * exactly one implementation of this fold may exist.
     */
-  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var d = 0.0
     var na = 0.0
@@ -237,8 +239,15 @@ object IvfIndex {
     * geometry (indexes without a marker resolve to the plain build-time
     * `centroids/` dir unchanged).
     */
-  def loadCentroids(spark: SparkSession, indexDir: String): Centroids = {
-    val g = geometryGen(spark, indexDir, "centroids", readLiveState(spark, indexDir).gen)
+  def loadCentroids(spark: SparkSession, indexDir: String): Centroids =
+    loadCentroidsAt(spark, indexDir, readLiveState(spark, indexDir))
+
+  /** [[loadCentroids]] with an already-read marker — the hot serving
+    * paths read the marker once and resolve geometry from it instead
+    * of paying a second metadata round-trip per query.
+    */
+  private[ops] def loadCentroidsAt(spark: SparkSession, indexDir: String, st: LiveState): Centroids = {
+    val g = geometryGen(spark, indexDir, "centroids", st.gen)
     collectCentroids(spark.read.parquet(geomDir(indexDir, "centroids", g)).select("cluster", "centroid"))
   }
 
@@ -265,7 +274,7 @@ object IvfIndex {
     require(pendingBatchIds(spark, indexDir, st).isEmpty,
       s"$indexDir has unconsumed stream/tombstone batches — the static search would " +
         "silently ignore them; use searchIndexLive (merge-on-read) or compact first")
-    val cents = loadCentroids(spark, indexDir)
+    val cents = loadCentroidsAt(spark, indexDir, st)
     val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
     val scan = spark.read.parquet(liveBaseDir(indexDir, st.gen))
     val pruned = scan.filter(col("cluster").isin(probes: _*))
@@ -302,9 +311,13 @@ object IvfIndex {
   def saveCellRadii(spark: SparkSession, indexDir: String): Unit = {
     val st = readLiveState(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
+    // radii are pinned to the DATA generation they were computed over
+    // (not the geometry generation): a plain compaction can grow a
+    // cell's true radius without touching geometry, and range search's
+    // lossless claim is only sound against radii of the exact base it
+    // scans — resolution requires an exact-generation match
     saveCellRadiiFor(spark, indexDir, cents,
-      liveBaseDir(indexDir, st.gen),
-      geomDir(indexDir, "radii", geometryGen(spark, indexDir, "centroids", st.gen)))
+      liveBaseDir(indexDir, st.gen), geomDir(indexDir, "radii", st.gen))
   }
 
   /** Radii aggregation over an explicit assignment dir, written to an
@@ -322,6 +335,23 @@ object IvfIndex {
       .groupBy("cluster").agg(max(col("ang")).as("radius"))
       .coalesce(1)
       .write.mode("overwrite").parquet(radiiDir)
+  }
+
+  /** Load the radii sidecar for EXACTLY the live data generation. A
+    * plain compaction can grow a cell's true radius without touching
+    * geometry, so radii from any OTHER generation would make the
+    * "lossless" prune silently lossy — staleness is undetectable at
+    * read time unless the sidecar is generation-pinned, so it is, and
+    * a mismatch fails loudly naming the remedy.
+    */
+  private def loadRadiiFor(spark: SparkSession, indexDir: String, st: LiveState): Map[Int, Double] = {
+    val p = new org.apache.hadoop.fs.Path(geomDir(indexDir, "radii", st.gen))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$indexDir has no radii sidecar for generation ${st.gen} — the lossless prune is " +
+        "only sound against radii computed over the exact base it scans; run " +
+        "IvfIndex.saveCellRadii(spark, indexDir) after the build or after any compaction")
+    spark.read.parquet(p.toString).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
 
   /** The driver-side prune: cells whose angular bound clears `tau`
@@ -358,15 +388,8 @@ object IvfIndex {
       s"$indexDir has unconsumed stream/tombstone batches — the static range search " +
         "would silently ignore them; use rangeSearchIndexLive (merge-on-read) or " +
         "compact first")
-    val cents = loadCentroids(spark, indexDir)
-    val radiiPath = new org.apache.hadoop.fs.Path(
-      geomDir(indexDir, "radii", geometryGen(spark, indexDir, "radii", st.gen)))
-    val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(radiiPath),
-      s"$indexDir has no radii sidecar — range search's lossless prune needs " +
-        "IvfIndex.saveCellRadii(spark, indexDir) run after the build")
-    val radii: Map[Int, Double] = spark.read.parquet(radiiPath.toString)
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val cents = loadCentroidsAt(spark, indexDir, st)
+    val radii = loadRadiiFor(spark, indexDir, st)
     val kept = rangeKeptCells(cents, radii, q, tau)
     val pruned = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .filter(col("cluster").isin(kept.map(x => x: Any): _*))
@@ -376,6 +399,59 @@ object IvfIndex {
         round(cosine_similarity(col("embedding"), litVec(q)), 6).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** True iff `dir` holds at least one `batch=` partition — vacuum can
+    * leave the parent dir behind empty, and reading it would fail
+    * schema inference.
+    */
+  private def hasBatchDirs(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+  }
+
+  /** `base` ∪ the unconsumed upsert channel — the merge-on-read union
+    * shared by live search, live range search, and the compactions.
+    * `base` must carry (vec_id, embedding, cluster, batch) with batch =
+    * −1 (any tombstone outranks generation rows under LWW); channel
+    * rows keep their epoch. `through` bounds the window for the
+    * compactions (a fold must not consume batches landing after it
+    * chose its high-water mark).
+    */
+  private def withLiveChannel(spark: SparkSession, indexDir: String, st: LiveState,
+      base: DataFrame, through: Option[Long] = None): DataFrame = {
+    def inWindow(c: Column): Column =
+      through.fold(c > st.consumedThrough)(t => c > st.consumedThrough && c <= t)
+    val streamPath = s"$indexDir/stream_assignment"
+    if (hasBatchDirs(spark, streamPath))
+      base.unionByName(spark.read.parquet(streamPath)
+        .filter(inWindow(col("batch")))
+        .select(col("vec_id"), col("embedding"), col("cluster"), col("batch")))
+    else base
+  }
+
+  /** Merge-on-read tombstones, LAST WRITER WINS by epoch: a row is dead
+    * iff some tombstone batch at-or-after it names its id (base rows at
+    * batch −1 die to any tombstone; a re-upsert in a LATER batch than
+    * the delete resurfaces). One row per deleted id, broadcast —
+    * k-scale, never corpus-scale — so the anti-join adds no shuffle and
+    * any partition prune applied upstream is untouched.
+    */
+  private def applyTombstones(spark: SparkSession, indexDir: String, st: LiveState,
+      df: DataFrame, through: Option[Long] = None): DataFrame = {
+    val tombPath = s"$indexDir/tombstones"
+    if (!hasBatchDirs(spark, tombPath)) df
+    else {
+      def inWindow(c: Column): Column =
+        through.fold(c > st.consumedThrough)(t => c > st.consumedThrough && c <= t)
+      val tombs = spark.read.parquet(tombPath)
+        .filter(inWindow(col("batch")))
+        .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
+      df.join(broadcast(tombs), Seq("vec_id"), "left")
+        .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
+        .drop("tomb_batch")
+    }
   }
 
   /** Range search over a CHURNING index — merge-on-read, exact. The
@@ -400,41 +476,14 @@ object IvfIndex {
       tau: Double,
       excludeId: Option[Long] = None): DataFrame = {
     val st = readLiveState(spark, indexDir)
-    val cents = loadCentroids(spark, indexDir)
-    val radiiPath = new org.apache.hadoop.fs.Path(
-      geomDir(indexDir, "radii", geometryGen(spark, indexDir, "radii", st.gen)))
-    val fs = radiiPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(radiiPath),
-      s"$indexDir has no radii sidecar — range search's lossless prune needs " +
-        "IvfIndex.saveCellRadii(spark, indexDir) run after the build")
-    val radii: Map[Int, Double] = spark.read.parquet(radiiPath.toString)
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val cents = loadCentroidsAt(spark, indexDir, st)
+    val radii = loadRadiiFor(spark, indexDir, st)
     val kept = rangeKeptCells(cents, radii, q, tau)
-    def hasBatches(dir: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
-    }
     val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .filter(col("cluster").isin(kept.map(x => x: Any): _*))
-      .select(col("vec_id"), col("embedding"), lit(-1L).as("batch"))
-    val streamPath = s"$indexDir/stream_assignment"
-    val merged =
-      if (hasBatches(streamPath))
-        base.unionByName(spark.read.parquet(streamPath)
-          .filter(col("batch") > st.consumedThrough)
-          .select(col("vec_id"), col("embedding"), col("batch")))
-      else base
-    val tombPath = s"$indexDir/tombstones"
-    val afterTombs =
-      if (hasBatches(tombPath)) {
-        val tombs = spark.read.parquet(tombPath)
-          .filter(col("batch") > st.consumedThrough)
-          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
-        merged.join(broadcast(tombs), Seq("vec_id"), "left")
-          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
-          .drop("tomb_batch")
-      } else merged
+      .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
+    val afterTombs = applyTombstones(spark, indexDir, st,
+      withLiveChannel(spark, indexDir, st, base))
     // LWW FIRST (one row per id, latest epoch's embedding), threshold
     // SECOND — the grouped frame is kept base cells + the bounded
     // channel, never the whole corpus
@@ -510,50 +559,20 @@ object IvfIndex {
       nprobe: Int,
       excludeId: Option[Long] = None
   ): DataFrame = {
-    val cents = loadCentroids(spark, indexDir)
-    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
-    val conf = spark.sparkContext.hadoopConfiguration
-    // "exists" must mean "has at least one batch partition": vacuum can
-    // leave the parent dir behind empty, and reading it would fail
-    // schema inference
-    def exists(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(conf)
-      fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("batch="))
-    }
     val st = readLiveState(spark, indexDir)
+    val cents = loadCentroidsAt(spark, indexDir, st)
+    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
     // base rows carry batch = -1: ANY tombstone outranks them under the
-    // last-writer-wins merge below
+    // last-writer-wins merge ([[applyTombstones]]); channel batches at
+    // or before consumedThrough are already folded into the base —
+    // reading them again would double-serve ([[withLiveChannel]]'s
+    // window; `batch` is a partition column, so directory-level pruning)
     val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
-    val streamPath = s"$indexDir/stream_assignment"
-    val scan =
-      if (exists(streamPath))
-        base.unionByName(spark.read.parquet(streamPath)
-          // compaction already folded batches <= consumedThrough into the
-          // base — reading them again would double-serve; `batch` is a
-          // partition column, so this is directory-level pruning
-          .filter(col("batch") > st.consumedThrough)
-          .select(col("vec_id"), col("embedding"), col("cluster"), col("batch")))
-      else base
+    val scan = withLiveChannel(spark, indexDir, st, base)
     val pruned = scan.filter(col("cluster").isin(probes: _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
-    // merge-on-read tombstones, LAST WRITER WINS by epoch: a row is
-    // dead iff some tombstone batch at-or-after it names its id (base
-    // rows die to any tombstone; a re-upsert in a LATER batch than the
-    // delete resurfaces). The tombstone side aggregates to one row per
-    // deleted id and broadcasts — k-scale, never corpus-scale — so the
-    // anti-join adds no shuffle and the partition prune above is
-    // untouched.
-    val tombPath = s"$indexDir/tombstones"
-    val withTombs =
-      if (exists(tombPath)) {
-        val tombs = spark.read.parquet(tombPath)
-          .filter(col("batch") > st.consumedThrough)
-          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
-        excluded.join(broadcast(tombs), Seq("vec_id"), "left")
-          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
-      } else excluded
+    val withTombs = applyTombstones(spark, indexDir, st, excluded)
     withTombs
       .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -712,32 +731,10 @@ object IvfIndex {
     */
   private def foldLiveView(spark: SparkSession, indexDir: String,
       st: LiveState, through: Long): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def hasBatches(dir: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(conf)
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
-    }
     val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
       .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
-    val stream = {
-      val p = s"$indexDir/stream_assignment"
-      if (hasBatches(p))
-        base.unionByName(spark.read.parquet(p)
-          .filter(col("batch") > st.consumedThrough && col("batch") <= through)
-          .select(col("vec_id"), col("embedding"), col("cluster"), col("batch")))
-      else base
-    }
-    val tombPath = s"$indexDir/tombstones"
-    val afterTombs =
-      if (hasBatches(tombPath)) {
-        val tombs = spark.read.parquet(tombPath)
-          .filter(col("batch") > st.consumedThrough && col("batch") <= through)
-          .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
-        stream.join(broadcast(tombs), Seq("vec_id"), "left")
-          .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
-          .drop("tomb_batch")
-      } else stream
+    val afterTombs = applyTombstones(spark, indexDir, st,
+      withLiveChannel(spark, indexDir, st, base, Some(through)), Some(through))
     // one row per vec_id, latest epoch wins; struct ordering compares
     // batch first, so cluster/embedding only break (impossible) ties —
     // deterministic either way
@@ -775,8 +772,13 @@ object IvfIndex {
     // unreachable from any retained generation and reclaims with it
     // (the plain `centroids/` gen-0 dir is never deleted: k rows, and
     // it is the fallback root for marker-less readers)
-    Seq("centroids", "radii").foreach { sub =>
-      val minNeeded = geometryGen(spark, indexDir, sub, math.max(genFloor, 0L))
+    // centroids resolve "newest at-or-before" (a plain compaction keeps
+    // the last retrain's geometry), so the oldest needed dir is the
+    // retention floor's RESOLVER; radii are pinned to their EXACT data
+    // generation (the lossless-prune contract), so anything below the
+    // floor itself is dead
+    Seq("centroids" -> geometryGen(spark, indexDir, "centroids", math.max(genFloor, 0L)),
+        "radii" -> math.max(genFloor, 0L)).foreach { case (sub, minNeeded) =>
       fs.listStatus(root).foreach { s0 =>
         val n = s0.getPath.getName
         if (n.startsWith(s"${sub}_g") &&

@@ -415,7 +415,12 @@ object MultimodalOps {
     // length). Narrow map, no shuffle.
     "m11_png_features" -> ((s, dir) => {
       import s.implicits._
+      // the empty-text guard keeps the modulo pixel rule total (the
+      // fixture has no empty docs today; a future one must not throw
+      // on an executor); ASCII is a fixture-wide assumption every
+      // byte-replay oracle here shares (m01-m05)
       val feats = Tables.t(s, dir, "documents")
+        .where(length(col("text")) > 0)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val w = (3 + id % 4).toInt
@@ -663,7 +668,7 @@ object MultimodalOps {
     "m11_png_features" ->
       """WITH d AS (SELECT doc_id, text, CAST(3 + doc_id % 4 AS BIGINT) AS w,
         |                  CAST(5 + doc_id % 3 AS BIGINT) AS h, strlen(text) AS L
-        |           FROM documents),
+        |           FROM documents WHERE strlen(text) > 0),
         |px AS (SELECT doc_id, w, h,
         |         ascii(substr(text, CAST(i % L AS INT) + 1, 1)) AS v, i % 3 AS chan
         |       FROM d, UNNEST(range(0, 3 * w * h)) u(i))

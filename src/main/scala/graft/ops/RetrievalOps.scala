@@ -109,20 +109,13 @@ object RetrievalOps {
       .agg(round(sum(col("c")), 4).as("score"))
   }
 
-  /** Driver-side cosine replicating CosineSimilarity's sequential
-    * double fold (the [[IvfIndex]] discipline — centroid-interaction
-    * scores must be bit-consistent with executor math).
+  /** Driver-side cosine — THE shared [[IvfIndex.cosineLocal]] fold, not
+    * a copy: centroid-interaction scores must stay bit-consistent with
+    * executor math, and two implementations of "the exact sequential
+    * double fold" is how that promise silently breaks.
     */
-  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      d += x * y; na += x * x; nb += y * y; i += 1
-    }
-    val den = math.sqrt(na) * math.sqrt(nb)
-    if (den == 0.0) 0.0 else d / den
-  }
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double =
+    IvfIndex.cosineLocal(a, b)
 
   /** The exact late-interaction kernel shared by r15's shape and the
     * PLAID path: per-(query doc, corpus doc) MaxSim scores — one scan
@@ -471,8 +464,12 @@ object RetrievalOps {
       java.lang.Long.bitCount(lrDiv.toLong) == 1,
       s"lrDiv must be a positive power of two for bit-exact oracle replay, got $lrDiv")
     val f = feat.localCheckpoint()
+    // coalesce inside the aggregate: an EMPTY frame sums to SQL NULL,
+    // which would NPE on the unbox before the degenerate-frame require
+    // ever fires
     val Array(nPos, nNeg) = f
-      .agg(sum(col("y").cast("long")), sum(lit(1L) - col("y")))
+      .agg(coalesce(sum(col("y").cast("long")), lit(0L)),
+        coalesce(sum(lit(1L) - col("y")), lit(0L)))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     require(nPos > 0 && nNeg > 0,
       s"degenerate training frame: $nPos positives / $nNeg negatives")
