@@ -93,6 +93,17 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       spark.catalog.clearCache()
+      // Drop leftover localCheckpoint blocks too: clearCache only clears
+      // catalog-cached TABLES, while most queries checkpoint intermediate
+      // frames whose blocks otherwise accumulate in the block manager for
+      // the REST OF THE RUN (ContextCleaner reaps them only after a driver
+      // GC notices the orphaned RDD). Measured effect: late-alphabet
+      // queries (p04, x06 — x06 runs dead last) timed against 260+
+      // queries' garbage crept monotonically as the suite grew
+      // (x06 0.52→1.73 s over r12–r16) while their ISOLATED minimums sat
+      // at or below their references (x06 0.662 s vs ref 0.816) — suite
+      // position, not code, was the regression.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -568,12 +568,26 @@ object IvfIndex {
     // reading them again would double-serve ([[withLiveChannel]]'s
     // window; `batch` is a partition column, so directory-level pruning)
     val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+      .filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
-    val scan = withLiveChannel(spark, indexDir, st, base)
-    val pruned = scan.filter(col("cluster").isin(probes: _*))
+    val withTombs = applyTombstones(spark, indexDir, st,
+      withLiveChannel(spark, indexDir, st, base))
+    // LWW BEFORE the probe prune (the [[rangeSearchIndexLive]] discipline,
+    // applied here too so the two live serving paths share version
+    // semantics): a vec_id re-upserted in a later batch without an
+    // intervening tombstone must be served ONCE, by its latest embedding
+    // and latest cluster — never twice, and never by a stale base row in
+    // a probed cell when its current version moved to an unprobed one.
+    // Grouped frame = probed base cells + the bounded channel, not the
+    // corpus; base rows ride batch=-1 so any channel version outranks them.
+    val lww = withTombs
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("cluster")), col("batch")).as("v"))
+      .select(col("vec_id"), col("v.embedding").as("embedding"),
+        col("v.cluster").as("cluster"))
+    val pruned = lww.filter(col("cluster").isin(probes: _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
-    val withTombs = applyTombstones(spark, indexDir, st, excluded)
-    withTombs
+    excluded
       .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

@@ -26,6 +26,7 @@ object PngCodec extends MediaCodec {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   private val Bpp = 3 // 8-bit RGB
+  private val MaxPixels = 1L << 26 // decode cap: 8192x8192 truecolor
 
   private def crcOf(chunkType: Array[Byte], data: Array[Byte]): Int = {
     val c = new java.util.zip.CRC32()
@@ -148,6 +149,15 @@ object PngCodec extends MediaCodec {
           require(len == 13, s"IHDR must be 13 bytes, got $len")
           val w = readBe32(data, 0); val h = readBe32(data, 4)
           require(w > 0 && h > 0, s"degenerate dimensions ${w}x$h")
+          // fail loudly on hostile/corrupt dims: unbounded w·h would let the
+          // 32-bit stride/raw-size products below wrap (silently-garbage
+          // pixels past the inflate-length checks at best), and a
+          // legitimate-looking huge header would allocate unboundedly.
+          // Cap at 2^26 pixels (a 8192x8192 truecolor frame): then
+          // stride = 3w < 2^28 and (1+stride)·h ≤ h + 3wh < 2^29 — every
+          // product below provably fits an Int.
+          require(w.toLong * h.toLong <= MaxPixels,
+            s"PNG dimensions ${w}x$h exceed the $MaxPixels-pixel decode cap")
           require(data(8) == 8, s"only bit depth 8 supported, got ${data(8)}")
           require(data(9) == 2, s"only color type 2 (truecolor) supported, got ${data(9)}")
           require(data(10) == 0 && data(11) == 0, "nonstandard compression/filter method")

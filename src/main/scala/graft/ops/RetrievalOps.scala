@@ -287,10 +287,17 @@ object RetrievalOps {
     // impact metadata: queries×terms rows, driver-side
     val ubRows = contrib.groupBy("query_id", "term").agg(max(col("c")).as("ub"))
       .as[(Long, String, Double)].collect()
-    val ubMap: Map[String, Double] = ubRows.map { case (q, t, u) => s"$q|$t" -> u }.toMap
-    val restMap: Map[String, Double] = ubRows.map { case (q, t, _) =>
-      s"$q|$t" -> ubRows.filter(r => r._1 == q && r._2 != t).map(_._3).sum
-    }.toMap
+    // NESTED maps (query_id -> term -> value), never a "$q|$t" string key:
+    // terms come from whitespace tokenization of arbitrary text, so a term
+    // containing '|' could collide with another (query, term) pair and
+    // look up the wrong upper bound — unsound skips
+    val ubMap: Map[Long, Map[String, Double]] = ubRows
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(r => r._2 -> r._3).toMap }
+    val restMap: Map[Long, Map[String, Double]] = ubRows
+      .groupBy(_._1).map { case (q, xs) =>
+        val total = xs.map(_._3).sum
+        q -> xs.map(r => r._2 -> (total - r._3)).toMap
+      }
     // phase 1: impact-ordered list heads -> candidate docs -> exact
     // scores -> θ(q). Bounded: ≤ terms·topB candidate rows per query.
     val cand = contrib
@@ -312,13 +319,12 @@ object RetrievalOps {
     val restLit = typedLit(restMap)
     val thetaLit = typedLit(theta)
     val bounded = contrib
-      .withColumn("key", concat_ws("|", col("query_id"), col("term")))
-      .withColumn("ub", element_at(ubLit, col("key")))
+      .withColumn("ub", element_at(element_at(ubLit, col("query_id")), col("term")))
       .withColumn("bucket",
         least(lit(nBuckets - 1), floor(col("c") / col("ub") * nBuckets)).cast("int"))
       .withColumn("bmax", col("ub") * (col("bucket") + 1) / nBuckets)
       .withColumn("survives",
-        col("bmax") + element_at(restLit, col("key")) >=
+        col("bmax") + element_at(element_at(restLit, col("query_id")), col("term")) >=
           element_at(thetaLit, col("query_id")) - lit(1e-4))
       .localCheckpoint() // feeds both the skip stats and the gather
     val stats = bounded.groupBy("query_id")
@@ -478,7 +484,10 @@ object RetrievalOps {
     // frame well inside Long range rather than overflow silently (this
     // fit is for BOUNDED candidate pools; corpus-scale features belong
     // to the hashed-bucket logregFit, whose error mass is per-doc)
-    require(math.max(nPos, nNeg) * (nPos + nNeg) <= (1L << 26),
+    // division form: the product max·(nPos+nNeg) itself overflows Long on
+    // exactly the corpus-scale frames this guard exists to reject (e.g.
+    // nPos≈nNeg≈2^31 wraps negative and would pass a product-form check)
+    require(nPos + nNeg <= (1L << 26) / math.max(nPos, nNeg),
       s"training frame too large for the integer gradient contract " +
         s"(${nPos + nNeg} rows, ${math.max(nPos, nNeg)} majority) — use TextOps.logregFit")
     val nf = 5

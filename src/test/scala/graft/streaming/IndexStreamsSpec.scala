@@ -11,9 +11,10 @@ import java.nio.file.Files
   * micro-batches through [[IndexStreams.streamingIvfUpsert]], and the
   * spec pins the three contracts the design documents:
   *
-  *  1. a stream-added vector is findable via `searchIndexLive`, and the
-  *     live scan still prunes BOTH layouts at plan time (`cluster IN`
-  *     partition filters on the assignment AND stream_assignment scans);
+  *  1. a stream-added vector is findable via `searchIndexLive`, the
+  *     corpus-scale base scan still prunes at plan time (`cluster IN`
+  *     partition filter on the assignment scan), and the probe prune
+  *     re-applies after the LWW merge over the bounded channel;
   *  2. epoch replay is row-idempotent for the DATA and the upsert LOG
   *     (the batch overwrites its own `batch=<id>` partition in both);
   *  3. the emitted drift metric equals an independent batch
@@ -73,8 +74,13 @@ class IndexStreamsSpec extends AnyFunSuite {
     val live = IvfIndex.searchIndexLive(spark, idxDir, qe, k = 10, nprobe = 4,
       excludeId = Some(0L))
     val plan = live.queryExecution.executedPlan.toString
+    // base scan keeps the partition-level prune; the bounded channel is
+    // scanned whole (LWW-before-prune — a re-upsert may move a vector
+    // between cells) and the probe prune re-applies post-merge
     val inLists = "cluster#\\d+L? IN \\(([^)]*)\\)".r.findAllMatchIn(plan).toSeq
-    assert(inLists.size >= 2, s"expected cluster IN prune on BOTH scans in:\n$plan")
+    assert(inLists.nonEmpty, s"expected cluster IN prune on the base scan in:\n$plan")
+    assert("\\.cluster IN \\(".r.findFirstIn(plan).nonEmpty,
+      s"expected the post-LWW probe prune on the merged view:\n$plan")
     assert(inLists.forall(_.group(1).split(",").length == 4),
       s"expected 4 probed cells per scan: $inLists")
 

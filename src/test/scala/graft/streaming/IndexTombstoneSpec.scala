@@ -65,10 +65,38 @@ class IndexTombstoneSpec extends AnyFunSuite {
     val narrow = IvfIndex.searchIndexLive(spark, idxDir, qe, k = 10, nprobe = 4,
       excludeId = Some(0L))
     val plan = narrow.queryExecution.executedPlan.toString
+    // LWW-before-prune plan shape: the corpus-scale BASE scan keeps the
+    // partition-level cluster prune; the bounded channel is scanned whole
+    // (a re-upsert may have moved a vector between cells, so pruning it
+    // pre-LWW could serve a stale base row) and the probe prune re-applies
+    // AFTER the max_by merge as a struct-field filter.
     val inLists = "cluster#\\d+L? IN \\(([^)]*)\\)".r.findAllMatchIn(plan).toSeq
-    assert(inLists.size >= 2, s"expected cluster IN prune on both scans:\n$plan")
+    assert(inLists.nonEmpty, s"expected cluster IN prune on the base scan:\n$plan")
+    assert("\\.cluster IN \\(".r.findFirstIn(plan).nonEmpty,
+      s"expected the post-LWW probe prune on the merged view:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"tombstone merge must broadcast, not shuffle:\n$plan")
+  }
+
+  test("upsert-over-upsert without an intervening tombstone serves the id ONCE, " +
+    "by its latest version") {
+    val (emb, idxDir, qe) = churnedIndex()
+    // vec 10 was upserted in batch 0; land it again in batch 4 with a
+    // DIFFERENT embedding (vec 200's), no tombstone in between
+    val cents = IvfIndex.loadCentroids(spark, idxDir)
+    val moved = emb.filter(col("vec_id") === 200L)
+      .select(lit(10L).as("vec_id"), col("embedding"), col("label"))
+    IndexStreams.upsertBatch(moved, 4L, idxDir, cents)
+    val all = IvfIndex.searchIndexLive(spark, idxDir, qe, k = 600, nprobe = 16)
+    val rows = all.collect()
+    assert(rows.count(_.getLong(0) == 10L) <= 1,
+      "re-upserted id served twice — LWW must resolve upsert-over-upsert")
+    // the served score must be the LATEST embedding's (vec 200's), not batch 0's
+    val got10 = rows.collectFirst { case r if r.getLong(0) == 10L => r.getDouble(1) }
+    val got200 = rows.collectFirst { case r if r.getLong(0) == 200L => r.getDouble(1) }
+    assert(got10.nonEmpty, "re-upserted id 10 not served at all")
+    assert(got10 == got200,
+      s"id 10 served at stale score $got10, its latest (vec-200) version scores $got200")
   }
 
   test("tombstone replay is idempotent: re-landing batch 2 changes nothing") {
