@@ -63,10 +63,19 @@ object ScalePlaid {
       .localCheckpoint(true)
     val exactSec = (System.nanoTime() - t0) / 1e9
 
+    // plaid arm, split honestly: the inverted index build (offline at
+    // 100 TB, amortized across queries) vs the probed serve — but the
+    // headline sec.plaid stays build+serve so the comparison vs the
+    // index-free exact kernel is conservative
     val t1 = System.nanoTime()
-    val (topk, cand) = RetrievalOps.plaidMaxSim(emb, qvecs, cents, nCand = 40, k = 10)
+    val cellSets = RetrievalOps.plaidCellSets(emb, cents).localCheckpoint(true)
+    val buildSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val (topk, cand) = RetrievalOps.plaidMaxSim(
+      emb, cellSets, qvecs, cents, nCand = 40, k = 10, nprobe = 8)
     val got = topk.localCheckpoint(true)
     val plaidSec = (System.nanoTime() - t1) / 1e9
+    val serveSec = (System.nanoTime() - t2) / 1e9
 
     val nGathered = cand.select("doc_id").distinct().count()
     val rec = got.join(top10, col("query_doc") === col("kq") && col("doc_id") === col("k_id"))
@@ -74,11 +83,11 @@ object ScalePlaid {
     val perQ = qdocs.map(q => rec.getOrElse(q, 0L))
     def r2(x: Double) = math.round(x * 100.0) / 100.0
     println(
-      s"""{"sf":"$sfDir","n_docs":$nDocs,"n_queries":${qdocs.length},"k_cells":64,"n_cand":40,""" +
+      s"""{"sf":"$sfDir","n_docs":$nDocs,"n_queries":${qdocs.length},"k_cells":64,"n_cand":40,"nprobe":8,""" +
         s""""recall_at10":{"mean":${r2(perQ.sum.toDouble / perQ.length)},"min":${perQ.min},""" +
         s""""per_query":${perQ.mkString("[", ",", "]")}},""" +
         s""""candidate_fraction":${r2(nGathered.toDouble / nDocs)},""" +
-        s""""sec":{"plaid":${r2(plaidSec)},"exact_full":${r2(exactSec)}}}""")
+        s""""sec":{"plaid":${r2(plaidSec)},"index_build":${r2(buildSec)},"serve":${r2(serveSec)},"exact_full":${r2(exactSec)}}}""")
     spark.stop()
   }
 }

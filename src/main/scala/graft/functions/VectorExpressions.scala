@@ -252,6 +252,109 @@ case class BitHamming(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid assignment as ONE fused expression: argmax-cosine
+  * over a k×d centroid matrix shipped as a REFERENCE OBJECT (not k
+  * child expressions). The naive formulation — `array_max` over k
+  * `struct(cosine_similarity(...), -id)` columns — generates a method
+  * body past the JIT/codegen size limits at k=64, so the whole
+  * projection stage fell back to interpreted eval (measured ~12µs per
+  * cosine on the IVF build path: a 20k-vector assignment took 15s and
+  * a 2-iteration k-means train 35s at the 10x fixture). This node
+  * keeps the stage inside whole-stage codegen with a k·d loop.
+  *
+  * Arithmetic is bit-identical to the old fold: per cell,
+  * d += x_i·c_i, na += x_i², nb += c_i², sim = d / (√na·√nb) (0 when a
+  * norm is 0); ties broken toward the LOWEST cell id (the old struct
+  * ordering: sim desc, then -id desc). Returns
+  * struct<sim:double, cluster:int> so callers needing the best
+  * similarity (drift metrics) and the assignment share one kernel.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Float]], ids: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cents.length == ids.length && cents.nonEmpty, "empty centroid set")
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("sim", DoubleType, nullable = false),
+      StructField("cluster", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double> input, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var bestSim = Double.NegativeInfinity
+    var bestId = Int.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(x.numElements(), cv.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (x.isNullAt(i)) 0.0 else if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val ci = cv(i).toDouble
+        d += xi * ci; na += xi * xi; nb += ci * ci
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (denom == 0.0) 0.0 else d / denom
+      if (sim > bestSim || (sim == bestSim && ids(c) < bestId)) { bestSim = sim; bestId = ids(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, bestId))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    val getX =
+      if (isFloat) (arr: String, i: String) => s"($arr.isNullAt($i) ? 0.0d : (double) $arr.getFloat($i))"
+      else (arr: String, i: String) => s"($arr.isNullAt($i) ? 0.0d : $arr.getDouble($i))"
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val cv = ctx.freshName("cv"); val xi = ctx.freshName("xi"); val ci = ctx.freshName("ci")
+      val denom = ctx.freshName("denom"); val sim = ctx.freshName("sim")
+      val bestSim = ctx.freshName("bestSim"); val bestId = ctx.freshName("bestId")
+      s"""
+        double $bestSim = Double.NEGATIVE_INFINITY;
+        int $bestId = Integer.MAX_VALUE;
+        for (int $c = 0; $c < $centsRef.length; $c++) {
+          float[] $cv = $centsRef[$c];
+          int $n = java.lang.Math.min($a.numElements(), $cv.length);
+          double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = ${getX(a, i)};
+            double $ci = (double) $cv[$i];
+            $d += $xi * $ci; $na += $xi * $xi; $nb += $ci * $ci;
+          }
+          double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+          double $sim = ($denom == 0.0) ? 0.0 : $d / $denom;
+          if ($sim > $bestSim || ($sim == $bestSim && $idsRef[$c] < $bestId)) {
+            $bestSim = $sim; $bestId = $idsRef[$c];
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { $bestSim, $bestId });
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API for the vector kernels. */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -265,4 +368,12 @@ object VectorFunctions {
 
   def bit_hamming(a: Column, b: Column): Column =
     ColumnBridge.column(BitHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** struct<sim:double, cluster:int> of the max-cosine centroid (ties →
+    * lowest id); `cents` ride as one reference object, keeping k=64
+    * assignments inside whole-stage codegen.
+    */
+  def nearest_centroid(v: Column, cents: Array[(Int, Array[Float])]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
+      cents.map(_._2), cents.map(_._1)))
 }

@@ -10,11 +10,13 @@ import graft.functions.VectorFunctions.cosine_similarity
   * cells instead of everything.
   *
   * The k centroids are tiny (k <= 64) and live on the driver as plain
-  * arrays. Assignment embeds them as LITERAL vectors in a single
-  * projection — argmax-cosine via `array_max` over (sim, -cluster)
-  * structs — so it is shuffle-free and stays inside WholeStageCodegen
-  * (round 1 shipped a crossJoin + per-vector window here: a full
-  * corpus x k shuffle just to take an argmax). Lloyd's update step is
+  * arrays. Assignment ships them as ONE reference object into a fused
+  * argmax-cosine expression ([[graft.functions.NearestCentroid]]) — so
+  * it is shuffle-free and stays inside WholeStageCodegen (round 1
+  * shipped a crossJoin + per-vector window here: a full corpus x k
+  * shuffle just to take an argmax; rounds 2-16 an `array_max` over k
+  * struct columns whose generated code outgrew the codegen limits and
+  * ran interpreted). Lloyd's update step is
   * the only shuffle in training, keyed on k*dim cells, never on the
   * corpus. Deterministic: centroids initialise from the k lowest
   * vec_ids and iterate a fixed number of rounds, so the index is
@@ -53,16 +55,16 @@ object IvfIndex {
     if (denom == 0.0) 0.0 else d / denom
   }
 
-  /** Nearest-centroid id as ONE shuffle-free expression: `array_max` over
-    * (sim, -cluster) structs — struct ordering gives sim desc then
-    * cluster asc on ties, matching the old window's ORDER BY.
+  /** Nearest-centroid id as ONE shuffle-free, codegen-fused expression
+    * ([[graft.functions.NearestCentroid]]): argmax-cosine with ties to
+    * the lowest cluster id, bit-identical to the old `array_max` over
+    * (sim, -cluster) structs — which at k=64 generated past the codegen
+    * size limits, dropping the whole projection stage to interpreted
+    * eval (measured 15s for a 20k-vector assignment; fused: <0.5s).
     */
-  private def nearestCluster(centroids: Centroids): Column = {
-    val scored = centroids.map { case (c, vec) =>
-      struct(cosine_similarity(col("embedding"), litVec(vec)).as("sim"), lit(-c).as("nc"))
-    }
-    array_max(array(scored.toSeq: _*)).getField("nc") * -1
-  }
+  private def nearestCluster(centroids: Centroids): Column =
+    graft.functions.VectorFunctions.nearest_centroid(col("embedding"), centroids)
+      .getField("cluster")
 
   /** Assign each vector to its nearest (max-cosine) centroid — a pure
     * projection over the scan, no Exchange anywhere in the stage.
@@ -173,7 +175,7 @@ object IvfIndex {
   def saveCentroids(spark: SparkSession, cents: Centroids, indexDir: String): Unit =
     saveCentroidsTo(spark, cents, s"$indexDir/centroids")
 
-  private def saveCentroidsTo(spark: SparkSession, cents: Centroids, dir: String): Unit = {
+  private[ops] def saveCentroidsTo(spark: SparkSession, cents: Centroids, dir: String): Unit = {
     import spark.implicits._
     cents.toSeq
       .map { case (c, v) => (c, v.toSeq) }
@@ -217,7 +219,7 @@ object IvfIndex {
   // so resolution falls through to the last retrain — or to the plain
   // `centroids/` dir a build/bootstrap wrote for generation 0).
 
-  private def geomDir(indexDir: String, sub: String, g: Long): String =
+  private[ops] def geomDir(indexDir: String, sub: String, g: Long): String =
     if (g == 0L) s"$indexDir/$sub" else s"$indexDir/${sub}_g$g"
 
   /** Newest geometry generation at-or-before `gen` with a published
@@ -636,7 +638,7 @@ object IvfIndex {
     }
   }
 
-  private def publishLiveState(spark: SparkSession, indexDir: String, st: LiveState): Unit = {
+  private[ops] def publishLiveState(spark: SparkSession, indexDir: String, st: LiveState): Unit = {
     val dest = new org.apache.hadoop.fs.Path(s"$indexDir/$LiveStateFile")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$LiveStateFile.tmp")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)

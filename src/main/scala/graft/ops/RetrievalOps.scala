@@ -147,14 +147,17 @@ object RetrievalOps {
     * for Late Interaction Retrieval", CIKM 2022 — the production
     * front-end r15's kernel comment names). Three stages, all bounded:
     *
-    *  1. CENTROID INTERACTION: k-means cells over the TOKEN space (the
-    *     s04 coarse quantizer); each doc is summarized by its cell SET
-    *     (one narrow assignment projection + distinct — O(tokens) ->
-    *     O(docs·cells/doc) rows). The driver precomputes the |Q|×k
-    *     query-token × centroid cosine table (tiny) and ships it as
-    *     literal maps, so the approximate score
-    *     Σ_t max_{cell ∈ d} cos(t, centroid(cell)) is one groupBy over
-    *     the cell-set rows — never a token-level join.
+    *  1. CENTROID INTERACTION, INVERTED: k-means cells over the TOKEN
+    *     space (the s04 coarse quantizer); each doc is summarized by
+    *     its cell SET, stored as cell → doc postings
+    *     ([[plaidCellSets]], the offline index artifact). Each query
+    *     token probes its `nprobe` nearest centroids on the driver
+    *     (|Q|×k cosine table, tiny) and candidate generation reads
+    *     ONLY the probed cells' postings — `cluster IN (probed)` on
+    *     the posting scan, O(probed postings) work. The approximate
+    *     score is Σ_t max_{cell ∈ d ∩ probe(t)} cos(t, centroid(cell))
+    *     (0 when a token probes none of the doc's cells) — one groupBy
+    *     over the probed posting rows, never a token-level join.
     *  2. CANDIDATE SELECTION: per query doc, the top-`nCand` docs by
     *     approximate score through a bounded minK heap (PLAID's
     *     ndocs budget) — the stage that makes the exact kernel's cost
@@ -168,40 +171,38 @@ object RetrievalOps {
     * Returns (top-k results `(query_doc, rank, doc_id, maxsim)`,
     * candidate pairs `(qdoc, doc_id)`).
     */
+  /** The PLAID inverted index: one row per (doc, token-cell) — read as
+    * cell → doc postings by the probed candidate generation below. At
+    * 100 TB this is the artifact an offline build materializes
+    * (partitioned by `cluster`, the IvfIndex layout); here it is one
+    * narrow assignment projection + distinct.
+    */
+  def plaidCellSets(emb: DataFrame, cents: IvfIndex.Centroids): DataFrame =
+    IvfIndex.assignments(emb, cents)
+      .select(expr("vec_id div 8").as("doc_id"), col("cluster").cast("int").as("cluster"))
+      .distinct()
+
   def plaidMaxSim(
       emb: DataFrame,
       qvecs: Seq[(Long, Long, Seq[Float])],
       cents: IvfIndex.Centroids,
       nCand: Int,
-      k: Int): (DataFrame, DataFrame) = {
-    val qdocs = qvecs.map(_._1).distinct.sorted
-    // stage 1: doc cell-sets from one narrow projection
-    val cellSets = IvfIndex.assignments(emb, cents)
-      .select(expr("vec_id div 8").as("doc_id"), col("cluster").cast("int").as("cluster"))
-      .distinct()
-    val aggCols = qvecs.sortBy(t => (t._1, t._2)).map { case (qd, qt, v) =>
-      val tbl = typedLit(cents.map { case (c, cv) => c -> cosLocal(v.toArray, cv) }.toMap)
-      max(element_at(tbl, col("cluster"))).as(s"a_${qd}_$qt")
-    }
-    val approxPerQdoc = qdocs.map { qd =>
-      struct(lit(qd).as("qdoc"),
-        qvecs.filter(_._1 == qd).map(t => col(s"a_${qd}_${t._2}")).reduce(_ + _).as("approx"))
-    }
-    val approx = cellSets.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-      .select(col("doc_id"), explode(array(approxPerQdoc: _*)).as("s"))
-      .select(col("s.qdoc").as("qdoc"), col("doc_id"), col("s.approx").as("approx"))
-      .filter(col("doc_id") =!= col("qdoc"))
-    // stage 2: top-nCand candidates per query doc, bounded heap —
-    // MATERIALIZED (≤ nCand·|Q| rows): the gather and the per-qdoc
-    // admission both read it, and without the checkpoint each would
-    // re-run the whole cell-set aggregation
-    val cand = approx
-      .select(col("qdoc"),
-        struct((-col("approx")).as("na"), col("doc_id")).as("rec"))
-      .groupBy("qdoc")
-      .agg(minK(col("rec"), nCand).as("recs"))
-      .select(col("qdoc"), explode(col("recs")).as("rec"))
-      .select(col("qdoc"), col("rec.doc_id").as("doc_id"))
+      k: Int,
+      nprobe: Int = 8): (DataFrame, DataFrame) =
+    plaidMaxSim(emb, plaidCellSets(emb, cents), qvecs, cents, nCand, k, nprobe)
+
+  def plaidMaxSim(
+      emb: DataFrame,
+      cellSets: DataFrame,
+      qvecs: Seq[(Long, Long, Seq[Float])],
+      cents: IvfIndex.Centroids,
+      nCand: Int,
+      k: Int,
+      nprobe: Int): (DataFrame, DataFrame) = {
+    // stages 1+2 — MATERIALIZED (≤ nCand·|Q| rows): the gather and the
+    // per-qdoc admission both read the candidate frame, and without the
+    // checkpoint each would re-run the posting aggregation
+    val cand = plaidCandidates(cellSets, qvecs, cents, nCand, nprobe)
       .localCheckpoint()
     // stage 3: exact kernel over the gathered survivors only
     val candDocs = cand.select("doc_id").distinct()
@@ -220,6 +221,60 @@ object RetrievalOps {
         col("rec.doc_id").as("doc_id"), col("rec.maxsim").as("maxsim"))
       .orderBy("query_doc", "rank")
     (topk, cand)
+  }
+
+  /** Stages 1+2 of [[plaidMaxSim]], returned LAZY so specs can pin the
+    * plan: candidate generation must read only the probed cells'
+    * postings (`cluster IN (probed)` pushed onto the posting scan).
+    */
+  private[graft] def plaidCandidates(
+      cellSets: DataFrame,
+      qvecs: Seq[(Long, Long, Seq[Float])],
+      cents: IvfIndex.Centroids,
+      nCand: Int,
+      nprobe: Int): DataFrame = {
+    // stage 1, INVERTED (the production PLAID shape): each query token
+    // probes its `nprobe` nearest centroids on the driver (|Q|×k table,
+    // tiny), and candidate generation reads ONLY the probed cells'
+    // postings — the `cluster IN (probed)` filter lands on the posting
+    // scan, so work is O(postings in probed cells), independent of how
+    // many cells the rest of the corpus occupies. The per-posting payload
+    // is the driver-shipped list of (query doc, query token, cos) entries
+    // that probed this cell — typically nprobe/k of the |Q| entries the
+    // old full-scan form evaluated per row. A token with NO probed cell
+    // in a doc contributes 0 to that doc's approximate score (PLAID's
+    // semantics; the old form took max over ALL the doc's cells instead —
+    // recall at the operating point is re-measured, not assumed:
+    // PlaidProbe at the gate SFs, ScalePlaid at 10x/30x).
+    val probeEntries: Map[Int, Seq[(Long, Long, Double)]] = qvecs
+      .flatMap { case (qd, qt, v) =>
+        val qv = v.toArray
+        IvfIndex.probeCells(cents, qv, nprobe).map { c =>
+          c -> (qd, qt, cosLocal(qv, cents.find(_._1 == c).get._2))
+        }
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val pLit = typedLit(probeEntries)
+    val probedCells = probeEntries.keys.toSeq.sorted
+    val hits = cellSets
+      .filter(col("cluster").isin(probedCells.map(c => c: Any): _*))
+      .select(col("doc_id"), explode(element_at(pLit, col("cluster"))).as("e"))
+      .select(col("doc_id"), col("e._1").as("qdoc"), col("e._2").as("qtok"),
+        col("e._3").as("c"))
+      .filter(col("doc_id") =!= col("qdoc"))
+    val acols = (0 until 8).map(i =>
+      coalesce(max(when(col("qtok") === i, col("c"))), lit(0.0)).as(s"m$i"))
+    val approx = hits.groupBy("qdoc", "doc_id").agg(acols.head, acols.tail: _*)
+      .select(col("qdoc"), col("doc_id"),
+        (0 until 8).map(i => col(s"m$i")).reduce(_ + _).as("approx"))
+    // stage 2: top-nCand candidates per query doc, bounded heap
+    approx
+      .select(col("qdoc"),
+        struct((-col("approx")).as("na"), col("doc_id")).as("rec"))
+      .groupBy("qdoc")
+      .agg(minK(col("rec"), nCand).as("recs"))
+      .select(col("qdoc"), explode(col("recs")).as("rec"))
+      .select(col("qdoc"), col("rec.doc_id").as("doc_id"))
   }
 
   /** MaxScore / block-max-WAND bounded evaluation (Turtle & Flood 1995;
@@ -1153,10 +1208,13 @@ object RetrievalOps {
     // PLAID centroid front-end ahead of the exact MaxSim kernel
     // ([[plaidMaxSim]]) — r15 scores EVERY document; at 100 TB the
     // token-level index multiplies corpus size by tokens/doc and the
-    // production engine prunes first. Stage 1 summarizes each doc by
-    // its token-CELL set and scores Σ_t max_cell cos(t, centroid)
-    // from a driver-precomputed |Q|×k table (one narrow projection +
-    // one groupBy — never a token join); stage 2 takes the top-32
+    // production engine prunes first. Stage 1 is INVERTED (round 17):
+    // docs are indexed as token-cell → doc postings ([[plaidCellSets]])
+    // and each query token probes its nprobe nearest centroids, so
+    // candidate generation reads ONLY the probed cells' postings —
+    // O(probed postings), plan-pinned in PlaidSpec — scoring
+    // Σ_t max_{cell ∈ d ∩ probe(t)} cos(t, centroid) from the
+    // driver-shipped per-cell entry lists; stage 2 takes the top-32
     // docs per query through a bounded minK heap; stage 3 gathers the
     // survivors' full token vectors under a broadcast semi-join and
     // scores them with the EXACT kernel (identical arithmetic to r15,

@@ -53,12 +53,13 @@ object IndexStreams {
     * specs can drive the exact replay case.
     */
   def upsertBatch(batch: DataFrame, batchId: Long, indexDir: String, cents: Centroids): (Long, Double) = {
-    import graft.functions.VectorFunctions.cosine_similarity
-    // max cosine over the k centroid literals = similarity to the
-    // ASSIGNED centroid (assignment is argmax-cosine), shuffle-free
-    val simToAssigned = array_max(array(cents.map { case (_, v) =>
-      cosine_similarity(col("embedding"), array(v.toSeq.map(lit): _*))
-    }.toSeq: _*))
+    // max cosine over the k centroids = similarity to the ASSIGNED
+    // centroid (assignment is argmax-cosine), shuffle-free — the fused
+    // codegen kernel; the old array_max over k cosine columns fell out
+    // of whole-stage codegen at k=64 and ran interpreted
+    val simToAssigned =
+      graft.functions.VectorFunctions.nearest_centroid(col("embedding"), cents)
+        .getField("sim")
     val assigned = IvfIndex.assignments(batch.select("vec_id", "embedding"), cents)
       .withColumn("cos_sim", simToAssigned)
       .localCheckpoint() // one assignment computation feeds both the write and the metric

@@ -60,6 +60,28 @@ class PlaidSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate generation is plan-pinned to O(probed postings): the cluster IN " +
+    "filter reaches the posting scan and names a PROPER subset of the cells") {
+    val (emb, cents, qvecs) = fixture()
+    // a parquet-backed posting index, the production layout — so the probe
+    // filter has a real scan to push into
+    val dir = java.nio.file.Files.createTempDirectory("graft-plaid-idx").toString + "/postings"
+    RetrievalOps.plaidCellSets(emb, cents).write.parquet(dir)
+    val cellSets = spark.read.parquet(dir)
+    // nprobe=2 of 64 cells: the probed union over 16 query tokens cannot
+    // cover the full cell space, so the IN-list is a proper subset and the
+    // assertion is not vacuous
+    val cand = RetrievalOps.plaidCandidates(cellSets, qvecs, cents, nCand = 16, nprobe = 2)
+    val plan = cand.queryExecution.executedPlan.toString
+    // past the optimizer's IN->INSET threshold the filter renders as
+    // `cluster INSET ...`; the authoritative pin is the PushedFilters
+    // entry on the parquet scan itself
+    val pushed = "PushedFilters: \\[In\\(cluster, \\[([0-9,]*)".r.findFirstMatchIn(plan)
+    assert(pushed.nonEmpty, s"cluster IN not PUSHED into the parquet posting scan:\n$plan")
+    val nProbed = pushed.get.group(1).split(",").length
+    assert(nProbed <= 32, s"probed $nProbed of 64 cells — filter does not bite:\n$plan")
+  }
+
   test("r17 soundness rows hold at both gate SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = graft.SparkEntry.queries("r17_plaid_maxsim")(spark, dir).collect()
