@@ -226,6 +226,25 @@ object NswIndex {
   def build(emb: DataFrame, indexDir: String, k: Int, iters: Int, m: Int, efC: Int,
       metaCol: Option[String] = None): Centroids = {
     val spark = emb.sparkSession
+    val cents = buildInto(emb, indexDir, gen = 0L, k, iters, m, efC, metaCol)
+    // fresh index = generation 0: a stale marker from a previous
+    // generation-bearing life of this dir must not outlive the data it
+    // described. Deleted AFTER the gen-0 data is complete — a crash
+    // before the delete leaves the old generation serving consistently.
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_LIVE_STATE")
+    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(markerPath)) mfs.delete(markerPath, false)
+    cents
+  }
+
+  /** [[build]]'s body, parameterized by target generation: writes
+    * `cells[_g<gen>]` + the matching centroid sidecar but never touches
+    * the generation marker — the caller decides when (and whether) the
+    * new generation becomes visible.
+    */
+  private def buildInto(emb: DataFrame, indexDir: String, gen: Long, k: Int,
+      iters: Int, m: Int, efC: Int, metaCol: Option[String]): Centroids = {
+    val spark = emb.sparkSession
     import spark.implicits._
     val cents = IvfIndex.train(emb, k, iters)
     val assigned = metaCol match {
@@ -263,7 +282,7 @@ object NswIndex {
       .write
       .mode("overwrite")
       .partitionBy("cluster")
-      .parquet(s"$indexDir/cells")
+      .parquet(cellsDir(indexDir, gen))
     // marker the filtered searches REQUIRE: without it an index built
     // metaCol-less (meta = 0 everywhere) would answer metadata
     // predicates with silently-wrong (usually empty) results. A
@@ -284,8 +303,11 @@ object NswIndex {
     }
     // centroid sidecar (the IVF/SQ8 discipline): a restarted process —
     // the streaming churn wiring included — must route probes without
-    // retraining; callers holding the returned value lose nothing
-    IvfIndex.saveCentroids(spark, cents, indexDir)
+    // retraining; callers holding the returned value lose nothing.
+    // Written PER GENERATION so geometry can never mix with the wrong
+    // generation's cells ([[IvfIndex.loadCentroids]] resolves through
+    // the same marker the cells reads use).
+    IvfIndex.saveCentroidsTo(spark, cents, IvfIndex.geomDir(indexDir, "centroids", gen))
     cents
   }
 
@@ -354,7 +376,7 @@ object NswIndex {
     import spark.implicits._
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(probes.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("nbrs"))
@@ -412,7 +434,7 @@ object NswIndex {
     // churn hook (the searchFrameManyLive seam): dropped ids stay
     // navigable but never surface — the filtered-walk keep discipline
     val bDrop = spark.sparkContext.broadcast(dropIds)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("nbrs"))
@@ -500,7 +522,7 @@ object NswIndex {
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
     val bDrop = spark.sparkContext.broadcast(dropIds)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(probes.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("nbrs"), col("meta"))
@@ -546,7 +568,7 @@ object NswIndex {
     requireMetaIndex(spark, indexDir, expectMetaCol)
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val qLit = array(q.toSeq.map(lit): _*)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(probes.map(x => x: Any): _*))
       .filter(metaPred && col("vec_id") =!= excludeId)
       .select(col("vec_id"),
@@ -589,7 +611,7 @@ object NswIndex {
     val routing: Map[Long, Seq[Int]] =
       queries.map { case (qid, qv) => qid -> IvfIndex.probeCells(cents, qv, nprobe) }
     val cellsUnion = routing.values.flatten.toSeq.distinct.sorted
-    val scan = spark.read.parquet(s"$indexDir/cells")
+    val scan = readCells(spark, indexDir)
       .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
       .filter(metaPred)
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"), col("embedding"))
@@ -652,7 +674,7 @@ object NswIndex {
     val cellsUnion = routing.keys.toSeq.sorted
     val bq = spark.sparkContext.broadcast(queries)
     val br = spark.sparkContext.broadcast(routing)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("nbrs"), col("meta"))
@@ -717,7 +739,9 @@ object NswIndex {
         // policy (someone never rebuilt) into a loud error instead of a
         // driver OOM
         CollectGuard.smallDistinct(
-          spark.read.parquet(tombPath.toString).select("vec_id"), cap = 1L << 20)
+          spark.read.parquet(tombPath.toString)
+            .filter(col("batch").cast("long") > consumedThrough(spark, indexDir))
+            .select("vec_id"), cap = 1L << 20)
           .map(_.getLong(0)).toSet
       else Set.empty
     searchFrameFilteredByIds(spark, indexDir, cents, q, excludeId, k, nprobe, ef, deleted)
@@ -734,9 +758,11 @@ object NswIndex {
     * step, run when the deleted set grows past serving policy.
     * Deterministic: the survivors are exactly a filtered corpus, so
     * the rebuilt index is BIT-IDENTICAL to a fresh [[build]] over that
-    * corpus (spec-pinned). The survivors are materialized BEFORE the
-    * overwrite — the build must never read `cells` lazily while
-    * replacing it.
+    * corpus (spec-pinned). GENERATION-SAFE: the survivors materialize
+    * first, the new generation's cells + centroids are written
+    * completely, and only then does the atomic `_LIVE_STATE` flip make
+    * them visible — a crash anywhere leaves the old generation serving
+    * (NswGenerationSpec's kill-seam).
     */
   def rebuildTombstoned(
       spark: SparkSession,
@@ -746,30 +772,50 @@ object NswIndex {
       m: Int,
       efC: Int): Centroids = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val st = IvfIndex.readLiveState(spark, indexDir)
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = tombPath.getFileSystem(conf)
-    val hasTombs = fs.exists(tombPath) &&
-      fs.listStatus(tombPath).exists(_.getPath.getName.startsWith("batch="))
+    val tombBatches = channelBatchIds(spark, tombPath.toString)
+      .filter(_ > st.consumedThrough)
     // a META-BUILT index rebuilds WITH its metadata: the cell files hold
     // the attribute values, and the marker holds the source column name —
     // carry both through, or filtered search would die at the (deleted)
     // marker after every rebuild
     val metaName: Option[String] = readMetaMarker(spark, indexDir)
     val cells = metaName match {
-      case Some(c) => spark.read.parquet(s"$indexDir/cells")
+      case Some(c) => readCells(spark, indexDir)
         .select(col("vec_id"), col("embedding"), col("meta").as(c))
-      case None => spark.read.parquet(s"$indexDir/cells")
+      case None => readCells(spark, indexDir)
         .select(col("vec_id"), col("embedding"))
     }
     val survivors =
-      (if (hasTombs)
+      (if (tombBatches.nonEmpty)
         cells.join(
-          broadcast(spark.read.parquet(tombPath.toString).select("vec_id").distinct()),
+          broadcast(spark.read.parquet(tombPath.toString)
+            .filter(col("batch").cast("long") > st.consumedThrough)
+            .select("vec_id").distinct()),
           Seq("vec_id"), "left_anti")
       else cells).localCheckpoint(true)
-    val cents = build(survivors, indexDir, k, iters, m, efC, metaCol = metaName)
-    if (fs.exists(tombPath)) fs.delete(tombPath, true) // consumed: clean epoch
+    // generation-safe publish (the IVF discipline): the new cells +
+    // centroids are COMPLETE before the marker names them — a crash at
+    // any point keeps the old generation serving
+    val through = (tombBatches :+ st.consumedThrough).max
+    val cents = buildInto(survivors, indexDir, st.gen + 1, k, iters, m, efC,
+      metaCol = metaName)
+    IvfIndex.publishLiveState(spark, indexDir, IvfIndex.LiveState(st.gen + 1, through))
+    // consumed: clean epoch — hygiene only, the consumedThrough window
+    // already excludes these batches for every reader
+    if (fs.exists(tombPath)) fs.delete(tombPath, true)
     cents
+  }
+
+  /** `batch=<id>` partition ids under a channel dir. */
+  private def channelBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
   }
 
   /** The tombstone walk against an explicit deleted-id set (the seam
@@ -789,7 +835,7 @@ object NswIndex {
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
     val bDel = spark.sparkContext.broadcast(deleted)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(probes.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("nbrs"))
@@ -866,6 +912,49 @@ object NswIndex {
     n
   }
 
+  // ---- generation machinery (the IvfIndex discipline, ported) --------
+  //
+  // Rebuilds previously overwrote `cells/` IN PLACE: a crash mid-
+  // overwrite lost the index where the IVF side would keep serving the
+  // old generation. Now a rebuild writes `cells_g<n+1>` +
+  // `centroids_g<n+1>` COMPLETELY, then atomically publishes the shared
+  // `_LIVE_STATE` marker (gen + consumedThrough); every cells read and
+  // every channel read resolves through the marker, so a crash at any
+  // point leaves the old generation serving consistently. Consumed
+  // channel batches are deleted AFTER the flip as hygiene — the
+  // consumedThrough window already excludes them, so the delete is not
+  // load-bearing for correctness.
+
+  /** Cells directory for generation `gen` (0 = the plain build-time dir). */
+  private[ops] def cellsDir(indexDir: String, gen: Long): String =
+    if (gen == 0L) s"$indexDir/cells" else s"$indexDir/cells_g$gen"
+
+  /** The serving cells, resolved through the generation marker. */
+  private def readCells(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(cellsDir(indexDir, IvfIndex.readLiveState(spark, indexDir).gen))
+
+  /** Channel batches at or before this epoch are already folded into the
+    * serving generation — reading them again would double-apply them
+    * (a leftover tombstone would kill the folded survivor it targeted).
+    */
+  private def consumedThrough(spark: SparkSession, indexDir: String): Long =
+    IvfIndex.readLiveState(spark, indexDir).consumedThrough
+
+  /** Reclaim superseded cell generations, keeping the serving one plus
+    * `retain` predecessors for in-flight readers. Returns deleted paths.
+    */
+  def vacuumCells(spark: SparkSession, indexDir: String, retain: Int = 1): Seq[String] = {
+    val st = IvfIndex.readLiveState(spark, indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0L until math.max(0L, st.gen - retain)).flatMap { g =>
+      Seq(cellsDir(indexDir, g), IvfIndex.geomDir(indexDir, "centroids", g)).flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) { fs.delete(p, true); Some(d) } else None
+      }
+    }
+  }
+
   /** Does `dir` exist with at least one `batch=` partition? (Vacuumed
     * channels can leave an empty parent behind; reading it would fail
     * schema inference.)
@@ -899,7 +988,11 @@ object NswIndex {
     val tombPath = s"$indexDir/tombstones"
     if (hasBatches(spark, tombPath))
       CollectGuard.smallDistinct(
-        spark.read.parquet(tombPath).groupBy("vec_id")
+        spark.read.parquet(tombPath)
+          // batches at or before consumedThrough are folded into the
+          // serving generation — re-applying them would kill survivors
+          .filter(col("batch").cast("long") > consumedThrough(spark, indexDir))
+          .groupBy("vec_id")
           // batch is a partition DIRECTORY column — inferred int, cast
           // to the epochs' long domain before it meets the literals
           .agg(max(col("batch").cast("long")).as("tb")), cap = 1L << 20)
@@ -921,6 +1014,7 @@ object NswIndex {
       spark: SparkSession,
       pendPath: String,
       tombMax: Map[Long, Long],
+      through: Long,
       probes: Seq[Int],
       q: Array[Float],
       excludeId: Long,
@@ -930,6 +1024,7 @@ object NswIndex {
     val qLit = array(q.toSeq.map(lit): _*)
     val tombLit = typedLit(tombMax)
     val base = spark.read.parquet(pendPath)
+      .filter(col("batch").cast("long") > through) // consumed epochs are folded
       .filter(col("vec_id") =!= excludeId)
       // LWW vs tombstones: survive iff no tombstone, or strictly newer
       // than the latest one (the IVF merge's predicate, as a map literal)
@@ -968,7 +1063,9 @@ object NswIndex {
     val pendingIds: Set[Long] =
       if (hasBatches(spark, pendPath))
         CollectGuard.smallDistinct(
-          spark.read.parquet(pendPath).select("vec_id"), cap = 1L << 20)
+          spark.read.parquet(pendPath)
+            .filter(col("batch").cast("long") > consumedThrough(spark, indexDir))
+            .select("vec_id"), cap = 1L << 20)
           .map(_.getLong(0)).toSet
       else Set.empty
     // Both channels empty ⇒ STRUCTURAL parity with the static path:
@@ -988,7 +1085,8 @@ object NswIndex {
     else {
       val probes = IvfIndex.probeCells(cents, q, nprobe)
       walkArm.unionByName(
-        pendingTailArm(spark, pendPath, tombMax, probes, q, excludeId, k))
+        pendingTailArm(spark, pendPath, tombMax, consumedThrough(spark, indexDir),
+          probes, q, excludeId, k))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(k)
     }
@@ -1026,7 +1124,9 @@ object NswIndex {
     val pendingIds: Set[Long] =
       if (hasBatches(spark, pendPath))
         CollectGuard.smallDistinct(
-          spark.read.parquet(pendPath).select("vec_id"), cap = 1L << 20)
+          spark.read.parquet(pendPath)
+            .filter(col("batch").cast("long") > consumedThrough(spark, indexDir))
+            .select("vec_id"), cap = 1L << 20)
           .map(_.getLong(0)).toSet
       else Set.empty
     val walk = searchFrameMany(spark, indexDir, cents, queries, k, nprobe, ef,
@@ -1039,6 +1139,7 @@ object NswIndex {
       // LWW FIRST (whole bounded channel), probe-prune per query SECOND
       // — the [[pendingTailArm]] discipline, amortized across the panel
       val resolved = spark.read.parquet(pendPath)
+        .filter(col("batch").cast("long") > consumedThrough(spark, indexDir))
         .filter(coalesce(element_at(tombLit, col("vec_id")), lit(Long.MinValue)) < col("batch"))
         .groupBy("vec_id")
         .agg(max_by(struct(col("embedding"), col("cluster").cast("int").as("cluster")),
@@ -1102,7 +1203,9 @@ object NswIndex {
     val pendingLatest: Map[Long, (Long, Long)] =
       if (hasBatches(spark, pendPath))
         CollectGuard.smallDistinct(
-          spark.read.parquet(pendPath).groupBy("vec_id")
+          spark.read.parquet(pendPath)
+            .filter(col("batch").cast("long") > consumedThrough(spark, indexDir))
+            .groupBy("vec_id")
             .agg(max(struct(col("batch").cast("long").as("b"), col("meta"))).as("r")),
           cap = 1L << 20)
           .map(r => r.getLong(0) ->
@@ -1128,8 +1231,8 @@ object NswIndex {
     if (aliveIds.isEmpty) walkArm
     else
       walkArm.unionByName(
-        pendingTailArm(spark, pendPath, tombMax, probes, q, excludeId, k,
-          keepIds = Some(aliveIds)))
+        pendingTailArm(spark, pendPath, tombMax, consumedThrough(spark, indexDir),
+          probes, q, excludeId, k, keepIds = Some(aliveIds)))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(k)
   }
@@ -1153,14 +1256,18 @@ object NswIndex {
       m: Int,
       efC: Int): Centroids = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val st = IvfIndex.readLiveState(spark, indexDir)
     val tombPath = s"$indexDir/tombstones"
     val pendPath = s"$indexDir/pending"
+    val unconsumed = (channelBatchIds(spark, tombPath) ++ channelBatchIds(spark, pendPath))
+      .filter(_ > st.consumedThrough)
     val metaName = readMetaMarker(spark, indexDir)
-    val base = spark.read.parquet(s"$indexDir/cells")
+    val base = readCells(spark, indexDir)
       .select(col("vec_id"), col("embedding"), col("meta"), lit(-1L).as("batch"))
     val merged =
       if (hasBatches(spark, pendPath))
         base.unionByName(spark.read.parquet(pendPath)
+          .filter(col("batch").cast("long") > st.consumedThrough)
           .select(col("vec_id"), col("embedding"), col("meta"),
             col("batch").cast("long").as("batch")))
       else base
@@ -1173,6 +1280,7 @@ object NswIndex {
     val alive =
       if (hasBatches(spark, tombPath)) {
         val tombs = spark.read.parquet(tombPath)
+          .filter(col("batch").cast("long") > st.consumedThrough)
           .groupBy("vec_id").agg(max(col("batch")).as("tomb_batch"))
         lww.join(broadcast(tombs), Seq("vec_id"), "left")
           .filter(col("tomb_batch").isNull || col("tomb_batch") < col("batch"))
@@ -1180,8 +1288,16 @@ object NswIndex {
     val survivors = (metaName match {
       case Some(c) => alive.select(col("vec_id"), col("embedding"), col("meta").as(c))
       case None => alive.select(col("vec_id"), col("embedding"))
-    }).localCheckpoint(true) // materialize BEFORE the self-overwrite
-    val cents = build(survivors, indexDir, k, iters, m, efC, metaCol = metaName)
+    }).localCheckpoint(true) // materialize BEFORE anything is rewritten
+    // generation-safe publish (the IVF discipline): cells_g<n+1> +
+    // centroids_g<n+1> are COMPLETE before the marker names them — a
+    // crash at any point keeps generation n serving; the channel
+    // deletes below are hygiene (the consumedThrough window already
+    // excludes the folded batches for every reader)
+    val through = (unconsumed :+ st.consumedThrough).max
+    val cents = buildInto(survivors, indexDir, st.gen + 1, k, iters, m, efC,
+      metaCol = metaName)
+    IvfIndex.publishLiveState(spark, indexDir, IvfIndex.LiveState(st.gen + 1, through))
     Seq(tombPath, pendPath).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
@@ -1348,6 +1464,12 @@ object NswIndex {
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexDir/cells")
+    // fresh layered index = generation 0 (the [[build]] discipline): a
+    // stale marker from a previous generation-bearing life of this dir
+    // must not route reads at a superseded cells_g<n>
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_LIVE_STATE")
+    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(markerPath)) mfs.delete(markerPath, false)
     cents
   }
 
@@ -1379,7 +1501,7 @@ object NswIndex {
     val cellsUnion = routing.keys.toSeq.sorted
     val bq = spark.sparkContext.broadcast(queries)
     val br = spark.sparkContext.broadcast(routing)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(cellsUnion.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("level"), col("layers"))
@@ -1437,7 +1559,7 @@ object NswIndex {
     import spark.implicits._
     val probes = IvfIndex.probeCells(cents, q, nprobe)
     val bq = spark.sparkContext.broadcast(q)
-    spark.read.parquet(s"$indexDir/cells")
+    readCells(spark, indexDir)
       .filter(col("cluster").isin(probes.map(x => x: Any): _*))
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("embedding"), col("level"), col("layers"))

@@ -336,8 +336,12 @@ class GraphAnnSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(rebuilt == fresh, s"rebuild drifted from the fresh build\nrebuilt: $rebuilt\nfresh:   $fresh")
     assert(rebuilt.nonEmpty && deleted.forall(id => !rebuilt.contains(id.toString)))
-    // cells really shrank
-    assert(spark.read.parquet(s"$idxDir/cells").count() == emb.count() - deleted.size)
+    // cells really shrank — in the generation the marker publishes
+    // (gen 0 stays on disk for in-flight readers until vacuumCells)
+    val gen = IvfIndex.readLiveState(spark, idxDir).gen
+    assert(gen == 1L, s"rebuild must publish a new generation, got $gen")
+    assert(spark.read.parquet(NswIndex.cellsDir(idxDir, gen)).count() ==
+      emb.count() - deleted.size)
     // a rebuild with NO tombstones is a pure round-trip of the same corpus
     val cents2 = NswIndex.rebuildTombstoned(spark, idxDir, k = 16, iters = 2, m = 8, efC = 32)
     assert(NswIndex.searchFrame(spark, idxDir, cents2, qe, 0L, 10, 4, 48)
