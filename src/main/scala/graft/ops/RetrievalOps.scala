@@ -33,6 +33,28 @@ object RetrievalOps {
   val Bm25K1 = 1.2
   val Bm25B  = 0.75
 
+  /** THE BM25 per-(term, doc) contribution — Robertson idf × k1/b tf
+    * saturation, read from the frame's canonical posting columns
+    * (`tf`, `df`, `dl`, `avgdl`, `n_docs`). Every retrieval query
+    * (r02/r12/r13/r14/r18/r19/r20) scores through this one definition
+    * and every oracle replays through [[bm25Sql]]'s one SQL rendering —
+    * a constant change has exactly one edit point per side, not ten.
+    * `weight` preserves the weighted legs' association order
+    * (((w · idf) · tf-sat) / denom); the default `lit(1.0)` is an IEEE
+    * identity, so unweighted scores are bit-identical with or without it.
+    */
+  def bm25Contrib(weight: Column = lit(1.0)): Column =
+    (weight * log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * (Bm25K1 + 1.0)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+
+  /** [[bm25Contrib]]'s DuckDB rendering, parameterized by the CTE's
+    * alias names; constants interpolate from the same Bm25K1/Bm25B.
+    */
+  private def bm25Sql(tf: String, df: String): String =
+    s"ln(1.0 + (c.n_docs - $df + 0.5) / ($df + 0.5)) * ($tf * ${Bm25K1 + 1.0}) /\n" +
+      s"        |      ($tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / c.avgdl))"
+
   /** KMV sketch size: the estimator keeps the K smallest hash values. */
   val KmvK = 64
 
@@ -101,9 +123,7 @@ object RetrievalOps {
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .select(col("query_id"), col("doc_id"),
-        (col("weight") * log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        bm25Contrib(weight = col("weight"))
           .as("c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")), 4).as("score"))
@@ -334,9 +354,7 @@ object RetrievalOps {
       .crossJoin(broadcast(corpus))
       .select(
         col("query_id"), col("term"), col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        bm25Contrib()
           .as("c"))
       .localCheckpoint()
     // impact metadata: queries×terms rows, driver-side
@@ -436,9 +454,7 @@ object RetrievalOps {
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .select(col("query_id"), col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+        bm25Contrib()
           .as("c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")), 4).as("bm25"))
@@ -634,9 +650,7 @@ object RetrievalOps {
         .crossJoin(broadcast(corpus))
         .select(
           col("query_id"), col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (Bm25K1 + 1.0)) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          bm25Contrib()
             .as("c"))
       val scored = contrib
         .groupBy(col("query_id"), col("doc_id"))
@@ -738,9 +752,7 @@ object RetrievalOps {
         .crossJoin(broadcast(corpus))
         .select(
           col("query_id"), col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (Bm25K1 + 1.0)) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          bm25Contrib()
             .as("c"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(col("c")), 4).as("score"))
@@ -871,9 +883,7 @@ object RetrievalOps {
         .crossJoin(broadcast(corpus))
         .select(
           col("query_id"), col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (Bm25K1 + 1.0)) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          bm25Contrib()
             .as("c"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(col("c")), 4).as("bm25"))
@@ -947,9 +957,7 @@ object RetrievalOps {
         .join(dl, "doc_id")
         .crossJoin(broadcast(corpus))
         .select(col("query_id"), col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (Bm25K1 + 1.0)) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          bm25Contrib()
             .as("c"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(col("c")), 4).as("bm25"))
@@ -1035,9 +1043,7 @@ object RetrievalOps {
         .join(dl, "doc_id")
         .crossJoin(broadcast(corpus))
         .select(col("query_id"), col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (Bm25K1 + 1.0)) /
-            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          bm25Contrib()
             .as("c"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(round(sum(col("c")), 4).as("bm25"))
@@ -1594,7 +1600,7 @@ object RetrievalOps {
     }))
 
   private val bm25TopKSql: String =
-    """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+    raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1604,8 +1610,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |contrib AS (
         |  SELECT qt.query_id, tf.doc_id,
-        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)) AS cx
+        |    ${bm25Sql("tf.tf", "dft.df")} AS cx
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c),
         |scored AS (SELECT query_id, doc_id, round(sum(cx), 4) AS score FROM contrib GROUP BY 1, 2),
         |ranked AS (SELECT query_id, doc_id, score,
@@ -1639,7 +1644,7 @@ object RetrievalOps {
     // final weights. The d18 unrolled-fixpoint technique on a model
     // fit.
     "r19_learned_rerank" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |ph(query_id, phrase) AS (VALUES (1, 'spark hash'), (2, 'window sort'),
         |  (3, 'fast vector'), (4, 'dup line')),
@@ -1651,8 +1656,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id, round(sum(
-        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |    ${bm25Sql("tf.tf", "dft.df")}), 4) AS bm25
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
         |bm AS (SELECT query_id, doc_id,
@@ -1731,7 +1735,7 @@ object RetrievalOps {
     // (doc_id ≡ query_id mod 50), positives filtered before ranking,
     // and the margin computed off the same 4dp-rounded scores.
     "r13_hard_negatives" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1741,8 +1745,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id, round(sum(
-        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |    ${bm25Sql("tf.tf", "dft.df")}), 4) AS score
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
         |pos_best AS (SELECT query_id, max(score) AS pos_best FROM scored
@@ -1760,7 +1763,7 @@ object RetrievalOps {
     // scores. MATERIALIZED throughout — tok/dl are referenced by both
     // passes and DuckDB inlines plain CTEs.
     "r12_rm3_expansion" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS MATERIALIZED (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1769,8 +1772,7 @@ object RetrievalOps {
         |tf1 AS MATERIALIZED (SELECT term, doc_id, count(*) AS tf FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
         |dft1 AS MATERIALIZED (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
         |base AS MATERIALIZED (SELECT qt.query_id, tf1.doc_id, round(sum(
-        |    1.0 * ln(1.0 + (c.n_docs - dft1.df + 0.5) / (dft1.df + 0.5)) * (tf1.tf * 2.2) /
-        |      (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |    1.0 * ${bm25Sql("tf1.tf", "dft1.df")}), 4) AS score
         |  FROM tf1 JOIN qt USING (term) JOIN dft1 USING (term) JOIN dl USING (doc_id), corpus c GROUP BY 1, 2),
         |fb AS MATERIALIZED (SELECT query_id, doc_id, score FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM base)
@@ -1797,15 +1799,14 @@ object RetrievalOps {
         |  WHERE term IN (SELECT DISTINCT term FROM allt) GROUP BY 1, 2),
         |dft2 AS MATERIALIZED (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
         |scored2 AS MATERIALIZED (SELECT w.query_id, tf2.doc_id, round(sum(
-        |    w.weight * ln(1.0 + (c.n_docs - dft2.df + 0.5) / (dft2.df + 0.5)) * (tf2.tf * 2.2) /
-        |      (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |    w.weight * ${bm25Sql("tf2.tf", "dft2.df")}), 4) AS score
         |  FROM tf2 JOIN allt w USING (term) JOIN dft2 USING (term) JOIN dl USING (doc_id), corpus c GROUP BY 1, 2),
         |ranked AS (SELECT query_id, doc_id, score,
         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scored2)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "r10_rrf_fusion" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1815,8 +1816,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id, round(sum(
-        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |    ${bm25Sql("tf.tf", "dft.df")}), 4) AS bm25
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
         |base AS (SELECT s.query_id, s.doc_id, s.bm25, d.n_chars
@@ -1840,7 +1840,7 @@ object RetrievalOps {
     // embeddings (what the engine's IVF+SQ8 index must equal at
     // nprobe=16 + exact rerank), fusion arithmetic identical to r10's.
     "r14_hybrid_retrieval" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1850,8 +1850,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id, round(sum(
-        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |    ${bm25Sql("tf.tf", "dft.df")}), 4) AS bm25
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
         |bm AS (SELECT query_id, doc_id,
@@ -1880,7 +1879,7 @@ object RetrievalOps {
     // a later epoch, so it stays IN — the oracle itself pins the LWW
     // resurface), sparse statistics re-derived from the surviving docs.
     "r20_hybrid_churn" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |live AS (SELECT * FROM documents WHERE doc_id NOT IN (2, 3, 105)),
@@ -1891,8 +1890,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id, round(sum(
-        |    ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS bm25
+        |    ${bm25Sql("tf.tf", "dft.df")}), 4) AS bm25
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
         |bm AS (SELECT query_id, doc_id,
@@ -1923,7 +1921,7 @@ object RetrievalOps {
     // so nDCG rounds identically; MRR and the @10 ratios are single
     // exact divisions.
     "r16_retrieval_metrics" ->
-      """WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+      raw"""WITH q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
         |  (3, 'fast vector scan'), (4, 'dup line filter')),
         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
@@ -1933,8 +1931,7 @@ object RetrievalOps {
         |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id, round(sum(
-        |    1.0 * ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+        |    1.0 * ${bm25Sql("tf.tf", "dft.df")}), 4) AS score
         |  FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), corpus c
         |  GROUP BY 1, 2),
         |run AS (SELECT query_id, doc_id,
