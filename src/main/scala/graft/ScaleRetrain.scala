@@ -64,6 +64,7 @@ object ScaleRetrain {
     val idxDir = java.nio.file.Files.createTempDirectory("graft-scale-retrain").toString
 
     IvfIndex.build(emb, idxDir, k = 16, iters = 2)
+    IvfIndex.saveCellRadii(spark, idxDir) // radii for the radius-aware probe arm
     val cents0 = IvfIndex.loadCentroids(spark, idxDir)
     val wave = emb.filter(col("vec_id") % 4 === 0)
       .select((col("vec_id") + WaveOffset).as("vec_id"),
@@ -95,7 +96,7 @@ object ScaleRetrain {
       * probed cells — the bytes a probe-pruned search pays), plus the
       * wave's cell histogram (max share = hot-cell damage).
       */
-    def phase(): (Seq[(Long, Int, Int, Long)], Double) = {
+    def phase(nprobe: Int = NProbe): (Seq[(Long, Int, Int, Int, Long)], Double) = {
       val cents = IvfIndex.loadCentroids(spark, idxDir)
       val st = IvfIndex.readLiveState(spark, idxDir)
       val basePath = if (st.gen == 0L) s"$idxDir/assignment" else s"$idxDir/assignment_g${st.gen}"
@@ -120,16 +121,24 @@ object ScaleRetrain {
       val rows = QueryIds.map { qid0 =>
         val qid = qid0 + WaveOffset
         val qe = queryVecs(qid)
-        val probes = IvfIndex.probeCells(cents, qe, NProbe)
-        val got = ids(IvfIndex.searchIndexLive(spark, idxDir, qe, K, NProbe,
+        val probes = IvfIndex.probeCells(cents, qe, nprobe)
+        val got = ids(IvfIndex.searchIndexLive(spark, idxDir, qe, K, nprobe,
           excludeId = Some(qid)))
+        // the radius-aware arm: same nprobe, cells ranked by the
+        // best-possible-member bound instead of centroid cosine — on
+        // this isotropic fixture the radii are near-uniform, so the
+        // column MEASURES (rather than assumes) that the ranking is a
+        // no-op here; it differentiates only on heterogeneous radii
+        val gotR = ids(IvfIndex.searchIndexLive(spark, idxDir, qe, K, nprobe,
+          excludeId = Some(qid), radiusAware = true))
         val ceiling = ids(live
           .filter(col("cluster").isin(probes.map(x => x: Any): _*) && col("vec_id") =!= qid)
           .select(col("vec_id"),
             cosine_similarity(col("embedding"), array(qe.toSeq.map(lit): _*)).as("s"))
           .orderBy(col("s").desc, col("vec_id")).limit(K))
         val scanned = probes.map(c => cellSizes.getOrElse(c, 0L)).sum
-        (qid, (truths(qid) & got).size, (truths(qid) & ceiling).size, scanned)
+        (qid, (truths(qid) & got).size, (truths(qid) & gotR).size,
+          (truths(qid) & ceiling).size, scanned)
       }
       (rows, waveShare)
     }
@@ -137,11 +146,21 @@ object ScaleRetrain {
     val (preRows, preShare) = phase()
     IvfIndex.retrainLiveIndex(spark, idxDir, k = 16, iters = 2)
     val (postRows, postShare) = phase()
+    // RESOLUTION retrain — the finding behind the post-retrain zeros:
+    // each zero query's whole truth is one tight clique diluted inside
+    // a ~corpus/16 cell, invisible to ANY ranking over 16 centroids.
+    // retrainLiveIndex RESIZES the quantizer (k=64) in the same atomic
+    // generation flip; measured at the equal scan fraction
+    // (nprobe 24/64 = 6/16) so the lift is resolution, not extra bytes.
+    IvfIndex.retrainLiveIndex(spark, idxDir, k = 64, iters = 2)
+    val (resizeRows, resizeShare) = phase(nprobe = 24)
 
-    def summary(rows: Seq[(Long, Int, Int, Long)], share: Double): String = {
-      val rec = rows.map(_._2); val ceil = rows.map(_._3); val scan = rows.map(_._4)
+    def summary(rows: Seq[(Long, Int, Int, Int, Long)], share: Double): String = {
+      val rec = rows.map(_._2); val recR = rows.map(_._3)
+      val ceil = rows.map(_._4); val scan = rows.map(_._5)
       def mean(xs: Seq[Int]) = math.round(xs.sum.toDouble / xs.length * 100.0) / 100.0
       s"""{"recall":{"mean":${mean(rec)},"min":${rec.min},"per_query":${rec.mkString("[", ",", "]")}},""" +
+        s""""radius_recall":{"mean":${mean(recR)},"min":${recR.min}},""" +
         s""""ceiling":{"mean":${mean(ceil)},"min":${ceil.min}},""" +
         s""""scanned_rows_per_query":{"mean":${scan.sum / scan.length},"max":${scan.max}},""" +
         s""""wave_max_cell_share":${math.round(share * 1000.0) / 1000.0}}"""
@@ -149,7 +168,8 @@ object ScaleRetrain {
     println(
       s"""{"sf":"$sfDir","n_vectors":$nVectors,"n_wave":$nWave,"k":$K,"nprobe":$NProbe,""" +
         s""""pre_retrain":${summary(preRows, preShare)},""" +
-        s""""post_retrain":${summary(postRows, postShare)}}""")
+        s""""post_retrain":${summary(postRows, postShare)},""" +
+        s""""post_resize_k64_np24":${summary(resizeRows, resizeShare)}}""")
     val root = new org.apache.hadoop.fs.Path(idxDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
     spark.stop()

@@ -129,6 +129,36 @@ object IvfIndex {
       .map(_._1)
       .toSeq
 
+  /** Probe ranking by BEST-POSSIBLE member cosine — cells ordered by
+    * cos(max(0, θ(q, centroid) − r_c)) using the per-cell angular radii,
+    * the same spherical bound the lossless range prune evaluates
+    * ([[rangeKeptCells]]), applied here as a RANKING for top-k probe
+    * selection. Why it matters: a drifted query can sit far from every
+    * centroid while one WIDE cell still holds its true neighbours;
+    * centroid-cosine ranking systematically skips that cell (ScaleRetrain
+    * measured whole panel queries at recall 0 AFTER retrain with the walk
+    * equal to its probe ceiling — the loss was cell selection), while the
+    * radius-adjusted bound ranks it where its best possible member could
+    * score. Ties (e.g. several bounds saturating at 1.0) break by
+    * centroid cosine then id; a cell with no recorded radius ranks by
+    * centroid cosine alone (radius 0 — the sidecar covers every nonempty
+    * cell, so only empty cells lack one). NOT lossless — a ranking;
+    * recall is measured (RadiusProbeSpec, ScaleRetrain), never assumed.
+    */
+  def probeCellsRadiusAware(centroids: Centroids, radii: Map[Int, Double],
+      query: Array[Float], nprobe: Int): Seq[Int] =
+    centroids
+      .map { case (c, v) =>
+        val cosQC = cosineLocal(v, query)
+        val theta = math.acos(math.max(-1.0, math.min(1.0, cosQC)))
+        val bound = math.cos(math.max(0.0, theta - radii.getOrElse(c, 0.0)))
+        (c, bound, cosQC)
+      }
+      .sortBy { case (c, b, cc) => (-b, -cc, c) }
+      .take(nprobe)
+      .map(_._1)
+      .toSeq
+
   /** Exact search restricted to the query's `nprobe` nearest cells: probe
     * cells are picked on the driver (k tiny), then ONE scan computes
     * assignment + filter + cosine and ends in TakeOrderedAndProject.
@@ -265,7 +295,8 @@ object IvfIndex {
       queryVec: Array[Float],
       k: Int,
       nprobe: Int,
-      excludeId: Option[Long] = None
+      excludeId: Option[Long] = None,
+      radiusAware: Boolean = false
   ): DataFrame = {
     val st = readLiveState(spark, indexDir)
     // generation-aware: a compacted/retrained index serves its LIVE
@@ -277,7 +308,9 @@ object IvfIndex {
       s"$indexDir has unconsumed stream/tombstone batches — the static search would " +
         "silently ignore them; use searchIndexLive (merge-on-read) or compact first")
     val cents = loadCentroidsAt(spark, indexDir, st)
-    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
+    val probes = (if (radiusAware)
+      probeCellsRadiusAware(cents, loadRadiiFor(spark, indexDir, st), queryVec, nprobe)
+    else probeCells(cents, queryVec, nprobe)).map(c => c: Any)
     val scan = spark.read.parquet(liveBaseDir(indexDir, st.gen))
     val pruned = scan.filter(col("cluster").isin(probes: _*))
     val excluded = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
@@ -559,11 +592,17 @@ object IvfIndex {
       queryVec: Array[Float],
       k: Int,
       nprobe: Int,
-      excludeId: Option[Long] = None
+      excludeId: Option[Long] = None,
+      radiusAware: Boolean = false
   ): DataFrame = {
     val st = readLiveState(spark, indexDir)
     val cents = loadCentroidsAt(spark, indexDir, st)
-    val probes = probeCells(cents, queryVec, nprobe).map(c => c: Any)
+    // radius-aware ranking reads the serving generation's radii — a
+    // BASE-generation bound used as a probe heuristic (the unconsumed
+    // channel has no sidecar and the ranking makes no lossless claim)
+    val probes = (if (radiusAware)
+      probeCellsRadiusAware(cents, loadRadiiFor(spark, indexDir, st), queryVec, nprobe)
+    else probeCells(cents, queryVec, nprobe)).map(c => c: Any)
     // base rows carry batch = -1: ANY tombstone outranks them under the
     // last-writer-wins merge ([[applyTombstones]]); channel batches at
     // or before consumedThrough are already folded into the base —

@@ -210,6 +210,72 @@ object IndexStreams {
   def readUpsertLog(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/upsert_log").select("batch", "rows", "mean_cos")
 
+  /** One micro-batch under the RETRAIN POLICY, exposed separately from
+    * the stream wiring (the [[upsertBatch]] discipline) so specs can
+    * drive the exact replay case. Lands the batch + its drift metric as
+    * always, then applies the policy rung: a non-empty batch whose mean
+    * cosine-to-assigned-centroid falls below `driftFloor` means the
+    * serving geometry no longer models the arriving data, and the loop
+    * runs ONE [[graft.ops.IvfIndex.retrainLiveIndex]] — the atomic
+    * generation flip, folding everything through this epoch, after
+    * which the NEXT batch assigns under the new geometry (per-batch
+    * centroid loads — the round-15 staleness contract).
+    *
+    * WHAT THE METRIC SEES — measured, not assumed: mean
+    * cos-to-assigned-centroid detects LOW-FIT drift (novel directions
+    * no cell models — a new embedding model, a new modality: vectors
+    * orthogonal to the centroid span assign at cos ≈ 0 against an
+    * in-distribution ~0.22 on the gate corpus), but it is BLIND to
+    * antipodal/symmetric drift: the s44 wave assigns at mean cos 0.226
+    * vs in-distribution 0.222 on the isotropic corpus — geometry
+    * damage without fit damage. A corpus under that drift class needs
+    * the scheduled retrain (s44's explicit call) or a recall canary,
+    * not this rung alone (RetrainTriggerSpec pins both sides).
+    *
+    * REPLAY-SAFE by
+    * the consumedThrough guard: a retrain records the triggering epoch
+    * in the marker, so a replayed epoch (failure after the retrain,
+    * before the stream checkpoint committed) re-lands its rows
+    * idempotently but can never re-trigger — its batchId is no longer
+    * beyond the fold. Returns true iff this call retrained.
+    */
+  def upsertBatchWithRetrain(batch: DataFrame, batchId: Long, indexDir: String,
+      driftFloor: Double, retrainK: Int, retrainIters: Int = 2): Boolean = {
+    val spark = batch.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, indexDir)
+    val (rows, meanCos) = upsertBatch(batch, batchId, indexDir, cents)
+    logBatchMetric(spark, indexDir, batchId, rows, meanCos)
+    val st = IvfIndex.readLiveState(spark, indexDir)
+    val shouldRetrain = rows > 0 && meanCos < driftFloor && batchId > st.consumedThrough
+    if (shouldRetrain)
+      IvfIndex.retrainLiveIndex(spark, indexDir, k = retrainK, iters = retrainIters)
+    shouldRetrain
+  }
+
+  /** [[streamingIvfUpsert]] with the retrain policy rung wired in: the
+    * production loop's answer to "when does s44 run?" — the s24 drift
+    * metric crossing `driftFloor` triggers the retrain INSIDE the loop
+    * (the p06 weight-refresh pattern), serving stays continuous across
+    * the flip (merge-on-read readers resolve through the marker), and
+    * replayed epochs cannot double-retrain (see
+    * [[upsertBatchWithRetrain]]).
+    */
+  def streamingIvfUpsertWithRetrain(
+      embStream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      driftFloor: Double,
+      retrainK: Int,
+      retrainIters: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatchWithRetrain(batch, batchId, indexDir, driftFloor, retrainK, retrainIters)
+        () // Unit — the policy's decision is read back from the marker
+      }
+
   /** Wire the stream: every micro-batch folds into the index and the
     * drift metric lands in `indexDir/upsert_log/batch=<id>` (rows,
     * mean_cos) — readable as a table by whoever watches the index.
