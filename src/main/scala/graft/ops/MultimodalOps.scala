@@ -201,6 +201,41 @@ object MultimodalOps {
     * lets the multimodal path run against driver-provided data with no
     * binary fixtures in the repo.
     */
+  /** The m-family's synthetic payload boundary, enforced LOUDLY: the
+    * byte-replay oracles (m01-m05, m07-m08, m11) replay the codecs
+    * char-by-char in SQL (`string_split` + `ascii()` / `substr`), which
+    * is byte-faithful only for 7-bit text. US_ASCII getBytes would
+    * silently map every non-ASCII char to '?' (0x3F) - and the
+    * cast-to-binary path would emit multi-byte UTF-8 - while the SQL
+    * side sees codepoints: divergent results with NO error, the one
+    * failure mode worse than a crash. A corpus with multi-byte text
+    * needs byte-level oracles (DuckDB blob functions) before these
+    * queries can claim it; until then the boundary fails loudly
+    * (MultimodalAsciiSpec pins both paths).
+    */
+  private[ops] def asciiPayload(text: String): Array[Byte] = {
+    var i = 0
+    while (i < text.length) {
+      require(text.charAt(i) < 128,
+        s"m-family byte-replay oracles are pinned to ASCII corpora: char " +
+          f"U+${text.charAt(i).toInt}%04X at index $i would be silently mangled " +
+          "(US_ASCII encodes it as '?') while the SQL replay sees its codepoint - " +
+          "byte-level oracles are required for multi-byte text")
+      i += 1
+    }
+    text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Column twin of [[asciiPayload]] for the untyped path: UTF-8 and
+    * the char-level SQL replay agree iff every char is single-byte.
+    */
+  private[ops] def asciiPayloadCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(text) =!= octet_length(text),
+      raise_error(concat(lit("m-family byte-replay oracles are pinned to ASCII corpora: "),
+        lit("multi-byte text needs byte-level oracles - doc text begins '"),
+        substring(text, 1, 24), lit("'"))))
+      .otherwise(text.cast("binary"))
+
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables
@@ -208,7 +243,7 @@ object MultimodalOps {
       .select(
         col("doc_id").as("asset_id"),
         when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-        col("text").cast("binary").as("payload"),
+        asciiPayloadCol(col("text")).as("payload"),
         (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
         (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms")
@@ -347,7 +382,7 @@ object MultimodalOps {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val rate = 8000 + (id % 3).toInt * 4000
-          val samples = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val samples = asciiPayload(text)
             .map(b => ((b - 64) * 256).toShort)
           val wav = WavCodec.encodePcm16(samples, rate)
           val info = WavCodec.parse(wav)
@@ -425,7 +460,7 @@ object MultimodalOps {
         .map { case (id, text) =>
           val w = (3 + id % 4).toInt
           val h = (5 + id % 3).toInt
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val bytes = asciiPayload(text)
           val rgb = Array.tabulate(3 * w * h)(k => bytes(k % bytes.length))
           val png = PngCodec.encodeRgb(w, h, rgb, y => ((id + y) % 5).toInt)
           val (dw, dh, back) = PngCodec.decodePixels(png)
@@ -462,7 +497,7 @@ object MultimodalOps {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
           val rate = 8000 + (id % 3).toInt * 4000
-          val samples = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val samples = asciiPayload(text)
             .map(b => ((b - 64) * 256).toShort)
           val decoded = WavCodec.parse(WavCodec.encodePcm16(samples, rate)).samples
           val x = decoded.take(64).map(v => v.toDouble / 256.0)
@@ -491,7 +526,7 @@ object MultimodalOps {
       val samples = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val pcm = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val pcm = asciiPayload(text)
             .map(b => ((b - 64) * 256).toShort)
           val decoded = WavCodec.parse(WavCodec.encodePcm16(pcm, 8000)).samples
           (id, decoded.map(_.toInt))
