@@ -357,6 +357,26 @@ object RetrievalOps {
         bm25Contrib()
           .as("c"))
       .localCheckpoint()
+    boundedImpactTopK(contrib, k, topB, nBuckets, roundTo = Some(4))
+  }
+
+  /** The bounded top-k evaluator behind [[maxScoreTopK]], factored so any
+    * POSITIVE-contribution scorer reuses the same skip machinery (r21's
+    * learned-sparse impacts ride it): takes the materialized postings
+    * frame `(query_id, term, doc_id, c)` with c > 0 (MaxScore's rest/ub
+    * bounds assume a missing term contributes 0 ≥ nothing — negative
+    * contributions would make `rest` an underestimate and the skip
+    * unsound; r21 guarantees positivity by SPLADE's ReLU, r02's BM25 is
+    * positive by construction), runs the threshold + block-max phases,
+    * and returns (top-k in r02's shape, per-query skip stats). `roundTo`
+    * rounds the final exact sums (r18's 4dp contract); None keeps them
+    * raw for integer-exact scorers.
+    */
+  private[graft] def boundedImpactTopK(contrib: DataFrame, k: Int, topB: Int,
+      nBuckets: Int, roundTo: Option[Int]): (DataFrame, DataFrame) = {
+    val spark = contrib.sparkSession
+    import spark.implicits._
+    def fin(c: org.apache.spark.sql.Column) = roundTo.fold(c)(d => round(c, d))
     // impact metadata: queries×terms rows, driver-side
     val ubRows = contrib.groupBy("query_id", "term").agg(max(col("c")).as("ub"))
       .as[(Long, String, Double)].collect()
@@ -410,7 +430,7 @@ object RetrievalOps {
     val result = contrib
       .join(survivors, Seq("query_id", "doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("c")), 4).as("score"))
+      .agg(fin(sum(col("c"))).as("score"))
       .select(col("query_id"),
         struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
       .groupBy("query_id")
@@ -434,6 +454,81 @@ object RetrievalOps {
     * on this fixture (nprobe=16/16 + deep rerank makes that leg
     * provably exact; its oracle replays brute force the same way).
     */
+  /** Learned-sparse retrieval (r21) — the SPLADE/DeepImpact shape
+    * (Formal, Piwowarski & Clinchant, SIGIR'21; Mallia et al.,
+    * SIGIR'21): instead of a hand-derived term statistic (BM25), the
+    * per-term impacts are LEARNED, the model's sparse nonzero support
+    * replaces the literal query vocabulary, and scoring is a sparse
+    * dot product evaluated over inverted posting lists with bounded
+    * (MaxScore) evaluation. The Spark-native realization keeps every
+    * stage distributed and bit-exactly replayable:
+    *
+    *  - TRAIN (distributed, fixed-point): [[TextOps.logregFit]] — the
+    *    d64 machinery verbatim, 256 hashed term buckets, 3 full-batch
+    *    integer-gradient steps; the final iteration's micro-logits ARE
+    *    the per-bucket impact weights. The descent's oracle replay is
+    *    [[TextOps.LogregDescentSql]], one definition site;
+    *  - ReLU SPARSITY (SPLADE's activation): only buckets with
+    *    POSITIVE learned weight score — which is also exactly what
+    *    keeps [[boundedImpactTopK]]'s MaxScore bounds sound (a missing
+    *    term must contribute no less than 0);
+    *  - EXPANSION over the hashed vocabulary: a query's support is its
+    *    terms' BUCKETS, so every corpus term sharing a bucket scores —
+    *    the hashed model's true generalization surface (two terms in
+    *    one bucket are model-identical), and the posting lists are
+    *    keyed by bucket (r01's layout over the hashed vocabulary);
+    *  - IMPACT: w_bucket · min(tf_bucket, 3) — integer-exact saturation
+    *    standing in for SPLADE's log saturation, so the whole score is
+    *    an exact integer and no float ever crosses the hash compare;
+    *  - BOUNDED EVALUATION: the r18 evaluator (threshold from
+    *    impact-ordered list heads, block-max skipping, exact gather) —
+    *    the returned top-k is IDENTICAL to the exhaustive scorer
+    *    (LearnedSparseSpec pins it elementwise).
+    *
+    * Candidate generation reads ONLY postings whose bucket carries a
+    * positive learned weight AND appears in the query's support — a
+    * broadcast semi-join against the ≤256-row support table, never a
+    * corpus scan (plan-pinned in LearnedSparseSpec).
+    */
+  def learnedSparseTopK(docs: DataFrame, k: Int = 10, topB: Int = 32,
+      nBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, hist) = TextOps.logregFit(docs)
+    val w = hist.last // integer micro-logits; index 256 is the intercept
+    val wPos: Map[Long, Long] =
+      (0 until 256).collect { case b if w(b) > 0 => b.toLong -> w(b) }.toMap
+    boundedImpactTopK(learnedSparseContrib(docs, wPos).localCheckpoint(),
+      k, topB, nBuckets, roundTo = None)
+  }
+
+  /** [[learnedSparseTopK]]'s posting-contribution frame, returned LAZY
+    * so specs can pin the plan (broadcast support join on the posting
+    * scan — never a corpus-side shuffle for candidate generation).
+    */
+  private[graft] def learnedSparseContrib(docs: DataFrame,
+      wPos: Map[Long, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucketOf = (c: String) =>
+      s"CAST(conv(substr(md5(CAST(concat('w:', $c) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 256"
+    // the query support: its terms' buckets, ReLU-filtered — ≤ 256 rows
+    val qb = Bm25Queries.toDF("query_id", "query_text")
+      .select(col("query_id"), explode(split(col("query_text"), " ")).as("term"))
+      .withColumn("bucket", expr(bucketOf("term")))
+      .select("query_id", "bucket").distinct()
+      .filter(col("bucket").isin(wPos.keys.toSeq.sorted.map(x => x: Any): _*))
+    // bucket-keyed postings, matching buckets only (broadcast semi-join)
+    tok(docs)
+      .withColumn("bucket", expr(bucketOf("term")))
+      .join(broadcast(qb), "bucket")
+      .groupBy(col("query_id"), col("bucket"), col("doc_id"))
+      .agg(count(lit(1)).as("tfb"))
+      .select(col("query_id"), col("bucket").cast("string").as("term"), col("doc_id"),
+        (element_at(typedLit(wPos), col("bucket")) * least(col("tfb"), lit(3L)))
+          .cast("double").as("c"))
+  }
+
   def rerankCandidates(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents")
@@ -678,6 +773,20 @@ object RetrievalOps {
     // ScaleWand measures the skipped fraction at the blow-up fixtures.
     "r18_maxscore_topk" -> ((s, dir) =>
       maxScoreTopK(t(s, dir, "documents"), k = 10)._1),
+
+    // LEARNED-SPARSE retrieval ([[learnedSparseTopK]]) — the modern
+    // retrieval family's missing shape beside lexical (r02/r18), dense
+    // (s-family), late-interaction (r15/r17) and hybrid (r14/r20):
+    // per-term impacts LEARNED by the d64 fixed-point descent, ReLU
+    // sparsity, query expansion over the hashed vocabulary's buckets,
+    // bucket-keyed posting lists scored by the r18 bounded evaluator.
+    // Every score is an exact integer (micro-logit × saturated tf), so
+    // the oracle genuinely replays train → expand → score → top-k.
+    "r21_learned_sparse" -> ((s, dir) => {
+      val (topk, _) = learnedSparseTopK(t(s, dir, "documents"), k = 10)
+      topk.select(col("query_id"), col("rank"), col("doc_id"),
+        col("score").cast("long").as("impact"))
+    }),
 
     // LEARNED RERANKER closing the retrieval loop ([[rerankCandidates]]
     // + [[denseLogregFit]]): production hybrid retrieval ends in a
@@ -1634,6 +1743,27 @@ object RetrievalOps {
     // MaxScore block-skipping returns the IDENTICAL answer to the
     // exhaustive scorer by construction — same oracle, verbatim.
     "r18_maxscore_topk" -> bm25TopKSql,
+    // Learned-sparse replay: the d64 descent CTEs (shared constant —
+    // one SQL rendering of the training loop), ReLU bucket support,
+    // the same hashed-bucket expansion, integer impact sum, top-10.
+    "r21_learned_sparse" -> {
+      s"""WITH ${graft.ops.TextOps.LogregDescentSql},
+         |wpos AS (SELECT bucket, wm FROM w3 WHERE wm > 0 AND bucket < 256),
+         |q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+         |  (3, 'fast vector scan'), (4, 'dup line filter')),
+         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+         |qb AS (SELECT DISTINCT query_id, ('0x'||substr(md5('w:'||term),1,8))::BIGINT % 256 AS bucket FROM qt),
+         |tb AS (SELECT doc_id, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket FROM tk0),
+         |tfb AS (SELECT bucket, doc_id, count(*) AS tfb FROM tb GROUP BY 1, 2),
+         |contrib AS (SELECT qb.query_id, tfb.doc_id, wpos.wm * least(tfb.tfb, 3) AS cx
+         |            FROM tfb JOIN qb USING (bucket) JOIN wpos USING (bucket)),
+         |scored AS (SELECT query_id, doc_id, CAST(sum(cx) AS BIGINT) AS impact FROM contrib GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, impact,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY impact DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, impact
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     // Learned reranker: candidates + features + phrase labels rebuilt
     // from the base tables (the r14 replay), then the THREE descent
     // steps unrolled as CTE stages — each stage recomputes the

@@ -2720,6 +2720,36 @@ object TextOps {
     })
   )
 
+  /** The d64 fixed-point descent as DuckDB CTEs (through `w3`, the
+    * final integer micro-logit weights per bucket) - THE one SQL
+    * rendering of [[logregFit]]'s loop, shared by every oracle that
+    * replays the training (d64 itself, r21's learned-sparse impacts):
+    * one definition site per side, the bm25Contrib/bm25Sql discipline.
+    */
+  private[ops] val LogregDescentSql: String = {
+    def iter(t: Int): String =
+        s"""z$t AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w${t - 1} USING (bucket) GROUP BY 1, 2),
+           |e$t AS (SELECT doc_id, CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)
+           |               * (CASE WHEN y = 1 THEN pw.n_neg ELSE pw.n_pos END) AS e FROM z$t, pw),
+           |g$t AS (SELECT bucket, CAST(sum(e * c) AS BIGINT) AS g FROM db JOIN e$t USING (doc_id) GROUP BY 1),
+           |w$t AS (SELECT bk.bucket, w${t - 1}.wm - CAST(floor(coalesce(g$t.g, 0)/2097152.0 + 0.5) AS BIGINT) AS wm
+           |        FROM bk JOIN w${t - 1} USING (bucket) LEFT JOIN g$t USING (bucket))""".stripMargin
+    s"""tk0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+         |dy AS (SELECT doc_id, CAST(count(*) FILTER (WHERE tok = 'slow') > count(*) FILTER (WHERE tok = 'fast') AS INT) AS y
+         |       FROM tk0 GROUP BY 1),
+         |tk AS (SELECT tk0.doc_id, dy.y, tk0.tok FROM tk0 JOIN dy USING (doc_id)),
+         |db AS (SELECT doc_id, y, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
+         |       FROM tk GROUP BY 1, 2, 3
+         |       UNION ALL SELECT doc_id, y, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM dy),
+         |bk AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(257)),
+         |pw AS (SELECT CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos,
+         |              CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n_neg FROM dy),
+         |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wm FROM bk),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Exact heavy hitters: DuckDB recomputes the full-cardinality
     // per-source counts; the engine's MG-candidate path must land on
@@ -3252,27 +3282,7 @@ object TextOps {
     // logistic 6dp-rounded then re-quantized, power-of-two learning step
     // via floor(g/2^21 + 0.5). Weights must match bit-for-bit.
     "d64_logreg_train" -> {
-      def iter(t: Int): String =
-        s"""z$t AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w${t - 1} USING (bucket) GROUP BY 1, 2),
-           |e$t AS (SELECT doc_id, CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)
-           |               * (CASE WHEN y = 1 THEN pw.n_neg ELSE pw.n_pos END) AS e FROM z$t, pw),
-           |g$t AS (SELECT bucket, CAST(sum(e * c) AS BIGINT) AS g FROM db JOIN e$t USING (doc_id) GROUP BY 1),
-           |w$t AS (SELECT bk.bucket, w${t - 1}.wm - CAST(floor(coalesce(g$t.g, 0)/2097152.0 + 0.5) AS BIGINT) AS wm
-           |        FROM bk JOIN w${t - 1} USING (bucket) LEFT JOIN g$t USING (bucket))""".stripMargin
-      s"""WITH tk0 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
-         |dy AS (SELECT doc_id, CAST(count(*) FILTER (WHERE tok = 'slow') > count(*) FILTER (WHERE tok = 'fast') AS INT) AS y
-         |       FROM tk0 GROUP BY 1),
-         |tk AS (SELECT tk0.doc_id, dy.y, tk0.tok FROM tk0 JOIN dy USING (doc_id)),
-         |db AS (SELECT doc_id, y, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket, count(*) AS c
-         |       FROM tk GROUP BY 1, 2, 3
-         |       UNION ALL SELECT doc_id, y, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM dy),
-         |bk AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(257)),
-         |pw AS (SELECT CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_pos,
-         |              CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS n_neg FROM dy),
-         |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wm FROM bk),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)},
+      s"""WITH $LogregDescentSql,
          |zf AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w3 USING (bucket) GROUP BY 1, 2),
          |pf AS (SELECT y, round(1.0/(1.0+exp(-(z/1000000.0))), 6) AS p FROM zf),
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
