@@ -52,9 +52,10 @@ src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/scale10'
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 mode = sys.argv[4] if len(sys.argv) > 4 else ''
-assert mode in ('', 'skew', 'dupskew'), f"unknown mode {mode!r}"
+assert mode in ('', 'skew', 'dupskew', 'vecclust'), f"unknown mode {mode!r}"
 skew = mode == 'skew'
 dupskew = mode == 'dupskew'
+vecclust = mode == 'vecclust'
 os.makedirs(out, exist_ok=True)
 
 con = duckdb.connect()
@@ -115,15 +116,42 @@ for t, key in [('orders', 'o_orderkey'), ('lineitem', 'l_orderkey')]:
     ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
     """)
 
+# A 4th arg `vecclust` makes the embeddings blow-up NON-ISOTROPIC:
+# copies collapse onto their LABEL's per-dimension centroid (+-1%
+# jitter) instead of jittering around their source vector, so at
+# factor 10 ~90% of the corpus mass forms tight per-label cones while
+# the originals stay broad. k-means cells then split into tight
+# (angular radius ~0.1 rad) and wide (~1.4 rad) — HETEROGENEOUS radii,
+# the regime the radius-aware probe ranking and any cell-bound
+# termination rule actually differentiate in (the isotropic default
+# measures them as no-ops by construction: near-uniform radii make the
+# best-possible-member bound a monotone transform of centroid cosine).
+emb_copy_expr = (
+    """list_transform(c.cent, (x, j) -> CAST(x * (1.0 + 0.02 *
+           (((hash(concat(e.vec_id, '-', i, '-', j)) % 1000) / 1000.0) - 0.5)) AS FLOAT))"""
+    if vecclust else
+    """list_transform(embedding, (x, j) -> CAST(x * (1.0 + 0.05 *
+           (((hash(concat(vec_id, '-', i, '-', j)) % 1000) / 1000.0) - 0.5)) AS FLOAT))""")
+emb_from = (
+    f"""FROM '{src}/embeddings.parquet' e
+  JOIN (SELECT label, list(a ORDER BY j) AS cent
+        FROM (SELECT label, j, avg(x) AS a
+              FROM (SELECT label, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS j
+                    FROM '{src}/embeddings.parquet')
+              GROUP BY label, j)
+        GROUP BY label) c USING (label)
+  CROSS JOIN range(1, {factor}) r(i)"""
+    if vecclust else
+    f"FROM '{src}/embeddings.parquet' CROSS JOIN range(1, {factor}) r(i)")
 con.execute(f"""
 COPY (
   SELECT vec_id, embedding, label FROM '{src}/embeddings.parquet'
   UNION ALL
-  SELECT vec_id + i * 10000000 AS vec_id,
-         list_transform(embedding, (x, j) -> CAST(x * (1.0 + 0.05 *
-           (((hash(concat(vec_id, '-', i, '-', j)) % 1000) / 1000.0) - 0.5)) AS FLOAT)) AS embedding,
+  SELECT {'e.' if vecclust else ''}vec_id + i * 10000000 AS vec_id,
+         {emb_copy_expr} AS embedding,
          label
-  FROM '{src}/embeddings.parquet' CROSS JOIN range(1, {factor}) r(i)
+  {emb_from}
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
