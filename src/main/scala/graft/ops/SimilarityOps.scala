@@ -166,6 +166,50 @@ object SimilarityOps {
         (coalesce(col("max_cos_to_lower"), lit(-1.0)) <= threshold).as("keep"))
   }
 
+
+  /** Greedy k-center coreset selection (farthest-point sampling —
+    * Gonzalez 1985, the classic 2-approximation): pick k exemplars so
+    * every vector sits within the smallest possible angular distance of
+    * one of them — the CORPUS-SCALE diversity-selection primitive for
+    * training-set curation (where [[mmrSelect]] diversifies a bounded
+    * per-query pool, this selects over the whole corpus). Deterministic
+    * and exactly replayable: seed = the lowest vec_id, distance =
+    * 1 − round(cos, 6) (the rounded-compare discipline — both engines
+    * select from bit-identical values), argmax ties toward the lowest
+    * vec_id. Each round is ONE distributed pass: the running
+    * min-distance column folds via `least` and checkpoints (never a
+    * recomputation of all previous rounds), the next center is a
+    * TakeOrdered(1), and the emitted `cover_radius` after round r is the
+    * greedy's live coverage guarantee. k passes over the corpus total —
+    * the exact greedy's inherent cost; at 100 TB run it over IVF
+    * centroids or a uniform sample first, then assign (the standard
+    * hierarchical variant), which composes from these same pieces.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(k >= 1, "k-center needs at least one center")
+    val base = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    def distTo(c: Array[Float]) =
+      lit(1.0) - round(cosine_similarity(col("embedding"), array(c.toSeq.map(lit): _*)), 6)
+    val seed = base.orderBy("vec_id").limit(1).head()
+    var mind = base
+      .withColumn("mind", distTo(seed.getSeq[Float](1).toArray))
+      .localCheckpoint()
+    def radius(): Double = mind.agg(max(col("mind"))).head().getDouble(0)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    out += ((0, seed.getLong(0), radius()))
+    for (r <- 1 until k) {
+      val next = mind.orderBy(col("mind").desc, col("vec_id")).limit(1).head()
+      mind = mind
+        .withColumn("mind", least(col("mind"), distTo(next.getSeq[Float](1).toArray)))
+        .localCheckpoint()
+      out += ((r, next.getLong(0), radius()))
+    }
+    out.toSeq.toDF("round", "center_id", "cover_radius")
+      .select(col("round"), col("center_id"), round(col("cover_radius"), 6).as("cover_radius"))
+  }
+
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
     * the diversity-aware retrieval step: from the top-`poolSize`
     * candidates by query relevance, greedily pick `k`, each round's
@@ -1759,6 +1803,14 @@ object SimilarityOps {
     "s12_mmr_diversity" -> ((s, dir) =>
       mmrSelect(t(s, dir, "embeddings"), queryId = 0L).orderBy("rank")),
 
+    // Corpus-scale k-center coreset (see [[kCenterCoreset]]): greedy
+    // farthest-point selection of 6 exemplars over the WHOLE embedding
+    // corpus with the live coverage radius per round; DuckDB replays
+    // the greedy via unrolled min-distance stages (the s12/d64
+    // unrolling discipline).
+    "s48_kcenter_coreset" -> ((s, dir) =>
+      kCenterCoreset(t(s, dir, "embeddings"), k = 6).orderBy("round")),
+
     // Exact near-dup baseline on a bounded id range: the oracle-checked
     // twin of s03 (whose LSH candidate set is recall<1 by design at this
     // similarity regime). All-pairs over <=200 vectors — the correctness
@@ -2369,6 +2421,41 @@ object SimilarityOps {
     // each stage excludes prior winners, takes max pairwise-cos to them,
     // and picks the same (rounded-score desc, vec_id) argmax.
     "s12_mmr_diversity" -> s12OracleSql(poolSize = 20, k = 5),
+    // k-center replay: the greedy unrolled — each stage folds the
+    // min-distance via least() exactly as the engine does, the next
+    // center is the (mind DESC, vec_id) head, distances compare on the
+    // same 6dp-rounded cosines.
+    "s48_kcenter_coreset" -> {
+      def step(r: Int): String =
+        s"""c$r AS (SELECT vec_id, v FROM m${r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+           |m$r AS (SELECT m.vec_id, m.v,
+           |  least(m.mind, 1.0 - round(list_dot_product(m.v, c.v) /
+           |    (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(c.v, c.v))), 6)) AS mind
+           |  FROM m${r - 1} m, c$r c)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |m0 AS (SELECT e.vec_id, e.v,
+         |  1.0 - round(list_dot_product(e.v, s.v) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.v, s.v))), 6) AS mind
+         |  FROM e, seed s),
+         |${(1 to 5).map(step).mkString(",\n")},
+         |rounds(round, center_id) AS (
+         |  SELECT 0, (SELECT vec_id FROM seed)
+         |  UNION ALL SELECT 1, (SELECT vec_id FROM c1)
+         |  UNION ALL SELECT 2, (SELECT vec_id FROM c2)
+         |  UNION ALL SELECT 3, (SELECT vec_id FROM c3)
+         |  UNION ALL SELECT 4, (SELECT vec_id FROM c4)
+         |  UNION ALL SELECT 5, (SELECT vec_id FROM c5)),
+         |radii(round, cover_radius) AS (
+         |  SELECT 0, round((SELECT max(mind) FROM m0), 6)
+         |  UNION ALL SELECT 1, round((SELECT max(mind) FROM m1), 6)
+         |  UNION ALL SELECT 2, round((SELECT max(mind) FROM m2), 6)
+         |  UNION ALL SELECT 3, round((SELECT max(mind) FROM m3), 6)
+         |  UNION ALL SELECT 4, round((SELECT max(mind) FROM m4), 6)
+         |  UNION ALL SELECT 5, round((SELECT max(mind) FROM m5), 6))
+         |SELECT CAST(r.round AS INT) AS round, r.center_id, ra.cover_radius
+         |FROM rounds r JOIN radii ra USING (round) ORDER BY round""".stripMargin
+    },
     // SemDeDup replay: same within-cluster pairwise cosine on the same
     // 6dp-rounded values, same lowest-id-wins rule.
     "s11_semdedup" ->
