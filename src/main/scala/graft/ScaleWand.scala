@@ -48,10 +48,42 @@ object ScaleWand {
       s"""{"query_id":${r.getLong(0)},"n_postings":${r.getLong(1)},""" +
         s""""n_skipped":${r.getLong(2)},"skip_frac":${r.getDouble(3)}}"""
     }
+
+    // r21 arm: the SAME bounded evaluator over LEARNED impacts — the
+    // skip fraction on a learned-sparse workload (trained fresh on this
+    // fixture, so impacts reflect ITS distribution), identity checked
+    // against the exhaustive learned scorer
+    val t2 = System.nanoTime()
+    val (lsTopk, lsStats) = RetrievalOps.learnedSparseTopK(docs, k = 10, topB = topB, nBuckets = nBuckets)
+    val lsBounded = key(lsTopk)
+    val lsSec = (System.nanoTime() - t2) / 1e9
+    val lsExhaustive = {
+      import spark.implicits._
+      val (_, hist) = graft.ops.TextOps.logregFit(docs)
+      val w = hist.last
+      val wPos = (0 until 256).collect { case b if w(b) > 0 => b.toLong -> w(b) }.toMap
+      key(RetrievalOps.learnedSparseContrib(docs, wPos)
+        .groupBy("query_id", "doc_id").agg(sum(col("c")).as("score"))
+        .select(col("query_id"),
+          struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAggregates.minK(col("rec"), 10).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
+        .orderBy("query_id", "rank"))
+    }
+    val lsSt = lsStats.orderBy("query_id").collect().map { r =>
+      s"""{"query_id":${r.getLong(0)},"n_postings":${r.getLong(1)},""" +
+        s""""n_skipped":${r.getLong(2)},"skip_frac":${r.getDouble(3)}}"""
+    }
+
     def r2(x: Double) = math.round(x * 100.0) / 100.0
     println(
       s"""{"sf":"$sfDir","identical":${bounded == exhaustive},""" +
         s""""per_query":[${st.mkString(",")}],""" +
+        s""""learned_sparse":{"identical":${lsBounded == lsExhaustive},""" +
+        s""""per_query":[${lsSt.mkString(",")}],"sec_bounded":${r2(lsSec)}},""" +
         s""""sec":{"bounded":${r2(boundedSec)},"exhaustive":${r2(exhaustiveSec)}}}""")
     spark.stop()
   }
