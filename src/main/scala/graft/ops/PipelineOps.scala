@@ -366,6 +366,38 @@ object PipelineOps {
 
     "p05_model_curation" -> ((s, dir) => modelCurate(t(s, dir, "documents"))),
 
+    // p07 — CALIBRATION of the trained quality classifier (the
+    // reliability table): before a threshold-based corpus filter
+    // ships, the go/no-go check is whether a predicted 0.8 is really
+    // an ~80% positive rate. Trains the d64 model, scores the SAME
+    // frame the descent consumed (db already carries y, bucket, c —
+    // one corpus pass total), bins the 6dp-rounded probability into
+    // deciles (floor(p·10), 1.0 folds into bin 9), and reports per
+    // bin: count, positives, mean prediction, empirical rate, the
+    // calibration gap (computed FROM the two 4dp-rounded columns so
+    // both engines derive it from identical values), and the bin's
+    // Brier contribution. The oracle replays the descent via the
+    // shared [[TextOps.LogregDescentSql]] and the same binning.
+    "p07_calibration" -> ((s, dir) => {
+      val (db, hist) = TextOps.logregFit(t(s, dir, "documents"))
+      val w = hist.last
+      val scored = db
+        .withColumn("wm", element_at(typedLit(w.toSeq), col("bucket").cast("int") + 1))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("c") * col("wm")).as("z"))
+        .select(col("y"), expr("round(1.0/(1.0+exp(-(z/1000000.0))), 6)").as("p"))
+      scored
+        .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y").cast("long")).as("n_pos"),
+          round(avg(col("p")), 4).as("mean_pred"),
+          round(avg(col("y").cast("double")), 4).as("empirical_rate"),
+          round(avg(pow(col("p") - col("y"), 2)), 4).as("brier"))
+        .withColumn("calib_gap", round(abs(col("mean_pred") - col("empirical_rate")), 4))
+        .orderBy("bin")
+    }),
+
     // p06 — p05's train→filter loop taken ONLINE, driven as a REAL
     // stream ([[graft.streaming.ModelStreams.weightRefreshStream]]):
     // the labeled corpus arrives as two micro-batches (even doc_ids,
@@ -464,6 +496,24 @@ object PipelineOps {
     // the even-doc_id TRAIN slice (same integer micro-logit discipline,
     // same power-of-two step), then the apply pass over the FULL corpus
     // under w3 — scores 6dp-exact, keep decisions bit-for-bit.
+    // Calibration replay: the shared descent CTEs, the SAME db-frame
+    // scoring the engine uses (zf is d64's), decile bins of the
+    // 6dp-rounded p, gap from the two 4dp-rounded columns.
+    "p07_calibration" -> {
+      s"""WITH ${TextOps.LogregDescentSql},
+         |zf AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w3 USING (bucket) GROUP BY 1, 2),
+         |sc AS (SELECT y, round(1.0/(1.0+exp(-(z/1000000.0))), 6) AS p FROM zf),
+         |b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y, p FROM sc),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+         |             round(avg(p), 4) AS mean_pred,
+         |             round(avg(CAST(y AS DOUBLE)), 4) AS empirical_rate,
+         |             round(avg(pow(p - y, 2)), 4) AS brier
+         |      FROM b GROUP BY 1)
+         |SELECT bin, n_docs, n_pos, mean_pred, empirical_rate, brier,
+         |       round(abs(mean_pred - empirical_rate), 4) AS calib_gap
+         |FROM g ORDER BY bin""".stripMargin
+    },
+
     "p05_model_curation" -> {
       def iter(t: Int): String =
         s"""z$t AS (SELECT doc_id, y, CAST(sum(c * wm) AS BIGINT) AS z FROM db JOIN w${t - 1} USING (bucket) GROUP BY 1, 2),

@@ -199,4 +199,27 @@ class PipelineSpec extends AnyFunSuite {
       .count()
     assert(over == 0, "a registered domain exceeded its token budget after the walk")
   }
+
+  test("p07: the reliability bins partition the corpus, rates stay in [0,1], and the gap " +
+    "derives from the rounded columns") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = PipelineOps.queries("p07_calibration")(spark, dir).collect()
+      assert(rows.nonEmpty, s"$dir: no bins")
+      val nDocs = Tables.t(spark, dir, "documents").count()
+      assert(rows.map(_.getLong(1)).sum == nDocs, s"$dir: bins do not partition the corpus")
+      rows.foreach { r =>
+        val (bin, n, nPos) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (pred, emp, gap) = (r.getDouble(3), r.getDouble(4), r.getDouble(6))
+        assert(bin >= 0 && bin <= 9, s"$dir: bin out of range: $r")
+        assert(nPos >= 0 && nPos <= n, s"$dir: positives exceed bin size: $r")
+        assert(pred >= 0.0 && pred <= 1.0 && emp >= 0.0 && emp <= 1.0, s"$dir: rate out of [0,1]: $r")
+        assert(math.abs(gap - math.rint(math.abs(pred - emp) * 1e4) / 1e4) < 1e-9,
+          s"$dir: gap not derived from the rounded columns: $r")
+        // the bin's mean prediction sits inside the bin's decile (modulo
+        // the 4dp rounding at the decile edge)
+        assert(pred >= bin / 10.0 - 5e-5 && (bin == 9L || pred < (bin + 1) / 10.0 + 5e-5),
+          s"$dir: mean prediction escaped its decile: $r")
+      }
+    }
+  }
 }
