@@ -54,14 +54,12 @@ object ScaleWand {
     // fixture, so impacts reflect ITS distribution), identity checked
     // against the exhaustive learned scorer
     val t2 = System.nanoTime()
-    val (lsTopk, lsStats) = RetrievalOps.learnedSparseTopK(docs, k = 10, topB = topB, nBuckets = nBuckets)
+    val wPos = RetrievalOps.trainImpacts(docs) // trained ONCE, shared by both arms
+    val (lsTopk, lsStats) = RetrievalOps.learnedSparseTopK(docs, wPos, k = 10, topB = topB, nBuckets = nBuckets)
     val lsBounded = key(lsTopk)
     val lsSec = (System.nanoTime() - t2) / 1e9
     val lsExhaustive = {
       import spark.implicits._
-      val (_, hist) = graft.ops.TextOps.logregFit(docs)
-      val w = hist.last
-      val wPos = (0 until 256).collect { case b if w(b) > 0 => b.toLong -> w(b) }.toMap
       key(RetrievalOps.learnedSparseContrib(docs, wPos)
         .groupBy("query_id", "doc_id").agg(sum(col("c")).as("score"))
         .select(col("query_id"),

@@ -309,7 +309,12 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Float]], ids: A
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
       val sim = if (denom == 0.0) 0.0 else d / denom
-      if (sim > bestSim || (sim == bestSim && ids(c) < bestId)) { bestSim = sim; bestId = ids(c) }
+      // Double.compare, not >: NaN (a corrupt embedding) must rank
+      // GREATEST with ties to the lowest id — the old array_max struct
+      // ordering's behavior — never fall through to a sentinel id that
+      // names no real cell
+      val cmp = java.lang.Double.compare(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && ids(c) < bestId)) { bestSim = sim; bestId = ids(c) }
       c += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -342,7 +347,8 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Float]], ids: A
           }
           double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
           double $sim = ($denom == 0.0) ? 0.0 : $d / $denom;
-          if ($sim > $bestSim || ($sim == $bestSim && $idsRef[$c] < $bestId)) {
+          int ${c}cmp = java.lang.Double.compare($sim, $bestSim);
+          if (${c}cmp > 0 || (${c}cmp == 0 && $idsRef[$c] < $bestId)) {
             $bestSim = $sim; $bestId = $idsRef[$c];
           }
         }

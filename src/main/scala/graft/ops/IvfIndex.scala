@@ -576,15 +576,16 @@ object IvfIndex {
       .limit(k)
   }
 
-  /** Search a LIVE index: the batch-built `assignment/` plus everything
-    * [[graft.streaming.IndexStreams]] has streamed into
-    * `stream_assignment/` since. Both layouts carry `cluster` as a
-    * partition column, so the same `cluster IN (probes)` filter prunes
-    * both scans at plan time — a vector ingested by stream costs a
-    * search exactly what a build-time vector costs. Append-only
-    * contract: re-ingesting an existing vec_id yields two candidate
-    * rows (dedup at ingest, not here — the search stays a pure pruned
-    * scan).
+  /** Search a LIVE index: the marker-resolved base generation plus
+    * everything [[graft.streaming.IndexStreams]] has streamed into
+    * `stream_assignment/` since the fold. The corpus-scale BASE scan is
+    * partition-pruned to the probed cells at plan time; the BOUNDED
+    * channel is scanned whole, versions resolve LAST-WRITER-WINS by
+    * epoch BEFORE the probe prune re-applies (a re-upserted vec_id is
+    * served ONCE, by its latest embedding and latest cell — never twice,
+    * and never from a stale base row in a probed cell when its current
+    * version moved to an unprobed one; IndexTombstoneSpec pins
+    * upsert-over-upsert), and tombstones kill by epoch as everywhere.
     */
   def searchIndexLive(
       spark: SparkSession,

@@ -229,12 +229,29 @@ object NswIndex {
     val cents = buildInto(emb, indexDir, gen = 0L, k, iters, m, efC, metaCol)
     // fresh index = generation 0: a stale marker from a previous
     // generation-bearing life of this dir must not outlive the data it
-    // described. Deleted AFTER the gen-0 data is complete — a crash
-    // before the delete leaves the old generation serving consistently.
-    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_LIVE_STATE")
-    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mfs.exists(markerPath)) mfs.delete(markerPath, false)
+    // described — and neither may leftover channel batches, whose
+    // exclusion depended on that marker's consumedThrough (resetting to
+    // −1 would let a consumed tombstone dir re-apply against the fresh
+    // index, killing vectors it never described). Channels retire FIRST,
+    // marker last; a crash in between leaves the old generation serving
+    // consistently (its window still excludes the deleted epochs).
+    retireChannelsAndMarker(spark, indexDir)
     cents
+  }
+
+  /** Fresh-build cleanup: delete the churn channels, then the
+    * generation marker (in that order — see [[build]]).
+    */
+  private def retireChannelsAndMarker(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$indexDir/pending", s"$indexDir/tombstones").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_LIVE_STATE")
+    val mfs = markerPath.getFileSystem(conf)
+    if (mfs.exists(markerPath)) mfs.delete(markerPath, false)
   }
 
   /** [[build]]'s body, parameterized by target generation: writes
@@ -777,6 +794,17 @@ object NswIndex {
     val fs = tombPath.getFileSystem(conf)
     val tombBatches = channelBatchIds(spark, tombPath.toString)
       .filter(_ > st.consumedThrough)
+    // the TOMBSTONE-ONLY lifecycle must refuse an index with unconsumed
+    // PENDING inserts: this rebuild folds cells − tombstones and then
+    // advances consumedThrough, which would exclude those pending
+    // batches from every later read WITHOUT folding them — silent data
+    // loss. rebuildLive is the fold that owns both channels.
+    val unconsumedPending = channelBatchIds(spark, s"$indexDir/pending")
+      .filter(_ > st.consumedThrough)
+    require(unconsumedPending.isEmpty,
+      s"$indexDir has unconsumed pending insert batches ${unconsumedPending.sorted.mkString(",")} — " +
+        "rebuildTombstoned folds only cells − tombstones and would silently drop them; " +
+        "use rebuildLive (folds both channels)")
     // a META-BUILT index rebuilds WITH its metadata: the cell files hold
     // the attribute values, and the marker holds the source column name —
     // carry both through, or filtered search would die at the (deleted)
@@ -1464,12 +1492,10 @@ object NswIndex {
       .mode("overwrite")
       .partitionBy("cluster")
       .parquet(s"$indexDir/cells")
-    // fresh layered index = generation 0 (the [[build]] discipline): a
-    // stale marker from a previous generation-bearing life of this dir
-    // must not route reads at a superseded cells_g<n>
-    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_LIVE_STATE")
-    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mfs.exists(markerPath)) mfs.delete(markerPath, false)
+    // fresh layered index = generation 0 (the [[build]] discipline):
+    // stale channels and the stale marker must not outlive the data
+    // they described
+    retireChannelsAndMarker(spark, indexDir)
     cents
   }
 

@@ -147,6 +147,11 @@ object RetrievalOps {
   private[graft] def maxSimScored(tokenDocs: DataFrame,
       qvecs: Seq[(Long, Long, Seq[Float])]): DataFrame = {
     import graft.functions.VectorFunctions.cosine_similarity
+    // the 8-token-per-query-doc contract is structural (the pivot has 8
+    // max slots): a qtok outside 0..7 would be SILENTLY dropped from the
+    // score — fail loudly instead
+    require(qvecs.forall(t => t._2 >= 0 && t._2 < 8),
+      s"MaxSim kernels pivot exactly 8 query-token slots (qtok 0..7); got qtoks ${qvecs.map(_._2).distinct.sorted}")
     val perPair = qvecs.map { case (qd, qt, v) =>
       struct(lit(qd).as("qdoc"), lit(qt).as("qtok"),
         round(cosine_similarity(col("embedding"), array(v.map(lit): _*)), 6).as("c"))
@@ -253,6 +258,8 @@ object RetrievalOps {
       cents: IvfIndex.Centroids,
       nCand: Int,
       nprobe: Int): DataFrame = {
+    require(qvecs.forall(t => t._2 >= 0 && t._2 < 8),
+      s"plaidCandidates aggregates exactly 8 query-token slots (qtok 0..7); got qtoks ${qvecs.map(_._2).distinct.sorted}")
     // stage 1, INVERTED (the production PLAID shape): each query token
     // probes its `nprobe` nearest centroids on the driver (|Q|×k table,
     // tiny), and candidate generation reads ONLY the probed cells'
@@ -266,11 +273,12 @@ object RetrievalOps {
     // semantics; the old form took max over ALL the doc's cells instead —
     // recall at the operating point is re-measured, not assumed:
     // PlaidProbe at the gate SFs, ScalePlaid at 10x/30x).
+    val centMap: Map[Int, Array[Float]] = cents.toMap
     val probeEntries: Map[Int, Seq[(Long, Long, Double)]] = qvecs
       .flatMap { case (qd, qt, v) =>
         val qv = v.toArray
         IvfIndex.probeCells(cents, qv, nprobe).map { c =>
-          c -> (qd, qt, cosLocal(qv, cents.find(_._1 == c).get._2))
+          c -> (qd, qt, cosLocal(qv, centMap(c)))
         }
       }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
@@ -491,15 +499,27 @@ object RetrievalOps {
     * corpus scan (plan-pinned in LearnedSparseSpec).
     */
   def learnedSparseTopK(docs: DataFrame, k: Int = 10, topB: Int = 32,
-      nBuckets: Int = 8): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (_, hist) = TextOps.logregFit(docs)
-    val w = hist.last // integer micro-logits; index 256 is the intercept
-    val wPos: Map[Long, Long] =
-      (0 until 256).collect { case b if w(b) > 0 => b.toLong -> w(b) }.toMap
+      nBuckets: Int = 8): (DataFrame, DataFrame) =
+    learnedSparseTopK(docs, trainImpacts(docs), k, topB, nBuckets)
+
+  /** [[learnedSparseTopK]] with already-trained impacts — callers that
+    * also need the weights (the exhaustive-identity checks in
+    * LearnedSparseSpec/ScaleWand) train ONCE instead of paying the
+    * 3-pass distributed descent twice for identical deterministic
+    * weights.
+    */
+  def learnedSparseTopK(docs: DataFrame, wPos: Map[Long, Long], k: Int,
+      topB: Int, nBuckets: Int): (DataFrame, DataFrame) =
     boundedImpactTopK(learnedSparseContrib(docs, wPos).localCheckpoint(),
       k, topB, nBuckets, roundTo = None)
+
+  /** Train the d64 descent and keep the ReLU support: bucket → positive
+    * final micro-logit (index 256, the intercept, never scores).
+    */
+  def trainImpacts(docs: DataFrame): Map[Long, Long] = {
+    val (_, hist) = TextOps.logregFit(docs)
+    val w = hist.last
+    (0 until 256).collect { case b if w(b) > 0 => b.toLong -> w(b) }.toMap
   }
 
   /** [[learnedSparseTopK]]'s posting-contribution frame, returned LAZY

@@ -201,6 +201,14 @@ object SimilarityOps {
     out += ((0, seed.getLong(0), radius()))
     for (r <- 1 until k) {
       val next = mind.orderBy(col("mind").desc, col("vec_id")).limit(1).head()
+      // fail loudly instead of silently re-selecting a center: once the
+      // cover radius is 0 every remaining vector coincides (at 6dp
+      // cosine) with a chosen exemplar — there IS no r-th distinct
+      // center, and a duplicate row would let a consumer believe k
+      // distinct exemplars exist
+      require(next.getDouble(2) > 0.0,
+        s"k-center exhausted after $r distinct exemplars: every remaining vector " +
+          s"is 6dp-cosine-identical to a chosen center (cover radius 0); requested k=$k")
       mind = mind
         .withColumn("mind", least(col("mind"), distTo(next.getSeq[Float](1).toArray)))
         .localCheckpoint()

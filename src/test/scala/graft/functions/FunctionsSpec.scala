@@ -89,4 +89,20 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => new String(r.getAs[Array[Byte]](1)))
     assert(back.sameElements(Array("one", "two")))
   }
+
+  test("nearest_centroid: argmax-cosine with lowest-id ties, and a NaN embedding ranks " +
+    "GREATEST with the lowest id (the old array_max struct ordering) — never a sentinel cell") {
+    import spark.implicits._
+    val cents: Array[(Int, Array[Float])] = Array(
+      3 -> Array(1f, 0f), 7 -> Array(0f, 1f), 5 -> Array(1f, 0f))
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f)),          // nearest = x-axis; ids 3 and 5 tie -> 3
+      (2L, Seq(0.1f, 0.9f)),          // nearest = y-axis -> 7
+      (3L, Seq(Float.NaN, 0.5f))      // corrupt: every cosine NaN -> lowest id 3
+    ).toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+      nearest_centroid($"embedding", cents).getField("cluster").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 7, 3L -> 3), s"got $got")
+  }
 }

@@ -21,20 +21,17 @@ import org.apache.spark.sql.functions._
 class LearnedSparseSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
-  private def wPosOf(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
-    val (_, hist) = TextOps.logregFit(docs)
-    val w = hist.last
-    (0 until 256).collect { case b if w(b) > 0 => b.toLong -> w(b) }.toMap
-  }
+  private def wPosOf(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    RetrievalOps.trainImpacts(docs)
 
   test("bounded evaluation equals the exhaustive scorer elementwise at both gate SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = Tables.t(spark, dir, "documents")
-      val (topk, stats) = RetrievalOps.learnedSparseTopK(docs, k = 10)
+      val wPos = wPosOf(docs) // trained ONCE, shared by both arms
+      val (topk, stats) = RetrievalOps.learnedSparseTopK(docs, wPos, k = 10, topB = 32, nBuckets = 8)
       val got = topk.collect().map(_.toString).toSeq
       assert(got.nonEmpty, s"$dir: empty result")
       // exhaustive: sum ALL contributions per (query, doc), rank, top-10
-      val wPos = wPosOf(docs)
       val exhaustive = RetrievalOps.learnedSparseContrib(docs, wPos)
         .groupBy("query_id", "doc_id").agg(sum(col("c")).as("score"))
         .select(col("query_id"),

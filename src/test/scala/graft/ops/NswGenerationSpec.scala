@@ -92,6 +92,53 @@ class NswGenerationSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("rebuildTombstoned refuses an index with unconsumed pending inserts — it folds " +
+    "only cells − tombstones and advancing consumedThrough would drop them silently") {
+    val dir = tmp("nsw-gen-refuse")
+    try {
+      val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), dir,
+        k = 16, iters = 2, m = 8, efC = 32)
+      NswIndex.insertBatch(emb.filter(col("vec_id") < 100), 0L, dir, cents)
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(105L), 1L, dir)
+      val ex = intercept[IllegalArgumentException] {
+        NswIndex.rebuildTombstoned(spark, dir, k = 16, iters = 2, m = 8, efC = 32)
+      }
+      assert(ex.getMessage.contains("rebuildLive"), ex.getMessage)
+      // the refusing call changed nothing: still gen 0, channels intact
+      assert(IvfIndex.readLiveState(spark, dir).gen == 0L)
+      assert(new java.io.File(s"$dir/pending").exists())
+      // the fold that owns both channels succeeds
+      NswIndex.rebuildLive(spark, dir, k = 16, iters = 2, m = 8, efC = 32)
+      assert(IvfIndex.readLiveState(spark, dir).gen == 1L)
+    } finally rm(dir)
+  }
+
+  test("a fresh build retires leftover channel batches WITH the marker — a consumed " +
+    "tombstone must not re-apply against the fresh index once consumedThrough resets") {
+    val dir = tmp("nsw-gen-freshchan")
+    try {
+      // life 1: churn + rebuild, then simulate the crash-before-delete
+      // leftover by re-landing the consumed tombstone batch
+      val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), dir,
+        k = 16, iters = 2, m = 8, efC = 32)
+      NswIndex.insertBatch(emb.filter(col("vec_id") < 100), 0L, dir, cents)
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(7L), 1L, dir)
+      NswIndex.rebuildLive(spark, dir, k = 16, iters = 2, m = 8, efC = 32)
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(7L), 1L, dir) // the leftover
+      // life 2: a FRESH build over the same dir (marker resets to gen 0)
+      val cents2 = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32)
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "fresh build must retire leftover channels with the marker")
+      // vec 7 is alive in the fresh index — the stale epoch-1 tombstone
+      // (would pass a consumedThrough of -1) no longer exists to kill it
+      val got = rows(NswIndex.searchFrameLive(spark, dir, cents2, qe(7L), 7L, 600, 16, 48))
+      val all = rows(NswIndex.searchFrameLive(spark, dir, cents2, qe(0L), 0L, 600, 16, 48))
+      assert(all.exists(_._1 == 7L),
+        "a leftover consumed tombstone re-applied against the fresh index")
+      assert(got.nonEmpty)
+    } finally rm(dir)
+  }
+
   test("a fresh build over a generation-bearing dir resets to gen 0") {
     val dir = tmp("nsw-gen-reset")
     try {
