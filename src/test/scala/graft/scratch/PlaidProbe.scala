@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.ops.{IvfIndex, RetrievalOps, Tables}
 import org.apache.spark.sql.functions._
 
-/** Scratch calibration: PLAID recall@10 vs nCand at the gate SFs. */
+/** Scratch calibration: PLAID recall@10 vs (kCells, nCand, nprobe) at the gate SFs — the sweep behind r17's operating point (64 cells, top-40, nprobe=8). */
 object PlaidProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.spark
@@ -25,12 +25,12 @@ object PlaidProbe {
         .filter(col("rk") <= 10)
         .select(col("qdoc").as("kq"), col("doc_id").as("k_id"))
         .localCheckpoint(true)
-      for (nc <- Seq(24, 32, 40, 48)) {
-        val (topk, cand) = RetrievalOps.plaidMaxSim(emb, qvecs, cents, nCand = nc, k = 10)
+      for (nc <- Seq(24, 32, 40, 48); np <- Seq(4, 8, 16)) {
+        val (topk, cand) = RetrievalOps.plaidMaxSim(emb, qvecs, cents, nCand = nc, k = 10, nprobe = np)
         val rec = topk.join(top10, col("query_doc") === col("kq") && col("doc_id") === col("k_id"))
           .groupBy("query_doc").count().as[(Long, Long)].collect().toMap
         val nCandTotal = cand.count()
-        println(s"PLAID $sfDir kCells=$kCells nCand=$nc recall=${rec.toSeq.sortBy(_._1)} candPairs=$nCandTotal")
+        println(s"PLAID $sfDir kCells=$kCells nCand=$nc nprobe=$np recall=${rec.toSeq.sortBy(_._1)} candPairs=$nCandTotal")
       }
     }
     spark.stop()
