@@ -103,6 +103,16 @@ object Bench {
       // (x06 0.52→1.73 s over r12–r16) while their ISOLATED minimums sat
       // at or below their references (x06 0.662 s vs ref 0.816) — suite
       // position, not code, was the regression.
+      //
+      // INVARIANT this sweep imposes: no query may rely on a cached or
+      // localCheckpointed frame SHARED ACROSS timeOnce calls (e.g. an
+      // object-level lazy val holding a checkpointed fixture). Check-
+      // pointed blocks are unrecomputable — unpersisting one here would
+      // make a later query that still references it fail mid-suite with
+      // a missing-block error, far from this line. Every query today
+      // builds its frames inside its own invocation; keep it that way,
+      // or scope any future shared fixture OUTSIDE the block manager
+      // (re-read parquet, don't checkpoint-and-share).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val ok =

@@ -53,8 +53,14 @@ object ScaleWand {
     // skip fraction on a learned-sparse workload (trained fresh on this
     // fixture, so impacts reflect ITS distribution), identity checked
     // against the exhaustive learned scorer
-    val t2 = System.nanoTime()
+    // train/serve split (the ScalePlaid discipline): the 3-pass
+    // distributed impact descent is BUILD cost, timed separately, so
+    // sec_bounded is comparable with the BM25 arm's (whose statistics
+    // prep is likewise outside its timed window)
+    val tTrain = System.nanoTime()
     val wPos = RetrievalOps.trainImpacts(docs) // trained ONCE, shared by both arms
+    val lsTrainSec = (System.nanoTime() - tTrain) / 1e9
+    val t2 = System.nanoTime()
     val (lsTopk, lsStats) = RetrievalOps.learnedSparseTopK(docs, wPos, k = 10, topB = topB, nBuckets = nBuckets)
     val lsBounded = key(lsTopk)
     val lsSec = (System.nanoTime() - t2) / 1e9
@@ -81,7 +87,8 @@ object ScaleWand {
       s"""{"sf":"$sfDir","identical":${bounded == exhaustive},""" +
         s""""per_query":[${st.mkString(",")}],""" +
         s""""learned_sparse":{"identical":${lsBounded == lsExhaustive},""" +
-        s""""per_query":[${lsSt.mkString(",")}],"sec_bounded":${r2(lsSec)}},""" +
+        s""""per_query":[${lsSt.mkString(",")}],"sec_bounded":${r2(lsSec)},""" +
+        s""""sec_train":${r2(lsTrainSec)}},""" +
         s""""sec":{"bounded":${r2(boundedSec)},"exhaustive":${r2(exhaustiveSec)}}}""")
     spark.stop()
   }

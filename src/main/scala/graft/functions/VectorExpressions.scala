@@ -252,6 +252,27 @@ case class BitHamming(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Centroid matrix holder with STRUCTURAL equality. As bare case-class
+  * fields, `Array[Array[Float]]`/`Array[Int]` compare by reference, so
+  * two structurally identical [[NearestCentroid]] expressions would
+  * compare unequal — defeating Catalyst canonicalization and common
+  * subexpression elimination for the fused kernel. Wrapping the arrays
+  * restores value semantics without copying them.
+  */
+final class CentroidMatrix(val cents: Array[Array[Float]], val ids: Array[Int])
+    extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case that: CentroidMatrix =>
+      java.util.Arrays.equals(ids, that.ids) &&
+        cents.length == that.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), that.cents(i)))
+    case _ => false
+  }
+  override val hashCode: Int =
+    java.util.Arrays.hashCode(ids) * 31 + cents.foldLeft(0)((h, c) =>
+      h * 31 + java.util.Arrays.hashCode(c))
+}
+
 /** Nearest-centroid assignment as ONE fused expression: argmax-cosine
   * over a k×d centroid matrix shipped as a REFERENCE OBJECT (not k
   * child expressions). The naive formulation — `array_max` over k
@@ -269,8 +290,10 @@ case class BitHamming(left: Expression, right: Expression) extends BinaryExpress
   * struct<sim:double, cluster:int> so callers needing the best
   * similarity (drift metrics) and the assignment share one kernel.
   */
-case class NearestCentroid(child: Expression, cents: Array[Array[Float]], ids: Array[Int])
+case class NearestCentroid(child: Expression, matrix: CentroidMatrix)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def cents: Array[Array[Float]] = matrix.cents
+  private def ids: Array[Int] = matrix.ids
   require(cents.length == ids.length && cents.nonEmpty, "empty centroid set")
 
   override def dataType: DataType =
@@ -333,6 +356,7 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Float]], ids: A
       val cv = ctx.freshName("cv"); val xi = ctx.freshName("xi"); val ci = ctx.freshName("ci")
       val denom = ctx.freshName("denom"); val sim = ctx.freshName("sim")
       val bestSim = ctx.freshName("bestSim"); val bestId = ctx.freshName("bestId")
+      val cmp = ctx.freshName("cmp")
       s"""
         double $bestSim = Double.NEGATIVE_INFINITY;
         int $bestId = Integer.MAX_VALUE;
@@ -347,8 +371,8 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Float]], ids: A
           }
           double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
           double $sim = ($denom == 0.0) ? 0.0 : $d / $denom;
-          int ${c}cmp = java.lang.Double.compare($sim, $bestSim);
-          if (${c}cmp > 0 || (${c}cmp == 0 && $idsRef[$c] < $bestId)) {
+          int $cmp = java.lang.Double.compare($sim, $bestSim);
+          if ($cmp > 0 || ($cmp == 0 && $idsRef[$c] < $bestId)) {
             $bestSim = $sim; $bestId = $idsRef[$c];
           }
         }
@@ -381,5 +405,5 @@ object VectorFunctions {
     */
   def nearest_centroid(v: Column, cents: Array[(Int, Array[Float])]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
-      cents.map(_._2), cents.map(_._1)))
+      new CentroidMatrix(cents.map(_._2), cents.map(_._1))))
 }

@@ -604,6 +604,23 @@ object IvfIndex {
     val probes = (if (radiusAware)
       probeCellsRadiusAware(cents, loadRadiiFor(spark, indexDir, st), queryVec, nprobe)
     else probeCells(cents, queryVec, nprobe)).map(c => c: Any)
+    // QUIESCENT fast path (the NswIndex empty-channel parity shape):
+    // with no batch dirs in either churn channel there is nothing to
+    // merge, so the LWW groupBy — an exchange over every probed cell —
+    // would aggregate rows that are already one-version-per-id. Serve
+    // the plain pruned base scan instead; the merge path below is paid
+    // only when a channel actually holds batches.
+    if (!hasBatchDirs(spark, s"$indexDir/stream_assignment") &&
+        !hasBatchDirs(spark, s"$indexDir/tombstones")) {
+      val prunedBase = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+        .filter(col("cluster").isin(probes: _*))
+      val excludedBase = excludeId.fold(prunedBase)(id => prunedBase.filter(col("vec_id") =!= id))
+      return excludedBase
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+    }
     // base rows carry batch = -1: ANY tombstone outranks them under the
     // last-writer-wins merge ([[applyTombstones]]); channel batches at
     // or before consumedThrough are already folded into the base —

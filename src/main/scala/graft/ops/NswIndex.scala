@@ -226,32 +226,47 @@ object NswIndex {
   def build(emb: DataFrame, indexDir: String, k: Int, iters: Int, m: Int, efC: Int,
       metaCol: Option[String] = None): Centroids = {
     val spark = emb.sparkSession
-    val cents = buildInto(emb, indexDir, gen = 0L, k, iters, m, efC, metaCol)
-    // fresh index = generation 0: a stale marker from a previous
-    // generation-bearing life of this dir must not outlive the data it
-    // described — and neither may leftover channel batches, whose
-    // exclusion depended on that marker's consumedThrough (resetting to
-    // −1 would let a consumed tombstone dir re-apply against the fresh
-    // index, killing vectors it never described). Channels retire FIRST,
-    // marker last; a crash in between leaves the old generation serving
-    // consistently (its window still excludes the deleted epochs).
-    retireChannelsAndMarker(spark, indexDir)
-    cents
+    freshGeneration(spark, indexDir)(gen =>
+      buildInto(emb, indexDir, gen, k, iters, m, efC, metaCol))
   }
 
-  /** Fresh-build cleanup: delete the churn channels, then the
-    * generation marker (in that order — see [[build]]).
+  /** Publish discipline for FRESH builds over a dir that may carry a
+    * prior life (a generation marker, superseded cell generations,
+    * channel batches — consumed or not). A virgin dir builds
+    * generation 0 plainly. A lived dir gets the rebuild treatment
+    * instead of a marker reset: the fresh index is written COMPLETELY
+    * as generation `st.gen + 1`, the marker flips atomically with
+    * `consumedThrough` advanced past every leftover channel batch, and
+    * only then are the channels deleted — pure hygiene, since every
+    * leftover epoch is now inside the published window. Crash anywhere
+    * BEFORE the flip: the old generation keeps serving with its
+    * channel window intact, so unconsumed upserts/tombstones it was
+    * merging on read are never silently lost (the hazard of deleting
+    * channels ahead of the marker). Crash AFTER the flip: the fresh
+    * generation serves and its window excludes every leftover batch,
+    * so a crash-surviving channel dir cannot re-apply against an index
+    * it never described.
     */
-  private def retireChannelsAndMarker(spark: SparkSession, indexDir: String): Unit = {
+  private def freshGeneration(spark: SparkSession, indexDir: String)(
+      doBuild: Long => Centroids): Centroids = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(s"$indexDir/pending", s"$indexDir/tombstones").foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/_LIVE_STATE")
-    val mfs = markerPath.getFileSystem(conf)
-    if (mfs.exists(markerPath)) mfs.delete(markerPath, false)
+    val hadMarker = markerPath.getFileSystem(conf).exists(markerPath)
+    val leftovers = channelBatchIds(spark, s"$indexDir/pending") ++
+      channelBatchIds(spark, s"$indexDir/tombstones")
+    if (!hadMarker && leftovers.isEmpty) doBuild(0L)
+    else {
+      val st = IvfIndex.readLiveState(spark, indexDir)
+      val through = (leftovers :+ st.consumedThrough).max
+      val cents = doBuild(st.gen + 1)
+      IvfIndex.publishLiveState(spark, indexDir, IvfIndex.LiveState(st.gen + 1, through))
+      Seq(s"$indexDir/pending", s"$indexDir/tombstones").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      cents
+    }
   }
 
   /** [[build]]'s body, parameterized by target generation: writes
@@ -1473,30 +1488,31 @@ object NswIndex {
       efC: Int, maxLevel: Int = 6): Centroids = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = IvfIndex.train(emb, k, iters)
-    IvfIndex.assignments(emb, cents)
-      .select(col("cluster"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val members = it.map { case (_, id, e) => (id, e.map(_.toFloat).toArray) }
-          .toArray.sortBy(_._1)
-        val graph = buildCellGraphLayered(members, m, efC, maxLevel)
-        members.iterator.map { case (id, v) =>
-          val (lvl, layers) = graph(id)
-          (id, v.toSeq, lvl, layers.map(_.toSeq).toSeq, cell)
+    // fresh-build publish rides [[freshGeneration]] (the [[build]]
+    // discipline): over a lived dir the layered cells land as the NEXT
+    // generation behind an atomic marker flip, never a marker reset
+    freshGeneration(spark, indexDir) { gen =>
+      val cents = IvfIndex.train(emb, k, iters)
+      IvfIndex.assignments(emb, cents)
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+        .as[(Int, Long, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (cell, it) =>
+          val members = it.map { case (_, id, e) => (id, e.map(_.toFloat).toArray) }
+            .toArray.sortBy(_._1)
+          val graph = buildCellGraphLayered(members, m, efC, maxLevel)
+          members.iterator.map { case (id, v) =>
+            val (lvl, layers) = graph(id)
+            (id, v.toSeq, lvl, layers.map(_.toSeq).toSeq, cell)
+          }
         }
-      }
-      .toDF("vec_id", "embedding", "level", "layers", "cluster")
-      .write
-      .mode("overwrite")
-      .partitionBy("cluster")
-      .parquet(s"$indexDir/cells")
-    // fresh layered index = generation 0 (the [[build]] discipline):
-    // stale channels and the stale marker must not outlive the data
-    // they described
-    retireChannelsAndMarker(spark, indexDir)
-    cents
+        .toDF("vec_id", "embedding", "level", "layers", "cluster")
+        .write
+        .mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(cellsDir(indexDir, gen))
+      cents
+    }
   }
 
   /** BATCHED layered search — [[searchFrameMany]]'s one-pruned-scan

@@ -113,8 +113,8 @@ class NswGenerationSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
-  test("a fresh build retires leftover channel batches WITH the marker — a consumed " +
-    "tombstone must not re-apply against the fresh index once consumedThrough resets") {
+  test("a fresh build over a lived dir publishes the NEXT generation with consumedThrough " +
+    "past every leftover batch — a leftover consumed tombstone cannot re-apply") {
     val dir = tmp("nsw-gen-freshchan")
     try {
       // life 1: churn + rebuild, then simulate the crash-before-delete
@@ -125,12 +125,18 @@ class NswGenerationSpec extends AnyFunSuite {
       graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(7L), 1L, dir)
       NswIndex.rebuildLive(spark, dir, k = 16, iters = 2, m = 8, efC = 32)
       graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(7L), 1L, dir) // the leftover
-      // life 2: a FRESH build over the same dir (marker resets to gen 0)
+      // life 2: a FRESH build over the same dir publishes gen 2 behind
+      // the atomic flip; the channel deletes after it are pure hygiene
       val cents2 = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32)
+      val st = IvfIndex.readLiveState(spark, dir)
+      assert(st.gen == 2L, s"fresh build over a lived dir must publish the next generation, got $st")
+      assert(st.consumedThrough >= 1L,
+        s"fresh build must advance consumedThrough past the leftover epoch, got $st")
       assert(!new java.io.File(s"$dir/tombstones").exists(),
-        "fresh build must retire leftover channels with the marker")
-      // vec 7 is alive in the fresh index — the stale epoch-1 tombstone
-      // (would pass a consumedThrough of -1) no longer exists to kill it
+        "fresh build must delete leftover channels after the flip")
+      // vec 7 is alive in the fresh index: the stale epoch-1 tombstone is
+      // gone AND inside the published window — it could not kill even if
+      // a crash had left it on disk
       val got = rows(NswIndex.searchFrameLive(spark, dir, cents2, qe(7L), 7L, 600, 16, 48))
       val all = rows(NswIndex.searchFrameLive(spark, dir, cents2, qe(0L), 0L, 600, 16, 48))
       assert(all.exists(_._1 == 7L),
@@ -139,18 +145,39 @@ class NswGenerationSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
-  test("a fresh build over a generation-bearing dir resets to gen 0") {
-    val dir = tmp("nsw-gen-reset")
+  test("kill-seam: a fresh build over a dir with UNCONSUMED churn — the flip excludes the " +
+    "leftover epochs, and a crash-surviving unconsumed batch cannot apply to the new gen") {
+    val dir = tmp("nsw-gen-unconsumed")
     try {
       val cents = NswIndex.build(emb.filter(col("vec_id") >= 100), dir,
         k = 16, iters = 2, m = 8, efC = 32)
+      // UNCONSUMED churn: pending inserts at epoch 0, a tombstone at
+      // epoch 1 — no rebuild ever folds them
       NswIndex.insertBatch(emb.filter(col("vec_id") < 100), 0L, dir, cents)
-      NswIndex.rebuildLive(spark, dir, k = 16, iters = 2, m = 8, efC = 32)
-      assert(IvfIndex.readLiveState(spark, dir).gen == 1L)
-      val cents3 = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32)
-      assert(IvfIndex.readLiveState(spark, dir).gen == 0L,
-        "fresh build must retire the stale generation marker")
-      val got = rows(NswIndex.searchFrame(spark, dir, cents3, qe(0L), 0L, 10, 16, 48))
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(105L), 1L, dir)
+      // the fresh build replaces the corpus wholesale; epoch 0/1 churn
+      // described the OLD life and must not leak into the new one
+      val cents2 = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32)
+      val st = IvfIndex.readLiveState(spark, dir)
+      assert(st.gen == 1L, s"expected the next generation, got $st")
+      assert(st.consumedThrough >= 1L,
+        s"consumedThrough must cover the unconsumed leftovers, got $st")
+      // simulate the crash between flip and channel delete: the epoch-1
+      // tombstone survives on disk — the published window excludes it
+      graft.streaming.IndexStreams.tombstoneBatch(spark, Seq(105L), 1L, dir)
+      val all = rows(NswIndex.searchFrameLive(spark, dir, cents2, qe(105L), -1L, 600, 16, 48))
+      assert(all.exists(_._1 == 105L),
+        "an old-life unconsumed tombstone applied against the fresh generation")
+    } finally rm(dir)
+  }
+
+  test("a fresh build over a VIRGIN dir stays generation 0 (no marker, plain cells dir)") {
+    val dir = tmp("nsw-gen-virgin")
+    try {
+      val cents = NswIndex.build(emb, dir, k = 16, iters = 2, m = 8, efC = 32)
+      assert(IvfIndex.readLiveState(spark, dir) == IvfIndex.LiveState(0L, -1L))
+      assert(new java.io.File(s"$dir/cells").exists())
+      val got = rows(NswIndex.searchFrame(spark, dir, cents, qe(0L), 0L, 10, 16, 48))
       assert(got.nonEmpty)
     } finally rm(dir)
   }
