@@ -296,8 +296,10 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       excludeId: Option[Long] = None,
-      radiusAware: Boolean = false
+      radiusAware: Boolean = false,
+      momentAware: Boolean = false
   ): DataFrame = {
+    require(!(radiusAware && momentAware), "pick ONE probe ranking: radiusAware or momentAware")
     val st = readLiveState(spark, indexDir)
     // generation-aware: a compacted/retrained index serves its LIVE
     // base (marker-resolved, like the geometry), and unconsumed churn
@@ -308,7 +310,9 @@ object IvfIndex {
       s"$indexDir has unconsumed stream/tombstone batches — the static search would " +
         "silently ignore them; use searchIndexLive (merge-on-read) or compact first")
     val cents = loadCentroidsAt(spark, indexDir, st)
-    val probes = (if (radiusAware)
+    val probes = (if (momentAware)
+      probeCellsMomentAware(cents, loadMomentsFor(spark, indexDir, st), queryVec, nprobe)
+    else if (radiusAware)
       probeCellsRadiusAware(cents, loadRadiiFor(spark, indexDir, st), queryVec, nprobe)
     else probeCells(cents, queryVec, nprobe)).map(c => c: Any)
     val scan = spark.read.parquet(liveBaseDir(indexDir, st.gen))
@@ -401,6 +405,141 @@ object IvfIndex {
       val thetaQC = math.acos(math.max(-1.0, math.min(1.0, cosineLocal(v, q))))
       math.cos(math.max(0.0, thetaQC - radii.getOrElse(c, math.Pi))) >= tau - 1e-6
     }.map(_._1).sorted
+
+  // ---- SECOND-MOMENT probe routing: finding submerged cliques --------
+  //
+  // The centroid is a cell's FIRST moment, and it has a measured blind
+  // spot: a tight clique of copies (the shape near-dup corpora are full
+  // of) submerged in a big cell contributes almost nothing to the mean
+  // direction — and an ANTIPODAL clique (the drift-wave shape) cancels
+  // out of it entirely. ScaleRetrain's resize phase measured the
+  // consequence: one panel query's whole truth clique sat in a cell
+  // centroid-ranked 33/64, outside any sane nprobe, recall 0. The
+  // SECOND moment sees both: with M_c = mean_{members} u uᵀ over
+  // unit-normalized members, the routing score qᵀ M_c q equals the
+  // cell's MEAN SQUARED member cosine against the query — a 10-copy
+  // clique at cos 0.4 inside a 390-member isotropic cell lifts it by
+  // ~3.4σ of the across-cell noise (rank 33 → rank 12 measured), and
+  // cos² is sign-invariant, so antipodal drift mass is exactly as
+  // visible as its positive image. Cost: one corpus pass to build
+  // (per-partition partial Grams, k·d² bytes shuffled), k·d² driver
+  // bytes to rank (64 cells × 64² doubles ≈ 2 MB here; at production
+  // d store the top-J eigenpairs of M_c instead — the score is a sum
+  // of squared projections either way). NOT a bound — a ranking;
+  // recall is measured (MomentProbeSpec, ScaleRetrain), never assumed.
+
+  /** One pass over the materialized assignment: per-cell Gram matrix
+    * M_c = Σ u uᵀ / n over UNIT-normalized members, written as the
+    * `moments/` sidecar (k rows of d² doubles, row-major). Generation-
+    * pinned like the radii: must be refreshed when the assignment
+    * changes; the moment-aware rankers fail loudly without it.
+    */
+  def saveCellMoments(spark: SparkSession, indexDir: String): Unit = {
+    val st = readLiveState(spark, indexDir)
+    saveCellMomentsFor(spark, liveBaseDir(indexDir, st.gen),
+      geomDir(indexDir, "moments", st.gen))
+  }
+
+  private[ops] def saveCellMomentsFor(spark: SparkSession, assignmentDir: String,
+      momentsDir: String): Unit = {
+    val src = spark.read.parquet(assignmentDir)
+      .select(col("cluster").cast("int").as("cluster"), col("embedding"))
+    // per-partition partial Grams, then one k-keyed reduce: the only
+    // thing that crosses the wire is k × d² doubles per partition —
+    // never the corpus
+    val partials = src.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Long)]
+      var d = -1
+      it.foreach { r =>
+        val c = r.getInt(0)
+        val e = r.getSeq[Float](1)
+        if (d < 0) d = e.length
+        var norm = 0.0
+        var i = 0
+        while (i < d) { val x = e(i).toDouble; norm += x * x; i += 1 }
+        if (norm > 0) {
+          val inv = 1.0 / norm // u uᵀ / |e|² — unit-normalized outer product
+          val (g, _) = acc.getOrElseUpdate(c, (new Array[Double](d * d), 0L))
+          i = 0
+          while (i < d) {
+            val ei = e(i).toDouble * inv
+            var j = 0
+            while (j < d) { g(i * d + j) += ei * e(j).toDouble; j += 1 }
+            i += 1
+          }
+          acc(c) = (g, acc(c)._2 + 1)
+        }
+      }
+      acc.iterator
+    }.reduceByKey { (x, y) =>
+      val (g1, n1) = x
+      val (g2, n2) = y
+      var i = 0
+      while (i < g1.length) { g1(i) += g2(i); i += 1 }
+      (g1, n1 + n2)
+    }
+    import spark.implicits._
+    partials
+      .map { case (c, (g, n)) =>
+        val m = new Array[Double](g.length)
+        var i = 0
+        while (i < g.length) { m(i) = g(i) / n; i += 1 }
+        (c, m.toSeq)
+      }
+      .toDF("cluster", "moment")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(momentsDir)
+  }
+
+  /** Load the moment sidecar for EXACTLY the live data generation (the
+    * radii discipline: a stale sidecar would silently mis-rank).
+    */
+  private[graft] def loadMomentsFor(spark: SparkSession, indexDir: String,
+      st: LiveState): Map[Int, Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(geomDir(indexDir, "moments", st.gen))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$indexDir has no moments sidecar for generation ${st.gen} — the second-moment " +
+        "ranking is only meaningful against the exact base it scans; run " +
+        "IvfIndex.saveCellMoments(spark, indexDir) after the build or after any compaction")
+    spark.read.parquet(p.toString).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+  }
+
+  /** Probe ranking by MEAN SQUARED member cosine: qᵀ M_c q with q
+    * unit-normalized. Ties (and cells with no recorded moment — only
+    * empty cells lack one) fall back to centroid cosine then id.
+    */
+  def probeCellsMomentAware(centroids: Centroids, moments: Map[Int, Array[Double]],
+      query: Array[Float], nprobe: Int): Seq[Int] =
+    rankCellsMomentAware(centroids, moments, query).take(nprobe).map(_._1)
+
+  private def rankCellsMomentAware(centroids: Centroids,
+      moments: Map[Int, Array[Double]], query: Array[Float]): Seq[(Int, Double)] = {
+    val d = query.length
+    var qn = 0.0
+    var i = 0
+    while (i < d) { qn += query(i).toDouble * query(i); i += 1 }
+    val inv = if (qn > 0) 1.0 / qn else 0.0
+    def score(m: Array[Double]): Double = {
+      var s = 0.0
+      var a = 0
+      while (a < d) {
+        val qa = query(a).toDouble
+        var b = 0
+        val row = a * d
+        while (b < d) { s += qa * m(row + b) * query(b); b += 1 }
+        a += 1
+      }
+      s * inv
+    }
+    centroids.toSeq
+      .map { case (c, v) =>
+        (c, moments.get(c).map(score).getOrElse(-1.0), cosineLocal(v, query))
+      }
+      .sortBy { case (c, ms, cc) => (-ms, -cc, c) }
+      .map { case (c, ms, _) => (c, ms) }
+  }
 
   /** Range search over the materialized index: the kept cells are
     * picked on the driver from the two k-row sidecars, the scan reads
@@ -594,14 +733,19 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       excludeId: Option[Long] = None,
-      radiusAware: Boolean = false
+      radiusAware: Boolean = false,
+      momentAware: Boolean = false
   ): DataFrame = {
+    require(!(radiusAware && momentAware), "pick ONE probe ranking: radiusAware or momentAware")
     val st = readLiveState(spark, indexDir)
     val cents = loadCentroidsAt(spark, indexDir, st)
-    // radius-aware ranking reads the serving generation's radii — a
-    // BASE-generation bound used as a probe heuristic (the unconsumed
-    // channel has no sidecar and the ranking makes no lossless claim)
-    val probes = (if (radiusAware)
+    // radius-/moment-aware rankings read the serving generation's
+    // sidecars — BASE-generation statistics used as probe heuristics
+    // (the unconsumed channel has no sidecar and neither ranking makes
+    // a lossless claim)
+    val probes = (if (momentAware)
+      probeCellsMomentAware(cents, loadMomentsFor(spark, indexDir, st), queryVec, nprobe)
+    else if (radiusAware)
       probeCellsRadiusAware(cents, loadRadiiFor(spark, indexDir, st), queryVec, nprobe)
     else probeCells(cents, queryVec, nprobe)).map(c => c: Any)
     // QUIESCENT fast path (the NswIndex empty-channel parity shape):
@@ -650,6 +794,302 @@ object IvfIndex {
       .select(col("vec_id"), round(cosine_similarity(col("embedding"), litVec(queryVec)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** BATCHED live search — a whole query panel answered in ONE Spark
+    * job over the merged live view (the [[graft.ops.Sq8Index.searchIvfMany]]
+    * serving shape applied to [[searchIndexLive]]'s semantics). The
+    * panel is routed on the driver, the base scan is partition-pruned
+    * ONCE to the UNION of all routed cells, versions resolve
+    * last-writer-wins over (union-pruned base + bounded channel) —
+    * sound because a vec_id's base row exists at most once and any
+    * channel version outranks it (batch −1), so the union-frame LWW
+    * winner equals every per-query frame's winner — then each surviving
+    * row scores against exactly the queries routed to its CURRENT cell
+    * (per-query `when(cluster IN routed, …)` column stack, all inside
+    * WholeStageCodegen), and per-query top-k select through bounded
+    * [[graft.functions.TopKAggregates.minK]] heaps on the ROUNDED score
+    * — the same total order as the single-query path, so the batch is
+    * row-identical per query to Q [[searchIndexLive]] calls
+    * (LiveBatchParitySpec pins this under a full churn script). At
+    * 100 TB the panel's shared cells are read once instead of up to Q
+    * times, and the driver never loops: one job, Q × k rows out.
+    */
+  def searchIndexLiveMany(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Map[Long, Array[Float]],
+      k: Int,
+      nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.TopKAggregates.minK
+    require(queries.nonEmpty, "searchIndexLiveMany needs at least one query")
+    val st = readLiveState(spark, indexDir)
+    val cents = loadCentroidsAt(spark, indexDir, st)
+    val routing: Map[Long, Seq[Int]] =
+      queries.map { case (qid, qv) => qid -> probeCells(cents, qv, nprobe) }
+    val cellsUnion = routing.values.flatten.toSeq.distinct.sorted.map(c => c: Any)
+    val quiescent = !hasBatchDirs(spark, s"$indexDir/stream_assignment") &&
+      !hasBatchDirs(spark, s"$indexDir/tombstones")
+    // live view over the probe UNION: quiescent indexes serve the plain
+    // pruned base scan (no merge exchange); otherwise LWW before the
+    // per-query prune, exactly the single-query discipline
+    val liveView: DataFrame =
+      if (quiescent)
+        spark.read.parquet(liveBaseDir(indexDir, st.gen))
+          .filter(col("cluster").isin(cellsUnion: _*))
+          .select(col("vec_id"), col("embedding"), col("cluster").cast("int").as("cluster"))
+      else {
+        val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+          .filter(col("cluster").isin(cellsUnion: _*))
+          .select(col("vec_id"), col("embedding"), col("cluster"), lit(-1L).as("batch"))
+        applyTombstones(spark, indexDir, st, withLiveChannel(spark, indexDir, st, base))
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("embedding"), col("cluster")), col("batch")).as("v"))
+          .select(col("vec_id"), col("v.embedding").as("embedding"),
+            col("v.cluster").cast("int").as("cluster"))
+      }
+    val perQuery = queries.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val admit = col("cluster").isin(routing(qid).map(x => x: Any): _*) &&
+        (if (excludeSelf) col("vec_id") =!= lit(qid) else lit(true))
+      struct(lit(qid).as("query_id"),
+        when(admit, round(cosine_similarity(col("embedding"), litVec(q)), 6)).as("cos_sim"))
+    }
+    // minK's output array is already ASCENDING in (−cos, vec_id) =
+    // the single-query (cos desc, vec_id asc) serving order, so
+    // posexplode recovers dense ranks 1..k directly
+    liveView
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
+      .filter(col("qa.cos_sim").isNotNull)
+      .select(col("qa.query_id").as("query_id"), col("vec_id"), col("qa.cos_sim").as("cos_sim"))
+      .groupBy("query_id")
+      .agg(minK(struct((-col("cos_sim")).as("nc"), col("vec_id"), col("cos_sim")), k).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("rec.vec_id").as("vec_id"), col("rec.cos_sim").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- ADAPTIVE probing: per-query probe depth from the stop bound ----
+  //
+  // Fixed-nprobe probing has a measured failure class (ScaleRetrain's
+  // resize phase): a query whose whole truth clique sits in ONE cell
+  // that the ranking places just past the probe cutoff scores recall 0
+  // while its neighbors' queries are fine — no single nprobe fits every
+  // query. Adaptive probing spends bytes where the BOUND says they can
+  // still pay: cells are visited in best-possible-member order
+  // (cos(max(0, θ−r)), the [[probeCellsRadiusAware]] / [[rangeKeptCells]]
+  // spherical bound), in chunks of one Spark job each, and the walk
+  // stops as soon as the running k-th similarity meets the next
+  // unvisited cell's bound — PROVABLY no unvisited cell can hold a
+  // strictly better member, so the top-k equals the full scan's
+  // (spec-pinned; [[AdaptiveStopSlack]] absorbs the acos/cos rounding
+  // so the guarantee survives float noise). Easy queries stop after a
+  // handful of cells; a q13-shaped query keeps paying until its clique
+  // cell is read; `probeCap` bounds the worst case. At 100 TB each
+  // chunk is a partition-pruned scan of only the NEW cells' bytes and
+  // the driver holds k rows per chunk — the loop adds latency (a few
+  // sequential jobs), never volume.
+
+  /** Slack for the adaptive stop rule: stop only when the k-th found
+    * similarity exceeds the next cell's bound by this margin, so the
+    * acos/cos round-trip error in the bound (≤ ~1e-8) and the 6-dp
+    * result rounding can never fake stability the true values lack.
+    */
+  private val AdaptiveStopSlack = 2e-6
+
+  /** Adaptive search outcome: the top-k frame (same (vec_id, cos_sim)
+    * shape and rounding as [[searchIndex]]), the cells actually read in
+    * bound order, whether the walk stopped because the bound proved
+    * the top-k stable (vs exhausting `probeCap` or the cell list), and
+    * the per-chunk (cells-probed, k-th-found, next-bound) trace — the
+    * operating-point evidence ScaleRetrain reads.
+    */
+  final case class AdaptiveProbe(result: DataFrame, probed: Seq[Int],
+    stoppedByBound: Boolean, trace: Seq[(Int, Double, Double)] = Nil)
+
+  /** Adaptive top-k over a STATIC index (no unconsumed churn — the
+    * [[searchIndex]] precondition, enforced the same way). Opt-in: the
+    * fixed-nprobe path stays the default; this is the escape hatch for
+    * recall-critical serving where per-query probe depth must follow
+    * the data. Requires the radii sidecar ([[saveCellRadii]]).
+    */
+  def searchIndexAdaptive(
+      spark: SparkSession,
+      indexDir: String,
+      queryVec: Array[Float],
+      k: Int,
+      minProbe: Int,
+      probeStep: Int,
+      probeCap: Int,
+      excludeId: Option[Long] = None,
+      momentAware: Boolean = false): AdaptiveProbe = {
+    val st = readLiveState(spark, indexDir)
+    require(pendingBatchIds(spark, indexDir, st).isEmpty,
+      s"$indexDir has unconsumed stream/tombstone batches — use searchIndexLiveAdaptive " +
+        "(merge-on-read) or compact first")
+    searchAdaptiveCore(spark, indexDir, st, queryVec, k, minProbe, probeStep, probeCap,
+      excludeId, momentAware)
+  }
+
+  /** Adaptive top-k over a LIVE index. The churn channel is BOUNDED
+    * (by the compaction policy), so it is served WHOLE, upfront, as its
+    * own arm: unconsumed upserts LWW-resolved and tombstone-filtered,
+    * scored in one job regardless of cell — which both seeds the
+    * running top-k (channel hits can only stop the walk EARLIER) and
+    * keeps the stop rule SOUND (no channel row can hide in a cell the
+    * bound never visits; note this serves channel rows from ALL cells
+    * where the fixed-nprobe [[searchIndexLive]] probe-prunes them — a
+    * strict recall improvement on the churn tail). Base chunks then
+    * exclude every id with channel activity (broadcast anti-join — the
+    * shadowed/deleted base versions must not serve), and the
+    * base-generation radii bound the base-only remainder exactly as in
+    * the static walk.
+    */
+  def searchIndexLiveAdaptive(
+      spark: SparkSession,
+      indexDir: String,
+      queryVec: Array[Float],
+      k: Int,
+      minProbe: Int,
+      probeStep: Int,
+      probeCap: Int,
+      excludeId: Option[Long] = None,
+      momentAware: Boolean = false): AdaptiveProbe = {
+    val st = readLiveState(spark, indexDir)
+    searchAdaptiveCore(spark, indexDir, st, queryVec, k, minProbe, probeStep, probeCap,
+      excludeId, momentAware)
+  }
+
+  private def searchAdaptiveCore(
+      spark: SparkSession,
+      indexDir: String,
+      st: LiveState,
+      queryVec: Array[Float],
+      k: Int,
+      minProbe: Int,
+      probeStep: Int,
+      probeCap: Int,
+      excludeId: Option[Long],
+      momentAware: Boolean = false): AdaptiveProbe = {
+    require(minProbe >= 1 && probeStep >= 1 && probeCap >= minProbe,
+      s"bad adaptive probe schedule: minProbe=$minProbe step=$probeStep cap=$probeCap")
+    val cents = loadCentroidsAt(spark, indexDir, st)
+    val radii = loadRadiiFor(spark, indexDir, st)
+    // every cell with its best-possible-member bound (the stop rule's
+    // certificate), visited either in bound order (default) or in
+    // second-moment order (momentAware — the submerged-clique router).
+    // The stop rule stays SOUND under ANY visit order by comparing the
+    // k-th found against the MAX bound over the not-yet-visited suffix.
+    val withBounds: Seq[(Int, Double, Double)] = cents.toSeq
+      .map { case (c, v) =>
+        val cosQC = cosineLocal(v, queryVec)
+        val theta = math.acos(math.max(-1.0, math.min(1.0, cosQC)))
+        (c, math.cos(math.max(0.0, theta - radii.getOrElse(c, 0.0))), cosQC)
+      }
+    val ranked: Seq[(Int, Double)] =
+      if (momentAware) {
+        val boundOf = withBounds.map(t => t._1 -> t._2).toMap
+        rankCellsMomentAware(cents, loadMomentsFor(spark, indexDir, st), queryVec)
+          .map { case (c, _) => (c, boundOf(c)) }
+      } else withBounds
+        .sortBy { case (c, b, cc) => (-b, -cc, c) }
+        .map { case (c, b, _) => (c, b) }
+    // suffix max of bounds over the visit order: stopBound(i) = the best
+    // any cell from position i on could still promise
+    val stopBound: Array[Double] = {
+      val a = new Array[Double](ranked.length + 1)
+      a(ranked.length) = Double.NegativeInfinity
+      var i = ranked.length - 1
+      while (i >= 0) { a(i) = math.max(ranked(i)._2, a(i + 1)); i -= 1 }
+      a
+    }
+    val streamPath = s"$indexDir/stream_assignment"
+    val tombPath = s"$indexDir/tombstones"
+    val hasStream = hasBatchDirs(spark, streamPath)
+    val hasTombs = hasBatchDirs(spark, tombPath)
+    def unconsumed(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("batch").cast("long") > st.consumedThrough)
+
+    def collectTopK(scored: DataFrame): Seq[(Long, Double)] =
+      scored
+        .select(col("vec_id"),
+          cosine_similarity(col("embedding"), litVec(queryVec)).as("sim"))
+        .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+        .limit(k)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // whole-channel arm: the bounded churn tail, LWW + tombstones, one job
+    val channelSeed: Seq[(Long, Double)] =
+      if (!hasStream) Seq.empty
+      else {
+        val latest = unconsumed(streamPath)
+          .groupBy("vec_id")
+          .agg(max_by(col("embedding"), col("batch").cast("long")).as("embedding"),
+            max(col("batch").cast("long")).as("b"))
+        val alive =
+          if (!hasTombs) latest
+          else {
+            val tombs = unconsumed(tombPath)
+              .groupBy("vec_id").agg(max(col("batch").cast("long")).as("tb"))
+            latest.join(broadcast(tombs), Seq("vec_id"), "left")
+              .filter(col("tb").isNull || col("tb") < col("b"))
+          }
+        collectTopK(excludeId.fold(alive)(id => alive.filter(col("vec_id") =!= id)))
+      }
+    // base rows whose ids have ANY channel activity are shadowed
+    // (served by the channel arm's latest version) or dead — excluded
+    // from every chunk via a broadcast anti-join, never a giant isin
+    val exclIds: Option[DataFrame] = {
+      val arms = Seq(
+        if (hasStream) Some(unconsumed(streamPath).select("vec_id")) else None,
+        if (hasTombs) Some(unconsumed(tombPath).select("vec_id")) else None).flatten
+      if (arms.isEmpty) None else Some(arms.reduce(_ unionByName _).distinct())
+    }
+
+    // one chunk = one partition-pruned job over only the NEW cells;
+    // rows come back UNROUNDED for the stop rule, ordered and retained
+    // under the serving discipline (6-dp round desc, vec_id asc)
+    def chunkTopK(chunk: Seq[Int]): Seq[(Long, Double)] = {
+      val scan = spark.read.parquet(liveBaseDir(indexDir, st.gen))
+        .filter(col("cluster").isin(chunk.map(c => c: Any): _*))
+      val dropped = exclIds.fold(scan)(e => scan.join(broadcast(e), Seq("vec_id"), "left_anti"))
+      collectTopK(excludeId.fold(dropped)(id => dropped.filter(col("vec_id") =!= id)))
+    }
+
+    // 6-dp rounding identical to Catalyst's Round (HALF_UP on BigDecimal
+    // — math.round would disagree on negative half-boundaries)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val serveOrdering = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, sim) => (-r6(sim), id)
+    }
+    var retained = channelSeed.sorted(serveOrdering).take(k).toVector
+    var probed = Vector.empty[Int]
+    var stoppedByBound = false
+    var trace = Vector.empty[(Int, Double, Double)]
+    val cap = math.min(probeCap, ranked.length)
+    while (!stoppedByBound && probed.length < cap) {
+      val take = if (probed.isEmpty) math.min(minProbe, cap) else math.min(probeStep, cap - probed.length)
+      val chunk = ranked.slice(probed.length, probed.length + take).map(_._1)
+      retained = (retained ++ chunkTopK(chunk)).sorted(serveOrdering).take(k)
+      probed = probed ++ chunk
+      val kth = if (retained.length >= k) retained.map(_._2).min else Double.NegativeInfinity
+      if (probed.length >= ranked.length) {
+        stoppedByBound = true // exhausted = full scan
+        trace = trace :+ ((probed.length, kth, Double.NegativeInfinity))
+      } else {
+        val remaining = stopBound(probed.length)
+        trace = trace :+ ((probed.length, kth, remaining))
+        if (retained.length >= k && kth >= remaining + AdaptiveStopSlack) stoppedByBound = true
+      }
+    }
+    import spark.implicits._
+    val result = retained
+      .map { case (id, sim) => (id, r6(sim)) }
+      .toDF("vec_id", "cos_sim")
+    AdaptiveProbe(result, probed, stoppedByBound, trace)
   }
 
   // ---- live-index lifecycle: tombstones, generations, compaction -----

@@ -1102,12 +1102,14 @@ object RetrievalOps {
       val qEmb: Map[Long, Array[Float]] = emb
         .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
-      val annRows: Seq[(Long, Long, Int)] = Bm25Queries.map(_._1).flatMap { qid =>
-        Sq8Index.searchIvf(s, idxDir, cents, emb, p, qEmb(qid), excludeId = -1L,
-          k = HybridCap, nprobe = 16, rerank = 100)
-          .collect().zipWithIndex.map { case (r, i) => (qid, r.getLong(0), i + 1) }
-      }
-      val annLeg = annRows.toDF("query_id", "doc_id", "r_ann")
+      // BATCHED dense leg: the whole panel rides the s37 machinery —
+      // union-probed cells read ONCE, per-query rerank pools and ranks
+      // bit-identical to Q searchIvf calls (no driver loop, no
+      // per-query collect; at a 10k-query serving panel this stays one
+      // Spark job — HybridBatchSpec pins the job count and the parity)
+      val annLeg = Sq8Index.searchIvfMany(s, idxDir, cents, emb, p, qEmb,
+        k = HybridCap, nprobe = 16, rerank = 100, excludeSelf = false)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("r_ann"))
       bmLeg.join(annLeg, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("rrf", round(
           coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
@@ -1188,11 +1190,13 @@ object RetrievalOps {
       val qEmb: Map[Long, Array[Float]] = emb
         .filter(col("vec_id").isin(Bm25Queries.map(_._1): _*))
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
-      val annRows: Seq[(Long, Long, Int)] = Bm25Queries.map(_._1).flatMap { qid =>
-        IvfIndex.searchIndexLive(s, idxDir, qEmb(qid), k = HybridCap, nprobe = 16)
-          .collect().zipWithIndex.map { case (r, i) => (qid, r.getLong(0), i + 1) }
-      }
-      val annLeg = annRows.toDF("query_id", "doc_id", "r_ann")
+      // BATCHED live dense leg: the panel answered in ONE job over the
+      // merged live view ([[IvfIndex.searchIndexLiveMany]] — LWW +
+      // tombstones resolved once for the whole panel, per-query ranks
+      // bit-identical to Q searchIndexLive calls; no driver loop)
+      val annLeg = IvfIndex.searchIndexLiveMany(s, idxDir, qEmb,
+        k = HybridCap, nprobe = 16)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("r_ann"))
       bmLeg.join(annLeg, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("rrf", round(
           coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
