@@ -88,6 +88,26 @@ object MultimodalOps {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** BYTE-LEVEL portable frame hash: md5 over the LOWERCASE HEX dump of
+    * the byte range (then the same 15-hex-char/60-bit prefix as
+    * [[frameHash]]). The indirection through hex exists because the
+    * oracle engine's md5() accepts only valid-UTF-8 strings — an
+    * arbitrary 64-BYTE slice of a multi-byte payload can split a UTF-8
+    * sequence and be unrepresentable as a string, but its hex dump
+    * always is, on both engines, byte-for-byte. Frame identity
+    * semantics are unchanged (hex is injective on bytes).
+    */
+  def hexFrameHash(payload: Array[Byte], from: Int, until: Int): Long = {
+    val hi = math.min(until, payload.length)
+    val sb = new java.lang.StringBuilder(math.max(0, hi - from) * 2)
+    var i = from
+    while (i < hi) { sb.append(f"${payload(i) & 0xff}%02x"); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val hex = digest.take(8).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Shannon byte entropy (bits/byte) — codec-independent signal used for
     * corrupt/blank-media triage regardless of the injected decoder.
     */
@@ -236,6 +256,28 @@ object MultimodalOps {
         substring(text, 1, 24), lit("'"))))
       .otherwise(text.cast("binary"))
 
+  /** The multi-byte probe appended to every doc for the BYTE-LEVEL
+    * oracle paths (m01/m11/m12): 'é' (2 UTF-8 bytes), '中' (3), '€' (3)
+    * — so every payload in those queries contains bytes ≥ 0x80 and the
+    * oracle compare would fail loudly if either engine fell back to
+    * codepoint (char-level) semantics anywhere. Built from escapes, not
+    * literals, so source-encoding drift can never change the fixture;
+    * the DuckDB side builds the identical string with chr(233) ||
+    * chr(20013) || chr(8364).
+    */
+  private[ops] val NonAsciiSuffix: String = "é中€"
+
+  /** BYTE-LEVEL payload: the UTF-8 bytes of the doc text with
+    * [[NonAsciiSuffix]] appended — the m-family boundary the char-level
+    * replay could not cross ([[asciiPayload]]'s guard), now in-gate:
+    * DuckDB replays these payloads byte-by-byte via hex(encode(...))
+    * pair extraction (BLOB functions), never through ascii()/substr
+    * codepoint semantics.
+    */
+  private[ops] def utf8Payload(text: String): Array[Byte] =
+    (text + NonAsciiSuffix).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables
@@ -251,17 +293,42 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
+  /** The asset table over BYTE-LEVEL payloads: UTF-8 bytes of the
+    * [[NonAsciiSuffix]]-augmented text — every payload contains
+    * multi-byte characters, and no path through here touches the
+    * [[asciiPayloadCol]] guard. `encode(_, 'UTF-8')` is codegen'd; the
+    * payload column is ordinary BINARY all the way to the codec seam.
+    */
+  def syntheticAssetsUtf8(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables
+      .t(spark, dir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+        encode(concat(col("text"), lit(NonAsciiSuffix)), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms")
+      )
+      .as[MediaAsset]
+  }
+
   val queries: Map[String, Tables.Q] = Map(
-    // Media feature extraction over binary payloads — EXACT-oracle: the
-    // synthetic payloads are the documents' ASCII bytes, so DuckDB can
-    // replay the byte histogram char-by-char. The float32 leading feature
-    // is emitted as its exact integer numerator (count of bytes in stub
-    // bucket 0, recovered via round(f0*n) — exact for n < 2^24) plus the
-    // fraction recomputed in double from that integer, so no float32
-    // value ever crosses the hash compare. Entropy is a double all the
-    // way through (byteEntropy), rounded 4dp.
+    // Media feature extraction over binary payloads — EXACT-oracle at
+    // BYTE level: payloads are the UTF-8 bytes of the multi-byte-
+    // augmented text ([[syntheticAssetsUtf8]] — every payload contains
+    // bytes ≥ 0x80), and DuckDB replays the byte histogram from
+    // hex(encode(...)) pair extraction, never per-CHAR ascii() — the
+    // byte-level oracle the old ASCII guard demanded before multi-byte
+    // corpora could be in-gate. The float32 leading feature is emitted
+    // as its exact integer numerator (count of bytes in stub bucket 0,
+    // recovered via round(f0*n) — exact for n < 2^24) plus the fraction
+    // recomputed in double from that integer, so no float32 value ever
+    // crosses the hash compare. Entropy is a double all the way through
+    // (byteEntropy), rounded 4dp.
     "m01_media_features" -> ((s, dir) => {
-      extractFeatures(syntheticAssets(s, dir))
+      extractFeatures(syntheticAssetsUtf8(s, dir))
         .toDF()
         .select(
           col("asset_id"),
@@ -277,6 +344,25 @@ object MultimodalOps {
     // so DuckDB rebuilds each frame with substr and hashes it identically.
     "m02_frame_samples" -> ((s, dir) => {
       sampleFrames(syntheticAssets(s, dir), strideBytes = 64, maxFrames = 4)
+        .toDF()
+        .orderBy("asset_id", "frame_idx")
+    }),
+    // BYTE-LEVEL frame sampling — m02's shape over the multi-byte
+    // payloads ([[syntheticAssetsUtf8]]): frames are fixed-stride
+    // 64-BYTE slices (which freely split UTF-8 sequences — exactly
+    // what a real binary media payload looks like), hashed through
+    // [[hexFrameHash]] so the oracle replays identity from the hex
+    // dump on both engines. Same fan-out flatMap plumbing, no shuffle.
+    "m12_frame_samples_bytes" -> ((s, dir) => {
+      import s.implicits._
+      syntheticAssetsUtf8(s, dir)
+        .flatMap { a =>
+          val payload = Option(a.payload).getOrElse(Array.emptyByteArray)
+          val n = math.min(4, payload.length / 64)
+          (0 until n).map { i =>
+            FrameSample(a.asset_id, i, hexFrameHash(payload, i * 64, i * 64 + 64))
+          }
+        }
         .toDF()
         .orderBy("asset_id", "frame_idx")
     }),
@@ -452,15 +538,19 @@ object MultimodalOps {
       import s.implicits._
       // the empty-text guard keeps the modulo pixel rule total (the
       // fixture has no empty docs today; a future one must not throw
-      // on an executor); ASCII is a fixture-wide assumption every
-      // byte-replay oracle here shares (m01-m05)
+      // on an executor). BYTE-LEVEL payloads ([[utf8Payload]] — the
+      // multi-byte-augmented UTF-8 bytes): pixels now span the full
+      // 0x00-0xFF range (UTF-8 continuation bytes ≥ 0x80), exercising
+      // the Sub/Average/Paeth filters in value ranges 7-bit text never
+      // reached; the oracle replays the same bytes from
+      // hex(encode(...)) pairs, never per-char ascii()
       val feats = Tables.t(s, dir, "documents")
         .where(length(col("text")) > 0)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val w = (3 + id % 4).toInt
           val h = (5 + id % 3).toInt
-          val bytes = asciiPayload(text)
+          val bytes = utf8Payload(text)
           val rgb = Array.tabulate(3 * w * h)(k => bytes(k % bytes.length))
           val png = PngCodec.encodeRgb(w, h, rgb, y => ((id + y) % 5).toInt)
           val (dw, dh, back) = PngCodec.decodePixels(png)
@@ -582,12 +672,17 @@ object MultimodalOps {
     })
   )
 
-  /** m01-m03: the synthetic payloads are the documents' ASCII bytes, so
-    * DuckDB replays the stub codec char-by-char (histogram buckets via
-    * ascii()%8, frames via substr + the portable md5-prefix hash,
-    * decimation via odd subscripts). m04's closed form: a solid-color
-    * image's channel proportions are r/(r+g+b) etc., and its byte size is
-    * the exact header + 3wh.
+  /** Two oracle regimes. BYTE-LEVEL (m01/m11/m12): payloads are UTF-8
+    * bytes of the multi-byte-augmented text, and DuckDB replays them
+    * from hex(encode(...)) pair extraction — multi-byte corpora are
+    * in-gate on these paths and the ASCII guard is retired there.
+    * CHAR-LEVEL (m02/m03/m05/m07-m10): the stub replays char-by-char
+    * (histogram buckets via ascii()%8, frames via substr + the portable
+    * md5-prefix hash, decimation via odd subscripts), valid only for
+    * 7-bit text — [[asciiPayload]] keeps that boundary loud. m04's
+    * closed form: a solid-color image's channel proportions are
+    * r/(r+g+b) etc., and its byte size is the exact header + 3wh — no
+    * text bytes touch that path at all.
     */
   val oracleSql: Map[String, String] = Map(
     "m06_phash_dedup" ->
@@ -599,19 +694,35 @@ object MultimodalOps {
         |h AS (SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash FROM bits GROUP BY 1)
         |SELECT dhash, count(*) AS n_docs, min(doc_id) AS keeper_id
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BYTE-LEVEL replay: the payload is the UTF-8 encoding of the
+    // multi-byte-augmented text; bytes come from hex() pair extraction
+    // on the BLOB (never per-char ascii(), which would see codepoints)
     "m01_media_features" ->
-      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-        |hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      """WITH d AS (SELECT doc_id, hex(encode(text || chr(233) || chr(20013) || chr(8364))) AS hx,
+        |                  octet_length(encode(text || chr(233) || chr(20013) || chr(8364))) AS n
+        |           FROM documents),
+        |by AS (SELECT doc_id, ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT AS b
+        |       FROM d, UNNEST(range(0, n)) u(i)),
+        |hist AS (SELECT doc_id, b, count(*) AS c FROM by GROUP BY 1, 2),
         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
         |e AS (SELECT h.doc_id,
         |        round(-sum((CAST(h.c AS DOUBLE) / n.n) * log2(CAST(h.c AS DOUBLE) / n.n)), 4) AS ent,
-        |        CAST(coalesce(sum(h.c) FILTER (WHERE ascii(h.ch) % 8 = 0), 0) AS BIGINT) AS f0c
+        |        CAST(coalesce(sum(h.c) FILTER (WHERE h.b % 8 = 0), 0) AS BIGINT) AS f0c
         |      FROM hist h JOIN n USING (doc_id) GROUP BY 1)
         |SELECT e.doc_id AS asset_id,
         |  CASE WHEN e.doc_id % 3 = 0 THEN 'image' WHEN e.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  n.n AS n_bytes, e.ent AS byte_entropy, e.f0c AS f0_count,
         |  round(CAST(e.f0c AS DOUBLE) / greatest(n.n, 1), 4) AS f0
         |FROM e JOIN n USING (doc_id) ORDER BY asset_id""".stripMargin,
+    "m12_frame_samples_bytes" ->
+      """WITH d AS (SELECT doc_id, lower(hex(encode(text || chr(233) || chr(20013) || chr(8364)))) AS hx,
+        |                  octet_length(encode(text || chr(233) || chr(20013) || chr(8364))) AS n
+        |           FROM documents),
+        |f AS (SELECT doc_id, i, substr(hx, CAST(i * 128 + 1 AS INT), 128) AS frhex
+        |      FROM d, UNNEST(range(0, least(4, n // 64))) u(i))
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        |  ('0x' || substr(md5(frhex), 1, 15))::BIGINT AS frame_hash
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
     "m07_frame_dedup" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
         |f AS (SELECT doc_id, substr(text, CAST(i * 64 + 1 AS INT), 64) AS fr
@@ -697,15 +808,18 @@ object MultimodalOps {
         |  FROM bins)
         |SELECT doc_id, CAST(k AS INT) AS bin, round(sqrt(re * re + im * im), 4) AS mag
         |FROM d ORDER BY doc_id, bin""".stripMargin,
-    // PNG round trip: the channel sums replay from the same text bytes
-    // (pixel k = ascii(text[k mod len]), channel = k mod 3);
-    // roundtrip_ok is the pinned decode-exactness claim.
+    // PNG round trip, BYTE-LEVEL: pixel k = UTF-8 byte k mod n_bytes of
+    // the augmented payload (hex-pair extraction — continuation bytes
+    // ≥ 0x80 included); roundtrip_ok is the pinned decode-exactness
+    // claim over the full byte range.
     "m11_png_features" ->
-      """WITH d AS (SELECT doc_id, text, CAST(3 + doc_id % 4 AS BIGINT) AS w,
-        |                  CAST(5 + doc_id % 3 AS BIGINT) AS h, strlen(text) AS L
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS w,
+        |                  CAST(5 + doc_id % 3 AS BIGINT) AS h,
+        |                  hex(encode(text || chr(233) || chr(20013) || chr(8364))) AS hx,
+        |                  octet_length(encode(text || chr(233) || chr(20013) || chr(8364))) AS L
         |           FROM documents WHERE strlen(text) > 0),
         |px AS (SELECT doc_id, w, h,
-        |         ascii(substr(text, CAST(i % L AS INT) + 1, 1)) AS v, i % 3 AS chan
+        |         ('0x' || substr(hx, CAST(2 * (i % L) + 1 AS INT), 2))::INT AS v, i % 3 AS chan
         |       FROM d, UNNEST(range(0, 3 * w * h)) u(i))
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(sum(CASE WHEN chan = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,

@@ -48,4 +48,31 @@ class MultimodalAsciiSpec extends AnyFunSuite {
       .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(got, text.getBytes("UTF-8")))
   }
+
+  // ---- the BYTE-LEVEL regime (m01/m11/m12): multi-byte text IN-gate ----
+
+  test("utf8Payload carries multi-byte text: every payload contains bytes >= 0x80 " +
+    "and emoji/CJK survive without the ASCII guard") {
+    val p = MultimodalOps.utf8Payload("emoji 😀 and 中文")
+    assert(p.exists(b => (b & 0xff) >= 0x80), "no high bytes — not exercising UTF-8")
+    // even an all-ASCII doc gets high bytes from the appended probe suffix
+    val q = MultimodalOps.utf8Payload("plain ascii")
+    assert(q.exists(b => (b & 0xff) >= 0x80), "suffix must force multi-byte bytes")
+    // byte identity with the JDK's UTF-8 encoder over the augmented text
+    assert(java.util.Arrays.equals(p,
+      ("emoji 😀 and 中文" + MultimodalOps.NonAsciiSuffix).getBytes("UTF-8")))
+  }
+
+  test("hexFrameHash is defined on slices that split a UTF-8 sequence " +
+    "(the case the oracle's md5(VARCHAR) could never replay from raw bytes)") {
+    val p = MultimodalOps.utf8Payload("aé中€")
+    // slice [0,3) cuts '中' (3 bytes) mid-sequence: invalid standalone UTF-8
+    val h1 = MultimodalOps.hexFrameHash(p, 0, 3)
+    val h2 = MultimodalOps.hexFrameHash(p, 0, 4)
+    assert(h1 != h2, "hash must depend on the exact byte range")
+    assert(h1 > 0 && h2 > 0, "60-bit prefix is always positive")
+    // clamped past the end: hashes the available tail, deterministically
+    assert(MultimodalOps.hexFrameHash(p, 0, 1000) ==
+      MultimodalOps.hexFrameHash(p, 0, p.length))
+  }
 }
