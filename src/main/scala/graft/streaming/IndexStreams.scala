@@ -276,6 +276,121 @@ object IndexStreams {
         () // Unit — the policy's decision is read back from the marker
       }
 
+  // ---- RECALL CANARY: the retrain trigger for fit-blind drift --------
+  //
+  // The fit metric (mean cos-to-assigned-centroid) has a MEASURED blind
+  // spot: the s44 antipodal wave assigns at in-distribution fit (0.226
+  // vs 0.222) while scattering each query's true neighborhood across
+  // cells the probe ranking near-ties on — recall damage with zero fit
+  // damage (RetrainTriggerSpec pins the blindness). The canary measures
+  // what the user actually experiences instead of a geometric proxy:
+  // serve a small query panel drawn FROM THE ARRIVING BATCH (serving
+  // traffic follows the drift — a fixed pre-drift panel would miss a
+  // drift its own directions never visit) at the production probe depth
+  // and at a reference depth, and compare. Coherent in-distribution
+  // batches keep the two aligned (the ranking's top cells hold the
+  // neighborhood); wave-scattered neighborhoods diverge. Cost per
+  // batch is bounded: two [[graft.ops.IvfIndex.searchIndexLiveMany]]
+  // calls over nCanary queries — partition-pruned batched scans, no
+  // driver loop, no brute-force arm — so the canary stays affordable
+  // at 100 TB where an exact-recall probe would be a full scan.
+
+  /** Mean recall-overlap@k of the live index for `panel`: per query,
+    * |top-k(nprobeServe) ∩ top-k(nprobeRef)| / k, averaged. A pure
+    * measurement (no side effects); both arms ride the batched live
+    * searcher, self-excluded so a batch-sampled query cannot score its
+    * own row.
+    */
+  def canaryRecall(spark: SparkSession, indexDir: String, panel: Map[Long, Array[Float]],
+      k: Int, nprobeServe: Int, nprobeRef: Int): Double = {
+    require(panel.nonEmpty, "canaryRecall needs at least one query")
+    require(nprobeServe < nprobeRef,
+      s"reference probe depth must exceed serving depth ($nprobeServe >= $nprobeRef)")
+    val serve = IvfIndex.searchIndexLiveMany(spark, indexDir, panel, k, nprobeServe,
+      excludeSelf = true)
+    val ref = IvfIndex.searchIndexLiveMany(spark, indexDir, panel, k, nprobeRef,
+      excludeSelf = true)
+    val overlap: Map[Long, Long] = serve.select("query_id", "vec_id")
+      .join(ref.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    panel.keys.toSeq
+      .map(qid => overlap.getOrElse(qid, 0L).toDouble / k)
+      .sum / panel.size
+  }
+
+  /** Record one batch's canary reading under its own `batch=<id>`
+    * directory (the [[logBatchMetric]] idempotency contract).
+    */
+  def logCanaryMetric(spark: SparkSession, indexDir: String, batchId: Long,
+      nQueries: Int, recall: Double): Unit = {
+    import spark.implicits._
+    Seq((nQueries, recall)).toDF("n_queries", "recall")
+      .write.mode("overwrite").parquet(s"$indexDir/canary_log/batch=$batchId")
+  }
+
+  /** Read the canary log back as a (batch, n_queries, recall) table. */
+  def readCanaryLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/canary_log").select("batch", "n_queries", "recall")
+
+  /** One micro-batch under the CANARY retrain policy: land the batch
+    * (and the fit metric, for the log's continuity), then measure the
+    * canary over the `nCanary` smallest vec_ids of the batch —
+    * deterministic, so an epoch REPLAY measures the same panel — and
+    * run ONE [[graft.ops.IvfIndex.retrainLiveIndex]] when mean
+    * recall-overlap falls below `recallFloor`. The consumedThrough
+    * guard makes replays flip-proof exactly as in
+    * [[upsertBatchWithRetrain]]; the two policy rungs compose (run both
+    * when a deployment faces both drift classes). Returns true iff this
+    * call retrained.
+    */
+  def upsertBatchWithCanary(batch: DataFrame, batchId: Long, indexDir: String,
+      recallFloor: Double, retrainK: Int, retrainIters: Int = 2,
+      nCanary: Int = 4, k: Int = 10, nprobeServe: Int = 4, nprobeRef: Int = 16): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = IvfIndex.loadCentroids(spark, indexDir)
+    val (rows, meanCos) = upsertBatch(batch, batchId, indexDir, cents)
+    logBatchMetric(spark, indexDir, batchId, rows, meanCos)
+    if (rows == 0L) return false
+    val panel: Map[Long, Array[Float]] = batch
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(nCanary)
+      .as[(Long, Array[Float])].collect().toMap
+    val recall = canaryRecall(spark, indexDir, panel, k, nprobeServe, nprobeRef)
+    logCanaryMetric(spark, indexDir, batchId, panel.size, recall)
+    val st = IvfIndex.readLiveState(spark, indexDir)
+    val shouldRetrain = recall < recallFloor && batchId > st.consumedThrough
+    if (shouldRetrain)
+      IvfIndex.retrainLiveIndex(spark, indexDir, k = retrainK, iters = retrainIters)
+    shouldRetrain
+  }
+
+  /** [[streamingIvfUpsert]] with the canary policy rung wired in — the
+    * streaming twin of [[streamingIvfUpsertWithRetrain]] for the drift
+    * class the fit metric provably misses.
+    */
+  def streamingIvfUpsertWithCanary(
+      embStream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      recallFloor: Double,
+      retrainK: Int,
+      retrainIters: Int = 2,
+      nCanary: Int = 4,
+      k: Int = 10,
+      nprobeServe: Int = 4,
+      nprobeRef: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatchWithCanary(batch, batchId, indexDir, recallFloor, retrainK,
+          retrainIters, nCanary, k, nprobeServe, nprobeRef)
+        ()
+      }
+
   /** Wire the stream: every micro-batch folds into the index and the
     * drift metric lands in `indexDir/upsert_log/batch=<id>` (rows,
     * mean_cos) — readable as a table by whoever watches the index.

@@ -160,4 +160,79 @@ class RetrainTriggerSpec extends AnyFunSuite {
           "triggers, the metric changed and the doc's boundary claim must be re-measured")
     } finally rm(dir)
   }
+
+  // ---- the RECALL CANARY rung ([[IndexStreams.upsertBatchWithCanary]]):
+  // the trigger for the drift class the fit metric provably misses ------
+
+  /** `copies` jittered clones of each anchor vector (sign-flipped for
+    * the antipodal wave) — the s44 clique shape: a drifted neighborhood
+    * arriving TOGETHER, deterministic down to the sin-based jitter.
+    */
+  private def jitteredCliques(srcIds: Seq[Long], offset: Long, copies: Int,
+      anti: Boolean): org.apache.spark.sql.DataFrame = {
+    val sgn = if (anti) "-" else ""
+    (0 until copies).map { j =>
+      emb.filter(col("vec_id").isin(srcIds.map(x => x: Any): _*))
+        .select((col("vec_id") * 100 + j + offset).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> cast($sgn(x + 0.02 * " +
+            s"sin(cast(vec_id * 7 + i * 13 + $j * 37 AS DOUBLE))) as float))")
+            .as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  test("canary rung: the antipodal clique wave — ABOVE the fit floor, so the fit rung " +
+    "is provably blind to it — triggers exactly ONE retrain via recall; in-distribution " +
+    "cliques pass; replay cannot double-retrain") {
+    import spark.implicits._
+    // corpus WITH trained-in cliques (k-means must model neighborhood
+    // structure for serving recall to be meaningful — on a purely
+    // isotropic corpus every probe depth is equally blind and the wave
+    // has nothing to scatter)
+    val anchors = (0L until 20L).map(_ * 10 + 5)
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(jitteredCliques(anchors, 1000000L, 5, anti = false))
+    val dir = Files.createTempDirectory("canary-trigger").toString
+    try {
+      IvfIndex.build(corpus, dir, k = 16, iters = 3)
+      val fitFloor = 0.1 // the fit rung's floor from the tests above
+      val canaryFloor = 0.85 // between measured in-dist 1.0 and wave 0.7
+      // batch 0: NEW in-distribution cliques (fresh jitters of trained
+      // anchors) — canary reads 1.0 (measured), no flip
+      val r0 = IndexStreams.upsertBatchWithCanary(
+        jitteredCliques(anchors.take(8), 2000000L, 5, anti = false), 0L, dir,
+        recallFloor = canaryFloor, retrainK = 16, nCanary = 8,
+        nprobeServe = 2, nprobeRef = 16)
+      assert(!r0 && IvfIndex.readLiveState(spark, dir).gen == 0L,
+        "in-distribution cliques must not trigger the canary")
+      // batch 1: the ANTIPODAL wave (whole cliques arriving sign-flipped)
+      val r1 = IndexStreams.upsertBatchWithCanary(
+        jitteredCliques(anchors.drop(8).take(8), 3000000L, 5, anti = true), 1L, dir,
+        recallFloor = canaryFloor, retrainK = 16, nCanary = 8,
+        nprobeServe = 2, nprobeRef = 16)
+      assert(r1, "the wave must trigger the canary retrain")
+      val st1 = IvfIndex.readLiveState(spark, dir)
+      assert(st1.gen == 1L && st1.consumedThrough == 1L, s"unexpected state $st1")
+      // the FIT metric on the triggering batch sat ABOVE the fit floor
+      // (the wave assigns at in-distribution fit — this is the measured
+      // blindness the canary exists for; if this assertion ever fails
+      // the fit rung started seeing the wave and the canary's reason-
+      // to-exist must be re-measured)
+      val fitLogged = IndexStreams.readUpsertLog(spark, dir)
+        .filter(col("batch") === 1).head().getDouble(2)
+      assert(fitLogged > fitFloor,
+        s"wave fit $fitLogged under the fit floor — the fit rung would have caught it")
+      // and the canary log shows the recall collapse
+      val canaryLogged = IndexStreams.readCanaryLog(spark, dir)
+        .filter(col("batch") === 1).head().getDouble(2)
+      assert(canaryLogged < canaryFloor,
+        s"canary recall $canaryLogged not under the floor — what triggered?")
+      // REPLAY of the triggering epoch: idempotent rows, no second flip
+      val r1b = IndexStreams.upsertBatchWithCanary(
+        jitteredCliques(anchors.drop(8).take(8), 3000000L, 5, anti = true), 1L, dir,
+        recallFloor = canaryFloor, retrainK = 16, nCanary = 8,
+        nprobeServe = 2, nprobeRef = 16)
+      assert(!r1b && IvfIndex.readLiveState(spark, dir) == st1,
+        "replayed epoch double-retrained via the canary")
+    } finally rm(dir)
+  }
 }
