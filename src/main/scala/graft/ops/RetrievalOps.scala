@@ -513,6 +513,27 @@ object RetrievalOps {
     boundedImpactTopK(learnedSparseContrib(docs, wPos).localCheckpoint(),
       k, topB, nBuckets, roundTo = None)
 
+  /** r21's FLOAT-saturation twin (r22): SPLADE's actual log saturation
+    * — impact = w_bucket · ln(1 + tf_bucket) in double — instead of the
+    * integer `min(tf, 3)` stand-in, scored under the BM25 chain's
+    * rounded-compare discipline (4dp before ranking; the r02 rule that
+    * absorbs the ≤1-ulp libm divergence between engines). Shares
+    * [[boundedImpactTopK]] whole: positivity still holds (w > 0 by
+    * ReLU, ln(1+tf) > 0 for tf ≥ 1), so the MaxScore rest/ub bounds
+    * stay sound, and the bounded answer is elementwise identical to
+    * the exhaustive scorer (LearnedSparseSpec pins the log variant
+    * too). Candidate generation is the same broadcast support join.
+    */
+  def learnedSparseLogTopK(docs: DataFrame, k: Int = 10, topB: Int = 32,
+      nBuckets: Int = 8): (DataFrame, DataFrame) =
+    learnedSparseLogTopK(docs, trainImpacts(docs), k, topB, nBuckets)
+
+  def learnedSparseLogTopK(docs: DataFrame, wPos: Map[Long, Long], k: Int,
+      topB: Int, nBuckets: Int): (DataFrame, DataFrame) =
+    boundedImpactTopK(
+      learnedSparseContrib(docs, wPos, logSaturation = true).localCheckpoint(),
+      k, topB, nBuckets, roundTo = Some(4))
+
   /** Train the d64 descent and keep the ReLU support: bucket → positive
     * final micro-logit (index 256, the intercept, never scores).
     */
@@ -527,7 +548,7 @@ object RetrievalOps {
     * scan — never a corpus-side shuffle for candidate generation).
     */
   private[graft] def learnedSparseContrib(docs: DataFrame,
-      wPos: Map[Long, Long]): DataFrame = {
+      wPos: Map[Long, Long], logSaturation: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bucketOf = (c: String) =>
@@ -538,6 +559,15 @@ object RetrievalOps {
       .withColumn("bucket", expr(bucketOf("term")))
       .select("query_id", "bucket").distinct()
       .filter(col("bucket").isin(wPos.keys.toSeq.sorted.map(x => x: Any): _*))
+    // the saturation curve: r21's integer min(tf,3) (exact-arithmetic
+    // scores) or r22's float ln(1+tf) (SPLADE's curve, rounded-compare)
+    val impact =
+      if (logSaturation)
+        element_at(typedLit(wPos), col("bucket")).cast("double") *
+          log(lit(1.0) + col("tfb").cast("double"))
+      else
+        (element_at(typedLit(wPos), col("bucket")) * least(col("tfb"), lit(3L)))
+          .cast("double")
     // bucket-keyed postings, matching buckets only (broadcast semi-join)
     tok(docs)
       .withColumn("bucket", expr(bucketOf("term")))
@@ -545,8 +575,7 @@ object RetrievalOps {
       .groupBy(col("query_id"), col("bucket"), col("doc_id"))
       .agg(count(lit(1)).as("tfb"))
       .select(col("query_id"), col("bucket").cast("string").as("term"), col("doc_id"),
-        (element_at(typedLit(wPos), col("bucket")) * least(col("tfb"), lit(3L)))
-          .cast("double").as("c"))
+        impact.as("c"))
   }
 
   def rerankCandidates(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
@@ -806,6 +835,15 @@ object RetrievalOps {
       val (topk, _) = learnedSparseTopK(t(s, dir, "documents"), k = 10)
       topk.select(col("query_id"), col("rank"), col("doc_id"),
         col("score").cast("long").as("impact"))
+    }),
+
+    // r21's float-saturation twin ([[learnedSparseLogTopK]]): same
+    // train→expand→score→top-k replay with SPLADE's ln(1+tf) curve and
+    // the BM25 chain's 4dp rounded-compare; the oracle unrolls the
+    // descent and replays ln on the same integer (wm, tfb) inputs.
+    "r22_learned_sparse_log" -> ((s, dir) => {
+      val (topk, _) = learnedSparseLogTopK(t(s, dir, "documents"), k = 10)
+      topk.select(col("query_id"), col("rank"), col("doc_id"), col("score"))
     }),
 
     // LEARNED RERANKER closing the retrieval loop ([[rerankCandidates]]
@@ -1786,6 +1824,24 @@ object RetrievalOps {
          |  row_number() OVER (PARTITION BY query_id ORDER BY impact DESC, doc_id) AS rank
          |  FROM scored)
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, impact
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    "r22_learned_sparse_log" -> {
+      s"""WITH ${graft.ops.TextOps.LogregDescentSql},
+         |wpos AS (SELECT bucket, wm FROM w3 WHERE wm > 0 AND bucket < 256),
+         |q(query_id, query_text) AS (VALUES (1, 'spark hash join'), (2, 'window sort merge'),
+         |  (3, 'fast vector scan'), (4, 'dup line filter')),
+         |qt AS (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+         |qb AS (SELECT DISTINCT query_id, ('0x'||substr(md5('w:'||term),1,8))::BIGINT % 256 AS bucket FROM qt),
+         |tb AS (SELECT doc_id, ('0x'||substr(md5('w:'||tok),1,8))::BIGINT % 256 AS bucket FROM tk0),
+         |tfb AS (SELECT bucket, doc_id, count(*) AS tfb FROM tb GROUP BY 1, 2),
+         |contrib AS (SELECT qb.query_id, tfb.doc_id, wpos.wm * ln(1 + tfb.tfb) AS cx
+         |            FROM tfb JOIN qb USING (bucket) JOIN wpos USING (bucket)),
+         |scored AS (SELECT query_id, doc_id, round(sum(cx), 4) AS score FROM contrib GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
     // Learned reranker: candidates + features + phrase labels rebuilt

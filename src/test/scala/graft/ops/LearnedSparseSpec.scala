@@ -77,4 +77,39 @@ class LearnedSparseSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"candidate generation must not shuffle-join the corpus:\n$plan")
   }
+
+  // ---- the FLOAT-saturation twin (r22, [[RetrievalOps.learnedSparseLogTopK]]) ----
+
+  test("log variant: bounded equals exhaustive elementwise at both gate SFs, " +
+    "contributions stay positive (bound soundness), and the curve actually differs " +
+    "from the integer stand-in") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.t(spark, dir, "documents")
+      val wPos = wPosOf(docs)
+      val (topk, _) = RetrievalOps.learnedSparseLogTopK(docs, wPos, k = 10, topB = 32, nBuckets = 8)
+      val got = topk.collect().map(_.toString).toSeq
+      assert(got.nonEmpty, s"$dir: empty result")
+      val contrib = RetrievalOps.learnedSparseContrib(docs, wPos, logSaturation = true)
+      contrib.collect().foreach { r =>
+        assert(r.getDouble(3) > 0, s"non-positive log contribution breaks the bounds: $r")
+      }
+      // exhaustive twin under the SAME rounded-compare discipline
+      val exhaustive = contrib
+        .groupBy("query_id", "doc_id").agg(round(sum(col("c")), 4).as("score"))
+        .select(col("query_id"),
+          struct((-col("score")).as("ns"), col("doc_id"), col("score")).as("rec"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAggregates.minK(col("rec"), 10).as("recs"))
+        .select(col("query_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("rec.doc_id").as("doc_id"), col("rec.score").as("score"))
+        .orderBy("query_id", "rank")
+        .collect().map(_.toString).toSeq
+      assert(got == exhaustive,
+        s"$dir: bounded log evaluation drifted from exhaustive\ngot:  $got\nwant: $exhaustive")
+      // ln(1+tf) is not min(tf,3)-shaped: at least one score is non-integer
+      assert(topk.collect().exists(r => r.getDouble(3) != math.rint(r.getDouble(3))),
+        s"$dir: every log-saturated score is integral — is the log curve actually applied?")
+    }
+  }
 }
