@@ -36,4 +36,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on a 128 GiB box: a small heap makes GC dominate the heavy
   // dedup/similarity queries (observed 10x bench noise at 8g).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Whole-stage codegen makes a 273-query suite a JIT stress test
+  // (~54k nmethods/run). Two knobs close x06's two-round "residual
+  // bimodality" (slow reps burned 49-63 s of task CPU on the crypto
+  // loops vs 11-14 s compiled — same tasks, same stages, zero GC, and
+  // the flip could land BETWEEN reps inside one JVM):
+  //  - 512 MB code cache: the 240 MB default runs its sweeper hot
+  //    (22 s of sweeper CPU measured) and a deliberately tiny 40 MB
+  //    cache reproduces the flip in isolation (rep 1 at 11 s CPU,
+  //    rep 2 at 30 s after eviction evicts the hot crypto methods);
+  //  - static compiler threads: JDK 17 spawns compiler threads ON
+  //    DEMAND (one C2 thread existed at snapshot despite
+  //    CICompilerCount=15) and that single thread measured 237 s of
+  //    CPU in one suite run — a saturated compile queue, so whether
+  //    the LAST queries' hot loops (x06 is dead last alphabetically)
+  //    are compiled by rep time depends on queue luck. Pre-spawning
+  //    the full complement removes the backlog; cores are plentiful.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:-UseDynamicNumberOfCompilerThreads",
 )

@@ -91,7 +91,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // Per-rep STAGE-LEVEL instrumentation (the x06 bimodality forensics:
+    // a slow rep's diff vs a fast rep's tells GC stall from straggler
+    // task from extra-stage replan without reproducing under a profiler):
+    // task-time sum, GC-time sum, task count, worst single task, stage
+    // count — captured by a listener scoped to the timed window, written
+    // per rep to bench_full.json, never to stdout.
+    class RepMetrics extends org.apache.spark.scheduler.SparkListener {
+      val runMs = new java.util.concurrent.atomic.AtomicLong()
+      val gcMs = new java.util.concurrent.atomic.AtomicLong()
+      val tasks = new java.util.concurrent.atomic.AtomicLong()
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong()
+      val stages = new java.util.concurrent.atomic.AtomicLong()
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          tasks.incrementAndGet()
+          maxTaskMs.getAndUpdate(x => math.max(x, m.executorRunTime))
+        }
+      }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+      def json: String =
+        s"""{"run_ms":${runMs.get},"gc_ms":${gcMs.get},"tasks":${tasks.get},""" +
+          s""""max_task_ms":${maxTaskMs.get},"stages":${stages.get}}"""
+    }
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, String) = {
       spark.catalog.clearCache()
       // Drop leftover localCheckpoint blocks too: clearCache only clears
       // catalog-cached TABLES, while most queries checkpoint intermediate
@@ -114,6 +143,8 @@ object Bench {
       // or scope any future shared fixture OUTSIDE the block manager
       // (re-read parquet, don't checkpoint-and-share).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val rm = new RepMetrics
+      spark.sparkContext.addSparkListener(rm)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -122,7 +153,13 @@ object Bench {
             System.err.println(s"BENCH FAIL: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the drain sleep sits OUTSIDE the timed window (listener events
+      // are async; ~ms-scale lag, 30 ms covers it for forensics-grade
+      // rather than accounting-grade numbers)
+      Thread.sleep(30)
+      spark.sparkContext.removeSparkListener(rm)
+      (sec, ok, rm.json)
     }
 
     val reference = loadReference(sfDir)
@@ -132,9 +169,9 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .sortBy(_._1)
     val warmOk = ordered.map { case (name, fn) => name -> timeOnce(fn)._2 }.toMap
-    val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Reps).map { _ =>
+    val passes: Seq[Map[String, (Double, Boolean, String)]] = (1 to Reps).map { _ =>
       ordered.map { case (name, fn) =>
-        name -> (if (warmOk(name)) timeOnce(fn) else (Double.NaN, false))
+        name -> (if (warmOk(name)) timeOnce(fn) else (Double.NaN, false, "{}"))
       }.toMap
     }
     // Reps agree when the two fastest are within ContentionRatio of each
@@ -151,6 +188,7 @@ object Bench {
       val firstReps = passes.map(_(name))
       val allOk = warmOk(name) && firstReps.forall(_._2)
       var times = firstReps.map(_._1)
+      var metrics = firstReps.map(_._3)
       var ok = allOk
       if (ok) {
         // Isolated re-timing for queries the interleaved passes disagree
@@ -163,20 +201,20 @@ object Bench {
         var extra = 0
         var retrying = true
         while (retrying && (!settled(times) || !withinReference(name, times)) && extra < MaxExtraReps) {
-          val (t, o) = timeOnce(fn)
-          if (o) times = times :+ t else retrying = false
+          val (t, o, m) = timeOnce(fn)
+          if (o) { times = times :+ t; metrics = metrics :+ m } else retrying = false
           extra += 1
         }
       }
       val contended = ok && (!settled(times) || !withinReference(name, times))
-      (name, if (ok) times.min else Double.NaN, times, ok, contended)
+      (name, if (ok) times.min else Double.NaN, times, ok, contended, metrics)
     }
     // Locale-pinned: a comma-decimal default locale would otherwise break
     // both JSON artifacts.
     def fmt(d: Double): String =
       if (d.isNaN) "null" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val failedNames = results.collect { case (k, _, _, false, _) => k }
-    val contendedNames = results.collect { case (k, _, _, _, true) => k }
+    val failedNames = results.collect { case (k, _, _, false, _, _) => k }
+    val contendedNames = results.collect { case (k, _, _, _, true, _) => k }
     def jsonArr(names: Seq[String]): String = names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = jsonArr(failedNames)
     val contended = jsonArr(contendedNames)
@@ -190,13 +228,17 @@ object Bench {
     def jsonArrCapped(names: Seq[String], cap: Int = 8): String = jsonArr(names.take(cap))
     val total = results.filterNot(_._2.isNaN).map(_._2).sum
 
-    // Full artifact → file (complete name→min map + raw reps).
-    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Full artifact → file (complete name→min map + raw reps + per-rep
+    // stage/GC forensics aligned with the reps arrays).
+    val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val reps = results
-      .map { case (k, _, ts, _, _) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .map { case (k, _, ts, _, _, _) => "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val repMetrics = results
+      .map { case (k, _, _, _, _, ms) => "\"" + k + "\":" + ms.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"reps":$reps,"failed":$failed,"contended":$contended,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"reps":$reps,"rep_metrics":$repMetrics,"failed":$failed,"contended":$contended,"sf":"$sfDir","cpus":$cpus}"""
     scala.util.Try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -206,9 +248,9 @@ object Bench {
     // alphabetical int-ms array. Budget ≈1.5 KB so the 2 KB capture window
     // holds the whole line even with the build tool's epilogue after it.
     val top = results.filterNot(_._2.isNaN).sortBy(-_._2).take(TopN)
-    val qsTop = top.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qsTop = top.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val msArr = results
-      .map { case (_, v, _, _, _) => if (v.isNaN) "null" else math.round(v * 1000).toString }
+      .map { case (_, v, _, _, _, _) => if (v.isNaN) "null" else math.round(v * 1000).toString }
       .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"n_queries":${results.size},"order":"alphabetical","ms":$msArr,"n_failed":${failedNames.size},"failed":${jsonArrCapped(failedNames)},"n_contended":${contendedNames.size},"contended":${jsonArrCapped(contendedNames)},"sf":"$sfDir","detail":"bench_full.json"}"""
