@@ -1001,6 +1001,27 @@ object TextOps {
   /** One RSA wrapping keypair per JVM for x06 — see the query's comment. */
   private lazy val X06KeyPair = graft.ingest.Envelope.generateKeyPair()
 
+  /** A fresh scratch dir swept by ONE shutdown hook: for queries whose
+    * returned frame reads the scratch LAZILY (so an in-body delete
+    * would race the caller's evaluation) and whose timed cost must not
+    * absorb an eager materialization. Keeps the timed window identical
+    * to the plain-temp-dir shape while guaranteeing no cross-run
+    * filesystem accumulation.
+    */
+  private val exitScratch = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private lazy val exitSweepInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitScratch.forEach { d =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        catch { case _: Throwable => () } // exit-path best effort
+      }))
+  private def scratchDeletedOnExit(prefix: String): String = {
+    exitSweepInstalled
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    exitScratch.add(d)
+    d
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash grouping, keep min doc_id.
     "d01_exact_dedup" -> ((s, dir) => {
@@ -1463,7 +1484,16 @@ object TextOps {
       val (pub, priv) = X06KeyPair
       val pubB64 = java.util.Base64.getEncoder.encodeToString(pub.getEncoded)
       val privB64 = java.util.Base64.getEncoder.encodeToString(priv.getEncoded)
-      val root = java.nio.file.Files.createTempDirectory("x06-store").toString
+      // Scratch lifecycle: the returned frame reads these objects
+      // LAZILY (the caller evaluates it after this function returns),
+      // so an in-body delete would race the read, and the eager
+      // localCheckpoint route was measured at 1.7-3x the cost
+      // (rejected twice — r17 and r18). A JVM-exit sweep is the shape
+      // that keeps the timed window identical while stopping the
+      // cross-run /tmp accumulation (148 leaked 10k-file stores
+      // measured before this fix — ext4 litter that feeds the
+      // writeback weather x06's put storm is sensitive to).
+      val root = scratchDeletedOnExit("x06-store")
       // The documents table is one parquet split, so without an explicit
       // repartition the whole encrypt (an RSA wrap per row) + object write
       // runs as ONE task; spread it across the cluster first.
