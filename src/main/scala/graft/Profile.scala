@@ -29,11 +29,13 @@ object Profile {
       val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
       val done = new java.util.concurrent.ConcurrentLinkedQueue[(J, Long)]()
       val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      case class S(name: String, ms: Long, tasks: Int, shufR: Long, shufW: Long, in: Long)
+      val stagesDone = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, S)]()
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("?")
+        // the LAST stage of the job is the action's call site (e.g.
+        // "parquet at IvfIndex.scala:199") — the attribution that tells
+        // which operator step submitted this job
+        val desc = e.stageInfos.sortBy(_.stageId).lastOption.map(_.name).getOrElse("?")
         val j = J(e.jobId, e.time, desc, e.stageIds.size)
         jobs.put(e.jobId, j)
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
@@ -42,6 +44,16 @@ object Profile {
         val jid = stageToJob.get(e.stageId)
         val j = jobs.get(jid)
         if (j != null) j.tasks += 1
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val ms = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+        stagesDone.add((stageToJob.getOrDefault(si.stageId, -1), si.stageId,
+          S(si.name, ms, si.numTasks,
+            if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
+            if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L,
+            if (m != null) m.inputMetrics.bytesRead else 0L)))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val j = jobs.get(e.jobId)
@@ -72,8 +84,13 @@ object Profile {
       val rows = log.done.asScala.toSeq.sortBy(_._1.id)
       println(f"== $name: $sec%.3f s, ${rows.size} jobs, " +
         f"${rows.map(_._2).sum} ms in jobs, ${rows.map(_._1.stages).sum} stages ==")
+      val stagesByJob = log.stagesDone.asScala.toSeq.groupBy(_._1)
       rows.foreach { case (j, ms) =>
         println(f"  job ${j.id}%4d ${ms}%6d ms  stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.desc.take(110)}")
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES"))
+          stagesByJob.getOrElse(j.id, Nil).sortBy(_._2).foreach { case (_, sid, s) =>
+            println(f"      stage $sid%4d ${s.ms}%6d ms tasks=${s.tasks}%4d in=${s.in}%9d sr=${s.shufR}%9d sw=${s.shufW}%9d  ${s.name.take(90)}")
+          }
       }
     }
     spark.stop()

@@ -123,10 +123,22 @@ object SuffixArrayOps {
     var width = 1
     while (width < window) {
       val r = ranks.toDF("gpos", "r")
-      val joined = r.as("a")
-        .join(r.as("b"), col("a.gpos") + width === col("b.gpos"), "left")
-        .select(col("a.gpos").as("gpos"), col("a.r").as("r1"),
-          coalesce(col("b.r"), lit(-1L)).as("r2"))
+      // r2 = rank of the suffix `width` positions to the right. gpos
+      // packing guarantees gpos + width never lands in another document
+      // (docs ≪ 2^20 tokens), and within a document positions are
+      // contiguous, so the right neighbour is exactly lead(r, width)
+      // over the per-document position order — ONE exchange keyed by
+      // the high-cardinality doc (gpos >> 20) instead of the former
+      // self-equi-join on gpos + width, which shuffled BOTH sides and
+      // re-derived the rank map-pass twice (profiled at 2 × ~0.6-1.1 s
+      // per round at sf0.1; guide §2.4 — remove shuffles outright).
+      // Missing right neighbour (doc tail) ranks as the -1 sentinel,
+      // the shorter-suffix-sorts-first convention, same as the old
+      // left join's no-match row.
+      val byDoc = Window.partitionBy(shiftright(col("gpos"), 20)).orderBy("gpos")
+      val joined = r
+        .select(col("gpos"), col("r").as("r1"),
+          coalesce(lead(col("r"), width).over(byDoc), lit(-1L)).as("r2"))
         .as[(Long, Long, Long)]
       ranks = denseRankPairs(joined, nParts)
       width *= 2
@@ -153,11 +165,22 @@ object SuffixArrayOps {
         (col("doc_id") * (1L << 20) + col("p0")).as("gpos"),
         col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
       .localCheckpoint() // feeds ranks, the rebuild, and the totals — one tokenize
-    val ranks = windowRanks(toks, window, nParts)
-    val lens = toks.groupBy("doc_id").agg(max(col("pos")).as("n"))
+    // materialize the final rank assignment ONCE: it feeds two consumers
+    // below (the group census and the covered-token expansion), each of
+    // which would otherwise re-run the whole assign pass over the last
+    // round's checkpoint (profiled at ~0.7-0.8 s per consumer at sf0.1)
+    val ranks = windowRanks(toks, window, nParts).localCheckpoint()
+    // doc_id and pos are ARITHMETIC on gpos (the packing is
+    // gpos = doc_id·2^20 + p0) — recovering them needs no join back to
+    // the token stream; the full-window bound n comes from one per-doc
+    // max window instead of the former tokenize-side aggregate + join
+    // (guide §2.4: two exchanges and a join replaced by one exchange)
+    val byDocAll = Window.partitionBy("doc_id")
     val starts = ranks
-      .join(toks.select("gpos", "doc_id", "pos"), "gpos")
-      .join(lens, "doc_id")
+      .select(shiftright(col("gpos"), 20).as("doc_id"),
+        (col("gpos").bitwiseAND(lit((1L << 20) - 1)) + 1).as("pos"),
+        col("gpos"), col("r"))
+      .withColumn("n", max(col("pos")).over(byDocAll))
       .filter(col("pos") <= col("n") - window + 1)
       .select(col("doc_id"), col("pos"), col("gpos"), col("r"))
     val byGroup = starts.groupBy("r")
@@ -169,7 +192,7 @@ object SuffixArrayOps {
       .distinct()
     val kept = toks.select("doc_id", "pos", "tok")
       .join(covered, Seq("doc_id", "pos"), "left_anti")
-    val totals = lens.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+    val totals = toks.groupBy("doc_id").agg(max(col("pos")).cast("long").as("n_tokens"))
     val keptAgg = kept
       .groupBy("doc_id")
       .agg(
@@ -196,13 +219,18 @@ object SuffixArrayOps {
       .select(
         (col("doc_id") * (1L << 20) + col("p0")).as("gpos"),
         col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    val ranks = windowRanks(toks, window, nParts)
-    val lens = toks.groupBy("doc_id").agg(max(col("pos")).as("n"))
+    // one materialization of the final assignment — it feeds the group
+    // census and the cover expansion (see suffixDedup's note)
+    val ranks = windowRanks(toks, window, nParts).localCheckpoint()
     // FULL-window starts only: short suffixes (sentinel-ranked) are not
-    // length-`window` windows and must not count as duplicates
+    // length-`window` windows and must not count as duplicates. doc_id
+    // and pos are arithmetic on gpos; the per-doc length bound is one
+    // max window — no join back to the token stream (guide §2.4)
     val starts = ranks
-      .join(toks.select("gpos", "doc_id", "pos"), "gpos")
-      .join(lens, "doc_id")
+      .select(shiftright(col("gpos"), 20).as("doc_id"),
+        (col("gpos").bitwiseAND(lit((1L << 20) - 1)) + 1).as("pos"),
+        col("r"))
+      .withColumn("n", max(col("pos")).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <= col("n") - window + 1)
       .select(col("doc_id"), col("pos"), col("r"))
     val dupGroups = starts.groupBy("r").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
