@@ -72,15 +72,20 @@ object IvfIndex {
   private def assign(emb: DataFrame, centroids: Centroids): DataFrame =
     emb.select(col("vec_id"), col("embedding"), nearestCluster(centroids).as("cluster"))
 
-  /** Element-wise mean of the member vectors per cluster. */
+  /** Element-wise mean of the member vectors per cluster — one
+    * ObjectHashAggregate pass via the [[graft.functions.VectorSum]]
+    * accumulator (map-side combinable) instead of the former
+    * posexplode → groupBy(cluster, pos) → re-collect chain, which
+    * multiplied the aggregated rows by the dimensionality and paid two
+    * aggregations per Lloyd round (guide §2.3: aggregate before you
+    * shuffle, and don't explode what an accumulator can fold).
+    */
   private def centroidUpdate(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos")
-      .agg(avg(col("v")).as("m"))
       .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cluster"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+      .agg(graft.functions.VectorAggregates.vec_sum(col("embedding")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"), expr("transform(s, x -> CAST(x / n AS FLOAT))").as("centroid"))
 
   private def collectCentroids(df: DataFrame): Centroids =
     df.collect()
@@ -648,9 +653,11 @@ object IvfIndex {
       indexDir: String,
       q: Array[Float],
       tau: Double,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      preloadedCents: Option[Centroids] = None): DataFrame = {
     val st = readLiveState(spark, indexDir)
-    val cents = loadCentroidsAt(spark, indexDir, st)
+    // see searchIndexLive: caller-held geometry skips the sidecar collect
+    val cents = preloadedCents.getOrElse(loadCentroidsAt(spark, indexDir, st))
     val radii = loadRadiiFor(spark, indexDir, st)
     val kept = rangeKeptCells(cents, radii, q, tau)
     val base = spark.read.parquet(liveBaseDir(indexDir, st.gen))
@@ -734,11 +741,16 @@ object IvfIndex {
       nprobe: Int,
       excludeId: Option[Long] = None,
       radiusAware: Boolean = false,
-      momentAware: Boolean = false
+      momentAware: Boolean = false,
+      preloadedCents: Option[Centroids] = None
   ): DataFrame = {
     require(!(radiusAware && momentAware), "pick ONE probe ranking: radiusAware or momentAware")
     val st = readLiveState(spark, indexDir)
-    val cents = loadCentroidsAt(spark, indexDir, st)
+    // preloadedCents: the caller holds the serving geometry already
+    // (build/bootstrap returned it) and asserts no retrain has happened
+    // since — skips one sidecar read + collect job per search. Any path
+    // that MAY span a retrain must pass None and pay the resolve.
+    val cents = preloadedCents.getOrElse(loadCentroidsAt(spark, indexDir, st))
     // radius-/moment-aware rankings read the serving generation's
     // sidecars — BASE-generation statistics used as probe heuristics
     // (the unconsumed channel has no sidecar and neither ranking makes
@@ -821,11 +833,13 @@ object IvfIndex {
       queries: Map[Long, Array[Float]],
       k: Int,
       nprobe: Int,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      preloadedCents: Option[Centroids] = None): DataFrame = {
     import graft.functions.TopKAggregates.minK
     require(queries.nonEmpty, "searchIndexLiveMany needs at least one query")
     val st = readLiveState(spark, indexDir)
-    val cents = loadCentroidsAt(spark, indexDir, st)
+    // see searchIndexLive: caller-held geometry skips the sidecar collect
+    val cents = preloadedCents.getOrElse(loadCentroidsAt(spark, indexDir, st))
     val routing: Map[Long, Seq[Int]] =
       queries.map { case (qid, qv) => qid -> probeCells(cents, qv, nprobe) }
     val cellsUnion = routing.values.flatten.toSeq.distinct.sorted.map(c => c: Any)

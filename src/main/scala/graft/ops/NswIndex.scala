@@ -947,11 +947,22 @@ object NswIndex {
       case None => IvfIndex.assignments(batch, cents)
         .select(col("vec_id"), col("embedding"), lit(0L).as("meta"), col("cluster"))
     }
-    val cached = assigned.localCheckpoint()
-    val n = cached.count()
-    if (n > 0)
-      cached.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$indexDir/pending/batch=$batchId")
+    // ONE job per batch: the row count rides the write as an observed
+    // metric (the IndexStreams.upsertBatch discipline) instead of the
+    // former localCheckpoint + count + write triple.
+    val obs = org.apache.spark.sql.Observation()
+    val dir = s"$indexDir/pending/batch=$batchId"
+    assigned.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0) {
+      // rowless batch dirs break schema inference for channel readers —
+      // absence is the representation (see IndexStreams.upsertBatch)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     n
   }
 

@@ -1186,8 +1186,8 @@ object RetrievalOps {
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
-      val cents = IvfIndex.loadCentroids(s, idxDir)
+      // build returns the sidecar centroids — no re-read job
+      val cents = IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
       IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
       IndexStreams.upsertBatch(
         emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
@@ -1233,7 +1233,7 @@ object RetrievalOps {
       // tombstones resolved once for the whole panel, per-query ranks
       // bit-identical to Q searchIndexLive calls; no driver loop)
       val annLeg = IvfIndex.searchIndexLiveMany(s, idxDir, qEmb,
-        k = HybridCap, nprobe = 16)
+        k = HybridCap, nprobe = 16, preloadedCents = Some(cents))
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("r_ann"))
       bmLeg.join(annLeg, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("rrf", round(

@@ -1083,8 +1083,9 @@ object SimilarityOps {
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
-      val cents = IvfIndex.loadCentroids(s, idxDir)
+      // build returns the exact centroids it wrote to the sidecar — the
+      // former loadCentroids() re-read was one redundant collect job
+      val cents = IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
       IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
       IndexStreams.upsertBatch(
         emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
@@ -1092,8 +1093,11 @@ object SimilarityOps {
       IndexStreams.upsertBatch(emb.filter(col("vec_id") === 1L), 3L, idxDir, cents)
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
       val embLive = emb.filter(!col("vec_id").isin(2L, 3L, 105L))
+      // no retrain in this script — the build-time geometry serves both
+      // phases, so both searches ride the caller-held centroids
       def soundness(phase: String) = annSoundness(embLive,
-        IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6, excludeId = Some(0L)),
+        IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6, excludeId = Some(0L),
+          preloadedCents = Some(cents)),
         "cos_sim", queryId = 0L, k = 10, topN = 100, recallFloor = 5, scoreIsExact = true)
         .withColumn("phase", lit(phase))
       val live = soundness("live").localCheckpoint(true)
@@ -1247,8 +1251,10 @@ object SimilarityOps {
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
-      val cents = IvfIndex.loadCentroids(s, idxDir)
+      // build returns the sidecar centroids; compaction never touches
+      // geometry, so the same centroids stay valid for the post-compact
+      // upsert (two redundant collect jobs removed)
+      val cents = IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
       IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
       IndexStreams.upsertBatch(
         emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
@@ -1256,7 +1262,7 @@ object SimilarityOps {
       IvfIndex.compactLiveIndex(s, idxDir) // generation 1
       IndexStreams.upsertBatch(emb.filter(col("vec_id") === 1L)
         .select(col("vec_id"), expr("transform(embedding, x -> -x)").as("embedding")),
-        3L, idxDir, IvfIndex.loadCentroids(s, idxDir))
+        3L, idxDir, cents)
       IndexStreams.tombstoneBatch(s, Seq(7L), 4L, idxDir)
       IvfIndex.retrainLiveIndex(s, idxDir, k = 16, iters = 2) // generation 2, new geometry
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
@@ -1288,9 +1294,8 @@ object SimilarityOps {
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      val cents = IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
       IvfIndex.saveCellRadii(s, idxDir)
-      val cents = IvfIndex.loadCentroids(s, idxDir)
       IndexStreams.upsertBatch(emb.filter(col("vec_id") < 50), 0L, idxDir, cents)
       IndexStreams.upsertBatch(
         emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L, idxDir, cents)
@@ -1300,7 +1305,8 @@ object SimilarityOps {
         3L, idxDir, cents)
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
       Seq(0.2, 0.3).map { tau =>
-        IvfIndex.rangeSearchIndexLive(s, idxDir, qe, tau, excludeId = Some(0L))
+        IvfIndex.rangeSearchIndexLive(s, idxDir, qe, tau, excludeId = Some(0L),
+          preloadedCents = Some(cents)) // no retrain in this script
           .withColumn("tau", lit(tau))
       }.reduce(_ unionByName _)
         .select(col("tau"), col("vec_id"), col("cos_sim"))
@@ -1388,8 +1394,7 @@ object SimilarityOps {
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      IvfIndex.build(emb, idxDir, k = 16, iters = 2)
-      val cents = IvfIndex.loadCentroids(s, idxDir)
+      val cents = IvfIndex.build(emb, idxDir, k = 16, iters = 2)
       val wave = emb.filter(col("vec_id") % 4 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           expr("transform(embedding, x -> -x)").as("embedding"))
@@ -1399,15 +1404,17 @@ object SimilarityOps {
         .as[Array[Float]].head().map(x => -x)
       val corpus = emb.select("vec_id", "embedding").unionByName(wave)
         .filter(!col("vec_id").isin(100004L, 100008L, 5L))
-      def soundness(phase: String, floor: Int) = annSoundness(corpus,
+      // pre-retrain serves the caller-held build geometry; the
+      // post-retrain search MUST re-resolve (the retrain changed it)
+      def soundness(phase: String, floor: Int, pc: Option[IvfIndex.Centroids]) = annSoundness(corpus,
         IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6,
-          excludeId = Some(100000L)),
+          excludeId = Some(100000L), preloadedCents = pc),
         "cos_sim", queryId = 100000L, k = 10, topN = 100,
         recallFloor = floor, scoreIsExact = true)
         .withColumn("phase", lit(phase))
-      val pre = soundness("pre_retrain", 3).localCheckpoint(true)
+      val pre = soundness("pre_retrain", 3, Some(cents)).localCheckpoint(true)
       IvfIndex.retrainLiveIndex(s, idxDir, k = 16, iters = 2)
-      pre.unionByName(soundness("post_retrain", 5)).orderBy("phase")
+      pre.unionByName(soundness("post_retrain", 5, None)).orderBy("phase")
     }),
 
     // BATCH × CHURN — the serving matrix's last composition
@@ -1660,7 +1667,7 @@ object SimilarityOps {
       import s.implicits._
       import graft.streaming.IndexStreams
       val emb = t(s, dir, "embeddings")
-      IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
+      val cents = IvfIndex.build(emb.filter(col("vec_id") >= 100), idxDir, k = 16, iters = 2)
       emb.filter(col("vec_id") < 50).coalesce(1)
         .write.mode("append").parquet(drop)
       emb.filter(col("vec_id") >= 50 && col("vec_id") < 100).coalesce(1)
@@ -1669,8 +1676,10 @@ object SimilarityOps {
         IndexStreams.readEmbeddingStream(s, drop), idxDir, ckpt).start()
       q.processAllAvailable(); q.stop()
       val qe = emb.filter(col("vec_id") === 0L).select("embedding").as[Array[Float]].head()
+      // the upsert stream assigns against the SAME build geometry — no
+      // retrain, so the search rides the caller-held centroids
       val ann = IvfIndex.searchIndexLive(s, idxDir, qe, k = 10, nprobe = 6,
-        excludeId = Some(0L))
+        excludeId = Some(0L), preloadedCents = Some(cents))
       annSoundness(emb, ann, "cos_sim", queryId = 0L, k = 10, topN = 100,
         recallFloor = 5, scoreIsExact = true)
     }),

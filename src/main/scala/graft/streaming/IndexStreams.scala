@@ -60,23 +60,35 @@ object IndexStreams {
     val simToAssigned =
       graft.functions.VectorFunctions.nearest_centroid(col("embedding"), cents)
         .getField("sim")
+    // ONE Spark job per batch: the count/drift metrics ride the write
+    // itself as observed metrics (CollectMetrics in the write plan)
+    // instead of the former localCheckpoint + agg + write triple — at a
+    // 3-epoch churn script that is 6 fewer sequential jobs per query,
+    // and at 100 TB one pass over the batch instead of two.
+    val obs = org.apache.spark.sql.Observation()
     val assigned = IvfIndex.assignments(batch.select("vec_id", "embedding"), cents)
       .withColumn("cos_sim", simToAssigned)
-      .localCheckpoint() // one assignment computation feeds both the write and the metric
-    val m = assigned.agg(count(lit(1)), avg(col("cos_sim"))).head()
+      .observe(obs, count(lit(1)).as("n"), avg(col("cos_sim")).as("drift"))
+    val dir = s"$indexDir/stream_assignment/batch=$batchId"
+    assigned
+      .drop("cos_sim")
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(dir)
+    val row = obs.get
+    val n = row("n").asInstanceOf[Long]
     // an EMPTY batch (a delete-only epoch through the churn stream)
-    // writes NOTHING: a rowless batch=<id> dir would carry no partition
-    // columns and break schema inference for every later reader of
-    // stream_assignment/ — absence is the correct representation, and
-    // skipping is as replay-idempotent as overwriting (same input ⇒
-    // same emptiness)
-    if (m.getLong(0) > 0)
-      assigned
-        .drop("cos_sim")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(s"$indexDir/stream_assignment/batch=$batchId")
-    (m.getLong(0), Option(m.get(1)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
+    // must leave NOTHING behind: a rowless batch=<id> dir would carry no
+    // partition columns and break schema inference for every later
+    // reader of stream_assignment/ — absence is the correct
+    // representation, and delete-after-empty-write is as
+    // replay-idempotent as the old skip (same input ⇒ same emptiness)
+    if (n == 0) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    (n, row.get("drift").flatMap(Option(_)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
   }
 
   /** One batch's DELETES: land the tombstoned ids under
