@@ -113,7 +113,11 @@ object PipelineOps {
       .select(col("doc_id"), explode(col("g8")).as("g"))
       .join(broadcast(evalGrams), "g")
       .select("doc_id").distinct()
-    val s3 = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage-3 frontier materialized ONCE: three ledger branches (3, 4,
+    // 5/pack) otherwise re-run the gram-explode anti-join chain each —
+    // the profiled bulk of this query (guide §3.3: materialize the
+    // intermediate instead of letting a wide plan recompute it)
+    val s3 = train.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // stage 4 — per-source budget in deterministic md5 order: the r06
     // chunked two-phase prefix sum (md5-prefix chunks are contiguous in
@@ -216,7 +220,12 @@ object PipelineOps {
         log((col("c_ab") - lit(0.75)) / col("c_a") +
           lit(0.75) * col("n1p_left") / col("c_a") * (col("n1p_right") / col("btypes"))).as("logp"))
       .groupBy("doc_id").agg(round(avg(col("logp")), 6).as("kn"))
+    // stage-3 frontier materialized ONCE: the ledger's stage-3 and
+    // stage-4 branches otherwise re-run the whole KN fit (bigram
+    // explode + three shuffle joins) each — the profiled bulk of this
+    // query (guide §3.3)
     val s3 = s2.join(kn.where(col("kn") >= -3.4), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     // stage 4 — per-domain budget via the chunked two-phase prefix sum
     val ordered = s3
