@@ -15,12 +15,12 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.ops.Tables.NanosConf, "true")
+      .config(graft.ops.Tables.NanosConf, "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,9 +41,12 @@ object Profile {
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val jid = stageToJob.get(e.stageId)
-        val j = jobs.get(jid)
-        if (j != null) j.tasks += 1
+        // containsKey first: on a missing stage, get()'s null would unbox
+        // to 0 and silently attribute the task to job 0
+        if (stageToJob.containsKey(e.stageId)) {
+          val j = jobs.get(stageToJob.get(e.stageId))
+          if (j != null) j.tasks += 1
+        }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo

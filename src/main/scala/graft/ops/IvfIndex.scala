@@ -83,8 +83,13 @@ object IvfIndex {
   private def centroidUpdate(assigned: DataFrame): DataFrame =
     assigned
       .groupBy("cluster")
+      // count(embedding), not count(*): vec_sum skips null embeddings, so
+      // the divisor must too — the old posexplode+avg path averaged over
+      // non-null member vectors only (a null row exploded to no rows),
+      // and a count(*) divisor would dilute the mean of any cluster
+      // holding null-embedding rows
       .agg(graft.functions.VectorAggregates.vec_sum(col("embedding")).as("s"),
-        count(lit(1)).as("n"))
+        count(col("embedding")).as("n"))
       .select(col("cluster"), expr("transform(s, x -> CAST(x / n AS FLOAT))").as("centroid"))
 
   private def collectCentroids(df: DataFrame): Centroids =

@@ -949,19 +949,26 @@ object NswIndex {
     }
     // ONE job per batch: the row count rides the write as an observed
     // metric (the IndexStreams.upsertBatch discipline) instead of the
-    // former localCheckpoint + count + write triple.
+    // former localCheckpoint + count + write triple. Stage-then-publish:
+    // the write lands in an `_`-prefixed staging dir (invisible to
+    // readers) and one rename publishes it only when n > 0, so a crash
+    // can never expose a rowless batch dir (schema inference would break
+    // for every channel reader — absence is the representation).
     val obs = org.apache.spark.sql.Observation()
     val dir = s"$indexDir/pending/batch=$batchId"
+    val staging = s"$indexDir/pending/_staging_batch=$batchId"
     assigned.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(staging)
     val n = obs.get("n").asInstanceOf[Long]
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (n == 0) {
-      // rowless batch dirs break schema inference for channel readers —
-      // absence is the representation (see IndexStreams.upsertBatch)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    } else {
+      val fp = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(fp)) fs.delete(fp, true) // replayed epoch: overwrite
+      fs.rename(sp, fp)
     }
     n
   }

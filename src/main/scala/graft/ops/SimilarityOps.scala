@@ -405,11 +405,14 @@ object SimilarityOps {
         (sum(when(col("vec_id").isin(topKIds.map(x => x: Any): _*), 1L).otherwise(0L))
           >= recallFloor).as("recall_ok")
       )
+    // typed NULL literals on an empty exact top-K, not NaN: the old
+    // min/max aggregate subtrees produced SQL nulls for an empty corpus
+    // and the literal columns must keep that contract
+    def optLit(v: Option[Double]): Column =
+      v.map(lit(_)).getOrElse(lit(null).cast("double"))
     stats
-      .withColumn("exact_best_cos",
-        lit(topKRows.headOption.map(_._2).getOrElse(Double.NaN)))
-      .withColumn("exact_cos_at_k",
-        lit(topKRows.lastOption.map(_._2).getOrElse(Double.NaN)))
+      .withColumn("exact_best_cos", optLit(topKRows.headOption.map(_._2)))
+      .withColumn("exact_cos_at_k", optLit(topKRows.lastOption.map(_._2)))
   }
 
   /** Per-query twin of [[annSoundness]] for a BATCHED result frame

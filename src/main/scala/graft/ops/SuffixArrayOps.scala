@@ -8,29 +8,29 @@ import org.apache.spark.sql.functions._
 /** TRUE ExactSubstr dedup via a DISTRIBUTED SUFFIX ARRAY — the method
   * of Lee et al., "Deduplicating Training Data Makes Language Models
   * Better" (ACL 2022), built the way a 100 TB corpus has to build it:
-  * prefix doubling (Manber–Myers), where round k turns window-2^k
-  * ranks into window-2^(k+1) ranks with ONE range-partitioned sort
-  * each — O(log window) rounds, never a per-suffix comparison loop.
-  * d34 approximates the goal with fixed-width hashed spans; this
-  * operator ranks the ACTUAL token windows (no hashing anywhere, true
-  * equality by construction) and recovers MAXIMAL duplicated spans by
-  * merging the covered-token intervals.
+  * generalized prefix doubling (Manber–Myers with arity-8 rounds),
+  * where one round turns window-w ranks into window-8w ranks with ONE
+  * per-doc window pass + ONE range-partitioned sort — ceil(log8 window)
+  * rounds, never a per-suffix comparison loop. d34 approximates the
+  * goal with fixed-width hashed spans; this operator ranks the ACTUAL
+  * token windows (no hashing anywhere, true equality by construction)
+  * and recovers MAXIMAL duplicated spans by merging the covered-token
+  * intervals.
   *
   * Spark shape:
   *  - tokens carry a global position `gpos = doc_id·2^20 + offset`;
-  *    doc boundaries need no separator symbols because `gpos + width`
+  *    doc boundaries need no separator symbols because `gpos + j·width`
   *    can never land in another document (docs are far shorter than
   *    2^20 tokens) — a missing right neighbour ranks as the -1
   *    sentinel, exactly the shorter-suffix-sorts-first convention;
-  *  - each doubling round is: one self-equi-join on `gpos + width`
-  *    (both sides keyed, no broadcast of the corpus) + one DENSE RANK
-  *    of the (r1, r2) pairs computed by the two-phase chunked scheme —
-  *    range-partition + in-partition sort, per-partition distinct
-  *    counts to the driver (ONE row per partition — bounded), offsets
-  *    broadcast back, second pass assigns offset + local dense index.
-  *    No global window, no single-task sort; the ranks are a pure
-  *    function of the total order, so the output is deterministic
-  *    whatever the partitioning;
+  *  - each round is: up to 7 `lead(r, j·width)` lookups riding ONE
+  *    per-doc window sort + one DENSE RANK of the rank tuples by the
+  *    two-phase chunked scheme — range-partition + in-partition sort,
+  *    per-partition distinct counts to the driver (ONE row per
+  *    partition — bounded), offsets broadcast back, second pass assigns
+  *    offset + local dense index. No global window, no single-task
+  *    sort; the ranks are a pure function of the total order, so the
+  *    output is deterministic whatever the partitioning;
   *  - duplicate detection keeps only FULL-window starts (pos ≤ n−w+1),
   *    where prefix-doubling rank equality is exactly window equality
   *    (the sentinel only ever reaches ranks of excluded short
@@ -42,24 +42,32 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArrayOps {
 
-  /** Two-phase distributed dense rank of (r1, r2) pairs: returns
-    * (gpos, rank) with ranks dense in the pairs' total order. Equal
-    * keys land in one range partition, so per-partition distinct
-    * counts compose into global offsets exactly.
+  /** Two-phase distributed dense rank of 8-component rank tuples
+    * `(gpos, k1..k8)`: returns (gpos, rank) with ranks dense in the
+    * tuples' total order. Equal keys land in one range partition, so
+    * per-partition distinct counts compose into global offsets exactly.
+    * Arity 8 lets [[windowRanks]] OCTUPLE the window per round (log8
+    * rounds instead of log2 — guide §1.2-1: each avoided round is a
+    * full corpus window-pass + range-exchange); rounds needing fewer
+    * components pad the tail with a constant, which never affects
+    * tuple distinctness.
     */
-  private def denseRankPairs(ds: Dataset[(Long, Long, Long)], nParts: Int): Dataset[(Long, Long)] = {
-    val spark = ds.sparkSession
+  private def denseRankKeys(df: DataFrame, nParts: Int): Dataset[(Long, Long)] = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val parted = ds.toDF("gpos", "r1", "r2")
-      .repartitionByRange(nParts, col("r1"), col("r2"))
-      .sortWithinPartitions("r1", "r2")
-      .as[(Long, Long, Long)]
+    type T9 = (Long, Long, Long, Long, Long, Long, Long, Long, Long)
+    def key(t: T9) = (t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)
+    val kc = (1 to 8).map(i => col(s"k$i"))
+    val parted = df
+      .repartitionByRange(nParts, kc: _*)
+      .sortWithinPartitions(kc: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .localCheckpoint(true) // pin the partitioning: both passes below must see identical splits
     val counts: Map[Int, Long] = parted.mapPartitions { it =>
       var n = 0L
-      var prev: (Long, Long) = null
-      it.foreach { case (_, a, b) =>
-        val k = (a, b)
+      var prev: Any = null
+      it.foreach { t =>
+        val k = key(t)
         if (prev == null || k != prev) { n += 1; prev = k }
       }
       Iterator.single((TaskContext.getPartitionId(), n))
@@ -70,11 +78,11 @@ object SuffixArrayOps {
     parted.mapPartitions { it =>
       val base = bOff.value(TaskContext.getPartitionId())
       var rank = base - 1
-      var prev: (Long, Long) = null
-      it.map { case (g, a, b) =>
-        val k = (a, b)
+      var prev: Any = null
+      it.map { t =>
+        val k = key(t)
         if (prev == null || k != prev) { rank += 1; prev = k }
-        (g, rank)
+        (t._1, rank)
       }
     }
   }
@@ -109,9 +117,19 @@ object SuffixArrayOps {
   }
 
   /** Window-`window` suffix ranks by prefix doubling over the corpus
-    * token stream `(gpos, tok)`: log2(window) rounds, each one join +
-    * one distributed dense rank. Rank equality between FULL windows is
+    * token stream `(gpos, tok)`. Rank equality between FULL windows is
     * exact window equality.
+    *
+    * PRECONDITION (callers): positions within each document must be
+    * CONTIGUOUS — `gpos` values of one doc are doc_id·2^20 + 0,1,2,…
+    * with no gaps, which both entry points guarantee by building the
+    * stream with `posexplode`. The per-round `lead(r, width)` lookup
+    * depends on it: the suffix starting `width` tokens to the right IS
+    * the row `width` positions later in the per-doc order. Feeding a
+    * FILTERED/gapped token stream would produce silently wrong ranks
+    * (the old gpos+width self-equi-join would merely miss matches), so
+    * any future caller that filters tokens must re-number positions
+    * first.
     */
   private[ops] def windowRanks(toks: DataFrame, window: Int, nParts: Int): DataFrame = {
     require(window >= 2 && (window & (window - 1)) == 0,
@@ -122,26 +140,35 @@ object SuffixArrayOps {
       denseRankTokens(toks.select(col("gpos"), col("tok")).as[(Long, String)], nParts)
     var width = 1
     while (width < window) {
+      // One round turns width-w ranks into width-(arity·w) ranks by
+      // dense-ranking the tuple (r(i), r(i+w), …, r(i+(arity-1)·w)) —
+      // the Manber–Myers doubling generalized to OCTUPLING: for
+      // window=8 that is ONE round (3 rounds in the pairwise form),
+      // i.e. one window pass + one range exchange instead of three of
+      // each (guide §1.2-1 / §2.4 — each round is a full corpus pass).
+      //
+      // r(i+j·w) = lead(r, j·w) over the per-document position order:
+      // the gpos packing guarantees gpos + j·w never lands in another
+      // document (docs ≪ 2^20 tokens) and positions are contiguous
+      // (the documented precondition), so all arity-1 leads ride ONE
+      // exchange + sort keyed by the high-cardinality doc (gpos >> 20).
+      // A missing right neighbour (doc tail) ranks as the -1 sentinel —
+      // the shorter-suffix-sorts-first convention — and sentinel-bearing
+      // tuples can never collide with a full window's tuple (every
+      // component of a full window is a full-subwindow rank ≥ 0, and
+      // inductively short-suffix ranks never equal full-window ranks).
+      val arity = math.min(window / width, 8) // both powers of two, so ≥ 2
       val r = ranks.toDF("gpos", "r")
-      // r2 = rank of the suffix `width` positions to the right. gpos
-      // packing guarantees gpos + width never lands in another document
-      // (docs ≪ 2^20 tokens), and within a document positions are
-      // contiguous, so the right neighbour is exactly lead(r, width)
-      // over the per-document position order — ONE exchange keyed by
-      // the high-cardinality doc (gpos >> 20) instead of the former
-      // self-equi-join on gpos + width, which shuffled BOTH sides and
-      // re-derived the rank map-pass twice (profiled at 2 × ~0.6-1.1 s
-      // per round at sf0.1; guide §2.4 — remove shuffles outright).
-      // Missing right neighbour (doc tail) ranks as the -1 sentinel,
-      // the shorter-suffix-sorts-first convention, same as the old
-      // left join's no-match row.
       val byDoc = Window.partitionBy(shiftright(col("gpos"), 20)).orderBy("gpos")
-      val joined = r
-        .select(col("gpos"), col("r").as("r1"),
-          coalesce(lead(col("r"), width).over(byDoc), lit(-1L)).as("r2"))
-        .as[(Long, Long, Long)]
-      ranks = denseRankPairs(joined, nParts)
-      width *= 2
+      val keyed = r.select(
+        Seq(col("gpos")) ++ (0 until 8).map {
+          case 0 => col("r").as("k1")
+          case j if j < arity =>
+            coalesce(lead(col("r"), j * width).over(byDoc), lit(-1L)).as(s"k${j + 1}")
+          case j => lit(-1L).as(s"k${j + 1}") // constant pad: distinctness unchanged
+        }: _*)
+      ranks = denseRankKeys(keyed, nParts)
+      width *= arity
     }
     ranks.toDF("gpos", "r")
   }

@@ -438,13 +438,13 @@ object TextOps {
     * `iters` iterations as unrolled CTEs and must reproduce every
     * weight bit-for-bit.
     *
-    * 100 TB posture: the (doc, bucket, count) frame is built once and
-    * checkpointed; each iteration is ONE doc-keyed aggregate (z), a
-    * broadcast of the O(docs)-bounded error frame, and ONE
-    * bucket-keyed aggregate (the gradient — map-side combinable,
-    * O(buckets) rows collected); weights are an O(buckets) literal
-    * broadcast back. That is the data-parallel training shape: the
-    * corpus is never moved, only gradients are.
+    * 100 TB posture: the per-doc feature map is built once and
+    * checkpointed; each iteration computes the margin and error IN ROW
+    * (the fused map_dot kernel) and pays exactly ONE bucket-keyed
+    * aggregate (the gradient — map-side combinable, O(buckets) rows
+    * collected); weights ride as an O(buckets) reference object. That
+    * is the data-parallel training shape: the corpus is never moved —
+    * or re-keyed — only gradients are.
     */
   def logregTrain(
       docs: DataFrame,
@@ -478,9 +478,11 @@ object TextOps {
 
   /** The descent loop behind [[logregTrain]], exposed so a pipeline can
     * TRAIN on one slice and APPLY the weights elsewhere (the p05
-    * train→filter composition). Returns the checkpointed
-    * (doc_id, y, bucket, c) feature frame and the per-iteration weight
-    * snapshots (integer micro-logits, length buckets+1, intercept last).
+    * train→filter composition). Returns the (doc_id, y, bucket, c)
+    * feature frame (an explode view over the checkpointed per-doc
+    * feature map — same rows, order-free consumers only) and the
+    * per-iteration weight snapshots (integer micro-logits, length
+    * buckets+1, intercept last).
     */
   def logregFit(
       docs: DataFrame,
@@ -508,7 +510,7 @@ object TextOps {
     // bucket `buckets` (one past the hash range) is the standard
     // INTERCEPT feature: constant c=1 per doc (near-zero for this
     // scale-free label, load-bearing for any thresholded one).
-    val db = labeled
+    val db0 = labeled
       .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
       .withColumn("bucket",
         expr(s"CAST(conv(substr(md5(CAST(concat('w:', tok) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
@@ -516,7 +518,24 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
       .union(labeled.select(col("doc_id"), col("y"),
         lit(buckets.toLong).as("bucket"), lit(1L).as("c")))
+    // ONE map row per doc: each iteration's margin z = Σ c·w[bucket] is
+    // computed IN ROW by the fused [[graft.functions.MapDotWeights]]
+    // kernel, so an iteration is ONE job with a single O(buckets)-row
+    // aggregate — no per-iteration doc-keyed exchange and no broadcast
+    // error-frame build (guide §2.4/§1.2; the r18 revert's named
+    // follow-up — the interpreted higher-order `aggregate` fold was the
+    // only thing wrong with this shape, and the codegen kernel removes
+    // it). Checkpointed once; the map build replaces (not adds to) the
+    // old flat-frame checkpoint.
+    val dbm = db0
+      .groupBy("doc_id", "y")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("f"))
       .localCheckpoint() // feeds z + gradient every iteration, built once
+    // the (doc_id, y, bucket, c) contract frame consumers score with is
+    // the map view exploded back out — same rows (order-free consumers
+    // only), derived from the checkpoint, never a second corpus pass
+    val db = dbm.select(col("doc_id"), col("y"),
+      explode(col("f")).as(Seq("bucket", "c")))
     // EXACT integer class balancing: positive errors scale by n_neg,
     // negative errors by n_pos — each class contributes the same total
     // gradient mass (a truncated n_neg/n_pos ratio leaves a prior
@@ -527,17 +546,6 @@ object TextOps {
     val Array(nPosL, nNegL) = labeled
       .agg(sum(col("y").cast("long")), sum((lit(1L) - col("y"))))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    // per-doc integer micro-error under the CURRENT weights: the one
-    // float (the logistic) is 6dp-rounded then re-quantized to micro
-    // units (positive-class errors scaled by the integer `posw`), so
-    // everything that crosses a shuffle is integer-exact
-    def errFrame(w: Array[Long]): DataFrame = db
-      .withColumn("wm", element_at(typedLit(w.toSeq), col("bucket").cast("int") + 1))
-      .groupBy("doc_id", "y")
-      .agg(sum(col("c") * col("wm")).as("z"))
-      .select(col("doc_id"),
-        (expr("CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)") *
-          when(col("y") === 1, lit(nNegL)).otherwise(lit(nPosL))).as("e"))
     val nw = buckets + 1 // hash buckets + the intercept
     // warm start ([[graft.streaming.ModelStreams]]'s refresh loop):
     // CONTINUE the descent from previously published weights instead of
@@ -549,7 +557,20 @@ object TextOps {
     }.getOrElse(Array.fill(nw)(0L))
     val hist = Array.ofDim[Long](iters, nw)
     for (t <- 0 until iters) {
-      val grads = db.join(broadcast(errFrame(w)), "doc_id")
+      // per-doc integer micro-error under the CURRENT weights, in row:
+      // z is the fused-kernel integer dot (order-free, bit-identical to
+      // the old sum(c·wm) aggregate), the one float (the logistic) is
+      // 6dp-rounded then re-quantized to micro units (positive-class
+      // errors scaled by the integer class weight), so everything that
+      // crosses the one bucket-keyed exchange is integer-exact.
+      // w.clone(): the kernel holds the array by reference and w is
+      // mutated between iterations.
+      val grads = dbm
+        .withColumn("z", graft.functions.VectorFunctions.map_dot(col("f"), w.clone()))
+        .withColumn("e",
+          expr("CAST(round((round(1.0/(1.0+exp(-(z/1000000.0))), 6) - y) * 1000000.0) AS BIGINT)") *
+            when(col("y") === 1, lit(nNegL)).otherwise(lit(nPosL)))
+        .select(col("e"), explode(col("f")).as(Seq("bucket", "c")))
         .groupBy("bucket")
         .agg(sum(col("e") * col("c")).as("g"))
         .collect().map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Long]("g")).toMap
@@ -1017,7 +1038,19 @@ object TextOps {
       }))
   private def scratchDeletedOnExit(prefix: String): String = {
     exitSweepInstalled
-    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    // Prefer RAM-backed tmpfs for this by-construction-ephemeral store:
+    // x06's put storm (2 small files per object, 10k files at sf0.1) is
+    // ext4-WRITEBACK-bound, not compute-bound — the r18 adjudication
+    // proved the 2.5x bimodality is the kernel flushing dirty pages of
+    // thousands of tiny files (guide §6: small files hurt; the fix is
+    // fewer/larger objects or, for scratch that never needs durability,
+    // memory). tmpfs puts never touch the disk; the dir is swept on JVM
+    // exit either way.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val d =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix).toString
+      else java.nio.file.Files.createTempDirectory(prefix).toString
     exitScratch.add(d)
     d
   }
@@ -1992,7 +2025,13 @@ object TextOps {
     // Zipf-law fit: regress log(frequency) on log(rank) over the top-1000
     // token types — the corpus-health diagnostic (natural text ≈ -1).
     // The rank step is a TakeOrderedAndProject top-k, never a global
-    // sort, so vocabulary size doesn't bound the plan.
+    // sort, so vocabulary size doesn't bound the plan. The rank WITHIN
+    // the top-k needs no single-partition global window either (the
+    // repo-wide WindowExec-No-Partition ban): rows rank as (# rows with
+    // a strictly higher count) + (row number among count-ties by tok) —
+    // the offset census is a broadcast self-join over the ≤1000-row
+    // per-count table, the tie-break window is KEYED by c. Identical
+    // ranks to row_number over (c desc, tok) because (c, tok) is unique.
     "d26_zipf_slope" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val freq = t(s, dir, "documents")
@@ -2001,8 +2040,16 @@ object TextOps {
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok"))
         .limit(1000)
+      val byCount = freq.groupBy("c").agg(count(lit(1)).as("nc"))
+      val offs = byCount.as("a")
+        .join(broadcast(byCount.select(col("c").as("hc"), col("nc").as("hnc"))),
+          col("hc") > col("c"), "left")
+        .groupBy("c")
+        .agg(coalesce(sum(col("hnc")), lit(0L)).as("off"))
       freq
-        .select(col("c"), row_number().over(Window.orderBy(col("c").desc, col("tok"))).as("r"))
+        .join(broadcast(offs), "c")
+        .select(col("c"),
+          (col("off") + row_number().over(Window.partitionBy("c").orderBy("tok"))).as("r"))
         .select(log(col("c").cast("double")).as("lc"), log(col("r").cast("double")).as("lr"))
         .agg(
           round(expr("regr_slope(lc, lr)"), 6).as("zipf_slope"),
@@ -2346,20 +2393,24 @@ object TextOps {
       spanDedup(t(s, dir, "documents"), spanWidth = 8).orderBy("doc_id")),
 
     // TRUE suffix-array ExactSubstr ([[SuffixArrayOps]]): Lee et al.'s
-    // actual method — a distributed prefix-doubling suffix array
-    // (log2(8)=3 rounds, each ONE range-partitioned sort + a two-phase
-    // chunked dense rank; never a hash, never a per-suffix loop) finds
-    // every duplicated 8-token window by TRUE equality, then maximal
-    // duplicated spans fall out as merged covered-token intervals
-    // (the islands trick over the per-doc covered set). Where d34
-    // hashes fixed-width spans, this recovers the MAXIMAL span a long
-    // duplicate produces — a planted 30-token duplicate surfaces as
-    // ONE 30-token interval, not 23 overlapping windows (spec-pinned).
-    // Oracle: DuckDB replays the same semantics closed-form (group the
-    // actual window text, cover, merge islands).
+    // actual method — a distributed arity-8 prefix-doubling suffix
+    // array (ONE round for window=8: one per-doc window pass + one
+    // range-partitioned two-phase dense rank; never a hash, never a
+    // per-suffix loop) finds every duplicated 8-token window by TRUE
+    // equality, then maximal duplicated spans fall out as merged
+    // covered-token intervals (the islands trick over the per-doc
+    // covered set). Where d34 hashes fixed-width spans, this recovers
+    // the MAXIMAL span a long duplicate produces — a planted 30-token
+    // duplicate surfaces as ONE 30-token interval, not 23 overlapping
+    // windows (spec-pinned). Oracle: DuckDB replays the same semantics
+    // closed-form (group the actual window text, cover, merge islands).
+    // nParts is SIZE-derived (≈4 MB of source bytes per range
+    // partition, capped at 2× parallelism) — a hard-coded
+    // defaultParallelism scheduled 32 near-empty sort tasks per round
+    // at sf0.1 and was the suite's worst 8c/32c anti-scaler (0.44).
     "d65_suffix_spans" -> ((s, dir) =>
       SuffixArrayOps.maximalDupSpans(t(s, dir, "documents"), window = 8,
-        nParts = s.sparkContext.defaultParallelism)),
+        nParts = graft.SessionTuning.adaptiveParts(t(s, dir, "documents"), 4L << 20))),
 
     // TRUE ExactSubstr REMOVAL ([[SuffixArrayOps.suffixDedup]]): d34's
     // first-occurrence-wins rebuild driven by the suffix-array rank
@@ -2370,7 +2421,8 @@ object TextOps {
     // everywhere in practice — the spec pins the agreement).
     "d66_suffix_dedup" -> ((s, dir) =>
       SuffixArrayOps.suffixDedup(t(s, dir, "documents"), window = 8,
-        nParts = s.sparkContext.defaultParallelism).orderBy("doc_id")),
+        nParts = graft.SessionTuning.adaptiveParts(t(s, dir, "documents"), 4L << 20))
+        .orderBy("doc_id")),
 
     // Context-window chunking: split each document into fixed-size token
     // windows with overlap (64-token chunks, stride 48) — the training-

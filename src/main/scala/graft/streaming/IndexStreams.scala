@@ -69,24 +69,34 @@ object IndexStreams {
     val assigned = IvfIndex.assignments(batch.select("vec_id", "embedding"), cents)
       .withColumn("cos_sim", simToAssigned)
       .observe(obs, count(lit(1)).as("n"), avg(col("cos_sim")).as("drift"))
+    // Stage-then-publish: land in an underscore-prefixed staging dir
+    // (Hadoop's hidden-path filter makes `_…` invisible to every reader),
+    // then ONE rename publishes it only when the batch has rows. An EMPTY
+    // batch (a delete-only epoch through the churn stream) deletes its
+    // staging dir instead: a rowless batch=<id> dir would carry no
+    // partition columns and break schema inference for every later
+    // reader of stream_assignment/ — absence is the representation. A
+    // crash at ANY point leaves nothing visible or the prior epoch dir,
+    // never a rowless one (the earlier write-then-delete shape had
+    // exactly that window); replay overwrites the staging dir and
+    // re-publishes, as idempotent as before. Still ONE Spark job.
     val dir = s"$indexDir/stream_assignment/batch=$batchId"
+    val staging = s"$indexDir/stream_assignment/_staging_batch=$batchId"
     assigned
       .drop("cos_sim")
       .write.mode("overwrite")
       .partitionBy("cluster")
-      .parquet(dir)
+      .parquet(staging)
     val row = obs.get
     val n = row("n").asInstanceOf[Long]
-    // an EMPTY batch (a delete-only epoch through the churn stream)
-    // must leave NOTHING behind: a rowless batch=<id> dir would carry no
-    // partition columns and break schema inference for every later
-    // reader of stream_assignment/ — absence is the correct
-    // representation, and delete-after-empty-write is as
-    // replay-idempotent as the old skip (same input ⇒ same emptiness)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     if (n == 0) {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    } else {
+      val fp = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(fp)) fs.delete(fp, true) // replayed epoch: overwrite
+      fs.rename(sp, fp)
     }
     (n, row.get("drift").flatMap(Option(_)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN))
   }

@@ -279,14 +279,15 @@ class PlanShapeSpec extends AnyFunSuite {
   // The closed set of queries allowed to plan a single-task WindowExec.
   // Each is bounded by construction — the window input is a sketch or
   // stage frame, never the corpus: q76 runs over 3 funnel-stage rows;
-  // r09 over its 128 histogram bins; d26 re-ranks its top-1000-limited
-  // vocabulary frame. Everything else must partition (or use a
-  // bounded-heap aggregate). This pin exists because WindowExec's
-  // "No Partition Defined" warnings in the bench log are expected for
-  // exactly these queries, and the noise must never hide a NEW
-  // accidental global window in any of the other queries.
+  // r09 over its 128 histogram bins. Everything else must partition
+  // (or use a bounded-heap aggregate). This pin exists because
+  // WindowExec's "No Partition Defined" warnings in the bench log are
+  // expected for exactly these queries, and the noise must never hide
+  // a NEW accidental global window in any of the other queries.
+  // (d26 left this list in r19: its top-1000 re-rank is now the
+  // census-offset + per-count tie-break shape, no global window.)
   private val unpartitionedWindowAllowlist =
-    Set("q76_funnel", "r09_histogram_quantiles", "d26_zipf_slope")
+    Set("q76_funnel", "r09_histogram_quantiles")
 
   /** The partition keys a WindowExec MAY partition by: columns whose
     * cardinality grows with the corpus (ids, keys, chunk salts), so the
@@ -310,10 +311,14 @@ class PlanShapeSpec extends AnyFunSuite {
   /** Queries whose PARTITIONED windows run over an input that is bounded
     * by construction, not by key cardinality — r09's window partitions
     * its 128-bin histogram sketch by the quantile probability `q` (3
-    * values × ≤128 rows per task at any corpus size). Everything else
-    * must carry a high-cardinality partition key.
+    * values × ≤128 rows per task at any corpus size); d26's tie-break
+    * window partitions its LIMIT-1000 vocabulary frame by the count
+    * value `c` (≤1000 rows total, so any one count group is ≤1000 rows
+    * at any corpus size). Everything else must carry a high-cardinality
+    * partition key.
     */
-  private val boundedInputWindowAllowlist = Set("r09_histogram_quantiles")
+  private val boundedInputWindowAllowlist =
+    Set("r09_histogram_quantiles", "d26_zipf_slope")
 
   /** Top-level comma-split of a printed partition spec (commas inside
     * parentheses/brackets belong to a wrapping expression, not the
