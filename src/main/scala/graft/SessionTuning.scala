@@ -34,6 +34,14 @@ object SessionTuning {
     val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
     b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${advisoryMb}m")
+      // Cached plans keep their exchange partitioning by default (the
+      // flag exists so cache-partitioning reuse stays predictable), which
+      // re-opens the near-empty-task hole for every persist()ed
+      // intermediate (the LSH signature/shingle tables): their build
+      // stages ran `cpus` tasks over kilobytes and every downstream scan
+      // of the cache inherited them. Letting AQE re-size cached-plan
+      // output applies the same advisory-size rule to caches.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
   }
 
   /** Scale-adaptive partition count for operators that must pick an
@@ -54,5 +62,23 @@ object SessionTuning {
     val cap = df.sparkSession.sparkContext.defaultParallelism * 2
     val want = (bytes / targetBytes).min(BigInt(cap)).max(BigInt(1))
     want.toInt
+  }
+
+  /** Partition count for SPREADING a lambda/CPU-heavy projection off a
+    * single parquet split (the pipelines' feature passes, the n-gram
+    * expansions): one partition per ~64 KB of estimated input, capped
+    * at defaultParallelism. A hard-coded `repartition(cores)` was the
+    * other half of the 32-core anti-scaling — 32 near-empty tasks per
+    * tiny input, pinned downstream by the frame's localCheckpoint (AQE
+    * never touches an explicit repartition). The small per-partition
+    * target reflects that these rows carry heavy per-row lambdas (the
+    * work/byte ratio is high); the cap restores full fan-out on real
+    * corpora.
+    */
+  def spreadParts(df: org.apache.spark.sql.DataFrame,
+      bytesPerPart: Long = 64L << 10): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = df.sparkSession.sparkContext.defaultParallelism
+    (bytes / bytesPerPart).min(BigInt(cap)).max(BigInt(1)).toInt
   }
 }

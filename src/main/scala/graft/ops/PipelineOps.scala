@@ -88,7 +88,11 @@ object PipelineOps {
     val spark = docs.sparkSession
     // One corpus pass: the documents table is a single parquet split at
     // test SFs, so spread the (lambda-heavy) feature projection first.
-    val feat = featureFrame(docs.repartition(spark.sparkContext.defaultParallelism))
+    // SIZE-derived spread, not repartition(cores): the checkpoint pins
+    // this partitioning for every downstream stage, and a hard 32-way
+    // fan-out of a tiny input was this family's 8c/32c anti-scaling
+    // (p01 ratio 0.57 in the r18 driver scaling block).
+    val feat = featureFrame(docs.repartition(graft.SessionTuning.spreadParts(docs)))
       .localCheckpoint()
 
     // stage 1 — exact-dedup keepers. The keeper id set is an aggregate
@@ -187,7 +191,8 @@ object PipelineOps {
     */
   def curateWeb(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val feat = WebOps.urlFrame(docs.repartition(spark.sparkContext.defaultParallelism))
+    // size-derived spread (see curate's note; p03's r18 ratio was 0.52)
+    val feat = WebOps.urlFrame(docs.repartition(graft.SessionTuning.spreadParts(docs)))
       .select(
         col("doc_id"), col("source"), col("canonical_url"), col("registered_domain"),
         tokens(col("text")).as("t"))
@@ -290,8 +295,9 @@ object PipelineOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val ac = graft.functions.AhoCorasick.build(PhraseDropList)
+    // size-derived spread (see curate's note; p04's r18 ratio was 0.43)
     val feat = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(graft.SessionTuning.spreadParts(docs))
       .select(
         col("doc_id"), col("source"), col("text"),
         md5(col("text")).as("content_hash"),

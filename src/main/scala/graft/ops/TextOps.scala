@@ -1645,7 +1645,8 @@ object TextOps {
         }
         .toDF("vec_id", "bench_max_cos")
       val grams = ngramRows(
-        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism), width = 8)
+        t(s, dir, "documents").repartition(
+          graft.SessionTuning.spreadParts(t(s, dir, "documents"))), width = 8)
         .withColumnRenamed("gram", "g")
       val eval8 = grams.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("g")).distinct()
       val lex = grams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
@@ -1665,9 +1666,11 @@ object TextOps {
 
     "d15_contamination" -> ((s, dir) => {
       // One parquet split feeds the [[ngramRows]] expansion, so
-      // repartition first.
+      // repartition first — size-derived (r18 scaling ratio 0.57: a
+      // hard 32-way spread of the tiny split was pure task overhead).
       val docs = ngramRows(
-        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        t(s, dir, "documents").repartition(
+          graft.SessionTuning.spreadParts(t(s, dir, "documents"))),
         width = 8
       ).withColumnRenamed("gram", "g")
       val eval8 = docs
